@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational operators from SURVEY.md §2 — scans, filters, joins,
+  * aggregations, set ops, sorts, windows — re-targeted at the driver's
+  * synthetic tables so every query has a DuckDB oracle.
+  *
+  * Each query mirrors a concrete operator of the reference
+  * (`/root/reference/parse_clean_and_csv.py`, `case_study_osm.pdf` SQL) and is
+  * written plan-first: filters/projections sit directly on the parquet scan
+  * (pushdown + pruning), small dimensions are broadcast, aggregates rely on
+  * Catalyst's partial (map-side) aggregation, and no query collects to the
+  * driver. All numeric outputs are integer-typed (counts / integral sums) so
+  * the driver's hash compare is float-safe.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1 — plain COUNT(*) (ref: `SELECT COUNT(*) FROM ways`, pdf p.8). */
+  def countStar(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem.agg(count(lit(1)).as("cnt"))
+
+  /** A2 + U1 — COUNT(DISTINCT uid) over a UNION ALL of two relations
+    * (ref: distinct users over nodes ∪ ways, pdf p.8). Spark `union` is
+    * UNION ALL; the distinct-count shuffles once on uid. */
+  def distinctUnion(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.orders.select(col("o_custkey").as("uid"))
+      .union(t.customer.select(col("c_custkey").as("uid")))
+      .agg(countDistinct(col("uid")).as("n_users"))
+  }
+
+  /** A3 — GROUP BY key COUNT(*) (ref: per-uid update/contribution counts,
+    * pdf p.10). Partial aggregation makes this one shuffle of (key, partial). */
+  def groupbyCount(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** A4 + O2 — value_counts: frequency histogram, descending
+    * (ref: phone-tag key histogram, audit_phone_numbers.py:184). */
+  def valueCounts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("event_type"))
+
+  /** A5 — distinct-character census (ref: list_chars,
+    * audit_phone_numbers.py:164-174; set semantics, not first-seen order). */
+  def charCensus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).part
+      .select(explode(split(col("p_name"), "")).as("ch"))
+      .distinct()
+
+  /** A6 — exact duplicate removal via DISTINCT (ref: O(n²) `row not in list`
+    * dedup at parse_clean_and_csv.py:321-326 → hash-based distinct here). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(col("lang"), col("source")).distinct()
+
+  /** F5/F8 — IN-list predicate on a scan (ref: key ∈ PHONE_KEYS,
+    * parse_clean_and_csv.py:531-533). Pushed into the parquet reader. */
+  def filterIn(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  /** F6 — regex shape predicate (ref: tolerant phone regexes,
+    * audit_phone_numbers.py:30-55). `rlike` is unanchored, like re.search. */
+  def filterRlike(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .filter(col("text").rlike("join [a-z]+ join"))
+      .select(col("doc_id"))
+
+  /** J1/J4 + A3 — fact⋈dim equi-join then aggregate. `part` is the small
+    * side → explicit broadcast (ref: official-list dict lookup as a
+    * broadcast hash join, parse_clean_and_csv.py:358-374,411-424). */
+  def joinAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+  }
+
+  /** J5 — LEFT JOIN of two aggregated subqueries (ref: per-uid updates LEFT
+    * JOIN per-uid contributions, pdf p.10). */
+  def leftJoinAggs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_errors"))
+    purchases.join(errors, Seq("user_id"), "left")
+  }
+
+  /** J7 — semi join / IN-subquery (ref: `id IN (SELECT DISTINCT id …)`,
+    * pdf p.12). Catalyst plans LeftSemi; customer side broadcasts. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val building = t.customer
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    t.orders
+      .join(broadcast(building), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  /** J8 — anti join / NOT IN (ref: `id NOT IN (…)`, pdf p.12; keys are
+    * non-null so null-aware semantics coincide with LeftAnti). */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val building = t.customer
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    t.orders
+      .join(broadcast(building), col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  /** J6 — "has all three tags" triple-self-join, re-expressed as one
+    * aggregation with max(CASE) flags (ref: ways_tags a⋈b⋈c on id, pdf p.12
+    * — the groupBy form does ONE shuffle instead of three joins). */
+  def havingFlags(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("f_click"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("f_buy"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("f_err"))
+      .filter(col("f_click") === 1 && col("f_buy") === 1 && col("f_err") === 1)
+      .select(col("user_id"))
+
+  /** J3 — uniqueness via window counts instead of the reference's O(n²)
+    * XOR-conflict self-scan (parse_clean_and_csv.py:331-339). */
+  def windowUnique(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("n_chars"))))
+      .filter(col("c") === 1)
+      .select(col("doc_id"), col("n_chars"))
+
+  /** P3 — tag-key split at the first colon, default type 'regular'
+    * (ref: FIRST_COLON_RE, parse_clean_and_csv.py:135-141). The key column
+    * is synthesized from documents so the oracle sees identical input. */
+  def keySplit(s: SparkSession, dir: String): DataFrame = {
+    val k = when(col("doc_id") % 3 === 0, col("source"))
+      .otherwise(concat_ws(":", col("lang"), col("source")))
+    val hasColon = col("k").contains(":")
+    Tables(s, dir).documents
+      .select(col("doc_id"), k.as("k"))
+      .select(
+        col("doc_id"),
+        col("k"),
+        when(hasColon, regexp_extract(col("k"), "^(.*?):(.*)$", 1))
+          .otherwise("regular").as("tag_type"),
+        when(hasColon, regexp_extract(col("k"), "^(.*?):(.*)$", 2))
+          .otherwise(col("k")).as("tag_key"))
+  }
+
+  /** O1 — deterministic top-k by aggregate (ref: ORDER BY contributions
+    * DESC, pdf p.10; row_number tie-break keeps the result hash-stable). */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(desc("n"), col("user_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("user_id"), col("n"))
+
+  val queries: Map[String, Q] = Map(
+    "q_count_star" -> countStar,
+    "q_distinct_union" -> distinctUnion,
+    "q_groupby_count" -> groupbyCount,
+    "q_value_counts" -> valueCounts,
+    "q_char_census" -> charCensus,
+    "q_dedup_exact" -> dedupExact,
+    "q_filter_in" -> filterIn,
+    "q_filter_rlike" -> filterRlike,
+    "q_join_agg" -> joinAgg,
+    "q_left_join_aggs" -> leftJoinAggs,
+    "q_semi_join" -> semiJoin,
+    "q_anti_join" -> antiJoin,
+    "q_having_flags" -> havingFlags,
+    "q_window_unique" -> windowUnique,
+    "q_key_split" -> keySplit,
+    "q_topk" -> topK,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_count_star" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q_distinct_union" ->
+      ("SELECT count(DISTINCT uid) AS n_users FROM " +
+        "(SELECT o_custkey AS uid FROM orders " +
+        "UNION ALL SELECT c_custkey AS uid FROM customer)"),
+    "q_groupby_count" ->
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+    "q_value_counts" ->
+      ("SELECT event_type, count(*) AS cnt FROM events " +
+        "GROUP BY event_type ORDER BY cnt DESC, event_type"),
+    "q_char_census" ->
+      "SELECT DISTINCT unnest(string_split(p_name, '')) AS ch FROM part",
+    "q_dedup_exact" ->
+      "SELECT DISTINCT lang, source FROM documents",
+    "q_filter_in" ->
+      ("SELECT event_id, user_id, event_type FROM events " +
+        "WHERE event_type IN ('click', 'purchase')"),
+    "q_filter_rlike" ->
+      "SELECT doc_id FROM documents WHERE regexp_matches(text, 'join [a-z]+ join')",
+    "q_join_agg" ->
+      ("SELECT p_brand, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
+    "q_left_join_aggs" ->
+      ("SELECT a.user_id AS user_id, a.n_purchases AS n_purchases, " +
+        "b.n_errors AS n_errors FROM " +
+        "(SELECT user_id, count(*) AS n_purchases FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id) a LEFT JOIN " +
+        "(SELECT user_id, count(*) AS n_errors FROM events " +
+        "WHERE event_type = 'error' GROUP BY user_id) b " +
+        "ON a.user_id = b.user_id"),
+    "q_semi_join" ->
+      ("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"),
+    "q_anti_join" ->
+      ("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_custkey NOT IN " +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"),
+    "q_having_flags" ->
+      ("SELECT user_id FROM events GROUP BY user_id HAVING " +
+        "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1 AND " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AND " +
+        "max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1"),
+    "q_window_unique" ->
+      ("SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, " +
+        "count(*) OVER (PARTITION BY n_chars) AS c FROM documents) WHERE c = 1"),
+    "q_key_split" ->
+      ("SELECT doc_id, k, " +
+        "CASE WHEN k LIKE '%:%' THEN regexp_extract(k, '^(.*?):(.*)$', 1) " +
+        "ELSE 'regular' END AS tag_type, " +
+        "CASE WHEN k LIKE '%:%' THEN regexp_extract(k, '^(.*?):(.*)$', 2) " +
+        "ELSE k END AS tag_key FROM (SELECT doc_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN source " +
+        "ELSE lang || ':' || source END AS k FROM documents)"),
+    "q_topk" ->
+      ("SELECT user_id, n FROM (SELECT user_id, count(*) AS n, " +
+        "row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn " +
+        "FROM events GROUP BY user_id) WHERE rn <= 10"),
+  )
+}
