@@ -1,0 +1,77 @@
+package graft.osm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The two audit programs (X5 / X6 in SURVEY.md §2.10) as
+  * DataFrame-returning functions; `show` belongs at the CLI edge.
+  */
+object Audits {
+
+  /** X5 — bilingual street-name audit
+    * (audit_bilingual_street_names.py:230-278).
+    *
+    * NOTE the audit deliberately probes the UNCORRECTED official list (the
+    * script never calls update_official_list — that is the point: it runs
+    * before cleaning). Keeps street ways with exactly one official match
+    * where something still disagrees: a version not found, or fewer than 4
+    * versions present. Output: the 4 name versions + the matched official
+    * pair. */
+  def bilingualStreetNames(spark: SparkSession, osmPath: String,
+      officialPath: String): DataFrame = {
+    val rawOfficial = OfficialList.cleaned(spark, officialPath)
+    val lookup = OfficialList.lookup(rawOfficial)
+    val tags = OsmIngest.tags(OsmIngest.rawWays(spark, osmPath))
+    val streets = StreetNameFix.streetIds(tags)
+    val versions = StreetNameFix.nameVersions(tags, streets)
+    val results = StreetNameFix.lookupResults(versions, lookup)
+    versions.join(results, Seq("id"))
+      .filter(col("n_matches") === 1 &&
+        (col("not_found") > 0 || col("n_versions") < 4))
+      .select(col("id"), col("en_only"), col("reg_eng"), col("zh_only"),
+        col("reg_chi"), col("c_eng").as("official_eng"),
+        col("c_chi").as("official_chi"))
+  }
+
+  /** The audit's three tolerant phone-shape regexes
+    * (audit_phone_numbers.py:30-55). Dialect-safe in Java regex; the
+    * full-width plus U+FF0B is kept literal. */
+  val HkPhoneRe = "^[＋+(]{0,2}[ ]?(852)?\\)?[- ]?([0-9]{4})[- ]?([0-9]{4})$"
+  val SzLandRe =
+    "^[＋+(]?(86)?\\)?[- ]?\\(?0?(755)\\)?[- ]?([0-9]{3,4})[- ]?([0-9]{3,4})$"
+  val PrcCellRe =
+    "^[＋+(]?(86)?\\)?[- ]?(1[3-9][0-9])[- ]?([0-9]{4})[- ]?([0-9]{4})$"
+
+  private def isPhoneShaped(c: org.apache.spark.sql.Column) =
+    c.rlike(HkPhoneRe) || c.rlike(SzLandRe) || c.rlike(PrcCellRe)
+
+  /** X6 — phone-number audit (audit_phone_numbers.py:142-162): keep tags
+    * with key phone/fax outright; for other tags, emit ONE ROW PER
+    * `;`-SEGMENT whose shape matches (the reference appends the tag once
+    * per matching segment — duplicates preserved deliberately). */
+  def phoneNumbers(spark: SparkSession, osmPath: String): DataFrame = {
+    val tags = OsmIngest.tags(OsmIngest.rawNodes(spark, osmPath))
+      .unionByName(OsmIngest.tags(OsmIngest.rawWays(spark, osmPath)))
+      .select(col("id"), col("key"), col("value"), col("type"))
+    val direct = tags.filter(col("key") === "phone" || col("key") === "fax")
+    val shaped = tags
+      .filter(col("key") =!= "phone" && col("key") =!= "fax")
+      .select(col("id"), col("key"), col("value"), col("type"),
+        explode(split(col("value"), ";", -1)).as("segment"))
+      .filter(isPhoneShaped(col("segment")))
+      .drop("segment")
+    direct.unionByName(shaped)
+  }
+
+  /** A4 — key histogram of the phone audit (value_counts,
+    * audit_phone_numbers.py:184). */
+  def phoneKeyCounts(audit: DataFrame): DataFrame =
+    audit.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("key"))
+
+  /** A5 — distinct characters across audited values (list_chars,
+    * audit_phone_numbers.py:164-174; set semantics — the reference's
+    * first-seen ORDER is a driver-side artifact we do not reproduce). */
+  def phoneCharCensus(audit: DataFrame): DataFrame =
+    audit.select(explode(split(col("value"), "")).as("ch")).distinct()
+}

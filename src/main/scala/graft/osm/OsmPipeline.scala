@@ -1,0 +1,107 @@
+package graft.osm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X7 — the orchestrating pipeline (process_map, parse_clean_and_csv.py:
+  * 206-290): read OSM XML once per element kind, shape, fix phones (nodes +
+  * ways), fix street names (ways only), derive update_history, expose the
+  * six output relations.
+  *
+  * The shaped tag relations are cached: they feed multiple sinks (tags CSV,
+  * update-history aggregation, name-version pivot), mirroring the
+  * reference's single pass computing all outputs together.
+  */
+final case class OsmPipeline(spark: SparkSession, osmPath: String,
+    officialPath: String) {
+
+  lazy val official: DataFrame = OfficialList.load(spark, officialPath)
+  lazy val lookup: DataFrame = OfficialList.lookup(official)
+
+  private lazy val rawNodes = OsmIngest.rawNodes(spark, osmPath)
+  private lazy val rawWays = OsmIngest.rawWays(spark, osmPath)
+
+  lazy val nodes: DataFrame = OsmIngest.nodes(rawNodes)
+  lazy val ways: DataFrame = OsmIngest.ways(rawWays)
+  lazy val wayNodes: DataFrame = OsmIngest.wayNodes(rawWays)
+
+  /** node tags after phone fix (with tag_pos + phone_changed). */
+  lazy val nodeTagsFixed: DataFrame =
+    PhoneFix.fixPhonesInTags(OsmIngest.tags(rawNodes)).cache()
+
+  /** way tags after phone fix THEN street-name fix (process_map order,
+    * parse_clean_and_csv.py:260,272-273). */
+  lazy val wayTagsFixed: DataFrame = {
+    val phoneFixed = PhoneFix.fixPhonesInTags(OsmIngest.tags(rawWays)).cache()
+    val streets = StreetNameFix.streetIds(phoneFixed)
+    val versions = StreetNameFix.nameVersions(phoneFixed, streets)
+    val plan = StreetNameFix.fixPlan(versions, lookup)
+    StreetNameFix.applyFix(phoneFixed, plan).cache()
+  }
+
+  /** Output projections (drop the internal tag_pos / flag columns). */
+  def nodeTags: DataFrame =
+    nodeTagsFixed.select(col("id"), col("key"), col("value"), col("type"))
+  def wayTags: DataFrame =
+    wayTagsFixed.select(col("id"), col("key"), col("value"), col("type"))
+
+  /** update_history(id, element_type, field_updated) — K2
+    * (parse_clean_and_csv.py:263-290). Phone flags replicate the
+    * reference's last-writer-wins quirk exactly (see PhoneFix). */
+  lazy val updateHistory: DataFrame = {
+    val nodePhone = PhoneFix.phoneUpdatedPerElement(nodeTagsFixed)
+      .filter(col("phone_updated"))
+      .select(col("id"), lit("node").as("element_type"),
+        lit("phone").as("field_updated"))
+    val wayPhone = PhoneFix.phoneUpdatedPerElement(wayTagsFixed)
+      .filter(col("phone_updated"))
+      .select(col("id"), lit("way").as("element_type"),
+        lit("phone").as("field_updated"))
+    val wayName = StreetNameFix.nameUpdatedPerWay(wayTagsFixed)
+      .select(col("id"), lit("way").as("element_type"),
+        lit("name").as("field_updated"))
+    nodePhone.unionByName(wayPhone).unionByName(wayName)
+  }
+
+  /** Register the reference's five SQL tables + update_history as temp
+    * views with typed id columns for exploration (SURVEY.md §3.4). */
+  def registerViews(): Unit = {
+    nodes.createOrReplaceTempView("nodes")
+    ways.createOrReplaceTempView("ways")
+    nodeTags.createOrReplaceTempView("nodes_tags")
+    wayTags.createOrReplaceTempView("ways_tags")
+    wayNodes.createOrReplaceTempView("ways_nodes")
+    updateHistory.createOrReplaceTempView("update_history")
+  }
+
+  /** K1 — write the six relations as headered UTF-8 CSVs under outDir
+    * (UnicodeDictWriter equivalent; parse_clean_and_csv.py:189-246). */
+  def writeCsvs(outDir: String): Unit = {
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").option("header", "true")
+        .csv(s"$outDir/$name")
+    w(nodes, "nodes")
+    w(nodeTags, "nodes_tags")
+    w(ways, "ways")
+    w(wayNodes, "ways_nodes")
+    w(wayTags, "ways_tags")
+    w(updateHistory, "update_history")
+  }
+}
+
+/** CLI entry point: ProcessMap <osm.xml> <official.xml> <outDir>. */
+object ProcessMap {
+  def main(args: Array[String]): Unit = {
+    val Array(osm, officialPath, out) = args
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-process-map")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    OsmPipeline(spark, osm, officialPath).writeCsvs(out)
+    spark.stop()
+  }
+}

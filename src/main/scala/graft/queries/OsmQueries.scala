@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.osm.{Audits, Explore, OfficialList, OsmPipeline}
+
+/** SparkEntry surface for the OSM engine itself (SURVEY.md §2 rows S1-S3,
+  * P1-P4, F1-F7, J1-J3, C1-C10, X1-X7) — run on the reference's bundled
+  * inputs (`shatin.osm` + official street list), independent of the sfDir
+  * argument. No SQL oracle exists for these (the driver's DuckDB sees only
+  * the synthetic tables), so they are registered as rows-only checks; exact
+  * content parity is enforced by OsmGoldenSpec's reference-derived hashes.
+  */
+object OsmQueries {
+
+  val OsmPath = "/root/reference/shatin.osm"
+  val PsiPath = "/root/reference/PSI_Street Name_062017.xml"
+
+  // One pipeline per session — queries share the cached shaped relations.
+  private val pipelines =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, OsmPipeline]()
+  private def pipe(s: SparkSession): OsmPipeline =
+    pipelines.computeIfAbsent(s, OsmPipeline(_, OsmPath, PsiPath))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_osm_nodes" -> ((s, _) => pipe(s).nodes),
+    "q_osm_node_tags" -> ((s, _) => pipe(s).nodeTags),
+    "q_osm_ways" -> ((s, _) => pipe(s).ways),
+    "q_osm_way_tags" -> ((s, _) => pipe(s).wayTags),
+    "q_osm_way_nodes" -> ((s, _) => pipe(s).wayNodes),
+    "q_osm_update_history" -> ((s, _) => pipe(s).updateHistory),
+    "q_osm_official_list" -> ((s, _) => pipe(s).official),
+    "q_osm_official_raw" -> ((s, _) => OfficialList.cleaned(s, PsiPath)),
+    "q_osm_audit_streets" ->
+      ((s, _) => Audits.bilingualStreetNames(s, OsmPath, PsiPath)),
+    "q_osm_audit_phones" -> ((s, _) => Audits.phoneNumbers(s, OsmPath)),
+    "q_osm_audit_phone_keys" ->
+      ((s, _) => Audits.phoneKeyCounts(Audits.phoneNumbers(s, OsmPath))),
+    "q_osm_audit_phone_chars" ->
+      ((s, _) => Audits.phoneCharCensus(Audits.phoneNumbers(s, OsmPath))),
+    "q_osm_explore_summary" -> ((s, _) => {
+      pipe(s).registerViews()
+      Explore.summary(s)
+    }),
+    "q_osm_explore_contributions" -> ((s, _) => {
+      pipe(s).registerViews()
+      Explore.run(s, "updated_users_vs_contributions")
+    }),
+  )
+}
