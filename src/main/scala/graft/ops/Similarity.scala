@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exactness baseline. Scales as
+  *    |queries| × |corpus|: fine for bounded query sets (the corpus side
+  *    streams through codegen; queries broadcast).
+  *  - random-hyperplane LSH — the 100 TB path: per-row signatures, shuffle
+  *    only on (table, bucket) keys, exact re-rank inside buckets. Identical
+  *    vectors always collide; recall degrades gracefully with distance.
+  *
+  * All vector math is built from codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no UDF, no collect.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ with double accumulation (deterministic left-to-right fold —
+    * reproducible across engines for oracle checks). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cast a float vector to double once, up front — keeps all downstream
+    * arithmetic in double (and bit-identical to the DuckDB oracle). */
+  def toDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k most similar OTHER vectors, ties broken by neighbor id.
+    * The query side is broadcast; the corpus side never shuffles until the
+    * final per-query top-k (a tiny window over nQueries × corpus rows —
+    * at real scale swap the window for a per-partition top-k combine). */
+  def knnBrute(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val corpus = embs.select(col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("vec_n"))
+    val queries = embs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        toDouble(col("embedding")).as("vec_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    corpus.join(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("vec_q"), col("vec_n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim_r"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed LCG — stable across
+    * runs/partitions so signatures are reproducible). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L):
+      Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-bit signature of a vector against `planes`, packed into a long. */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) >= 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: `nTables` independent signature tables of
+    * `bitsPerTable` hyperplane bits; candidates = corpus vectors sharing a
+    * bucket with the query in ANY table; exact cosine re-rank inside the
+    * candidate set. One shuffle on (table, bucket). */
+  def knnLsh(embs: DataFrame, nQueries: Int, k: Int, nTables: Int = 4,
+      bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    val sigs = (0 until nTables).map { t =>
+      val planes = hyperplanes(bitsPerTable, dim, seed = 1000L + t)
+      struct(lit(t).as("table"),
+        lshSignature(toDouble(col("embedding")), planes).as("bucket"))
+    }
+    val buckets = embs.select(col("vec_id"),
+        toDouble(col("embedding")).as("vec"),
+        explode(array(sigs: _*)).as("tb"))
+      .select(col("vec_id"), col("vec"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val qb = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("vec_q"),
+        col("table"), col("bucket"))
+    val candidates = buckets
+      .join(qb, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("vec_q"), col("vec").as("vec_n"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    candidates
+      .withColumn("sim", cosine(col("vec_q"), col("vec_n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim_r"))
+  }
+
+  /** Embedding near-duplicate pairs: LSH candidates (identical/near-
+    * identical vectors always share buckets) verified by exact cosine ≥
+    * `minCosine`. The scale path for dedup-by-embedding: no quadratic
+    * self-join, shuffle only on buckets. */
+  def nearDupPairs(embs: DataFrame, minCosine: Double, nTables: Int = 4,
+      bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    val sigs = (0 until nTables).map { t =>
+      val planes = hyperplanes(bitsPerTable, dim, seed = 1000L + t)
+      struct(lit(t).as("table"),
+        lshSignature(toDouble(col("embedding")), planes).as("bucket"))
+    }
+    val buckets = embs.select(col("vec_id"),
+        toDouble(col("embedding")).as("vec"),
+        explode(array(sigs: _*)).as("tb"))
+      .select(col("vec_id"), col("vec"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val a = buckets.select(col("table"), col("bucket"),
+      col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val b = buckets.select(col("table"), col("bucket"),
+      col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions.capwords
+import graft.ops.{Sessionize, TextAnalysis}
+import graft.osm.PhoneFix
+
+/** Oracle-backed queries exercising the string/cleaning operators (C1-C9)
+  * and the text-analysis + sessionization ops on the synthetic tables.
+  *
+  * The phone-canonicalization query synthesizes deterministic phone-shaped
+  * inputs from event ids with the SAME expression on both sides, then the
+  * oracle re-states the reference's canonicalization cascade in DuckDB SQL —
+  * a full cross-engine check of C6-C9.
+  */
+object TextOps {
+
+  /** C1 — capwords over part names (native Catalyst expression). */
+  def capwordsQuery(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).part
+      .select(col("p_partkey"), capwords(col("p_name")).as("cap_name"))
+
+  /** C6-C9 — phone canonicalization over synthesized inputs. */
+  def phoneCanon(s: SparkSession, dir: String): DataFrame = {
+    val d8 = (lit(20000000L) + (col("event_id") * 137) % 80000000L)
+      .cast("string")
+    val raw = when(col("event_id") % 6 === 0, d8)
+      .when(col("event_id") % 6 === 1,
+        concat(lit("852-"), d8, lit(","), d8))
+      .when(col("event_id") % 6 === 2,
+        concat(lit("+852 "), substring(d8, 1, 4), lit(" "),
+          substring(d8, 5, 4)))
+      .when(col("event_id") % 6 === 3, concat(lit("13"), d8, lit("7")))
+      .when(col("event_id") % 6 === 4,
+        concat(lit("+86 0755-"), substring(d8, 1, 7)))
+      .otherwise(concat(lit("no phone "), d8, lit("x")))
+    Tables(s, dir).events
+      .select(col("event_id"), raw.as("raw"))
+      .withColumn("fixed", PhoneFix.fixPhoneValue(col("raw")))
+  }
+
+  /** Token/char counts (text analysis). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(Tables(s, dir).documents)
+
+  /** Quality scoring (integer-only outputs for oracle parity). */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables(s, dir).documents)
+
+  /** Rolling-hash fingerprints. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables(s, dir).documents)
+
+  /** Language ID over the synthetic docs (rows-only: the corpus vocabulary
+    * is English-ish regardless of the synthetic lang label; real accuracy
+    * is asserted on multilingual vectors in TextAnalysisSpec). */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIds(Tables(s, dir).documents)
+
+  /** Gap-based sessionization per user. */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionStats(Tables(s, dir).events)
+
+  /** Hourly tumbling-window histogram. */
+  def hourly(s: SparkSession, dir: String): DataFrame =
+    Sessionize.hourlyHistogram(Tables(s, dir).events)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_capwords" -> capwordsQuery,
+    "q_phone_canon" -> phoneCanon,
+    "q_token_stats" -> tokenStats,
+    "q_quality" -> quality,
+    "q_fingerprint" -> fingerprint,
+    "q_langid" -> langId,
+    "q_sessionize" -> sessionize,
+    "q_hourly" -> hourly,
+  )
+
+  private val phoneCase =
+    """CASE
+      | WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(852)?\d{8}$')
+      |   THEN '+852 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:852)?(\d{8})$', 1)
+      | WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(86)?1[3-9]\d{9}$')
+      |   THEN '+86 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:86)?(1[3-9]\d{9})$', 1)
+      | WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(86)?0?755\d{6,8}$')
+      |   THEN '+86 755 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:86)?0?755(\d{6,8})$', 1)
+      | ELSE NULL END""".stripMargin.replace("\n", " ")
+
+  val oracle: Map[String, String] = Map(
+    "q_capwords" ->
+      ("SELECT p_partkey, array_to_string(list_transform(" +
+        "string_split(p_name, ' '), x -> upper(x[1:1]) || lower(x[2:])), ' ')" +
+        " AS cap_name FROM part"),
+    "q_phone_canon" ->
+      ("SELECT event_id, raw, CASE WHEN len(m) = 0 THEN raw " +
+        "ELSE array_to_string(m, ';') END AS fixed FROM (" +
+        "SELECT event_id, raw, list_filter(list_transform(" +
+        "string_split_regex(raw, '[,;]'), s -> " + phoneCase +
+        "), x -> x IS NOT NULL) AS m FROM (" +
+        "SELECT event_id, CASE " +
+        "WHEN event_id % 6 = 0 THEN d8 " +
+        "WHEN event_id % 6 = 1 THEN '852-' || d8 || ',' || d8 " +
+        "WHEN event_id % 6 = 2 THEN '+852 ' || substr(d8, 1, 4) || ' ' || substr(d8, 5, 4) " +
+        "WHEN event_id % 6 = 3 THEN '13' || d8 || '7' " +
+        "WHEN event_id % 6 = 4 THEN '+86 0755-' || substr(d8, 1, 7) " +
+        "ELSE 'no phone ' || d8 || 'x' END AS raw FROM (" +
+        "SELECT event_id, CAST(20000000 + (event_id * 137) % 80000000 " +
+        "AS VARCHAR) AS d8 FROM events)))"),
+    "q_token_stats" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+        "length(text) AS n_chars_measured FROM documents"),
+    "q_quality" ->
+      ("SELECT doc_id, n_tokens, n_stop, total_len * 100 // n_tokens " +
+        "AS mean_tok_len_x100, " +
+        "n_tokens >= 20 AND n_tokens <= 500 AND n_stop * 4 < n_tokens " +
+        "AS is_quality FROM (SELECT doc_id, " +
+        "len(string_split(text, ' ')) AS n_tokens, " +
+        "len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('the', 'a', 'of', 'to', 'in'))) AS n_stop, " +
+        "CAST(list_sum(list_transform(string_split(text, ' '), " +
+        "x -> length(x))) AS BIGINT) AS total_len FROM documents)"),
+    "q_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(text, ''), " +
+        "ch -> CAST(ord(ch) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint " +
+        "FROM documents"),
+    "q_sessionize" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (" +
+        "SELECT user_id, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END " +
+        "AS new_session FROM (SELECT user_id, ts, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS prev_ts FROM events)) GROUP BY user_id"),
+    "q_hourly" ->
+      ("SELECT date_trunc('hour', ts) AS hour, event_type, " +
+        "count(*) AS cnt FROM events GROUP BY 1, 2"),
+  )
+}

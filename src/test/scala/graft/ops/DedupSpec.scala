@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exact dedup keeps min id and counts copies") {
+    val df = Seq((1L, "A b"), (2L, "a B"), (3L, "c")).toDF("doc_id", "text")
+    val got = Dedup.exact(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a b", 1L, 2L), ("c", 3L, 1L)))
+  }
+
+  test("shingles: distinct word bigrams, short docs degrade gracefully") {
+    val got = Seq("a b c a b c", "x").toDF("text")
+      .select(Dedup.shingles(col("text"), 2).as("s"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b", "b c", "c a"))
+    assert(got(1) == Set("x"))
+  }
+
+  test("jaccard pairs: integer-threshold filter on a known fixture") {
+    val df = Seq(
+      (1L, "g", "a b c d"), (2L, "g", "a b c e"), (3L, "g", "x y z w"))
+      .toDF("doc_id", "source", "text")
+    // unigram sets: {a,b,c,d} vs {a,b,c,e}: i=3 u=5 → j=0.6
+    val got = Dedup.jaccardPairs(df, "source", n = 1, numer = 1, denom = 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    val none = Dedup.jaccardPairs(df, "source", n = 1, numer = 7, denom = 10)
+    assert(none.count() == 0) // 0.6 < 0.7
+  }
+
+  test("minhash signatures are deterministic and equal for equal docs") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 64)
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs (sf0.001)") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val mutated = d.union(d.select(col("doc_id") + 1000000L,
+      regexp_replace(col("text"), "^[^ ]* ", "")))
+    val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatures(mutated))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every doc and its mutant (bigram jaccard near 1) must be a candidate
+    val nDocs = d.count()
+    val expected = d.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    assert(expected.subsetOf(cands),
+      s"missing ${(expected -- cands).take(5)} of $nDocs")
+  }
+
+  test("minhash dedup pipeline verifies candidates with exact jaccard") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val mutated = d.union(d.select(col("doc_id") + 1000000L,
+      regexp_replace(col("text"), "^[^ ]* ", "")))
+    val pairs = Dedup.minhashDedupPairs(mutated, numer = 7, denom = 10)
+    val got = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = d.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    assert(expected.subsetOf(got))
+    // verified pairs really have jaccard ≥ 0.7 (spot integer check)
+    val bad = pairs.filter(col("n_inter") * 10 < col("n_union") * 7).count()
+    assert(bad == 0)
+  }
+
+  test("simhash: order-independent, near-dup blocking finds mutants") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "h g f e d c b a"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val hs = Dedup.simhashes(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L)) // bag-of-words invariance
+    assert(hs(1L) != hs(3L))
+
+    val d = docs.select(col("doc_id"), col("text")).limit(100)
+    val mutated = d.union(d.select(col("doc_id") + 1000000L,
+      regexp_replace(col("text"), "^[^ ]* ", "")))
+    val pairs = Dedup.simhashNearDupPairs(mutated, maxHamming = 7)
+    val got = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = d.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    val recall = (expected & got).size.toDouble / expected.size
+    assert(recall >= 0.9, s"simhash recall $recall")
+    val bad = pairs.filter(col("hamming") > 7).count()
+    assert(bad == 0)
+  }
+}

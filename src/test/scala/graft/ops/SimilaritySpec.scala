@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("cosine matches a driver-side computation") {
+    val rows = embs.limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val got = Similarity.knnBrute(embs.limit(20), nQueries = 1, k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = rows.find(_._1 == 0L).get._2
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(q, v) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).toMap
+    expected.foreach { case (id, s) =>
+      assert(got.contains(id), s"neighbor $id missing")
+      assert(math.abs(got(id) - s) < 1e-6)
+    }
+  }
+
+  test("LSH recalls identical vectors at rank 1") {
+    // plant an exact duplicate of vec 0 and make sure LSH finds it
+    val dup = embs.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val corpus = embs.select("vec_id", "embedding").union(dup)
+    val got = Similarity.knnLsh(corpus, nQueries = 1, k = 5)
+      .filter(col("query_id") === 0).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty, "no LSH candidates for query 0")
+    val top = got.find(_._2 == 1).get
+    assert(top._1 == 5000L && math.abs(top._3 - 1.0) < 1e-9,
+      s"expected planted duplicate at rank 1, got $top")
+  }
+
+  test("embedding near-dup pairs find planted near-duplicates only") {
+    val mutant = embs.limit(50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * 1.2f).otherwise(x)).as("embedding"))
+    val corpus = embs.limit(50).select("vec_id", "embedding").union(mutant)
+    val pairs = Similarity.nearDupPairs(corpus, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 50L).map(i => (i, i + 1000000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing ${(expected -- pairs).take(5)}")
+    // isotropic noise vectors must NOT appear as near-dups of each other
+    assert(pairs.forall { case (a, b) => b - a == 1000000L })
+  }
+}

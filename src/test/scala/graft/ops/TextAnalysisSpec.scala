@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats and quality on a fixture") {
+    val df = Seq((1L, "the a of to in x"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(q(1L) == ((6, 5, 183L, false))) // 5 stopwords of 6 → low quality
+    assert(q(2L) == ((3, 0, 466L, false))) // 14 chars / 3 tokens; too short
+  }
+
+  test("fingerprint: deterministic, shift-sensitive") {
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "acb")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    // known value: ((0*31+97)*31+98)*31+99 = 96354 for "abc" codepoints
+    assert(fp(1L) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
+  test("language ID on real multilingual vectors") {
+    val vectors = Seq(
+      ("the cat sat on the mat and it is happy", "en"),
+      ("el perro y la casa de los amigos es grande", "es"),
+      ("der hund und die katze ist ein tier", "de"),
+      ("le chat et le chien est une belle chose", "fr"),
+      ("這是一段中文文字 用來測試語言識別", "zh"),
+      ("zzz qqq xxx", "unknown"))
+    val got = vectors.map(_._1).toDF("text")
+      .select(col("text"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    vectors.foreach { case (text, want) =>
+      assert(got(text) == want, s"<$text> → ${got(text)}, want $want")
+    }
+  }
+}
