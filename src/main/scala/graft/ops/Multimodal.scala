@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: images / audio / video ride through the
+  * engine as opaque `binary` columns with typed metadata, processed in
+  * batched per-partition passes.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): `decodeStub` derives a deterministic fake feature vector
+  * from the bytes. Everything AROUND the stub is real and load-bearing —
+  * schema, partition-batched execution, feature/frame shapes — so swapping
+  * in a real decoder (JNI codec or `mapInPandas`+PIL on a PySpark edge) is
+  * a one-function change.
+  */
+object Multimodal {
+
+  case class Media(media_id: Long, kind: String, bytes: Array[Byte],
+      width: Int, height: Int)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      features: Array[Float])
+  case class Frame(media_id: Long, frame_no: Int, offset: Int,
+      frame_bytes: Array[Byte])
+
+  /** Synthesize a media table from the documents corpus: UTF-8 bytes as
+    * the payload, metadata derived deterministically. Stands in for
+    * `spark.read.format("binaryFile")` over an object store. */
+  def mediaFromDocuments(docs: DataFrame): Dataset[Media] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"))
+      .as[Media]
+  }
+
+  /** STUB decoder: a real implementation would decode the codec here.
+    * Deterministic stand-in: feature j = normalized byte histogram moment.
+    * Marked clearly; the pipeline shape (batched per-partition map, fixed
+    * feature dim) is what production code reuses. */
+  def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(((bytes(i) & 0xff) + i) % dim) += (bytes(i) & 0xff).toLong
+      i += 1
+    }
+    val n = math.max(bytes.length, 1)
+    acc.map(v => v.toFloat / n)
+  }
+
+  /** Feature extraction as a batched per-partition pass — the Scala
+    * equivalent of a pandas-batched UDF: one JVM-side loop per partition,
+    * no per-row closure dispatch on the hot path, output schema fixed. */
+  def extractFeatures(media: Dataset[Media], dim: Int = 16):
+      Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.bytes.length,
+          decodeStub(m.bytes, dim))
+      }
+    }
+  }
+
+  /** Frame sampling for video-kind rows: every `stride`-th fixed-size
+    * window of the payload becomes a frame row (offset metadata kept so a
+    * real decoder can seek). One row in → few rows out, per partition. */
+  def sampleFrames(media: Dataset[Media], frameSize: Int = 64,
+      stride: Int = 256): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      Iterator.range(0, math.max(m.bytes.length - frameSize + 1, 1), stride)
+        .zipWithIndex.map { case (off, no) =>
+          Frame(m.media_id, no, off,
+            m.bytes.slice(off, math.min(off + frameSize, m.bytes.length)))
+        }
+    }
+  }
+}

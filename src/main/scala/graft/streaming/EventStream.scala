@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Structured Streaming duals of the batch event operators (SURVEY.md
+  * notes the reference itself is batch-only; these are the scale-out
+  * streaming surface for the same semantics).
+  *
+  * Design: file-source streams with event-time watermarks; windowed
+  * aggregation is the built-in incremental hash agg; sessionization uses
+  * flatMapGroupsWithState so per-user session state lives in the state
+  * store (RocksDB at scale), partitioned by user — the same key layout as
+  * the batch window version.
+  */
+object EventStream {
+
+  /** Event schema as streamed — ts arrives as nanos (TIMESTAMP(NANOS)
+    * parquet), converted to a micro timestamp exactly like Tables.events. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling event-time window counts with a watermark — the streaming
+    * form of Sessionize.hourlyHistogram. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("hour"), col("event_type"), col("cnt"))
+
+  case class SessionEvent(user_id: Long, ts_ms: Long)
+  case class SessionState(lastTsMs: Long, nSessions: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Gap-based sessionization with explicit state: per user, a new session
+    * starts when the gap exceeds `gapMs`. Emits the running per-user
+    * totals each batch (OutputMode.Update downstream). */
+  def sessionize(events: DataFrame, gapMs: Long = 1800000L):
+      Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          val sorted = rows.map(_.ts_ms).toArray.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { t =>
+            val newSession = st.lastTsMs == Long.MinValue ||
+              t - st.lastTsMs > gapMs
+            st = SessionState(t, st.nSessions + (if (newSession) 1 else 0),
+              st.nEvents + 1)
+          }
+          state.update(st)
+          Iterator.single(SessionOut(user, st.nEvents, st.nSessions))
+      }
+  }
+
+  /** Drive a streaming DataFrame to completion against a bounded source
+    * and return the in-memory result table (local smoke harness). */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Update): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

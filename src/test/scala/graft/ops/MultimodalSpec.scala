@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.Tables
+
+class MultimodalSpec extends SparkSpec {
+
+  lazy val media = Multimodal.mediaFromDocuments(
+    Tables(spark, sf).documents)
+
+  test("media table: opaque binary payload + typed metadata") {
+    val rows = media.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      assert(Set("image", "audio", "video")(m.kind))
+      assert(m.bytes.nonEmpty && m.width >= 1 && m.height >= 1)
+    }
+  }
+
+  test("feature extraction: fixed dim, deterministic, partition-batched") {
+    val f1 = Multimodal.extractFeatures(media, dim = 16).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(media.repartition(7), dim = 16)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(f1 == f2) // partitioning-invariant
+    assert(f1.values.forall(_.length == 16))
+  }
+
+  test("frame sampling: video rows only, offsets strided") {
+    val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 256)
+      .collect()
+    assert(frames.nonEmpty)
+    val byMedia = frames.groupBy(_.media_id)
+    byMedia.values.foreach { fs =>
+      val sorted = fs.sortBy(_.frame_no)
+      sorted.zipWithIndex.foreach { case (f, i) =>
+        assert(f.frame_no == i && f.offset == i * 256)
+        assert(f.frame_bytes.length <= 64)
+      }
+    }
+    val videoIds = media.filter(_.kind == "video").collect()
+      .map(_.media_id).toSet
+    assert(byMedia.keySet.subsetOf(videoIds))
+  }
+}
