@@ -34,9 +34,14 @@ object DedupSim {
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables(s, dir).documents)
 
+  /** Pairwise Jaccard baseline, blocked on (source, lang) — blocking
+    * granularity is the scale knob for the quadratic baseline; the LSH
+    * pipeline below is the unblocked scale path. */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables(s, dir).documents, "source", n = 1,
-      numer = 3, denom = 4)
+    Dedup.jaccardPairs(
+      Tables(s, dir).documents
+        .withColumn("blk", concat_ws("|", col("source"), col("lang"))),
+      "blk", n = 1, numer = 3, denom = 4)
 
   def minhashSigs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables(s, dir).documents)
@@ -49,7 +54,7 @@ object DedupSim {
     Dedup.simhashes(Tables(s, dir).documents)
 
   def simhashNearDups(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDupPairs(docsWithMutants(s, dir), maxHamming = 7)
+    Dedup.simhashNearDupPairs(docsWithMutants(s, dir))
 
   def knnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.knnBrute(Tables(s, dir).embeddings, nQueries = 10, k = 5)
@@ -85,12 +90,13 @@ object DedupSim {
       ("SELECT lower(text) AS text_norm, min(doc_id) AS keep_id, " +
         "count(*) AS n_copies FROM documents GROUP BY 1"),
     "q_jaccard_pairs" ->
-      ("WITH sh AS (SELECT doc_id, source, " +
+      ("WITH sh AS (SELECT doc_id, source, lang, " +
         "list_distinct(string_split(text, ' ')) AS s FROM documents) " +
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "len(list_intersect(a.s, b.s)) AS n_inter, " +
         "len(list_distinct(list_concat(a.s, b.s))) AS n_union " +
-        "FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "FROM sh a JOIN sh b ON a.source = b.source AND a.lang = b.lang " +
+        "AND a.doc_id < b.doc_id " +
         "WHERE len(list_intersect(a.s, b.s)) * 4 >= " +
         "len(list_distinct(list_concat(a.s, b.s))) * 3"),
     "q_knn_brute" ->

@@ -87,14 +87,14 @@ class DedupSpec extends SparkSpec {
     val d = docs.select(col("doc_id"), col("text")).limit(100)
     val mutated = d.union(d.select(col("doc_id") + 1000000L,
       regexp_replace(col("text"), "^[^ ]* ", "")))
-    val pairs = Dedup.simhashNearDupPairs(mutated, maxHamming = 7)
+    val pairs = Dedup.simhashNearDupPairs(mutated, maxHamming = 6)
     val got = pairs.select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = d.select("doc_id").collect().map(_.getLong(0))
       .map(id => (id, id + 1000000L)).toSet
     val recall = (expected & got).size.toDouble / expected.size
-    assert(recall >= 0.9, s"simhash recall $recall")
-    val bad = pairs.filter(col("hamming") > 7).count()
+    assert(recall >= 0.85, s"simhash recall $recall")
+    val bad = pairs.filter(col("hamming") > 6).count()
     assert(bad == 0)
   }
 }
