@@ -59,6 +59,59 @@ object Explore {
   def run(spark: SparkSession, name: String): DataFrame =
     spark.sql(queries(name))
 
+  /** Typed DataFrame equivalents of the same eight queries (SURVEY.md §7
+    * module 6) — identical semantics, composed from the pipeline's
+    * DataFrames instead of SQL text. ExploreSpec asserts equality. */
+  object df {
+    import org.apache.spark.sql.functions._
+
+    def waysCount(p: OsmPipeline): DataFrame =
+      p.ways.agg(count(lit(1)).as("cnt"))
+
+    def nodesCount(p: OsmPipeline): DataFrame =
+      p.nodes.agg(count(lit(1)).as("cnt"))
+
+    def distinctUsers(p: OsmPipeline): DataFrame =
+      p.nodes.select(col("uid"))
+        .union(p.ways.select(col("uid")))
+        .agg(countDistinct(col("uid")).as("n_users"))
+
+    def updateCounts(p: OsmPipeline, field: String): DataFrame =
+      p.updateHistory.filter(col("field_updated") === field)
+        .agg(count(lit(1)).as("cnt"))
+
+    def updatedUsersVsContributions(p: OsmPipeline): DataFrame = {
+      val uh = p.updateHistory
+      val updatedUids = uh.filter(col("element_type") === "way")
+        .join(p.ways, Seq("id")).select(col("uid"))
+        .union(uh.filter(col("element_type") === "node")
+          .join(p.nodes, Seq("id")).select(col("uid")))
+      val updates = updatedUids.groupBy(col("uid"))
+        .agg(count(lit(1)).as("updates"))
+      val contribs = p.nodes.select(col("uid"))
+        .union(p.ways.select(col("uid")))
+        .groupBy(col("uid")).agg(count(lit(1)).as("contributions"))
+      updates.join(contribs, Seq("uid"), "left")
+        .orderBy(desc("contributions"))
+    }
+
+    def namedBuildingsAmenities(p: OsmPipeline): DataFrame = {
+      val wt = p.wayTags
+      val named = wt.filter(col("key") === "name").select(col("id")).distinct()
+      wt.filter(col("key") === "amenity" || col("key") === "building")
+        .join(named, Seq("id"), "left_semi")
+        .agg(countDistinct(col("id")).as("cnt"))
+    }
+
+    def unnamedBuildingsAmenities(p: OsmPipeline): DataFrame = {
+      val wt = p.wayTags
+      val named = wt.filter(col("key") === "name").select(col("id")).distinct()
+      wt.filter(col("key") === "amenity" || col("key") === "building")
+        .join(named, Seq("id"), "left_anti")
+        .agg(countDistinct(col("id")).as("cnt"))
+    }
+  }
+
   /** One-stop: all scalar exploration counts as (metric, value) rows. */
   def summary(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -42,9 +42,9 @@ object OsmQueries {
       pipe(s).registerViews()
       Explore.summary(s)
     }),
-    "q_osm_explore_contributions" -> ((s, _) => {
-      pipe(s).registerViews()
-      Explore.run(s, "updated_users_vs_contributions")
-    }),
+    // the typed-DataFrame explore variant (equality with the SQL form is
+    // asserted in ExploreSpec) — both forms stay driver-exercised
+    "q_osm_explore_contributions" -> ((s, _) =>
+      Explore.df.updatedUsersVsContributions(pipe(s))),
   )
 }
