@@ -86,23 +86,30 @@ object Similarity {
       struct(lit(t).as("table"),
         lshSignature(toDouble(col("embedding")), planes).as("bucket"))
     }
+    // bucket join and pair-dedup carry BARE IDS — the 64-dim vectors join
+    // back only after the candidate set is distinct, so the wide rows never
+    // ride through the dedup shuffle
     val buckets = embs.select(col("vec_id"),
-        toDouble(col("embedding")).as("vec"),
         explode(array(sigs: _*)).as("tb"))
-      .select(col("vec_id"), col("vec"),
+      .select(col("vec_id"),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val qb = buckets.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("vec_q"),
-        col("table"), col("bucket"))
-    val candidates = buckets
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    val candidateIds = buckets
       .join(qb, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("vec_q"), col("vec").as("vec_n"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val vecs = embs.select(col("vec_id"),
+      toDouble(col("embedding")).as("vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), col("neighbor_id"))
-    candidates
+    candidateIds
+      .join(broadcast(vecs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("vec").as("vec_q"))),
+        Seq("query_id"))
+      .join(vecs.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("vec_n")), Seq("neighbor_id"))
       .withColumn("sim", cosine(col("vec_q"), col("vec_n")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -121,18 +128,27 @@ object Similarity {
       struct(lit(t).as("table"),
         lshSignature(toDouble(col("embedding")), planes).as("bucket"))
     }
+    // same bare-ID candidate plan as knnLsh: dedup (long, long) pairs, then
+    // join the vectors back for exact verification
     val buckets = embs.select(col("vec_id"),
-        toDouble(col("embedding")).as("vec"),
         explode(array(sigs: _*)).as("tb"))
-      .select(col("vec_id"), col("vec"),
+      .select(col("vec_id"),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val a = buckets.select(col("table"), col("bucket"),
-      col("vec_id").as("id_a"), col("vec").as("vec_a"))
+      col("vec_id").as("id_a"))
     val b = buckets.select(col("table"), col("bucket"),
-      col("vec_id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("table", "bucket"))
+      col("vec_id").as("id_b"))
+    val pairs = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val vecs = embs.select(col("vec_id"),
+      toDouble(col("embedding")).as("vec"))
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("vec_a")),
+        Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vec_b")),
+        Seq("id_b"))
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
