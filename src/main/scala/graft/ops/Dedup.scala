@@ -91,6 +91,19 @@ object Dedup {
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** [[minhashSignatures]] computed by the native Catalyst aggregate
+    * (functions.MinHashAgg) — ONE TypedImperativeAggregate with a
+    * primitive long[k] buffer instead of k min-columns. Identical output
+    * (same hash family, coefficients, and modulus); DedupSpec asserts
+    * equality. */
+  def minhashSignaturesNative(docs: DataFrame, n: Int = 2, k: Int = 64,
+      textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg
+        .minhash(hash(col("shingle")).cast("long"), k, seed = 7L).as("sig"))
+
   /** LSH banding: split the k-long signature into `bands` bands of k/bands
     * values; docs sharing any band's exact sub-signature are candidate
     * pairs. Shuffle key = (band, sub-signature) — the standard scale-out
