@@ -50,12 +50,14 @@ object Dedup {
     a.join(b, Seq("block"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_inter"),
         col("sz_a"), col("sz_b"))
       // |A∪B| = |A|+|B|−|A∩B| (sets are distinct): skips materializing the
       // union array — halves the per-pair work in the quadratic hot loop
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
-        (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"))
+        (col("sz_a").cast("long") + col("sz_b") - col("n_inter"))
+          .as("n_union"))
       .filter(col("n_inter") * denom >= col("n_union") * numer)
   }
 

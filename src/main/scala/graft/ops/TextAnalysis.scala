@@ -19,8 +19,9 @@ object TextAnalysis {
   /** Token + char counts per document. */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
-      size(tokens(col(textCol))).as("n_tokens"),
-      length(col(textCol)).as("n_chars_measured"))
+      // long-typed: DuckDB len()/length() are BIGINT — keep schemas aligned
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      length(col(textCol)).cast("long").as("n_chars_measured"))
 
   /** Default stopword list used by quality scoring (function words of the
     * synthetic corpus; swap for a real list on real data). */
@@ -33,8 +34,9 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
     docs.select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(filter(toks, t => t.isin(Stopwords: _*))).as("n_stop"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+          .as("n_stop"),
         floor(aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 100L
           / size(toks)).cast("long").as("mean_tok_len_x100"))
       .withColumn("is_quality",

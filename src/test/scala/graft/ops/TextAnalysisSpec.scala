@@ -11,10 +11,10 @@ class TextAnalysisSpec extends SparkSpec {
     val df = Seq((1L, "the a of to in x"), (2L, "alpha beta gamma"))
       .toDF("doc_id", "text")
     val q = TextAnalysis.qualityScore(df).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3),
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getBoolean(4))).toMap
-    assert(q(1L) == ((6, 5, 183L, false))) // 5 stopwords of 6 → low quality
-    assert(q(2L) == ((3, 0, 466L, false))) // 14 chars / 3 tokens; too short
+    assert(q(1L) == ((6L, 5L, 183L, false))) // 5 of 6 stopwords → low quality
+    assert(q(2L) == ((3L, 0L, 466L, false))) // 14 chars / 3 tokens; too short
   }
 
   test("fingerprint: deterministic, shift-sensitive") {
