@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity.{cosine, dot, toDouble}
+
+/** IVF-flat approximate nearest neighbor: a coarse quantizer (deterministic
+  * seeds + one Lloyd refinement) partitions the corpus into `nlist`
+  * inverted lists; queries probe the `nprobe` nearest lists and re-rank
+  * exactly inside them.
+  *
+  * Scale shape: centroids are metadata (nlist × dim doubles — broadcast as
+  * literals, like a dimension table); assignment is a narrow per-row argmin
+  * over the centroid literals; the only shuffles are the element-wise mean
+  * in training and the (cluster)-keyed candidate join at query time. The
+  * inverted-list join replaces the brute-force corpus scan with
+  * |probed lists| / nlist of the data — the classic IVF trade.
+  */
+object Ivf {
+
+  /** Per-row argmin over centroid literals → (cluster_id). */
+  private def assignExpr(vec: Column, centroids: Seq[(Int, Seq[Double])])
+      : Column = {
+    val scored = centroids.map { case (id, c) =>
+      // squared L2 via dot: |v−c|² = v·v − 2·v·c + c·c ; v·v constant per
+      // row for argmin, c·c constant literal → rank by −2·v·c + c·c
+      struct((dot(vec, typedLit(c)) * -2.0d +
+        lit(c.map(x => x * x).sum)).as("d"), lit(id).as("id"))
+    }
+    array_min(array(scored: _*)).getField("id")
+  }
+
+  /** Train the coarse quantizer: deterministic seeds (lowest `nlist` ids)
+    * + `iters` Lloyd steps (assign, element-wise mean). Returns the
+    * centroids as driver-side metadata (nlist × dim — the same scale class
+    * as a broadcast dimension). */
+  def trainCentroids(embs: DataFrame, nlist: Int, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[(Int, Seq[Double])] = {
+    val base = embs.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("vec"))
+    var centroids: Seq[(Int, Seq[Double])] = base
+      .orderBy(col("vec_id")).limit(nlist).collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1) }
+    (0 until iters).foreach { _ =>
+      val assigned = base.withColumn("cluster",
+        assignExpr(col("vec"), centroids))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cluster"),
+          transform(col("pm"), _.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+      // empty clusters keep their previous centroid
+      val got = means.toMap
+      centroids = centroids.map { case (id, c) => id -> got.getOrElse(id, c) }
+    }
+    centroids
+  }
+
+  /** Assign every vector to its inverted list. */
+  def assign(embs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embs.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("cluster", assignExpr(col("vec"), centroids))
+
+  /** IVF top-k: queries (vec_id < nQueries) probe their `nprobe` nearest
+    * lists; exact cosine re-rank inside the probed lists. */
+  def knnIvf(embs: DataFrame, nQueries: Int, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, iters: Int = 1): DataFrame = {
+    val centroids = trainCentroids(embs, nlist, iters)
+    val assigned = assign(embs, centroids).cache()
+
+    val probeScores = centroids.map { case (id, c) =>
+      struct((dot(col("vec_q"), typedLit(c)) * -2.0d +
+        lit(c.map(x => x * x).sum)).as("d"), lit(id).as("id"))
+    }
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("vec_q"))
+      .withColumn("probes",
+        slice(array_sort(array(probeScores: _*)), 1, nprobe))
+      .select(col("query_id"), col("vec_q"),
+        explode(transform(col("probes"), _.getField("id"))).as("cluster"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    assigned.select(col("cluster"), col("vec_id").as("neighbor_id"),
+        col("vec").as("vec_n"))
+      .join(queries, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("vec_q"), col("vec_n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim_r"))
+  }
+}

@@ -62,6 +62,9 @@ object DedupSim {
   def knnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.knnLsh(Tables(s, dir).embeddings, nQueries = 10, k = 5)
 
+  def knnIvf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ivf.knnIvf(Tables(s, dir).embeddings, nQueries = 10, k = 5)
+
   def embedNearDups(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(embsWithMutants(s, dir), minCosine = 0.95)
 
@@ -74,6 +77,7 @@ object DedupSim {
     "q_simhash_neardup" -> simhashNearDups,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
+    "q_knn_ivf" -> knnIvf,
     "q_embed_neardup" -> embedNearDups,
   )
 

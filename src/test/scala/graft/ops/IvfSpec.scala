@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+
+  lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("centroid training: nlist centroids, refinement changes seeds") {
+    val cs = Ivf.trainCentroids(embs, nlist = 8, iters = 1)
+    assert(cs.map(_._1) == (0 until 8))
+    assert(cs.forall(_._2.length == 64))
+    val seeds = Ivf.trainCentroids(embs, nlist = 8, iters = 0)
+    assert(cs != seeds) // the Lloyd step moved at least one centroid
+  }
+
+  test("assignment is the argmin list and covers every vector") {
+    val cs = Ivf.trainCentroids(embs, nlist = 8, iters = 1)
+    val assigned = Ivf.assign(embs, cs)
+    assert(assigned.count() == embs.count())
+    val clusters = assigned.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(clusters.subsetOf((0 until 8).toSet))
+  }
+
+  test("IVF finds a planted duplicate at rank 1 (same list, any nprobe)") {
+    val dup = embs.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val corpus = embs.select("vec_id", "embedding").union(dup)
+    val got = Ivf.knnIvf(corpus, nQueries = 1, k = 5, nlist = 8, nprobe = 2)
+      .filter(col("query_id") === 0 && col("rank") === 1).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 5000L &&
+      math.abs(got(0).getDouble(3) - 1.0) < 1e-9)
+  }
+}
