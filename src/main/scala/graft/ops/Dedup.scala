@@ -212,9 +212,11 @@ object Dedup {
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("blk", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      // bit_count is a register op — verify BEFORE the dedup shuffle so
+      // only true near-dups (not every bucket collision) get shuffled
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }
