@@ -68,6 +68,15 @@ object TextOps {
   def hourly(s: SparkSession, dir: String): DataFrame =
     Sessionize.hourlyHistogram(Tables(s, dir).events)
 
+  /** Two-phase salted aggregation — must equal the plain groupBy (the
+    * oracle IS the unsalted SQL), demonstrating the hot-key scale path.
+    * value summed is integral (event props k) so the compare stays exact:
+    * use count only plus an integral sum of event_id for determinism. */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Salting.saltedCountSum(
+      Tables(s, dir).events.withColumn("eid", col("event_id")),
+      keyCol = "event_type", spreadCol = "event_id", valueCol = "eid")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_capwords" -> capwordsQuery,
     "q_phone_canon" -> phoneCanon,
@@ -77,6 +86,7 @@ object TextOps {
     "q_langid" -> langId,
     "q_sessionize" -> sessionize,
     "q_hourly" -> hourly,
+    "q_salted_agg" -> saltedAgg,
   )
 
   private val phoneCase =
@@ -139,5 +149,10 @@ object TextOps {
     "q_hourly" ->
       ("SELECT date_trunc('hour', ts) AS hour, event_type, " +
         "count(*) AS cnt FROM events GROUP BY 1, 2"),
+    // the salted two-phase plan must produce exactly the unsalted answer
+    "q_salted_agg" ->
+      ("SELECT event_type, count(*) AS n_rows, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_value " +
+        "FROM events GROUP BY event_type"),
   )
 }
