@@ -112,14 +112,17 @@ object Explore {
     }
   }
 
-  /** One-stop: all scalar exploration counts as (metric, value) rows. */
+  /** One-stop: all scalar exploration counts as (metric, value) rows —
+    * a single lazy union, one Spark job when consumed (no driver-side
+    * per-metric actions). */
   def summary(spark: SparkSession): DataFrame = {
-    import spark.implicits._
+    import org.apache.spark.sql.functions._
     queries.keys.toSeq.sorted
       .filter(_ != "updated_users_vs_contributions")
       .map { name =>
-        val v = run(spark, name).head().getLong(0)
-        (name, v)
-      }.toDF("metric", "value")
+        val df = run(spark, name) // each scalar query has one output column
+        df.select(lit(name).as("metric"),
+          col(df.columns.head).cast("long").as("value"))
+      }.reduce(_ unionByName _)
   }
 }
