@@ -13,5 +13,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextOps.oracle ++ DedupSim.oracle
+    Relational.oracle ++ TextOps.oracle ++ DedupSim.oracle ++
+      MediaOps.oracle
 }

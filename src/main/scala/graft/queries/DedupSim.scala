@@ -89,6 +89,22 @@ object DedupSim {
       "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), " +
       "(acc, x) -> acc + x)"
 
+  /** Machine-generated oracle for the hyperplane-LSH signatures: the same
+    * plane constants as Similarity.knnLsh rendered as SQL literals. Dot
+    * products accumulate in the same order on both engines, so signs —
+    * and therefore buckets and candidate sets — match bit-for-bit. */
+  private def duckLshSignatureSql: String = {
+    val tables = (0 until 4).map { t =>
+      val planes = graft.ops.Similarity.hyperplanes(8, 64, seed = 1000L + t)
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        val lit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN ${duckDot("e", lit)} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, e, $t AS tbl, $bits AS bucket FROM v"
+    }
+    tables.mkString(" UNION ALL ")
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_docs" ->
       ("SELECT lower(text) AS text_norm, min(doc_id) AS keep_id, " +
@@ -110,6 +126,23 @@ object DedupSim {
         duckDot("q.e", "n.e") + " / (sqrt(" + duckDot("q.e", "q.e") +
         ") * sqrt(" + duckDot("n.e", "n.e") + ")) AS sim " +
         "FROM v q JOIN v n ON q.vec_id < 10 AND q.vec_id != n.vec_id) " +
+        "SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r FROM (" +
+        "SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) " +
+        "AS rank FROM scored) WHERE rank <= 5"),
+    "q_knn_lsh" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings), " +
+        "buckets AS (" + duckLshSignatureSql + "), " +
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, " +
+        "n.vec_id AS neighbor_id FROM buckets q JOIN buckets n " +
+        "ON q.tbl = n.tbl AND q.bucket = n.bucket " +
+        "WHERE q.vec_id < 10 AND q.vec_id != n.vec_id), " +
+        "scored AS (SELECT c.query_id, c.neighbor_id, " +
+        duckDot("q.e", "n.e") + " / (sqrt(" + duckDot("q.e", "q.e") +
+        ") * sqrt(" + duckDot("n.e", "n.e") + ")) AS sim " +
+        "FROM cand c JOIN v q ON q.vec_id = c.query_id " +
+        "JOIN v n ON n.vec_id = c.neighbor_id) " +
         "SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r FROM (" +
         "SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (" +
         "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) " +

@@ -30,4 +30,16 @@ object MediaOps {
     "q_media_features" -> features,
     "q_media_frames" -> frames,
   )
+
+  /** Frame offsets/sizes are pure arithmetic on the payload length, so the
+    * sampling op has a full SQL oracle (the decode stub does not). */
+  val oracle: Map[String, String] = Map(
+    "q_media_frames" ->
+      ("SELECT media_id, CAST(off // 256 AS INT) AS frame_no, " +
+        "CAST(off AS INT) AS \"offset\", " +
+        "CAST(least(64, len - off) AS INT) AS n_frame_bytes FROM (" +
+        "SELECT doc_id AS media_id, length(text) AS len, " +
+        "unnest(range(0, greatest(len - 63, 1), 256)) AS off " +
+        "FROM documents WHERE doc_id % 3 = 2)"),
+  )
 }

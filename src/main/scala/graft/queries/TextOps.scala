@@ -154,5 +154,30 @@ object TextOps {
       ("SELECT event_type, count(*) AS n_rows, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_value " +
         "FROM events GROUP BY event_type"),
+    // the language-ID heuristic restated in DuckDB SQL (fold argmax ==
+    // "first language in profile order achieving the max score")
+    "q_langid" ->
+      ("SELECT doc_id, CASE WHEN n_cjk * 5 >= length(text) THEN 'zh' " +
+        "WHEN m > 0 THEN best_lang ELSE 'unknown' END AS lang_pred FROM (" +
+        "SELECT doc_id, text, n_cjk, " +
+        "greatest(s_en, s_es, s_de, s_fr) AS m, " +
+        "CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en' " +
+        "WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es' " +
+        "WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de' " +
+        "ELSE 'fr' END AS best_lang FROM (SELECT doc_id, text, " +
+        "len(list_filter(string_split(text, ''), " +
+        "ch -> regexp_matches(ch, '[\\x{4e00}-\\x{9fff}]'))) AS n_cjk, " +
+        "len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'," +
+        "'is','that','it'))) AS s_en, " +
+        "len(list_filter(toks, t -> t IN ('el','la','de','que','y','los'," +
+        "'un','una','es'))) AS s_es, " +
+        "len(list_filter(toks, t -> t IN ('der','die','und','das','ist'," +
+        "'ein','nicht','mit'))) AS s_de, " +
+        "len(list_filter(toks, t -> t IN ('le','la','les','de','et','un'," +
+        "'une','est','que'))) AS s_fr FROM (" +
+        "SELECT doc_id, text, " +
+        "list_transform(string_split_regex(lower(text), '\\s+'), " +
+        "t -> regexp_replace(t, '[[:punct:]]', '', 'g')) AS toks " +
+        "FROM documents)))"),
   )
 }
