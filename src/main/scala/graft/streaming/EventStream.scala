@@ -69,6 +69,12 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: watermarked dropDuplicates on the event key —
+    * state evicts once the watermark passes, so memory stays bounded on an
+    * unbounded stream (the streaming dual of ops.Dedup.exact). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+
   /** Drive a streaming DataFrame to completion against a bounded source
     * and return the in-memory result table (local smoke harness). */
   def runToMemory(df: DataFrame, name: String,

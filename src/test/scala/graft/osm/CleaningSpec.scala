@@ -25,7 +25,12 @@ class CleaningSpec extends SparkSpec {
     "0755 8618 4166" -> "+86 755 86184166",
     "+41 44 586 00 04" -> "+41 44 586 00 04", // non-HK/PRC unchanged
     "survey" -> "survey", // not a phone at all
-    "＋852 2345 6789" -> "+852 23456789") // full-width plus
+    "＋852 2345 6789" -> "+852 23456789", // full-width plus
+    // partial match: unmatched segments are DROPPED (ref
+    // parse_clean_and_csv.py:512-517 keeps only matched numbers)
+    "+852 31051830, +41 44 586 00 04" -> "+852 31051830",
+    "852" -> "852", // too short, unchanged
+    "" -> "") // empty passes through
 
   test("phone canonicalization vectors") {
     val got = phoneVectors.map(_._1).toDF("v")

@@ -31,6 +31,16 @@ class EventStreamSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("watermarked streaming dedup equals batch distinct") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val got = EventStream.runToMemory(
+      EventStream.dedupEvents(stream).select("event_id"), "dedup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append).count()
+    val batch = Tables(spark, sf).events.select("event_id")
+      .distinct().count()
+    assert(got == batch)
+  }
+
   test("stateful streaming sessionization equals the batch window version") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToMemory(
