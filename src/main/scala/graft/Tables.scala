@@ -32,9 +32,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def embeddings: DataFrame = table("embeddings")
 
   /** Register all tables as temp views for `spark.sql` exploration
-    * (mirrors the reference's CSV→SQLite→SQL flow, SURVEY.md §3.4). */
-  def registerViews(): Unit =
+    * (mirrors the reference's CSV→SQLite→SQL flow, SURVEY.md §3.4).
+    * `events` goes through its converting accessor — the raw parquet is
+    * TIMESTAMP(NANOS) and unreadable without the nanos→micros conversion. */
+  def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings")
+      "lineitem", "documents", "embeddings")
       .foreach(n => table(n).createOrReplaceTempView(n))
+    events.createOrReplaceTempView("events")
+  }
 }

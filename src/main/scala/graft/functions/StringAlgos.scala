@@ -5,7 +5,7 @@ import java.util.Locale
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** String algorithms the reference relies on that Spark lacks as built-ins.
@@ -39,6 +39,44 @@ object StringAlgos {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** Polynomial codepoint hash: fold(acc·base + codepoint) mod `mod`.
+    * Engine-portable by construction — DuckDB replicates it exactly with
+    * `list_reduce(list_transform(string_split(s,''), c -> unicode(c)), …)`,
+    * which is what makes the MinHash/SimHash oracles hash-comparable
+    * (murmur3/xxhash64 have no DuckDB equivalent). Codepoint iteration
+    * matches DuckDB's per-character split (surrogate pairs = one step). */
+  def polyHash(s: UTF8String, base: Long, mod: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * base + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Two independent 31-bit polynomial hashes (bases 31 / 37, mod 2³¹−1)
+    * packed into one 62-bit value: bits 0-30 = base-31 fold, bits 31-61 =
+    * base-37 fold. Used as the SimHash bit source; 62 well-mixed bits,
+    * reproducible in DuckDB as `h37 * 2147483648 + h31` (no 64-bit
+    * wraparound, which DuckDB's checked BIGINT arithmetic would reject). */
+  def polyHash2(s: UTF8String): Long = {
+    val P = 2147483647L
+    val str = s.toString
+    var a = 0L
+    var b = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      a = (a * 31L + cp) % P
+      b = (b * 37L + cp) % P
+      i += Character.charCount(cp)
+    }
+    (b << 31) | a
+  }
 }
 
 /** Native Catalyst expression for [[StringAlgos.capwords]]: null-safe,
@@ -57,6 +95,40 @@ case class Capwords(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression for [[StringAlgos.polyHash]] — stays inside
+  * WholeStageCodegen (static call), so it is as cheap in the hot path as
+  * the built-in hash functions it replaces for oracle-parity. */
+case class PolyHash(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StringAlgos.polyHash(input.asInstanceOf[UTF8String], base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.StringAlgos.polyHash($c, ${base}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression for [[StringAlgos.polyHash2]]. */
+case class PolyHash2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash2"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StringAlgos.polyHash2(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringAlgos.polyHash2($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash2 =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -66,4 +138,12 @@ object GraftFunctions {
 
   /** Column-level capwords. */
   def capwords(c: Column): Column = asColumn(Capwords(toExpr(c)))
+
+  /** Column-level portable polynomial hash (see StringAlgos.polyHash). */
+  def polyHash(c: Column, base: Long = 31L,
+      mod: Long = 2147483647L): Column =
+    asColumn(PolyHash(toExpr(c), base, mod))
+
+  /** Column-level 62-bit dual polynomial hash. */
+  def polyHash2(c: Column): Column = asColumn(PolyHash2(toExpr(c)))
 }

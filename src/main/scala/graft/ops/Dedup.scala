@@ -61,8 +61,20 @@ object Dedup {
       .filter(col("n_inter") * denom >= col("n_union") * numer)
   }
 
-  /** Mersenne-ish prime modulus for the universal hash family. */
-  private val P = 2147483647L
+  /** Mersenne prime modulus for the universal hash family. */
+  private[graft] val P = 2147483647L
+
+  /** Engine-portable shingle/token hash (see functions.PolyHash): DuckDB
+    * replicates it bit-for-bit, so every downstream value — signatures,
+    * band keys, even hash-collision effects in verification counts — is
+    * identical across engines. */
+  private def phash(c: Column): Column =
+    graft.functions.GraftFunctions.polyHash(c)
+
+  /** Deterministic (aᵢ, bᵢ) coefficients, exposed so the DuckDB oracle can
+    * render the identical hash family as SQL literals. */
+  private[graft] def minhashCoeffs(k: Int, seed: Long = 7L): Seq[(Long, Long)] =
+    coeffs(k, seed)
 
   /** Deterministic (aᵢ, bᵢ) coefficients for h_i(x) = (aᵢ·x + bᵢ) mod P. */
   private def coeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
@@ -74,16 +86,16 @@ object Dedup {
     Seq.fill(k)((next(), next()))
   }
 
-  /** MinHash signatures: k universal hashes over murmur3 shingle hashes,
-    * computed as k independent `min` aggregates over the exploded
-    * (doc, shingle) relation — partial aggregation makes the shuffle carry
-    * one k-vector per doc per partition, not per shingle. */
+  /** MinHash signatures: k universal hashes over portable polynomial
+    * shingle hashes, computed as k independent `min` aggregates over the
+    * exploded (doc, shingle) relation — partial aggregation makes the
+    * shuffle carry one k-vector per doc per partition, not per shingle. */
   def minhashSignatures(docs: DataFrame, n: Int = 2, k: Int = 64,
       textCol: String = "text"): DataFrame = {
     val cs = coeffs(k, seed = 7L)
     val base = docs.select(col("doc_id"),
         explode(shingles(col(textCol), n)).as("shingle"))
-      .withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(P)))
+      .withColumn("h", phash(col("shingle")))
     val mins = cs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
     }
@@ -104,16 +116,17 @@ object Dedup {
         explode(shingles(col(textCol), n)).as("shingle"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg
-        .minhash(hash(col("shingle")).cast("long"), k, seed = 7L).as("sig"))
+        .minhash(phash(col("shingle")), k, seed = 7L).as("sig"))
 
   /** LSH banding: split the k-long signature into `bands` bands of k/bands
     * values; docs sharing any band's exact sub-signature are candidate
     * pairs. Shuffle key = (band, sub-signature) — the standard scale-out
     * near-dup plan. `maxBucket` guards quadratic blowup in degenerate
     * buckets (drop + log them at real scale rather than exploding). */
-  def lshCandidatePairs(sigs: DataFrame, bands: Int = 16,
+  def lshCandidatePairs(sigs: DataFrame, bands: Int = 16, k: Int = 64,
       maxBucket: Int = 10000): DataFrame = {
-    val rowsPerBand = 64 / bands
+    require(k % bands == 0, s"signature width $k must divide into $bands bands")
+    val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         concat_ws("_", (0 until rowsPerBand).map(r =>
@@ -124,11 +137,14 @@ object Dedup {
         explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
+    // cache: both sides of the self-join read this — without it the whole
+    // signature computation (explode + k min-aggregates) runs twice
     val sized = buckets
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("key"))))
       .filter(col("bucket_n") <= maxBucket)
+      .cache()
     val a = sized.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val b = sized.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "key"))
@@ -143,43 +159,53 @@ object Dedup {
       bands: Int = 16, numer: Int = 7, denom: Int = 10,
       textCol: String = "text"): DataFrame = {
     val cands = lshCandidatePairs(minhashSignatures(docs, n, k, textCol),
-      bands)
+      bands, k)
+    // portable hash here too: the DuckDB oracle replays the same hashed
+    // intersection, so even collision effects cancel out exactly
     val sh = docs.select(col("doc_id"),
-      transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+      array_distinct(transform(shingles(col(textCol), n), s => phash(s)))
+        .as("sh"))
+      .cache() // probed from both pair sides
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
-        (size(col("sh_a")) + size(col("sh_b"))).as("sz_sum"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sz_sum"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (col("sz_sum") - col("n_inter")).as("n_union"))
       .filter(col("n_inter") * denom >= col("n_union") * numer)
   }
 
-  /** 64-bit SimHash over a document's tokens: per token, xxhash64 supplies
-    * the bit pattern; each bit contributes ±1 to its counter lane; the sign
-    * of each lane becomes the output bit. Word-order independent, cheap,
-    * and hamming-comparable.
+  /** Bit width of the SimHash: the portable dual polynomial hash supplies
+    * 62 well-mixed bits (functions.PolyHash2 — DuckDB-replicable, unlike
+    * xxhash64). */
+  private[graft] val SimHashBits = 62
+
+  /** SimHash over a document's tokens: per token, the portable 62-bit hash
+    * supplies the bit pattern; each bit contributes ±1 to its counter lane;
+    * the sign of each lane becomes the output bit. Word-order independent,
+    * cheap, and hamming-comparable.
     *
     * Execution shape: explode to (doc, token) rows, hash once per row, then
-    * 64 branch-free SUM aggregates — lane_j adds (h>>j & 1)·2−1. Map-side
-    * partial aggregation carries one 64-lane vector per doc per partition
+    * 62 branch-free SUM aggregates — lane_j adds (h>>j & 1)·2−1. Map-side
+    * partial aggregation carries one 62-lane vector per doc per partition
     * through the shuffle (same plan shape as the MinHash signatures; ~20×
     * faster than a per-row array fold, which allocated two 64-element
     * arrays per token). */
   def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val lanes = (0 until 64).map { j =>
+    val lanes = (0 until SimHashBits).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(1L) * 2L - 1L).as(s"c$j")
     }
     docs.select(col("doc_id"), explode(split(col(textCol), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", graft.functions.GraftFunctions.polyHash2(col("t")))
       .groupBy(col("doc_id"))
       .agg(lanes.head, lanes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(j =>
+        (0 until SimHashBits).map(j =>
           when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("simhash"))
   }
@@ -202,10 +228,13 @@ object Dedup {
       c1 <- 0 until 8; c2 <- (c1 + 1) until 8
     } yield struct(lit(c1 * 8 + c2).as("blk"),
       (chunk(c1) * 256L + chunk(c2)).as("key"))
+    // cache: self-joined below — without it the 62 sum-aggregates of the
+    // simhash computation run once per join side
     val blocked = hs.select(col("doc_id"), col("simhash"),
         explode(array(pairCols: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.blk").as("blk"), col("ck.key").as("key"))
+      .cache()
     val a = blocked.select(col("blk"), col("key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = blocked.select(col("blk"), col("key"),
@@ -214,7 +243,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       // bit_count is a register op — verify BEFORE the dedup shuffle so
       // only true near-dups (not every bucket collision) get shuffled
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))

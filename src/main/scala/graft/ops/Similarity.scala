@@ -93,6 +93,7 @@ object Similarity {
         explode(array(sigs: _*)).as("tb"))
       .select(col("vec_id"),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .cache() // self-joined: signature dot products run once, not twice
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
     val candidateIds = buckets
@@ -134,6 +135,7 @@ object Similarity {
         explode(array(sigs: _*)).as("tb"))
       .select(col("vec_id"),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .cache() // self-joined: signature dot products run once, not twice
     val a = buckets.select(col("table"), col("bucket"),
       col("vec_id").as("id_a"))
     val b = buckets.select(col("table"), col("bucket"),

@@ -21,8 +21,11 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
   private lazy val rawNodes = OsmIngest.rawNodes(spark, osmPath)
   private lazy val rawWays = OsmIngest.rawWays(spark, osmPath)
 
-  lazy val nodes: DataFrame = OsmIngest.nodes(rawNodes)
-  lazy val ways: DataFrame = OsmIngest.ways(rawWays)
+  // nodes/ways are small projections read by several downstream queries
+  // (update-history joins, contribution counts) — cache so each XML parse
+  // of the source happens once, mirroring the reference's single pass
+  lazy val nodes: DataFrame = OsmIngest.nodes(rawNodes).cache()
+  lazy val ways: DataFrame = OsmIngest.ways(rawWays).cache()
   lazy val wayNodes: DataFrame = OsmIngest.wayNodes(rawWays)
 
   /** node tags after phone fix (with tag_pos + phone_changed). */
@@ -60,7 +63,7 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
     val wayName = StreetNameFix.nameUpdatedPerWay(wayTagsFixed)
       .select(col("id"), lit("way").as("element_type"),
         lit("name").as("field_updated"))
-    nodePhone.unionByName(wayPhone).unionByName(wayName)
+    nodePhone.unionByName(wayPhone).unionByName(wayName).cache()
   }
 
   /** Register the reference's five SQL tables + update_history as temp

@@ -44,7 +44,7 @@ object DedupSim {
       "blk", n = 1, numer = 3, denom = 4)
 
   def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(Tables(s, dir).documents)
+    Dedup.minhashSignaturesNative(Tables(s, dir).documents)
       .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_csv"))
 
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =

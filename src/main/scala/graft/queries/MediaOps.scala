@@ -38,7 +38,7 @@ object MediaOps {
       ("SELECT media_id, CAST(off // 256 AS INT) AS frame_no, " +
         "CAST(off AS INT) AS \"offset\", " +
         "CAST(least(64, len - off) AS INT) AS n_frame_bytes FROM (" +
-        "SELECT doc_id AS media_id, length(text) AS len, " +
+        "SELECT doc_id AS media_id, octet_length(encode(text)) AS len, " +
         "unnest(range(0, greatest(len - 63, 1), 256)) AS off " +
         "FROM documents WHERE doc_id % 3 = 2)"),
   )

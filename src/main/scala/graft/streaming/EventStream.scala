@@ -76,13 +76,28 @@ object EventStream {
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
   /** Drive a streaming DataFrame to completion against a bounded source
-    * and return the in-memory result table (local smoke harness). */
+    * and return the in-memory result table (local smoke harness).
+    *
+    * The memory sink APPENDS each micro-batch's rows — under
+    * OutputMode.Update a key that changes in several batches appears once
+    * per batch. Pass `lastPerKey` to reduce the table to the final state:
+    * the last-appended row per key wins (the sink preserves batch append
+    * order, so a monotonic row id is increasing in it). */
   def runToMemory(df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Update): DataFrame = {
+      mode: OutputMode = OutputMode.Update,
+      lastPerKey: Seq[String] = Nil): DataFrame = {
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    df.sparkSession.table(name)
+    val t = df.sparkSession.table(name)
+    if (lastPerKey.isEmpty) t
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lastPerKey.map(col): _*).orderBy(desc("_pos"))
+      t.withColumn("_pos", monotonically_increasing_id())
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_pos", "_rn")
+    }
   }
 }

@@ -22,7 +22,8 @@ class EventStreamSpec extends SparkSpec {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToMemory(
       EventStream.hourlyCounts(stream), "hourly_stream",
-      org.apache.spark.sql.streaming.OutputMode.Update)
+      org.apache.spark.sql.streaming.OutputMode.Update,
+      lastPerKey = Seq("hour", "event_type"))
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
     val batch = Sessionize.hourlyHistogram(Tables(spark, sf).events)
@@ -44,10 +45,44 @@ class EventStreamSpec extends SparkSpec {
   test("stateful streaming sessionization equals the batch window version") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToMemory(
-      EventStream.sessionize(stream).toDF(), "sessions_stream")
+      EventStream.sessionize(stream).toDF(), "sessions_stream",
+      lastPerKey = Seq("user_id"))
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val batch = Sessionize.sessionStats(Tables(spark, sf).events)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == batch)
+  }
+
+  /** Two files + maxFilesPerTrigger=1 → two micro-batches: the Update-mode
+    * memory sink emits a row per user per batch; lastPerKey must reduce to
+    * the same final state as the batch operator. Splitting on event time
+    * keeps later-half events in the later batch, so per-user state really
+    * evolves across batches. */
+  test("multi-batch sessionization reduces to the batch result") {
+    val dir = Files.createTempDirectory("graft-stream-2f").toString
+    val events = Tables(spark, sf).events
+    val cut = events.agg(expr("percentile_approx(unix_millis(ts), 0.5)"))
+      .head().getLong(0)
+    events.filter(unix_millis(col("ts")) <= cut).coalesce(1)
+      .write.parquet(s"$dir/half1")
+    events.filter(unix_millis(col("ts")) > cut).coalesce(1)
+      .write.parquet(s"$dir/half2")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/half*")
+    val table = EventStream.runToMemory(
+      EventStream.sessionize(stream).toDF(), "sessions_stream_2b",
+      lastPerKey = Seq("user_id"))
+    val raw = spark.table("sessions_stream_2b")
+    assert(raw.count() > table.count(),
+      "expected multiple micro-batches to append per-user duplicates")
+    val got = table.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Sessionize.sessionStats(events)
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == batch)
