@@ -40,9 +40,12 @@ object Dedup {
       numer: Int, denom: Int, textCol: String = "text"): DataFrame = {
     // intersect 64-bit shingle hashes, not strings: ~8-byte fixed-width
     // elements through the shuffle and the per-pair set probe (collision
-    // odds ~|A∪B|²/2⁶⁵ per pair — immaterial to the counts)
-    val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
-      transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh"))
+    // odds ~|A∪B|²/2⁶⁵ per pair — immaterial to the counts).
+    // Staged (cache + barrier): both sides of the self-join read the
+    // shingled relation — see Stage.barrier.
+    val sh = Stage.barrier(
+      docs.select(col("doc_id"), col(blockCol).as("block"),
+        transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh")))
     val a = sh.select(col("block"), col("doc_id").as("doc_a"),
       col("sh").as("sh_a"), size(col("sh")).as("sz_a"))
     val b = sh.select(col("block"), col("doc_id").as("doc_b"),
@@ -137,14 +140,13 @@ object Dedup {
         explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
-    // cache: both sides of the self-join read this — without it the whole
-    // signature computation (explode + k min-aggregates) runs twice
-    val sized = buckets
+    // staged: both sides of the self-join read this — without the barrier
+    // the whole signature computation runs once PER SIDE (concurrently)
+    val sized = Stage.barrier(buckets
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .cache()
+      .filter(col("bucket_n") <= maxBucket))
     val a = sized.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val b = sized.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "key"))
@@ -154,18 +156,25 @@ object Dedup {
   }
 
   /** MinHash near-dup pipeline: signatures → banded candidates → exact
-    * n-gram Jaccard verification (integer threshold as in jaccardPairs). */
+    * n-gram Jaccard verification (integer threshold as in jaccardPairs).
+    *
+    * The hashed-shingle relation is computed ONCE (staged) and feeds both
+    * the signatures (min over the same hashed values — duplicates don't
+    * change a min) and the verification probes; building shingle strings
+    * twice was the old plan's dominant cost. */
   def minhashDedupPairs(docs: DataFrame, n: Int = 2, k: Int = 64,
       bands: Int = 16, numer: Int = 7, denom: Int = 10,
       textCol: String = "text"): DataFrame = {
-    val cands = lshCandidatePairs(minhashSignatures(docs, n, k, textCol),
-      bands, k)
-    // portable hash here too: the DuckDB oracle replays the same hashed
+    // portable hash: the DuckDB oracle replays the same hashed
     // intersection, so even collision effects cancel out exactly
-    val sh = docs.select(col("doc_id"),
+    val sh = Stage.barrier(docs.select(col("doc_id"),
       array_distinct(transform(shingles(col(textCol), n), s => phash(s)))
-        .as("sh"))
-      .cache() // probed from both pair sides
+        .as("sh")))
+    val sigs = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg
+        .minhash(col("h"), k, seed = 7L).as("sig"))
+    val cands = lshCandidatePairs(sigs, bands, k)
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
@@ -228,13 +237,13 @@ object Dedup {
       c1 <- 0 until 8; c2 <- (c1 + 1) until 8
     } yield struct(lit(c1 * 8 + c2).as("blk"),
       (chunk(c1) * 256L + chunk(c2)).as("key"))
-    // cache: self-joined below — without it the 62 sum-aggregates of the
-    // simhash computation run once per join side
-    val blocked = hs.select(col("doc_id"), col("simhash"),
-        explode(array(pairCols: _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"),
-        col("ck.blk").as("blk"), col("ck.key").as("key"))
-      .cache()
+    // staged: self-joined below — without the barrier the 62 sum-aggregates
+    // of the simhash computation run once per join side (concurrently)
+    val blocked = Stage.barrier(
+      hs.select(col("doc_id"), col("simhash"),
+          explode(array(pairCols: _*)).as("ck"))
+        .select(col("doc_id"), col("simhash"),
+          col("ck.blk").as("blk"), col("ck.key").as("key")))
     val a = blocked.select(col("blk"), col("key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = blocked.select(col("blk"), col("key"),

@@ -76,7 +76,8 @@ object Ivf {
   def knnIvf(embs: DataFrame, nQueries: Int, k: Int, nlist: Int = 16,
       nprobe: Int = 4, iters: Int = 1): DataFrame = {
     val centroids = trainCentroids(embs, nlist, iters)
-    val assigned = assign(embs, centroids).cache()
+    // staged: read by both the query-probe branch and the corpus branch
+    val assigned = Stage.barrier(assign(embs, centroids))
 
     val probeScores = centroids.map { case (id, c) =>
       struct((dot(col("vec_q"), typedLit(c)) * -2.0d +

@@ -89,11 +89,12 @@ object Similarity {
     // bucket join and pair-dedup carry BARE IDS — the 64-dim vectors join
     // back only after the candidate set is distinct, so the wide rows never
     // ride through the dedup shuffle
-    val buckets = embs.select(col("vec_id"),
+    // staged: self-joined — the barrier keeps the signature dot products
+    // from running once per join side (see Stage.barrier)
+    val buckets = Stage.barrier(embs.select(col("vec_id"),
         explode(array(sigs: _*)).as("tb"))
       .select(col("vec_id"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      .cache() // self-joined: signature dot products run once, not twice
+        col("tb.table").as("table"), col("tb.bucket").as("bucket")))
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
     val candidateIds = buckets
@@ -131,11 +132,12 @@ object Similarity {
     }
     // same bare-ID candidate plan as knnLsh: dedup (long, long) pairs, then
     // join the vectors back for exact verification
-    val buckets = embs.select(col("vec_id"),
+    // staged: self-joined — the barrier keeps the signature dot products
+    // from running once per join side (see Stage.barrier)
+    val buckets = Stage.barrier(embs.select(col("vec_id"),
         explode(array(sigs: _*)).as("tb"))
       .select(col("vec_id"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      .cache() // self-joined: signature dot products run once, not twice
+        col("tb.table").as("table"), col("tb.bucket").as("bucket")))
     val a = buckets.select(col("table"), col("bucket"),
       col("vec_id").as("id_a"))
     val b = buckets.select(col("table"), col("bucket"),

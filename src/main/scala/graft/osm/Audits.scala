@@ -18,10 +18,14 @@ object Audits {
     * versions present. Output: the 4 name versions + the matched official
     * pair. */
   def bilingualStreetNames(spark: SparkSession, osmPath: String,
-      officialPath: String): DataFrame = {
-    val rawOfficial = OfficialList.cleaned(spark, officialPath)
-    val lookup = OfficialList.lookup(rawOfficial)
-    val tags = OsmIngest.tags(OsmIngest.rawWays(spark, osmPath))
+      officialPath: String): DataFrame =
+    bilingualStreetNames(
+      OsmIngest.tags(OsmIngest.rawWays(spark, osmPath)),
+      OfficialList.lookup(OfficialList.cleaned(spark, officialPath)))
+
+  /** Same audit over prepared inputs — lets callers share a cached scan
+    * (OsmPipeline.streetAudit) instead of re-parsing the XML. */
+  def bilingualStreetNames(tags: DataFrame, lookup: DataFrame): DataFrame = {
     val streets = StreetNameFix.streetIds(tags)
     val versions = StreetNameFix.nameVersions(tags, streets)
     val results = StreetNameFix.lookupResults(versions, lookup)
@@ -49,9 +53,13 @@ object Audits {
     * with key phone/fax outright; for other tags, emit ONE ROW PER
     * `;`-SEGMENT whose shape matches (the reference appends the tag once
     * per matching segment — duplicates preserved deliberately). */
-  def phoneNumbers(spark: SparkSession, osmPath: String): DataFrame = {
-    val tags = OsmIngest.tags(OsmIngest.rawNodes(spark, osmPath))
-      .unionByName(OsmIngest.tags(OsmIngest.rawWays(spark, osmPath)))
+  def phoneNumbers(spark: SparkSession, osmPath: String): DataFrame =
+    phoneNumbers(OsmIngest.tags(OsmIngest.rawNodes(spark, osmPath)),
+      OsmIngest.tags(OsmIngest.rawWays(spark, osmPath)))
+
+  /** Same audit over prepared shaped tags (OsmPipeline.phoneAudit). */
+  def phoneNumbers(nodeTags: DataFrame, wayTags: DataFrame): DataFrame = {
+    val tags = nodeTags.unionByName(wayTags)
       .select(col("id"), col("key"), col("value"), col("type"))
     val direct = tags.filter(col("key") === "phone" || col("key") === "fax")
     val shaped = tags

@@ -18,24 +18,34 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
   lazy val official: DataFrame = OfficialList.load(spark, officialPath)
   lazy val lookup: DataFrame = OfficialList.lookup(official)
 
-  private lazy val rawNodes = OsmIngest.rawNodes(spark, osmPath)
-  private lazy val rawWays = OsmIngest.rawWays(spark, osmPath)
+  /** The audit scripts probe the UNCORRECTED list (SURVEY.md §3.2). */
+  lazy val officialUncorrected: DataFrame =
+    OfficialList.cleaned(spark, officialPath)
 
-  // nodes/ways are small projections read by several downstream queries
-  // (update-history joins, contribution counts) — cache so each XML parse
-  // of the source happens once, mirroring the reference's single pass
+  // The raw XML reads are the caches that matter: a single OSM file parses
+  // on one task, and every shaped relation (nodes, ways, tags ×2, way
+  // nodes) re-parses it otherwise — five single-threaded passes.
+  private lazy val rawNodes = OsmIngest.rawNodes(spark, osmPath).cache()
+  private lazy val rawWays = OsmIngest.rawWays(spark, osmPath).cache()
+
   lazy val nodes: DataFrame = OsmIngest.nodes(rawNodes).cache()
   lazy val ways: DataFrame = OsmIngest.ways(rawWays).cache()
   lazy val wayNodes: DataFrame = OsmIngest.wayNodes(rawWays)
 
+  /** Shaped tags BEFORE any cleaning — the audit scripts' input (they run
+    * against the uncleaned data by design, SURVEY.md §3.2-3.3). Cheap
+    * projections of the cached raw reads. */
+  lazy val rawNodeTags: DataFrame = OsmIngest.tags(rawNodes)
+  lazy val rawWayTags: DataFrame = OsmIngest.tags(rawWays)
+
   /** node tags after phone fix (with tag_pos + phone_changed). */
   lazy val nodeTagsFixed: DataFrame =
-    PhoneFix.fixPhonesInTags(OsmIngest.tags(rawNodes)).cache()
+    PhoneFix.fixPhonesInTags(rawNodeTags).cache()
 
   /** way tags after phone fix THEN street-name fix (process_map order,
     * parse_clean_and_csv.py:260,272-273). */
   lazy val wayTagsFixed: DataFrame = {
-    val phoneFixed = PhoneFix.fixPhonesInTags(OsmIngest.tags(rawWays)).cache()
+    val phoneFixed = PhoneFix.fixPhonesInTags(rawWayTags).cache()
     val streets = StreetNameFix.streetIds(phoneFixed)
     val versions = StreetNameFix.nameVersions(phoneFixed, streets)
     val plan = StreetNameFix.fixPlan(versions, lookup)
@@ -64,6 +74,29 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
       .select(col("id"), lit("way").as("element_type"),
         lit("name").as("field_updated"))
     nodePhone.unionByName(wayPhone).unionByName(wayName).cache()
+  }
+
+  /** X6 — the phone audit over the uncleaned tags, shared (cached) by the
+    * three audit outputs: full table, key histogram, char census. */
+  lazy val phoneAudit: DataFrame =
+    Audits.phoneNumbers(rawNodeTags, rawWayTags).cache()
+
+  /** X5 — the bilingual street-name audit (uncorrected official list). */
+  lazy val streetAudit: DataFrame =
+    Audits.bilingualStreetNames(rawWayTags,
+      OfficialList.lookup(officialUncorrected))
+
+  /** Materialize the shared caches sequentially in DEPENDENCY ORDER. A lazy
+    * cache referenced from several branches of one job is computed
+    * concurrently by every branch (the "block already exists" race) — for
+    * these plans that means re-parsing the single-task XML scan per branch.
+    * Warming bottom-up makes each parse happen exactly once. */
+  def warm(): this.type = {
+    rawNodes.count(); rawWays.count()
+    nodes.count(); ways.count()
+    nodeTagsFixed.count(); wayTagsFixed.count()
+    updateHistory.count()
+    this
   }
 
   /** Register the reference's five SQL tables + update_history as temp

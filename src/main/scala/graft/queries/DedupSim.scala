@@ -65,8 +65,13 @@ object DedupSim {
   def knnIvf(s: SparkSession, dir: String): DataFrame =
     graft.ops.Ivf.knnIvf(Tables(s, dir).embeddings, nQueries = 10, k = 5)
 
+  /** 12 bits/table (4096 buckets): for ~10k isotropic vectors this keeps
+    * random bucket collisions ~16× rarer than the 8-bit default while
+    * near-identical pairs (cosine ≥ .99) still collide in ≥1 of 4 tables
+    * w.p. ~.97 — candidate volume, not the exact verify, is the cost. */
   def embedNearDups(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(embsWithMutants(s, dir), minCosine = 0.95)
+    Similarity.nearDupPairs(embsWithMutants(s, dir), minCosine = 0.95,
+      bitsPerTable = 12)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_docs" -> exactDedup,

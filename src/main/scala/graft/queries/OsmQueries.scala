@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.osm.{Audits, Explore, OfficialList, OsmPipeline}
+import graft.osm.{Audits, Explore, OsmPipeline}
 
 /** SparkEntry surface for the OSM engine itself (SURVEY.md §2 rows S1-S3,
   * P1-P4, F1-F7, J1-J3, C1-C10, X1-X7) — run on the reference's bundled
@@ -17,10 +17,12 @@ object OsmQueries {
   val PsiPath = "/root/reference/PSI_Street Name_062017.xml"
 
   // One pipeline per session — queries share the cached shaped relations.
+  // warm() materializes the caches bottom-up exactly once; without it the
+  // first multi-branch query recomputes each lazy cache per branch.
   private val pipelines =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, OsmPipeline]()
   private def pipe(s: SparkSession): OsmPipeline =
-    pipelines.computeIfAbsent(s, OsmPipeline(_, OsmPath, PsiPath))
+    pipelines.computeIfAbsent(s, OsmPipeline(_, OsmPath, PsiPath).warm())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_osm_nodes" -> ((s, _) => pipe(s).nodes),
@@ -30,14 +32,13 @@ object OsmQueries {
     "q_osm_way_nodes" -> ((s, _) => pipe(s).wayNodes),
     "q_osm_update_history" -> ((s, _) => pipe(s).updateHistory),
     "q_osm_official_list" -> ((s, _) => pipe(s).official),
-    "q_osm_official_raw" -> ((s, _) => OfficialList.cleaned(s, PsiPath)),
-    "q_osm_audit_streets" ->
-      ((s, _) => Audits.bilingualStreetNames(s, OsmPath, PsiPath)),
-    "q_osm_audit_phones" -> ((s, _) => Audits.phoneNumbers(s, OsmPath)),
+    "q_osm_official_raw" -> ((s, _) => pipe(s).officialUncorrected),
+    "q_osm_audit_streets" -> ((s, _) => pipe(s).streetAudit),
+    "q_osm_audit_phones" -> ((s, _) => pipe(s).phoneAudit),
     "q_osm_audit_phone_keys" ->
-      ((s, _) => Audits.phoneKeyCounts(Audits.phoneNumbers(s, OsmPath))),
+      ((s, _) => Audits.phoneKeyCounts(pipe(s).phoneAudit)),
     "q_osm_audit_phone_chars" ->
-      ((s, _) => Audits.phoneCharCensus(Audits.phoneNumbers(s, OsmPath))),
+      ((s, _) => Audits.phoneCharCensus(pipe(s).phoneAudit)),
     "q_osm_explore_summary" -> ((s, _) => {
       pipe(s).registerViews()
       Explore.summary(s)

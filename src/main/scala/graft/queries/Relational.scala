@@ -162,13 +162,15 @@ object Relational {
   }
 
   /** O1 — deterministic top-k by aggregate (ref: ORDER BY contributions
-    * DESC, pdf p.10; row_number tie-break keeps the result hash-stable). */
+    * DESC, pdf p.10; user_id tie-break keeps the result hash-stable).
+    * orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+    * top-k combine, unlike an unpartitioned row_number window which drags
+    * every group through ONE partition. */
   def topK(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).events
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-      .withColumn("rn", row_number()
-        .over(Window.orderBy(desc("n"), col("user_id"))))
-      .filter(col("rn") <= 10)
+      .orderBy(desc("n"), col("user_id"))
+      .limit(10)
       .select(col("user_id"), col("n"))
 
   val queries: Map[String, Q] = Map(
