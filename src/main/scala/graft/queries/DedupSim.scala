@@ -95,12 +95,14 @@ object DedupSim {
       "(acc, x) -> acc + x)"
 
   /** Machine-generated oracle for the hyperplane-LSH signatures: the same
-    * plane constants as Similarity.knnLsh rendered as SQL literals. Dot
-    * products accumulate in the same order on both engines, so signs —
-    * and therefore buckets and candidate sets — match bit-for-bit. */
-  private def duckLshSignatureSql: String = {
+    * plane constants as Similarity.knnLsh/nearDupPairs rendered as SQL
+    * literals. Dot products accumulate in the same order on both engines,
+    * so signs — and therefore buckets and candidate sets — match
+    * bit-for-bit. */
+  private def duckLshSignatureSql(bitsPerTable: Int): String = {
     val tables = (0 until 4).map { t =>
-      val planes = graft.ops.Similarity.hyperplanes(8, 64, seed = 1000L + t)
+      val planes = graft.ops.Similarity
+        .hyperplanes(bitsPerTable, 64, seed = 1000L + t)
       val bits = planes.zipWithIndex.map { case (p, i) =>
         val lit = p.mkString("[", ", ", "]")
         s"(CASE WHEN ${duckDot("e", lit)} >= 0 THEN ${1L << i} ELSE 0 END)"
@@ -109,6 +111,59 @@ object DedupSim {
     }
     tables.mkString(" UNION ALL ")
   }
+
+  /** The portable polynomial codepoint hash (functions.StringAlgos.polyHash)
+    * restated in DuckDB SQL — ord(ch) is the codepoint of each 1-char
+    * split element, so the fold is digit-for-digit the Spark expression. */
+  private def duckPolyHash(e: String, base: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), ch -> CAST(ord(ch) AS BIGINT))), " +
+      s"(acc, cp) -> (acc * $base + cp) % ${Dedup.P})"
+
+  /** Word-bigram shingles of token list `t` (Dedup.shingles, n = 2): one
+    * shingle per position; a short (<2 token) doc yields its whole span. */
+  private val duckShingle2: String =
+    "list_distinct(list_transform(range(1, greatest(len(t)-1,1)+1), " +
+      "i -> CASE WHEN i < len(t) THEN t[i] || ' ' || t[i+1] ELSE t[i] END))"
+
+  /** The k MinHash minima with the identical (aᵢ, bᵢ) family rendered as
+    * literals: min((aᵢ·h + bᵢ) mod P) per coefficient pair. */
+  private def duckMinhashMins: String =
+    Dedup.minhashCoeffs(64).map { case (a, b) =>
+      s"min((h*$a+$b)%${Dedup.P})"
+    }.mkString(", ")
+
+  /** docsWithMutants restated in DuckDB (anchored regex → single match on
+    * both engines despite Spark's replace-all default). */
+  private val duckDocsWithMutants: String =
+    "SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000, regexp_replace(text, '^[^ ]* ', '') " +
+      "FROM documents"
+
+  /** The 62 SimHash lanes: sign of Σ(±1) per bit of the dual polynomial
+    * hash (functions.StringAlgos.polyHash2 = h37·2³¹ + h31). */
+  private def duckSimhashLanes: String =
+    (0 until Dedup.SimHashBits).map { j =>
+      s"(CASE WHEN sum(((h >> $j) & 1) * 2 - 1) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def duckSimhashOf(docsCte: String): String =
+    s"WITH docs AS ($docsCte), " +
+      "tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS s FROM docs), " +
+      s"h AS (SELECT doc_id, (${duckPolyHash("s", 37L)} * 2147483648 + " +
+      s"${duckPolyHash("s", 31L)}) AS h FROM tok), " +
+      s"sim AS (SELECT doc_id, CAST($duckSimhashLanes AS BIGINT) AS sh " +
+      "FROM h GROUP BY doc_id)"
+
+  /** 16 bands × 4 rows of the signature as '_'-joined keys (0-based
+    * getItem → 1-based DuckDB list index). */
+  private def duckBandSelects: String =
+    (0 until 16).map { j =>
+      val key = (0 until 4)
+        .map(r => s"CAST(sig[${j * 4 + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
 
   val oracle: Map[String, String] = Map(
     "q_dedup_docs" ->
@@ -135,10 +190,70 @@ object DedupSim {
         "SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (" +
         "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) " +
         "AS rank FROM scored) WHERE rank <= 5"),
+    "q_minhash_sigs" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text,' ') AS t " +
+        "FROM documents), " +
+        s"sh AS (SELECT doc_id, unnest($duckShingle2) AS s FROM toks), " +
+        s"h AS (SELECT doc_id, ${duckPolyHash("s", 31L)} AS h FROM sh) " +
+        s"SELECT doc_id, array_to_string([$duckMinhashMins], ',') " +
+        "AS sig_csv FROM h GROUP BY doc_id"),
+    "q_minhash_neardup" ->
+      (s"WITH docs AS ($duckDocsWithMutants), " +
+        "toks AS (SELECT doc_id, string_split(text,' ') AS t FROM docs), " +
+        "shs AS (SELECT doc_id, list_distinct(list_transform(" +
+        s"$duckShingle2, s -> ${duckPolyHash("s", 31L)})) AS sh FROM toks), " +
+        "hx AS (SELECT doc_id, unnest(sh) AS h FROM shs), " +
+        s"sig AS (SELECT doc_id, [$duckMinhashMins] AS sig " +
+        "FROM hx GROUP BY doc_id), " +
+        s"bands AS ($duckBandSelects), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key " +
+        "AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, " +
+        "CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_inter, " +
+        "CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) " +
+        "AS BIGINT) AS n_union " +
+        "FROM cand JOIN shs x ON x.doc_id = cand.doc_a " +
+        "JOIN shs y ON y.doc_id = cand.doc_b " +
+        "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
+        "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7"),
+    "q_simhash" ->
+      (duckSimhashOf("SELECT doc_id, text FROM documents") +
+        " SELECT doc_id, sh AS simhash FROM sim"),
+    // the oracle is the EXHAUSTIVE quadratic scan — independently proving
+    // the chunk-pair blocking's pigeonhole recall guarantee, not replaying
+    // the blocked plan
+    "q_simhash_neardup" ->
+      (duckSimhashOf(duckDocsWithMutants) +
+        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming " +
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sh, b.sh)) <= 6"),
+    // float-mutation parity: x·1.2f on the JVM is the exact double product
+    // rounded to FLOAT, which is what CAST(CAST(x AS DOUBLE)·lit AS FLOAT)
+    // computes regardless of DuckDB's promotion rules
+    "q_embed_neardup" ->
+      ("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, " +
+        "list_transform(embedding, (x, i) -> CASE WHEN i = 1 " +
+        "THEN CAST(CAST(x AS DOUBLE) * 1.2000000476837158 AS FLOAT) " +
+        "ELSE x END) FROM embeddings), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM base), " +
+        "buckets AS (" + duckLshSignatureSql(12) + "), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b " +
+        "FROM buckets a JOIN buckets b ON a.tbl = b.tbl " +
+        "AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        "scored AS (SELECT id_a, id_b, " +
+        duckDot("x.e", "y.e") + " / (sqrt(" + duckDot("x.e", "x.e") +
+        ") * sqrt(" + duckDot("y.e", "y.e") + ")) AS sim " +
+        "FROM cand JOIN v x ON x.vec_id = cand.id_a " +
+        "JOIN v y ON y.vec_id = cand.id_b) " +
+        "SELECT id_a, id_b, round(sim, 6) AS sim_r FROM scored " +
+        "WHERE sim >= 0.95"),
     "q_knn_lsh" ->
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
         "FROM embeddings), " +
-        "buckets AS (" + duckLshSignatureSql + "), " +
+        "buckets AS (" + duckLshSignatureSql(8) + "), " +
         "cand AS (SELECT DISTINCT q.vec_id AS query_id, " +
         "n.vec_id AS neighbor_id FROM buckets q JOIN buckets n " +
         "ON q.tbl = n.tbl AND q.bucket = n.bucket " +
