@@ -146,4 +146,8 @@ object GraftFunctions {
 
   /** Column-level 62-bit dual polynomial hash. */
   def polyHash2(c: Column): Column = asColumn(PolyHash2(toExpr(c)))
+
+  /** Column-level fused dot product over ARRAY<DOUBLE> (see VectorAlgos). */
+  def vecDot(a: Column, b: Column): Column =
+    asColumn(DotProduct(toExpr(a), toExpr(b)))
 }

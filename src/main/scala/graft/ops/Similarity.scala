@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Σ aᵢ·bᵢ with double accumulation (deterministic left-to-right fold —
-    * reproducible across engines for oracle checks). */
+    * reproducible across engines for oracle checks). Native fused kernel;
+    * [[dotHof]] is the declarative equivalent it replaced (SimilaritySpec
+    * asserts bit-equality). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vecDot(a, b)
+
+  /** The higher-order-function form of [[dot]]: same fold order, but
+    * materializes the zipped products per row-pair — kept as the
+    * cross-check and for engines without the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
       (acc, v) => acc + v)
 

@@ -28,6 +28,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native vec_dot is bit-identical to the higher-order-function fold") {
+    val both = embs.limit(200)
+      .select(Similarity.toDouble(col("embedding")).as("v"))
+      .select(Similarity.dot(col("v"), col("v")).as("native"),
+        Similarity.dotHof(col("v"), col("v")).as("hof"))
+    // bit-exact, not approximate: same left-to-right double accumulation
+    assert(both.filter(col("native") =!= col("hof")).isEmpty,
+      "native kernel diverged from declarative fold")
+    // and alone it must run inside whole-stage codegen, not fall back
+    // (the combined plan above can't: the HOF fold is CodegenFallback —
+    // which is exactly why the native kernel exists)
+    val nativeOnly = embs.limit(200)
+      .select(Similarity.toDouble(col("embedding")).as("v"))
+      .select(Similarity.dot(col("v"), col("v")).as("native"))
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen span
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("vec_dot") && l.contains("*(")), plan.take(400))
+  }
+
   test("LSH recalls identical vectors at rank 1") {
     // plant an exact duplicate of vec 0 and make sure LSH finds it
     val dup = embs.filter(col("vec_id") === 0)
