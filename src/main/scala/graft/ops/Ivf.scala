@@ -90,16 +90,11 @@ object Ivf {
       .select(col("query_id"), col("vec_q"),
         explode(transform(col("probes"), _.getField("id"))).as("cluster"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), col("neighbor_id"))
-    assigned.select(col("cluster"), col("vec_id").as("neighbor_id"),
-        col("vec").as("vec_n"))
-      .join(queries, Seq("cluster"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("vec_q"), col("vec_n")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim"), 6).as("sim_r"))
+    Similarity.topKRank(
+      assigned.select(col("cluster"), col("vec_id").as("neighbor_id"),
+          col("vec").as("vec_n"))
+        .join(queries, Seq("cluster"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosine(col("vec_q"), col("vec_n"))), k)
   }
 }

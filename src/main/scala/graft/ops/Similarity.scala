@@ -42,26 +42,35 @@ object Similarity {
     * arithmetic in double (and bit-identical to the DuckDB oracle). */
   def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
+  /** Per-query top-k re-rank of `scored(query_id, neighbor_id, sim)` →
+    * (query_id, neighbor_id, rank, sim_r). A bounded native aggregate
+    * (functions.TopKAgg): each map task reduces its slice to ≤ k entries
+    * BEFORE the shuffle, so only k·partitions tiny rows move and nothing
+    * is globally sorted — unlike the rank-window form, which shuffles and
+    * sorts every candidate row per group. Ordering (desc sim, asc id)
+    * matches row_number semantics exactly. */
+  private[graft] def topKRank(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg
+        .topKBy(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 6).as("sim_r"))
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k most similar OTHER vectors, ties broken by neighbor id.
-    * The query side is broadcast; the corpus side never shuffles until the
-    * final per-query top-k (a tiny window over nQueries × corpus rows —
-    * at real scale swap the window for a per-partition top-k combine). */
+    * The query side is broadcast; the corpus side never shuffles — each
+    * task emits its partial top-k (see topKRank). */
   def knnBrute(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val corpus = embs.select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("vec_n"))
     val queries = embs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         toDouble(col("embedding")).as("vec_q"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), col("neighbor_id"))
-    corpus.join(broadcast(queries))
+    topKRank(corpus.join(broadcast(queries))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("vec_q"), col("vec_n")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim"), 6).as("sim_r"))
+      .withColumn("sim", cosine(col("vec_q"), col("vec_n"))), k)
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed LCG — stable across
@@ -112,19 +121,13 @@ object Similarity {
       .distinct()
     val vecs = embs.select(col("vec_id"),
       toDouble(col("embedding")).as("vec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("sim"), col("neighbor_id"))
-    candidateIds
+    topKRank(candidateIds
       .join(broadcast(vecs.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("vec").as("vec_q"))),
         Seq("query_id"))
       .join(vecs.select(col("vec_id").as("neighbor_id"),
         col("vec").as("vec_n")), Seq("neighbor_id"))
-      .withColumn("sim", cosine(col("vec_q"), col("vec_n")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim"), 6).as("sim_r"))
+      .withColumn("sim", cosine(col("vec_q"), col("vec_n"))), k)
   }
 
   /** Embedding near-duplicate pairs: LSH candidates (identical/near-

@@ -26,4 +26,30 @@ class NativeFunctionsSpec extends SparkSpec {
       .head().getString(0)
     assert(got == "Hello Spark World")
   }
+
+  test("TopKAgg equals the rank-window form incl. ties and short groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic data with deliberate score ties across many groups;
+    // group 7 has fewer rows than k
+    val rows = for {
+      g <- 0L until 8L
+      i <- 0L until (if (g == 7) 2L else 50L)
+    } yield (g, i, ((i * 31 + g) % 10).toDouble / 10.0)
+    val df = rows.toDF("query_id", "neighbor_id", "sim")
+      .repartition(8) // force partial buffers + merge path
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    val windowed = df
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val agg = graft.ops.Similarity.topKRank(df, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(agg == windowed)
+  }
 }
