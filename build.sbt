@@ -26,7 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g on the 128 GiB bench box: 51 queries' staged caches coexist in
-  // one JVM — an 8g heap put ~4.6g of storage under LRU eviction thrash
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // measured on the 32-core bench box: a bigger heap (24g) bought nothing
+  // (the 51 queries' staged caches fit in 8g storage), so keep GC tight
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
