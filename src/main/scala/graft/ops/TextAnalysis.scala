@@ -23,6 +23,26 @@ object TextAnalysis {
       size(tokens(col(textCol))).cast("long").as("n_tokens"),
       length(col(textCol)).cast("long").as("n_chars_measured"))
 
+  /** BPE-ish pre-tokenizer: contractions, space-prefixed letter runs,
+    * short digit groups, punctuation runs — the GPT-2 pre-tokenizer shape
+    * minus lookahead, so the pattern is dialect-safe (Java regex and
+    * DuckDB's RE2 both run ordered leftmost-first alternation on it). */
+  val BpeTokenRe: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenRe), lit(0))
+
+  /** BPE-ish token count + a preview of the first five tokens — the
+    * training-cost estimator's per-document statistic. Narrow projection,
+    * no shuffle. */
+  def bpeTokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = bpeTokens(col(textCol))
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens_bpe"),
+      concat_ws("|", slice(toks, 1, 5)).as("preview"))
+  }
+
   /** Default stopword list used by quality scoring (function words of the
     * synthetic corpus; swap for a real list on real data). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "in")

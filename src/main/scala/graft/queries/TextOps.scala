@@ -77,10 +77,15 @@ object TextOps {
       Tables(s, dir).events.withColumn("eid", col("event_id")),
       keyCol = "event_type", spreadCol = "event_id", valueCol = "eid")
 
+  /** BPE-ish token counting (see TextAnalysis.BpeTokenRe). */
+  def tokenBpe(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenStats(Tables(s, dir).documents)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_capwords" -> capwordsQuery,
     "q_phone_canon" -> phoneCanon,
     "q_token_stats" -> tokenStats,
+    "q_token_bpe" -> tokenBpe,
     "q_quality" -> quality,
     "q_fingerprint" -> fingerprint,
     "q_langid" -> langId,
@@ -122,6 +127,14 @@ object TextOps {
     "q_token_stats" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "length(text) AS n_chars_measured FROM documents"),
+    // the same lookahead-free pattern runs under DuckDB's RE2 with
+    // identical leftmost-first alternation ('' escapes the quote)
+    "q_token_bpe" ->
+      ("SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens_bpe, " +
+        "array_to_string(toks[1:5], '|') AS preview FROM (" +
+        "SELECT doc_id, regexp_extract_all(text, " +
+        "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]{1,3}" +
+        "| ?[^A-Za-z0-9 ]+') AS toks FROM documents)"),
     "q_quality" ->
       ("SELECT doc_id, n_tokens, n_stop, total_len * 100 // n_tokens " +
         "AS mean_tok_len_x100, " +

@@ -27,6 +27,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
   }
 
+  test("BPE-ish tokenizer: contractions, digit groups, punctuation runs") {
+    import spark.implicits._
+    val got = Seq("I'll say it's 2026, don't you?!")
+      .toDF("text")
+      .select(TextAnalysis.bpeTokens(col("text")).as("t"))
+      .head().getSeq[String](0)
+    // digit groups are bounded at 3 (the GPT-2-style number split):
+    // "2026" → " 202" + "6"
+    assert(got == Seq("I", "'ll", " say", " it", "'s", " 202", "6", ",",
+      " don", "'t", " you", "?!"), got)
+  }
+
   test("language ID on real multilingual vectors") {
     val vectors = Seq(
       ("the cat sat on the mat and it is happy", "en"),
