@@ -74,8 +74,29 @@ object Ivf {
   /** IVF top-k: queries (vec_id < nQueries) probe their `nprobe` nearest
     * lists; exact cosine re-rank inside the probed lists. */
   def knnIvf(embs: DataFrame, nQueries: Int, k: Int, nlist: Int = 16,
-      nprobe: Int = 4, iters: Int = 1): DataFrame = {
-    val centroids = trainCentroids(embs, nlist, iters)
+      nprobe: Int = 4, iters: Int = 1): DataFrame =
+    knnIvfWith(embs, trainCentroids(embs, nlist, iters), nQueries, k, nprobe)
+
+  /** Deterministic DATA-INDEPENDENT centroids (the LCG vector family used
+    * for the LSH hyperplanes): a fixed coarse quantizer, so the whole IVF
+    * plan — assignment, probing, re-rank — is replayable as SQL literals
+    * by the DuckDB oracle. Lower recall than a trained quantizer on
+    * clustered data; on the isotropic synthetic corpus the two are
+    * equivalent in kind. */
+  def staticCentroids(nlist: Int, dim: Int, seed: Long = 77L)
+      : Seq[(Int, Seq[Double])] =
+    Similarity.hyperplanes(nlist, dim, seed).zipWithIndex
+      .map { case (v, i) => i -> v }
+
+  /** IVF with a fixed quantizer — the cross-engine-verified variant. */
+  def knnIvfStatic(embs: DataFrame, nQueries: Int, k: Int, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame =
+    knnIvfWith(embs, staticCentroids(nlist, 64), nQueries, k, nprobe)
+
+  /** The IVF query plan given a quantizer. */
+  private def knnIvfWith(embs: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], nQueries: Int, k: Int,
+      nprobe: Int): DataFrame = {
     // staged: read by both the query-probe branch and the corpus branch
     val assigned = Stage.barrier(assign(embs, centroids))
 

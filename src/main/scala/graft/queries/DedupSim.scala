@@ -65,6 +65,10 @@ object DedupSim {
   def knnIvf(s: SparkSession, dir: String): DataFrame =
     graft.ops.Ivf.knnIvf(Tables(s, dir).embeddings, nQueries = 10, k = 5)
 
+  def knnIvfStatic(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ivf.knnIvfStatic(Tables(s, dir).embeddings, nQueries = 10,
+      k = 5)
+
   /** 12 bits/table (4096 buckets): for ~10k isotropic vectors this keeps
     * random bucket collisions ~16× rarer than the 8-bit default while
     * near-identical pairs (cosine ≥ .99) still collide in ≥1 of 4 tables
@@ -83,6 +87,7 @@ object DedupSim {
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
+    "q_knn_ivf_static" -> knnIvfStatic,
     "q_embed_neardup" -> embedNearDups,
   )
 
@@ -133,6 +138,41 @@ object DedupSim {
       s"min((h*$a+$b)%${Dedup.P})"
     }.mkString(", ")
 
+  /** Machine-generated oracle for the static-quantizer IVF: the 16 LCG
+    * centroid literals, the identical −2·q·c + c·c ranking metric,
+    * first-match argmin (== array_min over (d, id) structs), sorted-probe
+    * slice, and exact cosine re-rank. */
+  private def duckIvfStaticSql: String = {
+    val cents = graft.ops.Ivf.staticCentroids(16, 64)
+    val dcols = cents.map { case (i, c) =>
+      val lit = c.mkString("[", ", ", "]")
+      s"(${duckDot("e", lit)} * -2.0 + ${c.map(x => x * x).sum}) AS d$i"
+    }.mkString(", ")
+    val m = (0 until 16).map(i => s"d$i").mkString("least(", ", ", ")")
+    val argmin = "CASE " +
+      (0 until 16).map(i => s"WHEN d$i = m THEN $i").mkString(" ") + " END"
+    val probeStructs = (0 until 16)
+      .map(i => s"{'d': d$i, 'id': $i}").mkString(", ")
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+      "FROM embeddings), " +
+      s"scored AS (SELECT vec_id, e, $dcols FROM v), " +
+      s"withm AS (SELECT *, $m AS m FROM scored), " +
+      s"assigned AS (SELECT vec_id, e, $argmin AS cluster FROM withm), " +
+      "probes AS (SELECT vec_id AS query_id, e AS eq, " +
+      s"unnest(list_transform(list_sort([$probeStructs])[1:4], " +
+      "s -> s.id)) AS cluster FROM withm WHERE vec_id < 10), " +
+      "cand AS (SELECT p.query_id, p.eq, a.vec_id AS neighbor_id, " +
+      "a.e AS en FROM probes p JOIN assigned a ON a.cluster = p.cluster " +
+      "WHERE a.vec_id != p.query_id), " +
+      "sims AS (SELECT query_id, neighbor_id, " +
+      duckDot("eq", "en") + " / (sqrt(" + duckDot("eq", "eq") +
+      ") * sqrt(" + duckDot("en", "en") + ")) AS sim FROM cand) " +
+      "SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r FROM (" +
+      "SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) " +
+      "AS rank FROM sims) WHERE rank <= 5"
+  }
+
   /** docsWithMutants restated in DuckDB (anchored regex → single match on
     * both engines despite Spark's replace-all default). */
   private val duckDocsWithMutants: String =
@@ -166,6 +206,7 @@ object DedupSim {
     }.mkString(" UNION ALL ")
 
   val oracle: Map[String, String] = Map(
+    "q_knn_ivf_static" -> duckIvfStaticSql,
     "q_dedup_docs" ->
       ("SELECT lower(text) AS text_norm, min(doc_id) AS keep_id, " +
         "count(*) AS n_copies FROM documents GROUP BY 1"),

@@ -35,4 +35,15 @@ class IvfSpec extends SparkSpec {
     assert(got(0).getLong(1) == 5000L &&
       math.abs(got(0).getDouble(3) - 1.0) < 1e-9)
   }
+
+  test("static-quantizer IVF also recalls a planted duplicate at rank 1") {
+    val dup = embs.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val corpus = embs.select("vec_id", "embedding").union(dup)
+    val got = Ivf.knnIvfStatic(corpus, nQueries = 1, k = 5)
+      .filter(col("query_id") === 0 && col("rank") === 1).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 5000L &&
+      math.abs(got(0).getDouble(3) - 1.0) < 1e-9)
+  }
 }
