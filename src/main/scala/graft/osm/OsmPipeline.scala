@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
 final case class OsmPipeline(spark: SparkSession, osmPath: String,
     officialPath: String) {
 
-  lazy val official: DataFrame = OfficialList.load(spark, officialPath)
-  lazy val lookup: DataFrame = OfficialList.lookup(official)
-
-  /** The audit scripts probe the UNCORRECTED list (SURVEY.md §3.2). */
+  /** The audit scripts probe the UNCORRECTED list (SURVEY.md §3.2).
+    * Cached: the corrected list derives from it, so the PSI XML parses
+    * once for both pipelines. */
   lazy val officialUncorrected: DataFrame =
-    OfficialList.cleaned(spark, officialPath)
+    OfficialList.cleaned(spark, officialPath).cache()
+
+  lazy val official: DataFrame = OfficialList.corrected(officialUncorrected)
+  lazy val lookup: DataFrame = OfficialList.lookup(official)
 
   // The raw XML reads are the caches that matter: a single OSM file parses
   // on one task, and every shaped relation (nodes, ways, tags ×2, way
@@ -43,9 +45,11 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
     PhoneFix.fixPhonesInTags(rawNodeTags).cache()
 
   /** way tags after phone fix THEN street-name fix (process_map order,
-    * parse_clean_and_csv.py:260,272-273). */
+    * parse_clean_and_csv.py:260,272-273). phoneFixed is staged: it feeds
+    * the fix plan AND the apply step of the same job (see Stage.barrier). */
   lazy val wayTagsFixed: DataFrame = {
-    val phoneFixed = PhoneFix.fixPhonesInTags(rawWayTags).cache()
+    val phoneFixed =
+      graft.ops.Stage.barrier(PhoneFix.fixPhonesInTags(rawWayTags))
     val streets = StreetNameFix.streetIds(phoneFixed)
     val versions = StreetNameFix.nameVersions(phoneFixed, streets)
     val plan = StreetNameFix.fixPlan(versions, lookup)
