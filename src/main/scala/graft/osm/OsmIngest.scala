@@ -51,6 +51,11 @@ object OsmIngest {
     * problem char. */
   val ProblemChars = "[=\\+/&<>;'\"\\?%#$@\\,\\. \t\r\n]"
 
+  // Scan note (measured, MultiFileScanSpec): the XML source parallelizes
+  // across FILES but never splits one file — and multiLine=false "splits"
+  // by mis-parsing. At scale, shard the extract into many files (the
+  // standard 100 TB shape); for a single big file, repartition after the
+  // scan so downstream shaping/cleaning still uses every core.
   private def readXml(spark: SparkSession, path: String, rowTag: String,
       schema: StructType): DataFrame =
     spark.read.format("xml")

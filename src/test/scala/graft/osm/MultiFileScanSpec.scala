@@ -19,4 +19,24 @@ class MultiFileScanSpec extends SparkSpec {
     assert(nodes.count() == 4 * 13676)
     assert(nodes.rdd.getNumPartitions >= 4)
   }
+
+  test("single-file XML scan is one task — pin it, and pin the mitigation") {
+    // MEASURED REALITY (Spark 4.1): the XML source does NOT split one file
+    // — a 306 MB Hong_Kong.osm parses as ONE task regardless of
+    // maxPartitionBytes. (multiLine=false *does* split but mis-parses:
+    // 55,326 "rows" from shatin's 13,676 nodes — never use it for OSM.)
+    // At 100 TB the answer is sharded input files (test above); for an
+    // unsharded file, repartition right after the scan so the regex/join
+    // work downstream still parallelizes.
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "262144") // 256k
+      val nodes = OsmIngest.rawNodes(spark, "/root/reference/shatin.osm")
+      assert(nodes.rdd.getNumPartitions == 1, "splitting behavior changed " +
+        "— revisit OsmIngest's scan notes (this is good news)")
+      val spread = nodes.repartition(8)
+      assert(spread.rdd.getNumPartitions == 8)
+      assert(spread.count() == 13676)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }
