@@ -19,7 +19,7 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
     * Cached: the corrected list derives from it, so the PSI XML parses
     * once for both pipelines. */
   lazy val officialUncorrected: DataFrame =
-    OfficialList.cleaned(spark, officialPath).cache()
+    graft.ops.Stage.barrier(OfficialList.cleaned(spark, officialPath))
 
   lazy val official: DataFrame = OfficialList.corrected(officialUncorrected)
   lazy val lookup: DataFrame = OfficialList.lookup(official)
@@ -27,11 +27,17 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
   // The raw XML reads are the caches that matter: a single OSM file parses
   // on one task, and every shaped relation (nodes, ways, tags ×2, way
   // nodes) re-parses it otherwise — five single-threaded passes.
-  private lazy val rawNodes = OsmIngest.rawNodes(spark, osmPath).cache()
-  private lazy val rawWays = OsmIngest.rawWays(spark, osmPath).cache()
+  private lazy val rawNodes =
+    graft.ops.Stage.barrier(OsmIngest.rawNodes(spark, osmPath))
+  private lazy val rawWays =
+    graft.ops.Stage.barrier(OsmIngest.rawWays(spark, osmPath))
 
-  lazy val nodes: DataFrame = OsmIngest.nodes(rawNodes).cache()
-  lazy val ways: DataFrame = OsmIngest.ways(rawWays).cache()
+  // nodes/ways appear in several branches of one exploration job
+  // (counts + distinct_users + contribution joins) — barrier, not cache
+  lazy val nodes: DataFrame =
+    graft.ops.Stage.barrier(OsmIngest.nodes(rawNodes))
+  lazy val ways: DataFrame =
+    graft.ops.Stage.barrier(OsmIngest.ways(rawWays))
   lazy val wayNodes: DataFrame = OsmIngest.wayNodes(rawWays)
 
   /** Shaped tags BEFORE any cleaning — the audit scripts' input (they run
@@ -42,7 +48,7 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
 
   /** node tags after phone fix (with tag_pos + phone_changed). */
   lazy val nodeTagsFixed: DataFrame =
-    PhoneFix.fixPhonesInTags(rawNodeTags).cache()
+    graft.ops.Stage.barrier(PhoneFix.fixPhonesInTags(rawNodeTags))
 
   /** way tags after phone fix THEN street-name fix (process_map order,
     * parse_clean_and_csv.py:260,272-273). phoneFixed is staged: it feeds
@@ -53,7 +59,7 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
     val streets = StreetNameFix.streetIds(phoneFixed)
     val versions = StreetNameFix.nameVersions(phoneFixed, streets)
     val plan = StreetNameFix.fixPlan(versions, lookup)
-    StreetNameFix.applyFix(phoneFixed, plan).cache()
+    graft.ops.Stage.barrier(StreetNameFix.applyFix(phoneFixed, plan))
   }
 
   /** Output projections (drop the internal tag_pos / flag columns). */
@@ -77,31 +83,20 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
     val wayName = StreetNameFix.nameUpdatedPerWay(wayTagsFixed)
       .select(col("id"), lit("way").as("element_type"),
         lit("name").as("field_updated"))
-    nodePhone.unionByName(wayPhone).unionByName(wayName).cache()
+    // referenced twice (way + node branches) by the contributions query
+    graft.ops.Stage.barrier(
+      nodePhone.unionByName(wayPhone).unionByName(wayName))
   }
 
   /** X6 — the phone audit over the uncleaned tags, shared (cached) by the
     * three audit outputs: full table, key histogram, char census. */
   lazy val phoneAudit: DataFrame =
-    Audits.phoneNumbers(rawNodeTags, rawWayTags).cache()
+    graft.ops.Stage.barrier(Audits.phoneNumbers(rawNodeTags, rawWayTags))
 
   /** X5 — the bilingual street-name audit (uncorrected official list). */
   lazy val streetAudit: DataFrame =
     Audits.bilingualStreetNames(rawWayTags,
       OfficialList.lookup(officialUncorrected))
-
-  /** Materialize the shared caches sequentially in DEPENDENCY ORDER. A lazy
-    * cache referenced from several branches of one job is computed
-    * concurrently by every branch (the "block already exists" race) — for
-    * these plans that means re-parsing the single-task XML scan per branch.
-    * Warming bottom-up makes each parse happen exactly once. */
-  def warm(): this.type = {
-    rawNodes.count(); rawWays.count()
-    nodes.count(); ways.count()
-    nodeTagsFixed.count(); wayTagsFixed.count()
-    updateHistory.count()
-    this
-  }
 
   /** Register the reference's five SQL tables + update_history as temp
     * views with typed id columns for exploration (SURVEY.md §3.4). */

@@ -16,13 +16,13 @@ object OsmQueries {
   val OsmPath = "/root/reference/shatin.osm"
   val PsiPath = "/root/reference/PSI_Street Name_062017.xml"
 
-  // One pipeline per session — queries share the cached shaped relations.
-  // warm() materializes the caches bottom-up exactly once; without it the
-  // first multi-branch query recomputes each lazy cache per branch.
+  // One pipeline per session — queries share the staged relations (each
+  // `lazy val` in OsmPipeline materializes its cache on first access via
+  // Stage.barrier, so every query pays exactly for what it touches).
   private val pipelines =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, OsmPipeline]()
   private def pipe(s: SparkSession): OsmPipeline =
-    pipelines.computeIfAbsent(s, OsmPipeline(_, OsmPath, PsiPath).warm())
+    pipelines.computeIfAbsent(s, OsmPipeline(_, OsmPath, PsiPath))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_osm_nodes" -> ((s, _) => pipe(s).nodes),
