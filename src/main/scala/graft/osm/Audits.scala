@@ -27,7 +27,9 @@ object Audits {
     * (OsmPipeline.streetAudit) instead of re-parsing the XML. */
   def bilingualStreetNames(tags: DataFrame, lookup: DataFrame): DataFrame = {
     val streets = StreetNameFix.streetIds(tags)
-    val versions = StreetNameFix.nameVersions(tags, streets)
+    // versions is probed AND re-joined below — staged (see Stage.barrier)
+    val versions = graft.ops.Stage.barrier(
+      StreetNameFix.nameVersions(tags, streets))
     val results = StreetNameFix.lookupResults(versions, lookup)
     versions.join(results, Seq("id"))
       .filter(col("n_matches") === 1 &&

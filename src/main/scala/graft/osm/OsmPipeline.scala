@@ -57,8 +57,13 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
     val phoneFixed =
       graft.ops.Stage.barrier(PhoneFix.fixPhonesInTags(rawWayTags))
     val streets = StreetNameFix.streetIds(phoneFixed)
-    val versions = StreetNameFix.nameVersions(phoneFixed, streets)
-    val plan = StreetNameFix.fixPlan(versions, lookup)
+    // versions feeds the lookup probe AND the plan join; plan feeds the
+    // overwrite AND the append branch — both tiny (one row per street
+    // way), both double-computed without a stage (no subplan CSE)
+    val versions = graft.ops.Stage.barrier(
+      StreetNameFix.nameVersions(phoneFixed, streets))
+    val plan = graft.ops.Stage.barrier(
+      StreetNameFix.fixPlan(versions, lookup))
     graft.ops.Stage.barrier(StreetNameFix.applyFix(phoneFixed, plan))
   }
 
