@@ -200,12 +200,22 @@ object Dedup {
     * cheap, and hamming-comparable.
     *
     * Execution shape: explode to (doc, token) rows, hash once per row, then
-    * 62 branch-free SUM aggregates — lane_j adds (h>>j & 1)·2−1. Map-side
-    * partial aggregation carries one 62-lane vector per doc per partition
-    * through the shuffle (same plan shape as the MinHash signatures; ~20×
-    * faster than a per-row array fold, which allocated two 64-element
-    * arrays per token). */
-  def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    * ONE native aggregate (functions.SimHashAgg) folding each hash into a
+    * primitive 62-lane counter buffer. Map-side partial aggregation carries
+    * one lane vector per doc per partition through the shuffle — the same
+    * scale shape as the MinHash signatures. [[simhashesDeclarative]] is the
+    * 62-sum-column equivalent it replaced (DedupSpec pins equality). */
+  def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", graft.functions.GraftFunctions.polyHash2(col("t")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg
+        .simhash(col("h"), SimHashBits).as("simhash"))
+
+  /** The declarative 62-sum-column form of [[simhashes]] — kept as the
+    * cross-check and for engines without the native aggregate. */
+  def simhashesDeclarative(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
     val lanes = (0 until SimHashBits).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(1L) * 2L - 1L).as(s"c$j")
     }

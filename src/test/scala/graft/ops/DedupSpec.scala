@@ -76,6 +76,15 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("native SimHashAgg equals the declarative 62-column form") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val native = Dedup.simhashes(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val declarative = Dedup.simhashesDeclarative(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == declarative)
+  }
+
   test("simhash: order-independent, near-dup blocking finds mutants") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "h g f e d c b a"),
       (3L, "q r s t u v w x")).toDF("doc_id", "text")
