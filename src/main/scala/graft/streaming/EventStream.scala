@@ -75,6 +75,22 @@ object EventStream {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  /** Streaming top-k: the k highest-value events per tumbling window —
+    * the native bounded TopKAgg running INSIDE streaming state (its ≤ k
+    * buffer is what serializes into the state store between micro-batches,
+    * so per-window state is O(k), not O(events)). */
+  def topEventsHourly(events: DataFrame, k: Int = 3): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.TopKAgg
+        .topKBy(col("value"), col("event_id"), k).as("top"))
+      .select(col("w.start").as("hour"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("hour"), col("t.id").as("event_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t.score").as("value"))
+
   /** Drive a streaming DataFrame to completion against a bounded source
     * and return the in-memory result table (local smoke harness).
     *

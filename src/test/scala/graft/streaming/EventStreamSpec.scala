@@ -42,6 +42,29 @@ class EventStreamSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming top-k per window equals an independent batch rank-window") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val got = EventStream.runToMemory(
+      EventStream.topEventsHourly(stream, k = 3), "topk_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update,
+      lastPerKey = Seq("hour", "rank"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getInt(2)) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    // independent reference: batch rank-window, not the same aggregate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour")).orderBy(desc("value"), col("event_id"))
+    val batch = Tables(spark, sf).events
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        col("event_id"), col("value"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getInt(3)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == batch)
+  }
+
   test("stateful streaming sessionization equals the batch window version") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToMemory(
