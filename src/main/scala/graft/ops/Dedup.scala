@@ -22,6 +22,13 @@ object Dedup {
     docs.groupBy(lower(col(textCol)).as("text_norm"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** [[exact]] at 100 TB: group on the content DIGEST so the shuffle
+    * carries 64-char keys instead of whole documents (collision odds
+    * 2⁻²⁵⁶ — the standard exact-dedup key for web-scale corpora). */
+  def exactByDigest(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(lower(col(textCol)), 256).as("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Distinct word-level n-gram shingles of a document. For size < n the
     * whole (shorter) token span becomes one shingle. */
   def shingles(text: Column, n: Int): Column = {

@@ -109,4 +109,28 @@ object TextAnalysis {
 
   def langIds(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), langId(col(textCol)).as("lang_pred"))
+
+  /** Deterministic train/validation/test split: bucket = portable hash of
+    * the doc id mod 100 → train < 80 ≤ valid < 90 ≤ test. Hash-based (not
+    * random) so the split is stable across runs, engines, and repartitions
+    * — the property a reproducible data pipeline needs. */
+  def splitAssign(docId: Column): Column = {
+    val bucket = pmod(
+      graft.functions.GraftFunctions.polyHash(docId.cast("string")), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+  }
+
+  def splitCounts(docs: DataFrame): DataFrame =
+    docs.select(splitAssign(col("doc_id")).as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+
+  /** Corpus vocabulary: the `limit` most frequent tokens (ties broken by
+    * token) — one explode + one partial-aggregated count + a distributed
+    * TakeOrdered, never a global sort of the vocabulary. */
+  def vocabulary(docs: DataFrame, limit: Int = 100,
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(limit)
 }

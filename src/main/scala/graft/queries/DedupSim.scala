@@ -34,6 +34,10 @@ object DedupSim {
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables(s, dir).documents)
 
+  /** Digest-keyed exact dedup — the 100 TB shuffle shape. */
+  def exactDedupHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByDigest(Tables(s, dir).documents)
+
   /** Pairwise Jaccard baseline, blocked on (source, lang) — blocking
     * granularity is the scale knob for the quadratic baseline; the LSH
     * pipeline below is the unblocked scale path. */
@@ -79,6 +83,7 @@ object DedupSim {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_docs" -> exactDedup,
+    "q_dedup_hash" -> exactDedupHash,
     "q_jaccard_pairs" -> jaccardPairs,
     "q_minhash_sigs" -> minhashSigs,
     "q_minhash_neardup" -> minhashNearDups,
@@ -209,6 +214,9 @@ object DedupSim {
     "q_knn_ivf_static" -> duckIvfStaticSql,
     "q_dedup_docs" ->
       ("SELECT lower(text) AS text_norm, min(doc_id) AS keep_id, " +
+        "count(*) AS n_copies FROM documents GROUP BY 1"),
+    "q_dedup_hash" ->
+      ("SELECT sha256(lower(text)) AS digest, min(doc_id) AS keep_id, " +
         "count(*) AS n_copies FROM documents GROUP BY 1"),
     "q_jaccard_pairs" ->
       ("WITH sh AS (SELECT doc_id, source, lang, " +

@@ -81,11 +81,21 @@ object TextOps {
   def tokenBpe(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTokenStats(Tables(s, dir).documents)
 
+  /** Deterministic hash-based train/valid/test split sizes. */
+  def trainSplit(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.splitCounts(Tables(s, dir).documents)
+
+  /** Top-100 corpus vocabulary. */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(Tables(s, dir).documents)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_capwords" -> capwordsQuery,
     "q_phone_canon" -> phoneCanon,
     "q_token_stats" -> tokenStats,
     "q_token_bpe" -> tokenBpe,
+    "q_train_split" -> trainSplit,
+    "q_vocab_topk" -> vocabTopK,
     "q_quality" -> quality,
     "q_fingerprint" -> fingerprint,
     "q_langid" -> langId,
@@ -127,6 +137,19 @@ object TextOps {
     "q_token_stats" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "length(text) AS n_chars_measured FROM documents"),
+    "q_train_split" ->
+      ("SELECT split, count(*) AS n_docs FROM (SELECT CASE " +
+        "WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' " +
+        "ELSE 'test' END AS split FROM (SELECT " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(CAST(doc_id AS VARCHAR), ''), " +
+        "ch -> CAST(ord(ch) AS BIGINT))), " +
+        "(acc, cp) -> (acc * 31 + cp) % 2147483647) % 100 AS b " +
+        "FROM documents)) GROUP BY split"),
+    "q_vocab_topk" ->
+      ("SELECT token, count(*) AS n FROM (SELECT " +
+        "unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY n DESC, token LIMIT 100"),
     // the same lookahead-free pattern runs under DuckDB's RE2 with
     // identical leftmost-first alternation ('' escapes the quote)
     "q_token_bpe" ->
