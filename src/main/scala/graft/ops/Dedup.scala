@@ -196,6 +196,47 @@ object Dedup {
       .filter(col("n_inter") * denom >= col("n_union") * numer)
   }
 
+  /** Connected components over an undirected pair relation — the cluster
+    * step that turns near-dup PAIRS into canonical groups (keep one doc
+    * per component). Iterative min-label propagation: each round every
+    * node adopts the minimum label in its closed neighborhood; converges
+    * in O(component eccentricity) rounds — near-dup clusters are shallow,
+    * so a handful of shuffles. Each round is one join + one aggregation,
+    * staged (Stage.barrier) so the convergence check and the next round
+    * share the frontier instead of recomputing the whole chain — the
+    * standard iterative-algorithm shape on Spark (label propagation /
+    * large-star contraction family). */
+  def components(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
+    val edges = Stage.barrier(
+      pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+        .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+        .distinct())
+    var labels = Stage.barrier(
+      edges.select(col("s").as("id")).distinct()
+        .withColumn("label", col("id")))
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("d"), col("label").as("nl")),
+          Seq("d"))
+        .groupBy(col("s").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = Stage.barrier(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label")))
+              .as("label"),
+            (col("nmin") < col("label")).as("chg")))
+      changed = next.filter(col("chg")).count()
+      labels.unpersist()
+      labels = next.select(col("id"), col("label"))
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
+
   /** Bit width of the SimHash: the portable dual polynomial hash supplies
     * 62 well-mixed bits (functions.PolyHash2 — DuckDB-replicable, unlike
     * xxhash64). */

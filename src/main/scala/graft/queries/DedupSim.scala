@@ -54,6 +54,10 @@ object DedupSim {
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairs(docsWithMutants(s, dir))
 
+  /** Near-dup pairs → canonical clusters (keep min doc per component). */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.components(Dedup.minhashDedupPairs(docsWithMutants(s, dir)))
+
   def simhashes(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(Tables(s, dir).documents)
 
@@ -87,6 +91,7 @@ object DedupSim {
     "q_jaccard_pairs" -> jaccardPairs,
     "q_minhash_sigs" -> minhashSigs,
     "q_minhash_neardup" -> minhashNearDups,
+    "q_dedup_components" -> dedupComponents,
     "q_simhash" -> simhashes,
     "q_simhash_neardup" -> simhashNearDups,
     "q_knn_brute" -> knnBrute,
@@ -246,7 +251,23 @@ object DedupSim {
         s"h AS (SELECT doc_id, ${duckPolyHash("s", 31L)} AS h FROM sh) " +
         s"SELECT doc_id, array_to_string([$duckMinhashMins], ',') " +
         "AS sig_csv FROM h GROUP BY doc_id"),
-    "q_minhash_neardup" ->
+    "q_minhash_neardup" -> duckMinhashNearDupSql,
+    // CC over the near-dup pairs: min reachable node per node, computed by
+    // a recursive CTE — a genuinely different algorithm than the engine's
+    // iterative label propagation, so convergence itself is cross-checked
+    "q_dedup_components" ->
+      ("WITH RECURSIVE " +
+        s"pairs AS (SELECT doc_a, doc_b FROM ($duckMinhashNearDupSql)), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+        "SELECT reach.id, edges.d FROM reach JOIN edges " +
+        "ON edges.s = reach.r) " +
+        "SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id"),
+  ) ++ oracleVectorPart
+
+  private lazy val duckMinhashNearDupSql: String =
       (s"WITH docs AS ($duckDocsWithMutants), " +
         "toks AS (SELECT doc_id, string_split(text,' ') AS t FROM docs), " +
         "shs AS (SELECT doc_id, list_distinct(list_transform(" +
@@ -265,7 +286,9 @@ object DedupSim {
         "FROM cand JOIN shs x ON x.doc_id = cand.doc_a " +
         "JOIN shs y ON y.doc_id = cand.doc_b " +
         "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
-        "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7"),
+        "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7")
+
+  private lazy val oracleVectorPart: Map[String, String] = Map(
     "q_simhash" ->
       (duckSimhashOf("SELECT doc_id, text FROM documents") +
         " SELECT doc_id, sh AS simhash FROM sim"),

@@ -76,6 +76,19 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("connected components: chains, cliques, and singleton pairs") {
+    // two chains (0-1-2-3, 10-11), a triangle (20,21,22), a lone pair
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(got == want)
+  }
+
   test("native SimHashAgg equals the declarative 62-column form") {
     val d = docs.select(col("doc_id"), col("text"))
     val native = Dedup.simhashes(d).collect()
