@@ -223,12 +223,15 @@ object Dedup {
           Seq("d"))
         .groupBy(col("s").as("id"))
         .agg(min(col("nl")).as("nmin"))
-      val next = Stage.barrier(
-        labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label")))
-              .as("label"),
-            (col("nmin") < col("label")).as("chg")))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"),
+          (col("nmin") < col("label")).as("chg"))
+        .cache()
+      // ONE action per round: the filtered count materializes every
+      // partition into the cache (so the next round's join is staged)
+      // AND doubles as the convergence check
       changed = next.filter(col("chg")).count()
       labels.unpersist()
       labels = next.select(col("id"), col("label"))
