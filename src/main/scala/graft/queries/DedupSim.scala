@@ -51,12 +51,22 @@ object DedupSim {
     Dedup.minhashSignaturesNative(Tables(s, dir).documents)
       .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_csv"))
 
+  // The near-dup pair relation feeds two queries (the pair listing and
+  // the component clustering) — share one staged instance per session,
+  // the same shared-lineage pattern as OsmQueries.pipe.
+  private val pairCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def mutantPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.computeIfAbsent((s, dir), _ =>
+      graft.ops.Stage.barrier(
+        Dedup.minhashDedupPairs(docsWithMutants(s, dir))))
+
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDedupPairs(docsWithMutants(s, dir))
+    mutantPairs(s, dir)
 
   /** Near-dup pairs → canonical clusters (keep min doc per component). */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
-    Dedup.components(Dedup.minhashDedupPairs(docsWithMutants(s, dir)))
+    Dedup.components(mutantPairs(s, dir))
 
   def simhashes(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(Tables(s, dir).documents)
