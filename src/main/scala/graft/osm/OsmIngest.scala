@@ -69,6 +69,20 @@ object OsmIngest {
   def rawWays(spark: SparkSession, path: String): DataFrame =
     readXml(spark, path, "way", waySchema)
 
+  /** PERMISSIVE scan for dirty inputs at scale: malformed records land in
+    * `_corrupt_record` instead of failing the job (the 100 TB reality —
+    * a truncated shard must not kill a 1000-executor pipeline). Callers
+    * split on `_corrupt_record IS NULL` and route the rest to quarantine.
+    * The default readers above keep the strict schema: on the bundled
+    * clean extracts a parse failure should fail loudly. */
+  def rawNodesPermissive(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", "node")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(nodeSchema.add("_corrupt_record", StringType))
+      .load(path)
+
   /** nodes(id, lat, lon, user, uid, version, changeset, timestamp) —
     * all strings (ref keeps XML attribute text verbatim). */
   def nodes(raw: DataFrame): DataFrame =

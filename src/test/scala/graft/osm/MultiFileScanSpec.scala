@@ -20,6 +20,36 @@ class MultiFileScanSpec extends SparkSpec {
     assert(nodes.rdd.getNumPartitions >= 4)
   }
 
+  test("PERMISSIVE scan quarantines malformed records, keeps the rest") {
+    val dir = Files.createTempDirectory("graft-osm-dirty")
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<osm version="0.6">
+        |  <node id="1" lat="22.38" lon="114.18" user="a" uid="7"
+        |        version="1" changeset="9" timestamp="2017-01-01T00:00:00Z"/>
+        |  <node id="2" lat="22.39" lon="114.19" user="b" uid="8"
+        |        version="1" changeset="9" timestamp="2017-01-01T00:00:00Z">
+        |    <tag k="name" v="ok"/>
+        |  </node>
+        |  <node id="3" lat="22.40" lon="114.20" user="c" uid="9"
+        |        version="1" changeset="9"
+        |        timestamp="2017-01-01T00:00:00Z"><tag k="broken</node>
+        |</osm>
+        |""".stripMargin
+    Files.write(dir.resolve("dirty.osm"),
+      xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Spark disallows querying only the corrupt column off a raw scan —
+    // cache the parsed result first (the documented pattern)
+    val raw = OsmIngest.rawNodesPermissive(spark, dir.toString + "/*.osm")
+      .cache()
+    val clean = raw.filter(org.apache.spark.sql.functions
+      .col("_corrupt_record").isNull)
+    val dirty = raw.filter(org.apache.spark.sql.functions
+      .col("_corrupt_record").isNotNull)
+    assert(clean.count() == 2, "well-formed nodes must survive")
+    assert(dirty.count() >= 1, "the malformed node must be quarantined")
+  }
+
   test("single-file XML scan is one task — pin it, and pin the mitigation") {
     // MEASURED REALITY (Spark 4.1): the XML source does NOT split one file
     // — a 306 MB Hong_Kong.osm parses as ONE task regardless of
