@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -15,8 +14,9 @@ import org.apache.spark.sql.functions._
   *    only on (table, bucket) keys, exact re-rank inside buckets. Identical
   *    vectors always collide; recall degrades gracefully with distance.
   *
-  * All vector math is built from codegen'd higher-order functions
-  * (`zip_with` + `aggregate`) — no UDF, no collect.
+  * All vector math runs through the fused native kernel
+  * (functions.DotProduct, inside whole-stage codegen) — no UDF, no
+  * collect; re-ranks use the bounded top-k aggregate (functions.TopKAgg).
   */
 object Similarity {
 

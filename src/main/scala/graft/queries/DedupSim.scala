@@ -68,6 +68,19 @@ object DedupSim {
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
     Dedup.components(mutantPairs(s, dir))
 
+  /** The cleaned corpus: drop every non-canonical cluster member (keep a
+    * doc iff it is its component's min — untouched docs have no component
+    * row and survive). Pairs → clusters → keep-set: the full near-dup
+    * dedup arc ending in an anti join on the drop list. */
+  def dedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val drop = Dedup.components(mutantPairs(s, dir))
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    docsWithMutants(s, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   def simhashes(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(Tables(s, dir).documents)
 
@@ -102,6 +115,7 @@ object DedupSim {
     "q_minhash_sigs" -> minhashSigs,
     "q_minhash_neardup" -> minhashNearDups,
     "q_dedup_components" -> dedupComponents,
+    "q_dedup_keep" -> dedupKeep,
     "q_simhash" -> simhashes,
     "q_simhash_neardup" -> simhashNearDups,
     "q_knn_brute" -> knnBrute,
@@ -275,6 +289,20 @@ object DedupSim {
         "SELECT reach.id, edges.d FROM reach JOIN edges " +
         "ON edges.s = reach.r) " +
         "SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id"),
+    "q_dedup_keep" ->
+      ("WITH RECURSIVE " +
+        s"pairs AS (SELECT doc_a, doc_b FROM ($duckMinhashNearDupSql)), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+        "SELECT reach.id, edges.d FROM reach JOIN edges " +
+        "ON edges.s = reach.r), " +
+        "dropped AS (SELECT id FROM (SELECT id, min(r) AS component " +
+        "FROM reach GROUP BY id) WHERE id != component), " +
+        s"corpus AS ($duckDocsWithMutants) " +
+        "SELECT doc_id FROM corpus WHERE doc_id NOT IN " +
+        "(SELECT id FROM dropped)"),
   ) ++ oracleVectorPart
 
   private lazy val duckMinhashNearDupSql: String =
