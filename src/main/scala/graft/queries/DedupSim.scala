@@ -64,16 +64,22 @@ object DedupSim {
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =
     mutantPairs(s, dir)
 
+  // the clustering result likewise feeds two queries (the component map
+  // and the keep-set) — one staged instance per session
+  private val componentCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
   /** Near-dup pairs → canonical clusters (keep min doc per component). */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
-    Dedup.components(mutantPairs(s, dir))
+    componentCache.computeIfAbsent((s, dir), _ =>
+      graft.ops.Stage.barrier(Dedup.components(mutantPairs(s, dir))))
 
   /** The cleaned corpus: drop every non-canonical cluster member (keep a
     * doc iff it is its component's min — untouched docs have no component
     * row and survive). Pairs → clusters → keep-set: the full near-dup
     * dedup arc ending in an anti join on the drop list. */
   def dedupKeep(s: SparkSession, dir: String): DataFrame = {
-    val drop = Dedup.components(mutantPairs(s, dir))
+    val drop = dedupComponents(s, dir)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
     docsWithMutants(s, dir)
