@@ -196,6 +196,27 @@ object Dedup {
       .filter(col("n_inter") * denom >= col("n_union") * numer)
   }
 
+  /** Train→test contamination check: for each test document, how many of
+    * its n-gram shingles appear in ANY train document. The leakage audit a
+    * training pipeline runs after splitting: high-overlap test docs are
+    * eval contamination. Scale shape: hashed shingles exploded once, the
+    * train-side distinct hash set staged, one shuffle join on 8-byte hash
+    * keys, one aggregation — no document ever compares pairwise. Integer
+    * outputs (n_shingles, n_hit) keep the oracle float-free. */
+  def contamination(docs: DataFrame, splitCol: String = "split", n: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col("doc_id"), col(splitCol).as("split"),
+      explode(array_distinct(
+        transform(shingles(col(textCol), n), s => phash(s)))).as("h"))
+    val trainHashes = Stage.barrier(
+      sh.filter(col("split") === "train").select(col("h")).distinct())
+    sh.filter(col("split") === "test")
+      .join(trainHashes.withColumn("hit", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+  }
+
   /** Connected components over an undirected pair relation — the cluster
     * step that turns near-dup PAIRS into canonical groups (keep one doc
     * per component). Iterative min-label propagation: each round every

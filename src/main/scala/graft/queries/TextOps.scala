@@ -89,6 +89,12 @@ object TextOps {
   def vocabTopK(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(Tables(s, dir).documents)
 
+  /** Train→test contamination over the deterministic split. */
+  def contamination(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.contamination(
+      Tables(s, dir).documents
+        .withColumn("split", TextAnalysis.splitAssign(col("doc_id"))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_capwords" -> capwordsQuery,
     "q_phone_canon" -> phoneCanon,
@@ -96,6 +102,7 @@ object TextOps {
     "q_token_bpe" -> tokenBpe,
     "q_train_split" -> trainSplit,
     "q_vocab_topk" -> vocabTopK,
+    "q_contamination" -> contamination,
     "q_quality" -> quality,
     "q_fingerprint" -> fingerprint,
     "q_langid" -> langId,
@@ -150,6 +157,30 @@ object TextOps {
       ("SELECT token, count(*) AS n FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS token FROM documents) " +
         "GROUP BY token ORDER BY n DESC, token LIMIT 100"),
+    "q_contamination" ->
+      ("WITH s AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' " +
+        "WHEN b < 90 THEN 'valid' ELSE 'test' END AS split, t FROM (" +
+        "SELECT doc_id, string_split(text, ' ') AS t, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(CAST(doc_id AS VARCHAR), ''), " +
+        "ch -> CAST(ord(ch) AS BIGINT))), " +
+        "(acc, cp) -> (acc * 31 + cp) % 2147483647) % 100 AS b " +
+        "FROM documents)), " +
+        "sh AS (SELECT doc_id, split, unnest(list_distinct(" +
+        "list_transform(list_transform(" +
+        "range(1, greatest(len(t)-1,1)+1), " +
+        "i -> CASE WHEN i < len(t) THEN t[i] || ' ' || t[i+1] " +
+        "ELSE t[i] END), x -> " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(x, ''), " +
+        "ch -> CAST(ord(ch) AS BIGINT))), " +
+        "(acc, cp) -> (acc * 31 + cp) % 2147483647)))) AS h FROM s), " +
+        "train AS (SELECT DISTINCT h FROM sh WHERE split = 'train') " +
+        "SELECT sh.doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN train.h IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_hit " +
+        "FROM sh LEFT JOIN train ON train.h = sh.h " +
+        "WHERE sh.split = 'test' GROUP BY sh.doc_id"),
     // the same lookahead-free pattern runs under DuckDB's RE2 with
     // identical leftmost-first alternation ('' escapes the quote)
     "q_token_bpe" ->

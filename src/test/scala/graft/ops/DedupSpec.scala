@@ -76,6 +76,22 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("contamination: a test doc copied from train is fully contaminated") {
+    val rows = Seq(
+      (1L, "train", "alpha beta gamma delta epsilon"),
+      (2L, "train", "one two three four five"),
+      (10L, "test", "alpha beta gamma delta epsilon"), // verbatim leak
+      (11L, "test", "zz yy xx ww vv"), // clean
+      (12L, "test", "one two entirely different tail")) // partial overlap
+      .toDF("doc_id", "split", "text")
+    val got = Dedup.contamination(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(10L)._1 == got(10L)._2, "verbatim copy must be 100% hit")
+    assert(got(11L)._2 == 0, "clean doc must have zero hits")
+    assert(got(12L)._2 == 1 && got(12L)._1 == 4,
+      s"partial overlap: ${got(12L)}") // only 'one two' is shared
+  }
+
   test("connected components: chains, cliques, and singleton pairs") {
     // two chains (0-1-2-3, 10-11), a triangle (20,21,22), a lone pair
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L),
