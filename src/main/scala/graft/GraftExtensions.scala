@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Capwords, DotProduct}
+import graft.functions.{Capwords, DotProduct, PolyHash, PolyHash2}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available to plain SQL users
@@ -24,7 +24,25 @@ object GraftExtensions {
         (exprs: Seq[Expression]) => Capwords(exprs.head)),
       (FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-        (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+        (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
+      // poly_hash(s[, base, mod]) — the engine-portable polynomial hash,
+      // so SQL users can reproduce signatures/splits from plain SQL
+      (FunctionIdentifier("poly_hash"),
+        new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+        (exprs: Seq[Expression]) => PolyHash(exprs.head,
+          base = exprs.lift(1).map(foldToLong).getOrElse(31L),
+          mod = exprs.lift(2).map(foldToLong).getOrElse(2147483647L))),
+      (FunctionIdentifier("poly_hash2"),
+        new ExpressionInfo(classOf[PolyHash2].getName, "poly_hash2"),
+        (exprs: Seq[Expression]) => PolyHash2(exprs.head)))
+
+  private def foldToLong(e: Expression): Long =
+    e.eval(null) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"poly_hash base/mod must be integer literals, got $other")
+    }
 
   /** Imperative registration for an already-built session (tests, REPLs). */
   def register(spark: SparkSession): Unit =

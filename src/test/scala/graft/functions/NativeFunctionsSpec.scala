@@ -27,6 +27,29 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(got == "Hello Spark World")
   }
 
+  test("poly_hash family is callable from SQL and matches the literal fold") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT poly_hash('ab'), poly_hash('ab', 37, 97), poly_hash2('ab')")
+      .head()
+    // fold: ((0*31+97)%P)*31+98 = 3105 ; base37 mod97: ((97%97)*37+98)%97=1
+    assert(got.getLong(0) == 97L * 31 + 98)
+    assert(got.getLong(1) == ((97L % 97) * 37 + 98) % 97)
+    val a = 97L * 31 + 98
+    val b = 97L * 37 + 98
+    assert(got.getLong(2) == ((b << 31) | a))
+  }
+
+  test("polyHash codepoint iteration: astral chars count once (like DuckDB)") {
+    import spark.implicits._
+    // U+1F600 is a surrogate pair in UTF-16; the codepoint fold must take
+    // it as ONE step, matching DuckDB's per-character string_split
+    val got = Seq("😀").toDF("s")
+      .select(graft.functions.GraftFunctions.polyHash(col("s")).as("h"))
+      .head().getLong(0)
+    assert(got == 0x1F600L % 2147483647L)
+  }
+
   test("TopKAgg equals the rank-window form incl. ties and short groups") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
