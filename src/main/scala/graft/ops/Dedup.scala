@@ -228,7 +228,15 @@ object Dedup {
     * standard iterative-algorithm shape on Spark (label propagation /
     * large-star contraction family). */
   def components(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
+      bCol: String = "doc_b", maxRounds: Int = 50): DataFrame =
+    componentsWithStatus(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[components]] plus its convergence status. A component whose
+    * eccentricity exceeds `maxRounds` would otherwise return silently-wrong
+    * labels (and a too-small drop set downstream) — callers that need the
+    * guarantee check the flag; [[components]] logs a warning. */
+  def componentsWithStatus(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxRounds: Int = 50): (DataFrame, Boolean) = {
     val edges = Stage.barrier(
       pairs.select(col(aCol).as("s"), col(bCol).as("d"))
         .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
@@ -236,8 +244,18 @@ object Dedup {
     var labels = Stage.barrier(
       edges.select(col("s").as("id")).distinct()
         .withColumn("label", col("id")))
+    // Every round ends in an EAGER localCheckpoint: round r's result joins
+    // itself into round r+1, so without truncation the plan embeds the
+    // previous round TWICE and doubles every round — analysis and even the
+    // listener-event plan STRING (InMemoryTableScan prints its nested
+    // cached plan) blow up exponentially on deep graphs, measured long
+    // before round 15 of a 26-node chain. A LogicalRDD leaf per round
+    // keeps plan, analysis, and plan-description all O(1) per round; the
+    // previous round's checkpoint blocks are unpersisted deterministically
+    // once the new round is materialized.
     var round = 0
     var changed = 1L
+    var releasePrev: () => Unit = { val init = labels; () => Stage.release(init) }
     while (changed > 0 && round < maxRounds) {
       val neighborMin = edges
         .join(labels.select(col("id").as("d"), col("label").as("nl")),
@@ -249,16 +267,24 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"),
           (col("nmin") < col("label")).as("chg"))
-        .cache()
-      // ONE action per round: the filtered count materializes every
-      // partition into the cache (so the next round's join is staged)
-      // AND doubles as the convergence check
+        .localCheckpoint() // eager: materializes + truncates lineage
+      // the convergence check reads the checkpoint blocks, nothing upstream
       changed = next.filter(col("chg")).count()
-      labels.unpersist()
+      releasePrev()
+      val ck = org.apache.spark.sql.graftbridge.Bridge.internalRdd(next)
+      releasePrev = () => ck.foreach(_.unpersist(blocking = false))
       labels = next.select(col("id"), col("label"))
       round += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("component"))
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components() stopped UNCONVERGED after $maxRounds rounds " +
+          s"($changed labels still changing) — results are not a fixpoint")
+    Stage.release(edges)
+    // the returned frame is backed by the FINAL round's checkpoint blocks;
+    // they free via the ContextCleaner when the caller drops the frame
+    (labels.select(col("id").as("doc_id"), col("label").as("component")),
+      changed == 0)
   }
 
   /** Bit width of the SimHash: the portable dual polynomial hash supplies

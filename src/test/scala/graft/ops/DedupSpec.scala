@@ -105,6 +105,27 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("connected components: deep chain converges with bounded lineage") {
+    // a 26-node path needs ~25 label-propagation rounds — crosses the
+    // every-10-rounds localCheckpoint twice, proving deep graphs converge
+    // inside maxRounds without the plan growing one join per round
+    val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, converged) = Dedup.componentsWithStatus(pairs)
+    assert(converged)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 25L).map(_ -> 0L).toMap)
+  }
+
+  test("connected components: maxRounds cutoff reports non-convergence") {
+    val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, converged) =
+      Dedup.componentsWithStatus(pairs, maxRounds = 3)
+    assert(!converged)
+    // truncated labels are still returned (documented), just not a fixpoint
+    assert(labels.count() == 11L)
+    assert(labels.filter(col("component") =!= 0L).count() > 0)
+  }
+
   test("native SimHashAgg equals the declarative 62-column form") {
     val d = docs.select(col("doc_id"), col("text"))
     val native = Dedup.simhashes(d).collect()
