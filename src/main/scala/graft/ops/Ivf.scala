@@ -93,7 +93,7 @@ object Ivf {
     knnIvfWith(embs, staticCentroids(nlist, 64), nQueries, k, nprobe)
 
   /** The IVF query plan given a quantizer. */
-  private def knnIvfWith(embs: DataFrame,
+  def knnIvfWith(embs: DataFrame,
       centroids: Seq[(Int, Seq[Double])], nQueries: Int, k: Int,
       nprobe: Int): DataFrame = {
     // staged: read by both the query-probe branch and the corpus branch

@@ -53,11 +53,12 @@ object DedupSim {
 
   // The near-dup pair relation feeds two queries (the pair listing and
   // the component clustering) — share one staged instance per session,
-  // the same shared-lineage pattern as OsmQueries.pipe.
-  private val pairCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  // the same shared-lineage pattern as OsmQueries.pipe. SessionScoped:
+  // materialization runs outside the map lock; entries evict with the
+  // session (see ops.SessionScoped).
+  private val pairCache = new graft.ops.SessionScoped[DataFrame]
   private def mutantPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent((s, dir), _ =>
+    pairCache.getOrCompute(s, dir)(
       graft.ops.Stage.barrier(
         Dedup.minhashDedupPairs(docsWithMutants(s, dir))))
 
@@ -66,12 +67,11 @@ object DedupSim {
 
   // the clustering result likewise feeds two queries (the component map
   // and the keep-set) — one staged instance per session
-  private val componentCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val componentCache = new graft.ops.SessionScoped[DataFrame]
 
   /** Near-dup pairs → canonical clusters (keep min doc per component). */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
-    componentCache.computeIfAbsent((s, dir), _ =>
+    componentCache.getOrCompute(s, dir)(
       graft.ops.Stage.barrier(Dedup.components(mutantPairs(s, dir))))
 
   /** The cleaned corpus: drop every non-canonical cluster member (keep a
@@ -99,8 +99,23 @@ object DedupSim {
   def knnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.knnLsh(Tables(s, dir).embeddings, nQueries = 10, k = 5)
 
+  // Trained centroids are memoized per (session, dir) and used by BOTH the
+  // Spark query and the generated DuckDB oracle (rendered as SQL literals
+  // after the query ran — Verify dumps oracle_sql.json last), so the two
+  // engines share the exact same quantizer doubles regardless of any
+  // nondeterminism in the distributed mean. Decimal rendering round-trips
+  // (shortest-repr Double.toString → nearest-double parse).
+  private val centroidCache =
+    new graft.ops.SessionScoped[Seq[(Int, Seq[Double])]]
+  private def trainedCentroids(s: SparkSession, dir: String)
+      : Seq[(Int, Seq[Double])] =
+    centroidCache.getOrCompute(s, dir)(
+      graft.ops.Ivf.trainCentroids(Tables(s, dir).embeddings, nlist = 16,
+        iters = 1))
+
   def knnIvf(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Ivf.knnIvf(Tables(s, dir).embeddings, nQueries = 10, k = 5)
+    graft.ops.Ivf.knnIvfWith(Tables(s, dir).embeddings,
+      trainedCentroids(s, dir), nQueries = 10, k = 5, nprobe = 4)
 
   def knnIvfStatic(s: SparkSession, dir: String): DataFrame =
     graft.ops.Ivf.knnIvfStatic(Tables(s, dir).embeddings, nQueries = 10,
@@ -178,20 +193,21 @@ object DedupSim {
       s"min((h*$a+$b)%${Dedup.P})"
     }.mkString(", ")
 
-  /** Machine-generated oracle for the static-quantizer IVF: the 16 LCG
+  /** Machine-generated oracle for the IVF plan given its quantizer: the
     * centroid literals, the identical −2·q·c + c·c ranking metric,
     * first-match argmin (== array_min over (d, id) structs), sorted-probe
-    * slice, and exact cosine re-rank. */
-  private def duckIvfStaticSql: String = {
-    val cents = graft.ops.Ivf.staticCentroids(16, 64)
+    * slice, and exact cosine re-rank. Works for any centroid source — the
+    * LCG static quantizer or a trained one rendered post-run. */
+  private def duckIvfSql(cents: Seq[(Int, Seq[Double])]): String = {
+    val n = cents.size
     val dcols = cents.map { case (i, c) =>
       val lit = c.mkString("[", ", ", "]")
       s"(${duckDot("e", lit)} * -2.0 + ${c.map(x => x * x).sum}) AS d$i"
     }.mkString(", ")
-    val m = (0 until 16).map(i => s"d$i").mkString("least(", ", ", ")")
+    val m = (0 until n).map(i => s"d$i").mkString("least(", ", ", ")")
     val argmin = "CASE " +
-      (0 until 16).map(i => s"WHEN d$i = m THEN $i").mkString(" ") + " END"
-    val probeStructs = (0 until 16)
+      (0 until n).map(i => s"WHEN d$i = m THEN $i").mkString(" ") + " END"
+    val probeStructs = (0 until n)
       .map(i => s"{'d': d$i, 'id': $i}").mkString(", ")
     "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
       "FROM embeddings), " +
@@ -245,8 +261,22 @@ object DedupSim {
       s"SELECT doc_id, $j AS band, $key AS key FROM sig"
     }.mkString(" UNION ALL ")
 
-  val oracle: Map[String, String] = Map(
-    "q_knn_ivf_static" -> duckIvfStaticSql,
+  /** Oracles; a `def` because the trained-IVF entry is rendered from the
+    * centroids the query run actually trained (Verify dumps oracle SQL
+    * AFTER running the queries). When no training ran in this process —
+    * or several distinct trainings make the choice ambiguous — the entry
+    * is omitted and the driver records a rows-only check, never a bogus
+    * compare. */
+  def oracle: Map[String, String] = {
+    val trainedIvf = centroidCache.allValues.distinct match {
+      case Seq(cents) => Map("q_knn_ivf" -> duckIvfSql(cents))
+      case _ => Map.empty[String, String]
+    }
+    staticOracle ++ oracleVectorPart ++ trainedIvf
+  }
+
+  private lazy val staticOracle: Map[String, String] = Map(
+    "q_knn_ivf_static" -> duckIvfSql(graft.ops.Ivf.staticCentroids(16, 64)),
     "q_dedup_docs" ->
       ("SELECT lower(text) AS text_norm, min(doc_id) AS keep_id, " +
         "count(*) AS n_copies FROM documents GROUP BY 1"),
@@ -309,7 +339,7 @@ object DedupSim {
         s"corpus AS ($duckDocsWithMutants) " +
         "SELECT doc_id FROM corpus WHERE doc_id NOT IN " +
         "(SELECT id FROM dropped)"),
-  ) ++ oracleVectorPart
+  )
 
   private lazy val duckMinhashNearDupSql: String =
       (s"WITH docs AS ($duckDocsWithMutants), " +
