@@ -20,6 +20,8 @@ object Multimodal {
       width: Int, height: Int)
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
       features: Array[Float])
+  case class MediaHist(media_id: Long, kind: String, n_bytes: Int,
+      hist: Array[Long])
   case class Frame(media_id: Long, frame_no: Int, offset: Int,
       frame_bytes: Array[Byte])
 
@@ -39,19 +41,27 @@ object Multimodal {
       .as[Media]
   }
 
-  /** STUB decoder: a real implementation would decode the codec here.
-    * Deterministic stand-in: feature j = normalized byte histogram moment.
-    * Marked clearly; the pipeline shape (batched per-partition map, fixed
-    * feature dim) is what production code reuses. */
-  def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** STUB decoder, integer stage: weighted byte histogram — slot
+    * (b[i] + i) mod dim accumulates b[i]. Exact integer output, so it is
+    * restated verbatim in DuckDB list SQL (the q_media_features oracle). */
+  def histStub(bytes: Array[Byte], dim: Int): Array[Long] = {
     val acc = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
       acc(((bytes(i) & 0xff) + i) % dim) += (bytes(i) & 0xff).toLong
       i += 1
     }
+    acc
+  }
+
+  /** STUB decoder: a real implementation would decode the codec here.
+    * Deterministic stand-in: feature j = normalized byte histogram moment
+    * ([[histStub]] over byte count). Marked clearly; the pipeline shape
+    * (batched per-partition map, fixed feature dim) is what production
+    * code reuses. */
+  def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val n = math.max(bytes.length, 1)
-    acc.map(v => v.toFloat / n)
+    histStub(bytes, dim).map(v => v.toFloat / n)
   }
 
   /** Feature extraction as a batched per-partition pass — the Scala
@@ -65,6 +75,24 @@ object Multimodal {
       rows.map { m =>
         MediaFeatures(m.media_id, m.kind, m.bytes.length,
           decodeStub(m.bytes, dim))
+      }
+    }
+  }
+
+  /** The integer histogram stage of [[extractFeatures]], same batched
+    * per-partition shape. This is the cross-engine-verified surface:
+    * float features can't hash-compare across engines (JDK 17
+    * Float.toString and DuckDB's shortest-round-trip formatter disagree
+    * on some values), so the oracle checks the exact integer accumulator
+    * the floats are derived from. */
+  def extractHistograms(media: Dataset[Media], dim: Int = 16):
+      Dataset[MediaHist] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        MediaHist(m.media_id, m.kind, m.bytes.length,
+          histStub(m.bytes, dim))
       }
     }
   }

@@ -12,12 +12,16 @@ import graft.ops.Multimodal
   * flat for the driver's generic row checks. */
 object MediaOps {
 
+  /** Integer histogram stage of the decode stub — the oracled feature
+    * surface (the normalized float form can't hash-compare cross-engine;
+    * see Multimodal.extractHistograms). */
   def features(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(
+    Multimodal.extractHistograms(
         Multimodal.mediaFromDocuments(Tables(s, dir).documents))
       .toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"),
-        concat_ws(",", col("features")).as("features_csv"))
+        concat_ws(",", transform(col("hist"), _.cast("string")))
+          .as("hist_csv"))
 
   def frames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -31,9 +35,36 @@ object MediaOps {
     "q_media_frames" -> frames,
   )
 
-  /** Frame offsets/sizes are pure arithmetic on the payload length, so the
-    * sampling op has a full SQL oracle (the decode stub does not). */
+  /** Frame offsets/sizes are pure arithmetic on the payload length, and
+    * the feature histogram is pure integer arithmetic over the UTF-8
+    * payload bytes — DuckDB recovers each byte from the hex dump of
+    * encode(text) (no direct blob indexing in 1.0), folds the identical
+    * (b+i) mod 16 weighted histogram, and zero-fills empty slots. */
   val oracle: Map[String, String] = Map(
+    "q_media_features" ->
+      ("WITH m AS (SELECT doc_id AS media_id, " +
+        "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind, " +
+        "hex(encode(text)) AS hx, " +
+        "CAST(octet_length(encode(text)) AS INT) AS n_bytes " +
+        "FROM documents), " +
+        "vals AS (SELECT media_id, i, " +
+        "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) " +
+        "* 16 + " +
+        "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) " +
+        "AS bv FROM (SELECT media_id, hx, " +
+        "unnest(range(0, n_bytes)) AS i FROM m)), " +
+        "hist AS (SELECT media_id, CAST((bv + i) % 16 AS INT) AS slot, " +
+        "CAST(sum(bv) AS BIGINT) AS s FROM vals GROUP BY 1, 2), " +
+        "slots AS (SELECT m.media_id, sl.slot FROM m CROSS JOIN " +
+        "(SELECT CAST(unnest(range(16)) AS INT) AS slot) sl), " +
+        "filled AS (SELECT slots.media_id, slots.slot, " +
+        "coalesce(hist.s, 0) AS s FROM slots LEFT JOIN hist " +
+        "ON hist.media_id = slots.media_id AND hist.slot = slots.slot), " +
+        "csv AS (SELECT media_id, " +
+        "array_to_string(list(s ORDER BY slot), ',') AS hist_csv " +
+        "FROM filled GROUP BY media_id) " +
+        "SELECT m.media_id, m.kind, m.n_bytes, c.hist_csv " +
+        "FROM m JOIN csv c USING (media_id)"),
     "q_media_frames" ->
       ("SELECT media_id, CAST(off // 256 AS INT) AS frame_no, " +
         "CAST(off AS INT) AS \"offset\", " +

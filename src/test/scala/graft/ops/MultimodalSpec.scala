@@ -26,6 +26,23 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.forall(_.length == 16))
   }
 
+  test("histograms: integer stage of the decode stub, floats derive from it") {
+    val hists = Multimodal.extractHistograms(media, dim = 16).collect()
+      .map(h => h.media_id -> h).toMap
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val h = hists(f.media_id)
+      assert(h.hist.length == 16 && h.n_bytes == f.n_bytes)
+      val n = math.max(h.n_bytes, 1)
+      assert(f.features.toSeq == h.hist.toSeq.map(_.toFloat / n))
+    }
+    // partitioning-invariant like the float path
+    val h2 = Multimodal.extractHistograms(media.repartition(7), dim = 16)
+      .collect().map(h => h.media_id -> h.hist.toSeq).toMap
+    assert(h2 == hists.map { case (k, v) => k -> v.hist.toSeq })
+  }
+
   test("frame sampling: video rows only, offsets strided") {
     val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 256)
       .collect()
