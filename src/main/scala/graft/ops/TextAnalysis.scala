@@ -91,8 +91,10 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val toks = transform(tokens(lower(text), "(?U)\\s+"),
       t => regexp_replace(t, "[\\p{Punct}]", ""))
-    val nCjk = size(filter(split(text, ""),
-      ch => ch.rlike("[\\u4e00-\\u9fff]")))
+    // one regex pass over the document (not a per-character rlike): CJK
+    // ideographs are BMP code points, so match count == character count
+    val nCjk = size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"),
+      lit(0)))
     val scores = Seq("en", "es", "de", "fr").map { lang =>
       lang -> size(filter(toks, t => t.isin(LangProfiles(lang): _*)))
     }

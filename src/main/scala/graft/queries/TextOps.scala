@@ -232,8 +232,7 @@ object TextOps {
         "WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es' " +
         "WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de' " +
         "ELSE 'fr' END AS best_lang FROM (SELECT doc_id, text, " +
-        "len(list_filter(string_split(text, ''), " +
-        "ch -> regexp_matches(ch, '[\\x{4e00}-\\x{9fff}]'))) AS n_cjk, " +
+        "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS n_cjk, " +
         "len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'," +
         "'is','that','it'))) AS s_en, " +
         "len(list_filter(toks, t -> t IN ('el','la','de','que','y','los'," +
