@@ -106,8 +106,14 @@ object TopKAgg {
     val ids = new Array[Long](k)
     var size: Int = 0
 
-    @inline private def beats(s: Double, i: Long, j: Int): Boolean =
-      s > scores(j) || (s == scores(j) && i < ids(j))
+    // total order via Double.compare — NaN greatest, -0.0 < 0.0 — so a NaN
+    // score (zero-norm vector → NaN cosine) ranks FIRST, exactly like the
+    // desc row_number window this aggregate replaces; primitive > would
+    // silently drop NaN entries instead
+    @inline private def beats(s: Double, i: Long, j: Int): Boolean = {
+      val c = java.lang.Double.compare(s, scores(j))
+      c > 0 || (c == 0 && i < ids(j))
+    }
 
     /** Append without ordering checks (deserialization of sorted data). */
     def append(s: Double, i: Long): Unit = {

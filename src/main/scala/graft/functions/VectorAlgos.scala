@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 object VectorAlgos {
 
-  /** Σ aᵢ·bᵢ over two equal-length double arrays (left-to-right fold). */
+  /** Σ aᵢ·bᵢ over two equal-length double arrays (left-to-right fold).
+    * PRECONDITION: equal lengths and non-null elements (the caller checks
+    * lengths; embedding columns are containsNull-free after the toDouble
+    * cast). */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0d
     var i = 0
     while (i < n) {
@@ -33,18 +36,32 @@ object VectorAlgos {
 
 /** Native Catalyst expression for [[VectorAlgos.dot]]: null-safe, stays
   * inside WholeStageCodegen spans via a static call. Inputs must be
-  * ARRAY<DOUBLE> (cast float vectors up front — Similarity.toDouble). */
+  * ARRAY<DOUBLE> with non-null elements (cast float vectors up front —
+  * Similarity.toDouble). Length-mismatched inputs yield NULL — the same
+  * contract as the declarative zip_with form it replaced, which null-pads
+  * the shorter side and so propagates null through the sum. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorAlgos.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else VectorAlgos.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.VectorAlgos.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorAlgos.dot($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

@@ -75,4 +75,41 @@ class NativeFunctionsSpec extends SparkSpec {
         r.getDouble(3))).toSet
     assert(agg == windowed)
   }
+
+  test("TopKAgg ranks NaN scores first, matching the desc window order") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // a zero-norm embedding makes cosine NaN; Spark sorts NaN as the
+    // LARGEST double, so the window puts it at rank 1 — the aggregate's
+    // total-order compare must agree, not silently drop the entry
+    val df = Seq(
+      (0L, 1L, 0.5), (0L, 2L, Double.NaN), (0L, 3L, 0.9),
+      (1L, 1L, Double.NaN), (1L, 2L, Double.NaN), (1L, 3L, 0.1))
+      .toDF("query_id", "neighbor_id", "sim").repartition(3)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    val windowed = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val agg = graft.ops.Similarity.topKRank(df, 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(agg == windowed)
+    assert(agg.contains((0L, 2L, 1)) && agg.contains((1L, 1L, 1)))
+  }
+
+  test("vec_dot: NULL on length mismatch, same as the zip_with form") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      (Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0)))
+      .toDF("a", "b")
+      .select(
+        graft.functions.GraftFunctions.vecDot(col("a"), col("b")).as("d"),
+        graft.ops.Similarity.dotHof(col("a"), col("b")).as("h"))
+      .collect()
+    assert(df(0).getDouble(0) == 11.0 && df(0).getDouble(1) == 11.0)
+    assert(df(1).isNullAt(0) && df(1).isNullAt(1))
+  }
 }
