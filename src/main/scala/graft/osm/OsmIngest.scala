@@ -76,11 +76,18 @@ object OsmIngest {
     * The default readers above keep the strict schema: on the bundled
     * clean extracts a parse failure should fail loudly. */
   def rawNodesPermissive(spark: SparkSession, path: String): DataFrame =
+    readPermissive(spark, path, "node", nodeSchema)
+
+  def rawWaysPermissive(spark: SparkSession, path: String): DataFrame =
+    readPermissive(spark, path, "way", waySchema)
+
+  private def readPermissive(spark: SparkSession, path: String,
+      rowTag: String, schema: StructType): DataFrame =
     spark.read.format("xml")
-      .option("rowTag", "node")
+      .option("rowTag", rowTag)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .schema(nodeSchema.add("_corrupt_record", StringType))
+      .schema(schema.add("_corrupt_record", StringType))
       .load(path)
 
   /** nodes(id, lat, lon, user, uid, version, changeset, timestamp) —

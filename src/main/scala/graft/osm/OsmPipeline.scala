@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * reference's single pass computing all outputs together.
   */
 final case class OsmPipeline(spark: SparkSession, osmPath: String,
-    officialPath: String) {
+    officialPath: String, quarantineDir: Option[String] = None) {
 
   /** The audit scripts probe the UNCORRECTED list (SURVEY.md §3.2).
     * Cached: the corrected list derives from it, so the PSI XML parses
@@ -27,10 +27,41 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
   // The raw XML reads are the caches that matter: a single OSM file parses
   // on one task, and every shaped relation (nodes, ways, tags ×2, way
   // nodes) re-parses it otherwise — five single-threaded passes.
-  private lazy val rawNodes =
-    graft.ops.Stage.barrier(OsmIngest.rawNodes(spark, osmPath))
-  private lazy val rawWays =
-    graft.ops.Stage.barrier(OsmIngest.rawWays(spark, osmPath))
+  //
+  // The XML source never splits one file (OsmIngest scan notes), so an
+  // unsharded 306 MB+ extract arrives as ONE partition: repartition before
+  // the staging cache so every downstream pass — shaping, regex cleaning,
+  // joins — runs on all cores, not one. A well-sharded input keeps its
+  // layout (no gratuitous shuffle).
+  private def spread(df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+  }
+
+  /** Strict scan by default; with [[quarantineDir]] set, a PERMISSIVE scan
+    * whose malformed records are written to `<dir>/<kind>` as text while
+    * clean rows flow on — the 100 TB posture where one truncated shard
+    * must neither kill the job nor silently vanish. The write happens at
+    * staging time (the raw read is cached first: Spark disallows querying
+    * only the corrupt column off a raw scan). */
+  private def stagedRaw(kind: String, strict: => DataFrame,
+      permissive: => DataFrame): DataFrame =
+    quarantineDir match {
+      case None => graft.ops.Stage.barrier(spread(strict))
+      case Some(q) =>
+        val raw = graft.ops.Stage.barrier(spread(permissive))
+        raw.filter(col("_corrupt_record").isNotNull)
+          .select(col("_corrupt_record"))
+          .write.mode("overwrite").text(s"$q/$kind")
+        raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    }
+
+  private lazy val rawNodes = stagedRaw("nodes",
+    OsmIngest.rawNodes(spark, osmPath),
+    OsmIngest.rawNodesPermissive(spark, osmPath))
+  private lazy val rawWays = stagedRaw("ways",
+    OsmIngest.rawWays(spark, osmPath),
+    OsmIngest.rawWaysPermissive(spark, osmPath))
 
   // nodes/ways appear in several branches of one exploration job
   // (counts + distinct_users + contribution joins) — barrier, not cache
@@ -129,10 +160,14 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
   }
 }
 
-/** CLI entry point: ProcessMap <osm.xml> <official.xml> <outDir>. */
+/** CLI entry point:
+  * ProcessMap <osm.xml> <official.xml> <outDir> [quarantineDir]. */
 object ProcessMap {
   def main(args: Array[String]): Unit = {
-    val Array(osm, officialPath, out) = args
+    val (osm, officialPath, out, quarantine) = args match {
+      case Array(a, b, c) => (a, b, c, None)
+      case Array(a, b, c, q) => (a, b, c, Some(q))
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-process-map")
@@ -141,7 +176,7 @@ object ProcessMap {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    OsmPipeline(spark, osm, officialPath).writeCsvs(out)
+    OsmPipeline(spark, osm, officialPath, quarantine).writeCsvs(out)
     spark.stop()
   }
 }

@@ -50,6 +50,44 @@ class MultiFileScanSpec extends SparkSpec {
     assert(dirty.count() >= 1, "the malformed node must be quarantined")
   }
 
+  test("pipeline spreads a single-file scan across every core") {
+    // the mitigation pinned below, WIRED: OsmPipeline repartitions an
+    // unsharded input before the staging cache, so shaping/cleaning runs
+    // on defaultParallelism partitions even though the parse is one task
+    val pipe = OsmPipeline(spark, "/root/reference/shatin.osm",
+      "/root/reference/PSI_Street Name_062017.xml")
+    val parts = pipe.nodes.rdd.getNumPartitions
+    assert(parts >= spark.sparkContext.defaultParallelism,
+      s"downstream of a single-file scan ran on $parts partition(s)")
+    assert(pipe.nodes.count() == 13676)
+  }
+
+  test("quarantine: corrupt shard routes to the sink, clean rows unchanged") {
+    val dir = Files.createTempDirectory("graft-osm-mixed")
+    Files.copy(Paths.get("/root/reference/shatin.osm"),
+      dir.resolve("clean.osm"), StandardCopyOption.REPLACE_EXISTING)
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<osm version="0.6">
+        |  <node id="9000000001" lat="22.38" lon="114.18" user="a" uid="7"
+        |        version="1" changeset="9" timestamp="2017-01-01T00:00:00Z"/>
+        |  <node id="9000000002" lat="22.40" lon="114.20" user="c" uid="9"
+        |        version="1" changeset="9"
+        |        timestamp="2017-01-01T00:00:00Z"><tag k="broken</node>
+        |</osm>
+        |""".stripMargin
+    Files.write(dir.resolve("dirty.osm"),
+      xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val q = Files.createTempDirectory("graft-osm-quarantine").toString
+    val pipe = OsmPipeline(spark, dir.toString + "/*.osm",
+      "/root/reference/PSI_Street Name_062017.xml", Some(q))
+    // shatin's 13,676 nodes + the one well-formed dirty-shard node survive
+    assert(pipe.nodes.count() == 13676 + 1)
+    assert(pipe.ways.count() == 1958)
+    val quarantined = spark.read.text(s"$q/nodes").count()
+    assert(quarantined >= 1, "the malformed node must land in quarantine")
+  }
+
   test("single-file XML scan is one task — pin it, and pin the mitigation") {
     // MEASURED REALITY (Spark 4.1): the XML source does NOT split one file
     // — a 306 MB Hong_Kong.osm parses as ONE task regardless of
