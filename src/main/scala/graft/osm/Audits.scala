@@ -59,19 +59,33 @@ object Audits {
     phoneNumbers(OsmIngest.tags(OsmIngest.rawNodes(spark, osmPath)),
       OsmIngest.tags(OsmIngest.rawWays(spark, osmPath)))
 
-  /** Same audit over prepared shaped tags (OsmPipeline.phoneAudit). */
-  def phoneNumbers(nodeTags: DataFrame, wayTags: DataFrame): DataFrame = {
-    val tags = nodeTags.unionByName(wayTags)
-      .select(col("id"), col("key"), col("value"), col("type"))
+  /** Same audit over prepared shaped tags (OsmPipeline.phoneAudit), with
+    * the DOCUMENT-ORDER metadata (`_kind`, `_tag_pos`) the char census
+    * needs: the reference walks elements in file order — nodes then ways,
+    * ids ascending within each (verified on the bundled extracts), tags in
+    * element order — so (kind, id, tag_pos) reconstructs its iteration
+    * order distributively. */
+  def phoneNumbersOrdered(nodeTags: DataFrame,
+      wayTags: DataFrame): DataFrame = {
+    val tags = nodeTags.withColumn("_kind", lit(0))
+      .unionByName(wayTags.withColumn("_kind", lit(1)))
+      .select(col("_kind"), col("tag_pos").as("_tag_pos"),
+        col("id"), col("key"), col("value"), col("type"))
     val direct = tags.filter(col("key") === "phone" || col("key") === "fax")
     val shaped = tags
       .filter(col("key") =!= "phone" && col("key") =!= "fax")
-      .select(col("id"), col("key"), col("value"), col("type"),
+      .select(col("_kind"), col("_tag_pos"),
+        col("id"), col("key"), col("value"), col("type"),
         explode(split(col("value"), ";", -1)).as("segment"))
       .filter(isPhoneShaped(col("segment")))
       .drop("segment")
     direct.unionByName(shaped)
   }
+
+  /** The audit's public relation (reference row shape). */
+  def phoneNumbers(nodeTags: DataFrame, wayTags: DataFrame): DataFrame =
+    phoneNumbersOrdered(nodeTags, wayTags)
+      .select(col("id"), col("key"), col("value"), col("type"))
 
   /** A4 — key histogram of the phone audit (value_counts,
     * audit_phone_numbers.py:184). */
@@ -79,9 +93,21 @@ object Audits {
     audit.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("key"))
 
-  /** A5 — distinct characters across audited values (list_chars,
-    * audit_phone_numbers.py:164-174; set semantics — the reference's
-    * first-seen ORDER is a driver-side artifact we do not reproduce). */
-  def phoneCharCensus(audit: DataFrame): DataFrame =
-    audit.select(explode(split(col("value"), "")).as("ch")).distinct()
+  /** A5 — characters across audited values in FIRST-APPEARANCE order
+    * (list_chars, audit_phone_numbers.py:164-174). Input is the ORDERED
+    * audit ([[phoneNumbersOrdered]]); each character carries the minimum
+    * (kind, id, tag_pos, char_pos) it appears at, flattened into one
+    * lexicographically sortable `first_seen` string — consumers ORDER BY
+    * it to reproduce the reference's printed list exactly. Distributed
+    * min-aggregation; output is bounded by the distinct-character count. */
+  def phoneCharCensus(orderedAudit: DataFrame): DataFrame =
+    orderedAudit
+      .select(col("_kind"), col("id").cast("long").as("_idl"),
+        col("_tag_pos"),
+        posexplode(split(col("value"), "")).as(Seq("_chpos", "ch")))
+      .groupBy(col("ch"))
+      .agg(min(format_string("%d|%012d|%06d|%06d", col("_kind"),
+        col("_idl"), col("_tag_pos"), col("_chpos"))).as("first_seen"))
+      .select(col("first_seen"), col("ch"))
+      .orderBy(col("first_seen"))
 }

@@ -44,8 +44,8 @@ object AuditPhones {
     val (osm, official) = Cli.pathsOrDefault(args)
     val spark = Cli.session("graft-audit-phones")
     val p = OsmPipeline(spark, osm, official)
-    p.phoneAudit.show(5000, truncate = 35)
-    Audits.phoneKeyCounts(p.phoneAudit).show(5000, truncate = 35)
+    p.phoneAuditRows.show(5000, truncate = 35)
+    Audits.phoneKeyCounts(p.phoneAuditRows).show(5000, truncate = 35)
     Audits.phoneCharCensus(p.phoneAudit).show(5000, truncate = 35)
     spark.stop()
   }

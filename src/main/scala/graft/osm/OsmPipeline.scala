@@ -125,9 +125,15 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
   }
 
   /** X6 — the phone audit over the uncleaned tags, shared (cached) by the
-    * three audit outputs: full table, key histogram, char census. */
-  lazy val phoneAudit: DataFrame =
-    graft.ops.Stage.barrier(Audits.phoneNumbers(rawNodeTags, rawWayTags))
+    * three audit outputs: full table, key histogram, char census. Staged
+    * in ORDERED form (document-order metadata) so the census can replay
+    * the reference's first-seen character order; [[phoneAuditRows]] is the
+    * public reference row shape. */
+  lazy val phoneAudit: DataFrame = graft.ops.Stage.barrier(
+    Audits.phoneNumbersOrdered(rawNodeTags, rawWayTags))
+
+  def phoneAuditRows: DataFrame =
+    phoneAudit.select(col("id"), col("key"), col("value"), col("type"))
 
   /** X5 — the bilingual street-name audit (uncorrected official list). */
   lazy val streetAudit: DataFrame =

@@ -34,9 +34,9 @@ object OsmQueries {
     "q_osm_official_list" -> ((s, _) => pipe(s).official),
     "q_osm_official_raw" -> ((s, _) => pipe(s).officialUncorrected),
     "q_osm_audit_streets" -> ((s, _) => pipe(s).streetAudit),
-    "q_osm_audit_phones" -> ((s, _) => pipe(s).phoneAudit),
+    "q_osm_audit_phones" -> ((s, _) => pipe(s).phoneAuditRows),
     "q_osm_audit_phone_keys" ->
-      ((s, _) => Audits.phoneKeyCounts(pipe(s).phoneAudit)),
+      ((s, _) => Audits.phoneKeyCounts(pipe(s).phoneAuditRows)),
     "q_osm_audit_phone_chars" ->
       ((s, _) => Audits.phoneCharCensus(pipe(s).phoneAudit)),
     "q_osm_explore_summary" -> ((s, _) => {
