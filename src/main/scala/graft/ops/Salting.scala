@@ -22,7 +22,15 @@ object Salting {
 
   /** groupBy(key).agg(count, sum) with a salt phase. `spreadCol` must be a
     * column (not necessarily unique) that distributes rows of the same key
-    * across salts — e.g. the event id. */
+    * across salts — e.g. the event id.
+    *
+    * MEASURED caveat (SkewBench): for algebraic aggregates like count/sum,
+    * Spark's map-side partial aggregation already shuffles one row per key
+    * per partition, so a skewed KEY does not skew the shuffle and this
+    * two-phase plan adds a stage for little gain. It earns its keep when
+    * the partial combine is ineffective — very wide buffers, or aggregate
+    * modes that can't partially combine. For skewed JOINS use
+    * [[saltedJoin]], where the hot key otherwise pins to one reducer. */
   def saltedCountSum(df: DataFrame, keyCol: String, spreadCol: String,
       valueCol: String, nSalts: Int = 16): DataFrame =
     df.withColumn("_salt", salt(nSalts, col(spreadCol)))
@@ -30,4 +38,27 @@ object Salting {
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(keyCol))
       .agg(sum(col("_n")).as("n_rows"), sum(col("_s")).as("sum_value"))
+
+  /** Skew-safe equi-join of a skewed `big` side against a `small` (but not
+    * broadcastable) side: big rows get a deterministic salt from
+    * `spreadCol`, the small side replicates once per salt, and the join
+    * key becomes (key, salt) — the hot key's rows spread over `nSalts`
+    * reducers instead of one straggler task. Inner-join semantics are
+    * identical to `big.join(small, key)` (each big row matches exactly the
+    * same small rows, under exactly one salt). Use when the small side is
+    * too big to broadcast and AQE's skew-join can't kick in (its byte
+    * thresholds untriggered — measured in BENCH_NOTES.md — or the skewed
+    * side feeds an aggregation that AQE must not re-split). Shuffle
+    * volume: big unchanged, small × nSalts — cheap when |small| ≪ |big|,
+    * the regime where key skew hurts. MEASURED (SkewBench): the plain
+    * skewed join runs the hot key as ONE max-size task; salting divides
+    * the max task by ~nSalts — the property that prevents the
+    * spill/OOM/straggler at 100 TB, where that one task is terabytes. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
+      spreadCol: String, nSalts: Int = 16): DataFrame = {
+    val salted = big.withColumn("_salt", salt(nSalts, col(spreadCol)))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until nSalts).map(lit(_)): _*)))
+    salted.join(replicated, Seq(keyCol, "_salt")).drop("_salt")
+  }
 }

@@ -122,6 +122,23 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderstatus"))
   }
 
+  /** The skew-path dual of [[joinAgg]]: the same fact⋈dim join through
+    * [[graft.ops.Salting.saltedJoin]] — salt on the big side, dim
+    * replicated ×nSalts, join on (key, salt) — so the hot-key straggler
+    * never forms. The oracle IS the plain-join SQL: the salted plan must be
+    * result-identical to the unsalted join. */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val dim = t.supplier
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.ops.Salting
+      .saltedJoin(t.lineitem, dim, keyCol = "l_suppkey",
+        spreadCol = "l_orderkey")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+  }
+
   /** J6 — "has all three tags" triple-self-join, re-expressed as one
     * aggregation with max(CASE) flags (ref: ways_tags a⋈b⋈c on id, pdf p.12
     * — the groupBy form does ONE shuffle instead of three joins). */
@@ -183,6 +200,7 @@ object Relational {
     "q_filter_in" -> filterIn,
     "q_filter_rlike" -> filterRlike,
     "q_join_agg" -> joinAgg,
+    "q_salted_join" -> saltedJoin,
     "q_left_join_aggs" -> leftJoinAggs,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
@@ -216,6 +234,10 @@ object Relational {
     "q_join_agg" ->
       ("SELECT p_brand, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS qty " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
+    // the salted two-phase join must produce exactly the plain-join answer
+    "q_salted_join" ->
+      ("SELECT s_nationkey, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS qty " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_nationkey"),
     "q_left_join_aggs" ->
       ("SELECT a.user_id AS user_id, a.n_purchases AS n_purchases, " +
         "b.n_errors AS n_errors FROM " +
