@@ -31,11 +31,24 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
   // The XML source never splits one file (OsmIngest scan notes), so an
   // unsharded 306 MB+ extract arrives as ONE partition: repartition before
   // the staging cache so every downstream pass — shaping, regex cleaning,
-  // joins — runs on all cores, not one. A well-sharded input keeps its
-  // layout (no gratuitous shuffle).
+  // joins — runs on all cores, not one. Partitions are sized by INPUT
+  // BYTES (~1 MB of raw XML each), capped at the cluster's parallelism —
+  // a 306 MB extract fans out to every core, while a few-MB sample stays
+  // at a handful of partitions instead of paying per-task overhead ×32
+  // on every one of the pipeline's jobs (measured via OsmProfile). A
+  // well-sharded input keeps its layout (no gratuitous shuffle).
+  private val SpreadBytesPerPartition = 1L << 20
+  private lazy val inputBytes: Long = {
+    val hPath = new org.apache.hadoop.fs.Path(osmPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(hPath)).map(_.map(_.getLen).sum).getOrElse(0L)
+  }
   private def spread(df: DataFrame): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+    val byBytes = (inputBytes + SpreadBytesPerPartition - 1) /
+      SpreadBytesPerPartition
+    val target = math.min(spark.sparkContext.defaultParallelism.toLong,
+      math.max(1L, byBytes)).toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Strict scan by default; with [[quarantineDir]] set, a PERMISSIVE scan

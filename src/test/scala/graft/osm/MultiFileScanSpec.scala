@@ -50,14 +50,18 @@ class MultiFileScanSpec extends SparkSpec {
     assert(dirty.count() >= 1, "the malformed node must be quarantined")
   }
 
-  test("pipeline spreads a single-file scan across every core") {
+  test("pipeline spreads a single-file scan proportionally to its bytes") {
     // the mitigation pinned below, WIRED: OsmPipeline repartitions an
-    // unsharded input before the staging cache, so shaping/cleaning runs
-    // on defaultParallelism partitions even though the parse is one task
+    // unsharded input before the staging cache — ~1 MB of raw XML per
+    // partition, capped at defaultParallelism — so shaping/cleaning fans
+    // out even though the parse is one task, without paying max-core task
+    // overhead on a small sample. shatin.osm is 3.7 MB → ceil = 4
+    // partitions, which on this local[4] session is also the cap.
     val pipe = OsmPipeline(spark, "/root/reference/shatin.osm",
       "/root/reference/PSI_Street Name_062017.xml")
     val parts = pipe.nodes.rdd.getNumPartitions
-    assert(parts >= spark.sparkContext.defaultParallelism,
+    val expected = math.min(spark.sparkContext.defaultParallelism, 4)
+    assert(parts >= expected,
       s"downstream of a single-file scan ran on $parts partition(s)")
     assert(pipe.nodes.count() == 13676)
   }
