@@ -126,6 +126,55 @@ object TextAnalysis {
     docs.select(splitAssign(col("doc_id")).as("split"))
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
 
+  /** Repetition signals (the Gopher-style quality rules): token and
+    * bigram duplication per document. A doc whose duplicate-bigram share
+    * reaches 20% is flagged repetitive — the boilerplate/spam shape that
+    * poisons training data. Pure per-row array math (counts stay integer
+    * for cross-engine parity); no shuffle, linear scale-out. Single-token
+    * docs define zero bigrams (guarded identically in the SQL oracle). */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        when(size(toks) < 2, lit(0L))
+          .otherwise((size(toks) - 1).cast("long")).as("n_bigrams"),
+        when(size(toks) < 2, lit(0L))
+          .otherwise(size(array_distinct(bigrams)).cast("long"))
+          .as("n_distinct_bigrams"))
+      .withColumn("is_repetitive",
+        col("n_bigrams") > 0 &&
+          (col("n_bigrams") - col("n_distinct_bigrams")) * 5 >=
+            col("n_bigrams"))
+  }
+
+  /** PII patterns — lookahead-free so Java regex and RE2 (DuckDB) agree. */
+  val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+  val PhoneRe = "\\+[0-9]{2,3} [0-9]{7,11}"
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction: count then mask emails / intl phone numbers / IPv4
+    * addresses (the minimum-viable scrub a public-web training corpus
+    * runs before anything else). Counts are taken on the original text;
+    * masking applies email → phone → ip, whose matches are disjoint by
+    * construction (no pattern matches inside another's replacement
+    * token). Narrow projection — regex state never leaves the row. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long")
+        .as("n_phones"),
+      size(regexp_extract_all(t, lit(IpRe), lit(0))).cast("long")
+        .as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+        .as("redacted"))
+  }
+
   /** Corpus vocabulary: the `limit` most frequent tokens (ties broken by
     * token) — one explode + one partial-aggregated count + a distributed
     * TakeOrdered, never a global sort of the vocabulary. */

@@ -77,6 +77,30 @@ object TextOps {
       Tables(s, dir).events.withColumn("eid", col("event_id")),
       keyCol = "event_type", spreadCol = "event_id", valueCol = "eid")
 
+  /** Gopher-style repetition signals over the documents table. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables(s, dir).documents)
+
+  /** PII scrub demo: the synthetic corpus carries no PII, so each doc gets
+    * one deterministic planted item (email / phone / IPv4 by doc_id mod 3
+    * — the same injection is replayed in the DuckDB oracle) and the
+    * redaction cascade must find and mask exactly that. */
+  def redact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val planted = d.select(col("doc_id"),
+      concat(col("text"), lit(" contact "),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("user"), col("doc_id").cast("string"),
+            lit("@mail.example")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("+852 9"),
+              lpad(((col("doc_id") * 37) % 10000000).cast("string"), 7, "0")))
+          .otherwise(concat(lit("10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string")))).as("text"))
+    TextAnalysis.redactPii(planted)
+  }
+
   /** BPE-ish token counting (see TextAnalysis.BpeTokenRe). */
   def tokenBpe(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTokenStats(Tables(s, dir).documents)
@@ -109,6 +133,8 @@ object TextOps {
     "q_sessionize" -> sessionize,
     "q_hourly" -> hourly,
     "q_salted_agg" -> saltedAgg,
+    "q_repetition" -> repetition,
+    "q_redact" -> redact,
   )
 
   private val phoneCase =
@@ -221,6 +247,44 @@ object TextOps {
       ("SELECT event_type, count(*) AS n_rows, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_value " +
         "FROM events GROUP BY event_type"),
+    // bigrams rebuilt with 1-based list indexing; the <2-token guard
+    // mirrors the Spark when() exactly
+    "q_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS l " +
+        "FROM documents), b AS (SELECT doc_id, l, " +
+        "list_transform(range(1, greatest(len(l), 1)), " +
+        "i -> l[i] || ' ' || l[i+1]) AS bg FROM t) " +
+        "SELECT doc_id, len(l) AS n_tokens, " +
+        "len(list_distinct(l)) AS n_distinct_tokens, " +
+        "CASE WHEN len(l) < 2 THEN 0 ELSE len(l) - 1 END AS n_bigrams, " +
+        "CASE WHEN len(l) < 2 THEN 0 ELSE len(list_distinct(bg)) END " +
+        "AS n_distinct_bigrams, " +
+        "CASE WHEN len(l) >= 2 AND (len(l) - 1 - len(list_distinct(bg))) " +
+        "* 5 >= len(l) - 1 THEN true ELSE false END AS is_repetitive " +
+        "FROM b"),
+    // the same planted-PII injection, then the same count+mask cascade
+    // (RE2 and Java regex agree on these lookahead-free patterns; 'g'
+    // matches Spark's replace-all default)
+    "q_redact" ->
+      ("WITH p AS (SELECT doc_id, text || ' contact ' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'user' || CAST(doc_id AS VARCHAR) " +
+        "|| '@mail.example' " +
+        "WHEN doc_id % 3 = 1 THEN '+852 9' || " +
+        "lpad(CAST((doc_id * 37) % 10000000 AS VARCHAR), 7, '0') " +
+        "ELSE '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+        "CAST((doc_id * 7) % 256 AS VARCHAR) END AS text FROM documents) " +
+        "SELECT doc_id, " +
+        "len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) " +
+        "AS n_emails, " +
+        "len(regexp_extract_all(text, '\\+[0-9]{2,3} [0-9]{7,11}')) " +
+        "AS n_phones, " +
+        "len(regexp_extract_all(text, " +
+        "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ips, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), " +
+        "'\\+[0-9]{2,3} [0-9]{7,11}', '<PHONE>', 'g'), " +
+        "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') " +
+        "AS redacted FROM p"),
     // the language-ID heuristic restated in DuckDB SQL (fold argmax ==
     // "first language in profile order achieving the max score")
     "q_langid" ->

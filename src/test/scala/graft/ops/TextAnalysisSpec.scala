@@ -17,6 +17,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(2L) == ((3L, 0L, 466L, false))) // 14 chars / 3 tokens; too short
   }
 
+  test("repetition stats: duplicate bigrams flag boilerplate") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"),   // 7 dup bigrams of 7
+      (2L, "alpha beta gamma delta"),            // all distinct
+      (3L, "solo"))                              // <2 tokens → zero bigrams
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getBoolean(5))).toMap
+    assert(r(1L) == ((8L, 2L, 7L, 2L, true)))  // "buy now"/"now buy" only
+    assert(r(2L) == ((4L, 4L, 3L, 3L, false)))
+    assert(r(3L) == ((1L, 1L, 0L, 0L, false)))
+  }
+
+  test("PII redaction: counts and masks emails, phones, IPv4") {
+    val df = Seq(
+      (1L, "mail me at a.b@x.com or c@y.org thanks"),
+      (2L, "call +852 91234567 from 10.0.0.1"),
+      (3L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4))).toMap
+    assert(r(1L) == ((2L, 0L, 0L, "mail me at <EMAIL> or <EMAIL> thanks")))
+    assert(r(2L) == ((0L, 1L, 1L, "call <PHONE> from <IP>")))
+    assert(r(3L) == ((0L, 0L, 0L, "nothing sensitive here")))
+  }
+
   test("fingerprint: deterministic, shift-sensitive") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "acb")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(df).collect()
