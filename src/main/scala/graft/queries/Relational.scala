@@ -139,6 +139,22 @@ object Relational {
         sum(col("l_quantity")).cast("long").as("qty"))
   }
 
+  /** Extension: point-in-time join — for each purchase, the latest click
+    * by the same user at or before it (ops.AsOf: union + ONE running
+    * window per user, not a per-probe subquery). The oracle restates it
+    * as max-ts-then-max-id in two grouped left joins. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    graft.ops.AsOf
+      .asOfLatest(
+        probe = ev.filter(col("event_type") === "purchase"),
+        build = ev.filter(col("event_type") === "click"),
+        keyCol = "user_id", probeTsCol = "ts", probeIdCol = "event_id",
+        buildTsCol = "ts", buildIdCol = "event_id")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("asof_event_id").as("click_id"))
+  }
+
   /** J6 — "has all three tags" triple-self-join, re-expressed as one
     * aggregation with max(CASE) flags (ref: ways_tags a⋈b⋈c on id, pdf p.12
     * — the groupBy form does ONE shuffle instead of three joins). */
@@ -201,6 +217,7 @@ object Relational {
     "q_filter_rlike" -> filterRlike,
     "q_join_agg" -> joinAgg,
     "q_salted_join" -> saltedJoin,
+    "q_asof_join" -> asofJoin,
     "q_left_join_aggs" -> leftJoinAggs,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
@@ -238,6 +255,19 @@ object Relational {
     "q_salted_join" ->
       ("SELECT s_nationkey, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS qty " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_nationkey"),
+    // as-of restated as max-ts-then-max-id (ties keep the max click id,
+    // matching the window's deterministic tie-break)
+    "q_asof_join" ->
+      ("WITH pur AS (SELECT event_id AS purchase_id, user_id, ts " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "cl AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'click'), " +
+        "j AS (SELECT p.purchase_id, p.user_id, max(c.ts) AS best_ts " +
+        "FROM pur p LEFT JOIN cl c ON c.user_id = p.user_id " +
+        "AND c.ts <= p.ts GROUP BY 1, 2) " +
+        "SELECT j.purchase_id, j.user_id, max(c2.event_id) AS click_id " +
+        "FROM j LEFT JOIN cl c2 ON c2.user_id = j.user_id " +
+        "AND c2.ts = j.best_ts GROUP BY 1, 2"),
     "q_left_join_aggs" ->
       ("SELECT a.user_id AS user_id, a.n_purchases AS n_purchases, " +
         "b.n_errors AS n_errors FROM " +
