@@ -38,4 +38,21 @@ object Sessionize {
     events.groupBy(date_trunc("hour", col("ts")).as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Trailing-window features: for EVERY event, count + integral sum over
+    * the same user's events in [ts − window, ts] — the point-in-time
+    * rolling feature a training pipeline attaches to each example. A RANGE
+    * frame over the micros-since-epoch ordering computes all rows in one
+    * partitioned window pass (one shuffle, running frame state — never a
+    * per-event self-join); equal timestamps are peers, included together
+    * on both engines per the SQL standard. */
+  def rollingUserStats(events: DataFrame,
+      windowMicros: Long = 3600000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-windowMicros, 0)
+    events.select(col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_trailing"),
+      sum(col("event_id")).over(w).as("sum_eid_trailing"))
+  }
 }

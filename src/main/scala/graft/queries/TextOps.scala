@@ -68,6 +68,10 @@ object TextOps {
   def hourly(s: SparkSession, dir: String): DataFrame =
     Sessionize.hourlyHistogram(Tables(s, dir).events)
 
+  /** Trailing-1h per-user rolling features (RANGE-frame window). */
+  def rolling(s: SparkSession, dir: String): DataFrame =
+    Sessionize.rollingUserStats(Tables(s, dir).events)
+
   /** Two-phase salted aggregation — must equal the plain groupBy (the
     * oracle IS the unsalted SQL), demonstrating the hot-key scale path.
     * value summed is integral (event props k) so the compare stays exact:
@@ -135,6 +139,7 @@ object TextOps {
     "q_salted_agg" -> saltedAgg,
     "q_repetition" -> repetition,
     "q_redact" -> redact,
+    "q_rolling" -> rolling,
   )
 
   private val phoneCase =
@@ -247,6 +252,14 @@ object TextOps {
       ("SELECT event_type, count(*) AS n_rows, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_value " +
         "FROM events GROUP BY event_type"),
+    // the same RANGE frame over micros-since-epoch; DuckDB window sums of
+    // BIGINT widen to HUGEINT → cast back
+    "q_rolling" ->
+      ("SELECT event_id, user_id, count(*) OVER w AS n_trailing, " +
+        "CAST(sum(event_id) OVER w AS BIGINT) AS sum_eid_trailing " +
+        "FROM events WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"),
     // bigrams rebuilt with 1-based list indexing; the <2-token guard
     // mirrors the Spark when() exactly
     "q_repetition" ->
