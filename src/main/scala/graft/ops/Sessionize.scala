@@ -39,6 +39,38 @@ object Sessionize {
         col("event_type"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Gap sessions WITH boundaries: (user_id, session_id, session_start,
+    * session_end, session_n_events). session_id is the running count of
+    * session starts per user — stable under the (ts, event_id) total
+    * order. Same one-shuffle shape as [[sessionStats]]. */
+  def sessionIntervals(events: DataFrame,
+      gapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts"))
+            > gapSeconds * 1000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("session_n_events"))
+  }
+
+  /** Interval-containment attribution: each point row lands in the session
+    * interval that contains it — an equi-join on the user key with the
+    * range predicate as join residual (sort-merge on user_id; the interval
+    * side is bounded per user, so no unkeyed range-join blowup). */
+  def attributeToSessions(points: DataFrame, sessions: DataFrame,
+      tsCol: String = "ts"): DataFrame =
+    points.join(sessions, Seq("user_id"))
+      .filter(col(tsCol) >= col("session_start") &&
+        col(tsCol) <= col("session_end"))
+
   /** Trailing-window features: for EVERY event, count + integral sum over
     * the same user's events in [ts − window, ts] — the point-in-time
     * rolling feature a training pipeline attaches to each example. A RANGE

@@ -72,6 +72,17 @@ object TextOps {
   def rolling(s: SparkSession, dir: String): DataFrame =
     Sessionize.rollingUserStats(Tables(s, dir).events)
 
+  /** Purchase → containing-session attribution (interval join). */
+  def sessionAttrib(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Sessionize
+      .attributeToSessions(purchases, Sessionize.sessionIntervals(ev))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("session_id"), col("session_n_events"))
+  }
+
   /** Two-phase salted aggregation — must equal the plain groupBy (the
     * oracle IS the unsalted SQL), demonstrating the hot-key scale path.
     * value summed is integral (event props k) so the compare stays exact:
@@ -140,6 +151,7 @@ object TextOps {
     "q_repetition" -> repetition,
     "q_redact" -> redact,
     "q_rolling" -> rolling,
+    "q_session_attrib" -> sessionAttrib,
   )
 
   private val phoneCase =
@@ -252,6 +264,28 @@ object TextOps {
       ("SELECT event_type, count(*) AS n_rows, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_value " +
         "FROM events GROUP BY event_type"),
+    // the same gap-session construction (lag → flag → running sum → group
+    // to intervals) then the same containment join; DuckDB's widened
+    // window sum casts back to BIGINT
+    "q_session_attrib" ->
+      ("WITH s0 AS (SELECT event_id, user_id, ts, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s1 AS (SELECT user_id, ts, CAST(sum(new_session) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS session_id FROM s0), " +
+        "sess AS (SELECT user_id, session_id, min(ts) AS session_start, " +
+        "max(ts) AS session_end, count(*) AS session_n_events " +
+        "FROM s1 GROUP BY 1, 2) " +
+        "SELECT p.event_id AS purchase_id, p.user_id, s.session_id, " +
+        "s.session_n_events " +
+        "FROM (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase') p JOIN sess s " +
+        "ON s.user_id = p.user_id AND p.ts >= s.session_start " +
+        "AND p.ts <= s.session_end"),
     // the same RANGE frame over micros-since-epoch; DuckDB window sums of
     // BIGINT widen to HUGEINT → cast back
     "q_rolling" ->

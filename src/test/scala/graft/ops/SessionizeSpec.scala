@@ -9,6 +9,32 @@ class SessionizeSpec extends SparkSpec {
 
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
+  test("session intervals + attribution: gaps split, containment lands") {
+    val ev = Seq(
+      (1L, 10L, ts(0), "click"),
+      (2L, 10L, ts(1000), "purchase"),   // session 1 (gap < 30 min)
+      (3L, 10L, ts(10000), "click"),     // 9000s gap → session 2
+      (4L, 10L, ts(10100), "purchase"),
+      (5L, 11L, ts(50), "purchase"))     // other user, own session
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val sessions = Sessionize.sessionIntervals(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toMap
+    assert(sessions((10L, 1L)) == ((ts(0), ts(1000), 2L)))
+    assert(sessions((10L, 2L)) == ((ts(10000), ts(10100), 2L)))
+    assert(sessions((11L, 1L)) == ((ts(50), ts(50), 1L)))
+
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val attrib = Sessionize
+      .attributeToSessions(purchases, Sessionize.sessionIntervals(ev))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_id"))
+      .toMap
+    // event_id → session_id: purchase 2 in session 1, 4 in session 2
+    assert(attrib == Map(2L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("rolling trailing-window stats: RANGE frame includes by time") {
     val ev = Seq(
       (1L, 10L, ts(0)),     // window start boundary case below
