@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{DedupSim, MediaOps, OsmQueries, Relational, TextOps}
+import graft.queries.{CorpusOps, DedupSim, MediaOps, OsmQueries, Relational, TextOps}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -9,10 +9,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupSim.queries ++
-      MediaOps.queries ++ OsmQueries.queries
+      MediaOps.queries ++ OsmQueries.queries ++ CorpusOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupSim.oracle ++
-      MediaOps.oracle
+      MediaOps.oracle ++ CorpusOps.oracle
 }

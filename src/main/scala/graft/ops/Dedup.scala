@@ -366,4 +366,42 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Corpus-level segment dedup (the C4/CCNet "remove duplicated lines
+    * across documents" pass): cut each document into `segTokens`-token
+    * segments, keep only the FIRST occurrence of each distinct segment
+    * corpus-wide (first = smallest (doc_id, position)), and reassemble
+    * every document from its surviving segments in order.
+    *
+    * Returns (doc_id, n_segs, n_kept, dedup_text) for every input doc —
+    * n_kept = 0 yields an empty dedup_text, the "document fully consumed
+    * by boilerplate" signal a filtering stage cuts on.
+    *
+    * Scale shape: one explode (bounded ×⌈tokens/segTokens⌉), ONE shuffle
+    * on the segment text for the first-occurrence window, one groupBy
+    * doc_id to reassemble. The window partitions by segment value — at
+    * 100 TB a degenerate hot segment (empty-ish boilerplate) is a skew
+    * key; cutting segments at ≥ segTokens tokens keeps values high-entropy
+    * and the per-segment groups duplicate-bounded. */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nSegs = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    val segs = transform(sequence(lit(0), nSegs - 1),
+      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
+    val exploded = docs.select(col("doc_id"), posexplode(segs))
+      .toDF("doc_id", "pos", "seg")
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("doc_id"), col("pos"))
+    exploded
+      .withColumn("rn", row_number().over(firstWin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("rn") === 1, struct(col("pos"), col("seg"))))),
+          s => s.getField("seg"))).as("dedup_text"))
+  }
 }

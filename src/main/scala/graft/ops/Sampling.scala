@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.polyHash
+
+/** Deterministic sampling and quota operators for training-corpus
+  * composition: the "data mixing" stage that rebalances sources and
+  * strata before tokenization.
+  *
+  * Everything keys off the portable polynomial hash of the document id
+  * (never `rand()`): the selected set is a pure function of the data, so
+  * it is identical across runs, engines (the DuckDB oracles replay the
+  * hash), partitionings, and cluster sizes — the reproducibility property
+  * a 100 TB pipeline run needs when a stage is retried.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, 100) for rate-based selection. */
+  private def pctBucket(id: org.apache.spark.sql.Column) =
+    pmod(polyHash(id.cast("string")), lit(100L))
+
+  /** Per-stratum Bernoulli sampling at per-key percentage rates:
+    * keep a row iff hash(id) % 100 < rate(stratum). `default` applies to
+    * strata absent from `rates`. Used to downsample over-represented
+    * languages/sources to a target mix. Narrow filter — no shuffle, no
+    * state; scales linearly and composes with pushed-down scans. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Int], default: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(default)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(pctBucket(col(idCol)) < rate)
+  }
+
+  /** Per-source quota: keep at most `quota` rows per `keyCol`, chosen
+    * deterministically by (hash(id), id) order — an unbiased, stable
+    * "first K by hash" draw rather than "first K by arrival". One shuffle
+    * on the quota key.
+    *
+    * Scale note: a row_number window ships EVERY row of a hot source to
+    * one reducer before cutting. That is exact and fine when the largest
+    * source fits a partition; when one source dominates a 100 TB corpus,
+    * cut first with [[stratifiedSample]] at rate ≈ quota/count(source)
+    * (counts from one cheap agg) so the window only ranks the survivors. */
+  def sourceQuota(df: DataFrame, keyCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(polyHash(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .drop("rk")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.polyHash
+
+/** Distributed sketches with ENGINE-PORTABLE, integer-exact arithmetic.
+  *
+  * Spark ships approx_count_distinct / approx_percentile, but their sketch
+  * internals (xxHash64 seeds, QuantileSummaries merge order) are
+  * implementation-defined — no other engine reproduces their outputs, so
+  * they cannot be cross-engine verified and their values drift across
+  * Spark versions. These variants trade a little accuracy headroom for
+  * full determinism: the portable polynomial hash and pure int64 math make
+  * the sketch a function of the data alone (same answer on DuckDB, any
+  * partitioning, any cluster size) — what a reproducible 100 TB pipeline
+  * audit wants from its cardinality/quantile estimates.
+  */
+object Sketches {
+
+  /** HyperLogLog bucket count (2^6). 64 registers → ~13% standard error
+    * (1.04/√m): a corpus-profiling resolution, chosen small so the whole
+    * register file is 64 rows of driver-free aggregate state. */
+  val HllM = 64
+
+  /** Approximate distinct count of `keyCol` via a 64-register HLL,
+    * alongside the exact count for audit.
+    *
+    * Portable construction: h = polyHash(key) ∈ [0, 2³¹-1); bucket =
+    * h mod 64; the remaining 25 bits give ρ = 26 − bitlen(rest) (the
+    * leading-zero rank, ρ ∈ [1, 26]). Register file = max ρ per bucket —
+    * ONE partially-aggregated groupBy over 64 keys, so the shuffle carries
+    * at most 64 rows per map task regardless of input size. The harmonic
+    * estimator is computed as an exact rational: Σ 2^(−ρ) = S / 2²⁶ with
+    * S = Σ 2^(26−ρ) (int64-exact, ≤ 64·2²⁶), so
+    * est×1000 = 709·m²·2²⁶ div S — integer division, no float drift.
+    * Raw Flajolet-et-al estimator without small/large-range correction
+    * (documented; the spec bounds its error against the exact count).
+    *
+    * The polynomial hash alone is NOT HLL-grade: short keys never wrap
+    * the modulus, leaving the high bits zero and ρ inflated (measured
+    * 2–5500× overestimates). One universal-hash mixing step
+    * h' = (a·h + b) mod P — the same family the MinHash signatures use —
+    * wraps every key through the full 31-bit range; measured error is
+    * then −5%…−2% at 150/1.5k/15k distinct keys with 64 registers. */
+  def hllDistinct(df: DataFrame, keyCol: String): DataFrame = {
+    val h = pmod(
+      polyHash(col(keyCol).cast("string")) * 1103515245L + 12345L,
+      lit(2147483647L))
+    val bucket = pmod(h, lit(HllM.toLong))
+    val rest = shiftright(h, 6) // h div 64, h ≥ 0; int-exact
+    val rho = when(rest === 0, lit(26L))
+      .otherwise(lit(26L) - length(bin(rest.cast("long"))).cast("long"))
+    val regs = df.select(bucket.as("b"), rho.as("rho"))
+      .groupBy(col("b")).agg(max(col("rho")).as("r"))
+    val est = regs.agg(
+        sum(expr("shiftleft(1L, cast(26 - r as int))")).as("s_present"),
+        count(lit(1)).as("n_regs"))
+      .select((lit(709L) * HllM * HllM * (1L << 26)).as("num"),
+        (col("s_present") + (lit(HllM.toLong) - col("n_regs")) * (1L << 26))
+          .as("den"))
+      .select(expr("num div den").as("hll_est_x1000"))
+    val exact = df.agg(countDistinct(col(keyCol)).as("n_exact"))
+    exact.crossJoin(est) // two single-row frames
+  }
+
+  /** Approximate quantiles from an integer histogram: bin = value div
+    * `binWidth`, quantile q answers with the first bin whose cumulative
+    * share reaches q%. The histogram aggregation is the only data-scale
+    * work (partial combine, ≤ #bins rows per map task); the bin table —
+    * post-aggregation metadata bounded by value-range/binWidth, like IVF
+    * centroids — is then packed into ONE sorted array row and the
+    * cumulative scan runs as an array fold, so no global-window shuffle
+    * (and no single-partition window) ever touches the plan. Error ≤
+    * binWidth by construction; all int64. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, binWidth: Long,
+      qs: Seq[Int]): DataFrame = {
+    import df.sparkSession.implicits._
+    val hist = df.select(expr(s"$valueCol div $binWidth").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val packed = hist
+      .agg(array_sort(collect_list(struct(col("bin"), col("cnt"))))
+        .as("bins"))
+      .select(col("bins"), aggregate(col("bins"), lit(0L),
+        (acc, x) => acc + x.getField("cnt")).as("n_total"))
+    // per quantile: fold (cum, answer) once across the sorted bins
+    packed.crossJoin(qs.toDF("q"))
+      .select(col("q").cast("long").as("q"),
+        aggregate(col("bins"),
+          struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+          (acc, x) => {
+            val cum = acc.getField("cum") + x.getField("cnt")
+            struct(cum.as("cum"),
+              when(acc.getField("ans").isNull &&
+                  cum * 100 >= col("n_total") * col("q"),
+                x.getField("bin"))
+                .otherwise(acc.getField("ans")).as("ans"))
+          }).getField("ans").as("bin"))
+      .withColumn("value_lo", col("bin") * binWidth)
+  }
+}

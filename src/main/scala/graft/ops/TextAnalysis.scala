@@ -184,4 +184,29 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("token"))
       .limit(limit)
+
+  /** Unigram-LM quality score, integer form: per document, the sum and
+    * mean of each token's corpus-wide frequency. Low mean frequency =
+    * rare-token-heavy document (OCR noise, codes, gibberish) — the
+    * integer analogue of "average unigram log-probability", kept in exact
+    * int64 so the cross-engine oracle is float-free.
+    *
+    * Two-pass shape: (1) the vocabulary count aggregation (partial
+    * combine, shuffle is one row per distinct token per map task), (2)
+    * tokens re-exploded and joined to the vocab on the token key, then
+    * re-aggregated per doc. At 100 TB the vocab join stays a plain
+    * shuffle join (the full vocabulary of a web corpus is ~10⁸ rows —
+    * too big to broadcast, trivial to co-partition); a skew guard is
+    * unnecessary because token frequency skew sits on the BUILD side
+    * count, not the probe multiplicity. */
+  def freqScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    toks.join(vocab, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("freq")).cast("long").as("sum_freq"))
+      .withColumn("mean_freq", expr("sum_freq div n_tokens"))
+  }
 }

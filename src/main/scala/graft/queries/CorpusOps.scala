@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Sampling, Sketches, TextAnalysis}
+
+/** Corpus-composition queries: deterministic sampling/quotas, portable
+  * sketches (HLL cardinality, histogram quantiles), corpus-level segment
+  * dedup, and unigram-frequency scoring — the data-mixing and profiling
+  * stages of a training pipeline, each restated 1:1 in DuckDB SQL.
+  */
+object CorpusOps {
+
+  /** The portable polynomial hash (functions.PolyHash) as DuckDB SQL. */
+  private def pHash(e: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(CAST($e AS VARCHAR), ''), " +
+      "ch -> CAST(ord(ch) AS BIGINT))), " +
+      "(acc, cp) -> (acc * 31 + cp) % 2147483647)"
+
+  /** Downsample the dominant language to rebalance the corpus mix:
+    * en kept at 40%, everything else at 80% — all hash-deterministic. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables(s, dir).documents,
+        stratumCol = "lang", idCol = "doc_id",
+        rates = Map("en" -> 40), default = 80)
+      .select(col("doc_id"), col("lang"))
+
+  /** Cap every source at 10 documents, drawn by hash order. */
+  def sourceQuota(s: SparkSession, dir: String): DataFrame =
+    Sampling.sourceQuota(Tables(s, dir).documents,
+        keyCol = "source", idCol = "doc_id", quota = 10)
+      .select(col("doc_id"), col("source"))
+
+  /** 64-register portable HLL over the orders' customer key (10× dup
+    * factor: 15k orders over 1.5k customers at sf0.01). */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllDistinct(Tables(s, dir).orders, "o_custkey")
+
+  /** p50/p90/p99 of document length from a 64-char-wide histogram. */
+  def quantileHist(s: SparkSession, dir: String): DataFrame =
+    Sketches.histogramQuantiles(Tables(s, dir).documents,
+      valueCol = "n_chars", binWidth = 64L, qs = Seq(50, 90, 99))
+
+  /** Corpus-wide 8-token segment dedup with document reassembly. */
+  def segDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(Tables(s, dir).documents, segTokens = 8)
+
+  /** Integer unigram-LM score (sum/mean corpus token frequency). */
+  def freqScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.freqScore(Tables(s, dir).documents)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> stratifiedSample,
+    "q_source_quota" -> sourceQuota,
+    "q_hll_distinct" -> hllDistinct,
+    "q_quantile_hist" -> quantileHist,
+    "q_seg_dedup" -> segDedup,
+    "q_freq_score" -> freqScore,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      (s"SELECT doc_id, lang FROM documents WHERE ${pHash("doc_id")} " +
+        "% 100 < CASE WHEN lang = 'en' THEN 40 ELSE 80 END"),
+    "q_source_quota" ->
+      ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        s"row_number() OVER (PARTITION BY source ORDER BY " +
+        s"${pHash("doc_id")}, doc_id) AS rk FROM documents) WHERE rk <= 10"),
+    // the identical register construction: bucket = h mod 64, ρ from the
+    // binary length of the remaining 25 bits, harmonic sum as an exact
+    // 2²⁶-scaled integer — estimator drift is impossible by construction
+    "q_hll_distinct" ->
+      (s"WITH h AS (SELECT (${pHash("o_custkey")} * 1103515245 + 12345) " +
+        "% 2147483647 AS h FROM orders), " +
+        "r AS (SELECT h % 64 AS b, CASE WHEN h // 64 = 0 THEN 26 " +
+        "ELSE 26 - length(bin(h // 64)) END AS rho FROM h), " +
+        "regs AS (SELECT b, max(rho) AS r FROM r GROUP BY b), " +
+        "agg AS (SELECT CAST(sum(1::BIGINT << CAST(26 - r AS INTEGER)) " +
+        "AS BIGINT) AS s_present, count(*) AS n_regs FROM regs) " +
+        "SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS n_exact, " +
+        "CAST((709 * 64 * 64 * (1::BIGINT << 26)) // " +
+        "(s_present + (64 - n_regs) * (1::BIGINT << 26)) AS BIGINT) " +
+        "AS hll_est_x1000 FROM agg"),
+    "q_quantile_hist" ->
+      ("WITH hist AS (SELECT n_chars // 64 AS bin, count(*) AS cnt " +
+        "FROM documents GROUP BY 1), " +
+        "c AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum, CAST(sum(cnt) OVER () AS BIGINT) AS n_total FROM hist) " +
+        "SELECT CAST(q AS BIGINT) AS q, min(bin) AS bin, " +
+        "min(bin) * 64 AS value_lo " +
+        "FROM c, (VALUES (50), (90), (99)) AS qs(q) " +
+        "WHERE cum * 100 >= n_total * q GROUP BY q"),
+    // same segmentation (1-based 8-wide slices), same first-occurrence
+    // rule, same ordered reassembly; FILTERed list() is NULL when a doc
+    // keeps nothing — coalesced to match Spark's empty concat_ws
+    "q_seg_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS l " +
+        "FROM documents), " +
+        "seg AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(0, (len(l)+7)//8), " +
+        "i -> {'pos': i, 'seg': array_to_string(" +
+        "l[(i*8+1):(i*8+8)], ' ')})) AS u FROM t)), " +
+        "rk AS (SELECT doc_id, pos, seg, row_number() OVER (" +
+        "PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM seg) " +
+        "SELECT doc_id, count(*) AS n_segs, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_kept, " +
+        "coalesce(array_to_string(list_transform(list_sort(" +
+        "list({'pos': pos, 'seg': seg}) FILTER (WHERE rn = 1)), " +
+        "x -> x.seg), ' '), '') AS dedup_text " +
+        "FROM rk GROUP BY doc_id"),
+    "q_freq_score" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) " +
+        "AS token FROM documents), " +
+        "v AS (SELECT token, count(*) AS freq FROM tok GROUP BY token) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "CAST(sum(freq) AS BIGINT) AS sum_freq, " +
+        "CAST(sum(freq) AS BIGINT) // count(*) AS mean_freq " +
+        "FROM tok JOIN v USING (token) GROUP BY doc_id"),
+  )
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every corpus query runs at sf0.001 and has an oracle") {
+    CorpusOps.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      assert(df.count() >= 0, name)
+    }
+    assert(CorpusOps.oracle.keySet == CorpusOps.queries.keySet)
+  }
+
+  test("stratified sample is deterministic and rate-shaped") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 40), default = 80)
+    val b = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 40), default = 80)
+    // pure function of the data: two evaluations agree exactly
+    assert(a.select("doc_id").except(b.select("doc_id")).count() == 0)
+    assert(a.count() < docs.count() && a.count() > 0)
+    // en is downsampled harder than the rest
+    val keptRate = a.groupBy("lang").count()
+      .join(docs.groupBy("lang").count().withColumnRenamed("count", "all"),
+        "lang")
+      .select(col("lang"), col("count") * 100 / col("all"))
+      .as[(String, Double)].collect().toMap
+    assert(keptRate("en") < keptRate.filterNot(_._1 == "en").values.min)
+  }
+
+  test("source quota keeps at most K per source, deterministically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = Sampling.sourceQuota(docs, "source", "doc_id", 3)
+    val perSource = q.groupBy("source").count().as[(String, Long)]
+      .collect()
+    assert(perSource.forall(_._2 <= 3))
+    // every source with ≥3 docs hits the quota exactly
+    val eligible = docs.groupBy("source").count()
+      .filter(col("count") >= 3).count()
+    assert(perSource.count(_._2 == 3) == eligible)
+  }
+
+  test("portable HLL estimate lands within 30% of exact") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val row = Sketches.hllDistinct(orders, "o_custkey").head()
+    val exact = row.getLong(0)
+    val est = row.getLong(1) / 1000.0
+    assert(exact > 0)
+    assert(math.abs(est - exact) <= 0.30 * exact,
+      s"exact=$exact est=$est")
+  }
+
+  test("histogram quantiles bracket the exact quantiles within one bin") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val qh = Sketches.histogramQuantiles(docs, "n_chars", 64L,
+        Seq(50, 90, 99))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val exact = docs.stat.approxQuantile("n_chars",
+      Array(0.5, 0.9, 0.99), 0.0)
+    for (((q, lo), ex) <- qh.toSeq.sortBy(_._1).zip(exact)) {
+      assert(ex >= lo && ex < lo + 64 + 64, s"q=$q lo=$lo exact=$ex")
+    }
+  }
+
+  test("segment dedup: first doc intact, exact dup emptied, reassembly ordered") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"), // 12 tokens → segs of 8: 2 segs
+      (2L, "a b c d e f g h i j k l"), // exact dup → everything dropped
+      (3L, "x y z a b c d e f g h i j k l q") // fresh 16 → both segs kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, segTokens = 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == "a b c d e f g h i j k l")
+    assert(out(1L)._2 == 2 && out(1L)._3 == 2)
+    assert(out(2L)._3 == 0 && out(2L)._4 == "")
+    assert(out(3L)._3 == 2 &&
+      out(3L)._4 == "x y z a b c d e f g h i j k l q")
+  }
+
+  test("freq score: constant-token doc scores corpus count") {
+    val docs = Seq((1L, "w w w"), (2L, "w rare")).toDF("doc_id", "text")
+    val out = TextAnalysis.freqScore(docs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 'w' occurs 4× corpus-wide, 'rare' once
+    assert(out(1L) == ((1L, 3L, 12L, 4L)))
+    assert(out(2L) == ((2L, 2L, 5L, 2L)))
+  }
+}
