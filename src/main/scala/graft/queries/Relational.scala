@@ -206,8 +206,54 @@ object Relational {
       .limit(10)
       .select(col("user_id"), col("n"))
 
+  /** Semi-structured extraction: parse the JSON `props` payload with a
+    * projected schema (`from_json` — typed, codegen'd, null-safe on
+    * malformed rows) and aggregate the extracted field. The scan prunes to
+    * (event_type, props); the parse never leaves the row. At 100 TB this
+    * is the log-ingestion shape: schema-on-read without a staging rewrite. */
+  def jsonAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select(col("event_type"),
+        from_json(col("props"), lit("k INT")).getField("k").cast("long")
+          .as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"))
+
+  /** Pivot: per-user event-type counts as columns. The value list is
+    * EXPLICIT — omitting it makes Spark run a blocking collect-distinct
+    * job over the full table before planning, a hidden driver round-trip
+    * at scale. With literal values the pivot compiles to one partial-
+    * aggregated groupBy of max(CASE) columns, same as the SQL oracle. */
+  def pivotCounts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L) // absent (user, type) = 0, matching SUM(CASE) semantics
+      .select(col("user_id"), col("click"), col("view"), col("purchase"),
+        col("signup"), col("error"))
+
+  /** ROLLUP region → nation: hierarchical subtotals + grand total in ONE
+    * pass (grouping-set expansion at the partial-aggregate level — not
+    * three queries, not three shuffles). Dimensions join broadcast (25
+    * nations / 5 regions); integral measures keep the oracle float-free. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer
+      .join(broadcast(t.nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_custkey")).cast("long").as("sum_key"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_count_star" -> countStar,
+    "q_json_agg" -> jsonAgg,
+    "q_pivot" -> pivotCounts,
+    "q_rollup" -> rollupAgg,
     "q_distinct_union" -> distinctUnion,
     "q_groupby_count" -> groupbyCount,
     "q_value_counts" -> valueCounts,
@@ -230,6 +276,25 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q_count_star" ->
       "SELECT count(*) AS cnt FROM lineitem",
+    // ->> extracts as text; CAST matches Spark's projected-schema parse
+    "q_json_agg" ->
+      ("SELECT event_type, count(k) AS n_with_k, " +
+        "CAST(sum(k) AS BIGINT) AS sum_k FROM (SELECT event_type, " +
+        "CAST(props ->> '$.k' AS BIGINT) AS k FROM events) GROUP BY 1"),
+    "q_pivot" ->
+      ("SELECT user_id, " +
+        "count(CASE WHEN event_type = 'click' THEN 1 END) AS click, " +
+        "count(CASE WHEN event_type = 'view' THEN 1 END) AS \"view\", " +
+        "count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase, " +
+        "count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup, " +
+        "count(CASE WHEN event_type = 'error' THEN 1 END) AS \"error\" " +
+        "FROM events GROUP BY user_id"),
+    "q_rollup" ->
+      ("SELECT r_name, n_name, count(*) AS n_cust, " +
+        "CAST(sum(c_custkey) AS BIGINT) AS sum_key " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name)"),
     "q_distinct_union" ->
       ("SELECT count(DISTINCT uid) AS n_users FROM " +
         "(SELECT o_custkey AS uid FROM orders " +

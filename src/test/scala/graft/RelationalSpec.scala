@@ -47,4 +47,33 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("json_agg parses every props payload") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val out = Relational.jsonAgg(spark, sf)
+    // every event carries a k field, so per-type counts sum to the total
+    val parsed = out.selectExpr("sum(n_with_k)").head().getLong(0)
+    assert(parsed == events.count())
+  }
+
+  test("pivot columns partition the event count") {
+    val out = Relational.pivotCounts(spark, sf)
+    val total = out
+      .selectExpr("sum(click + view + purchase + signup + error)")
+      .head().getLong(0)
+    assert(total == spark.read.parquet(s"$sf/events.parquet").count())
+    // no collect-distinct job: the pivot plan is a single aggregate
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("collectlimit"), plan.take(1000))
+  }
+
+  test("rollup emits leaf + subtotal + grand-total grouping sets") {
+    val out = Relational.rollupAgg(spark, sf).collect()
+    // 25 nations + 5 region subtotals + 1 grand total
+    assert(out.length == 31)
+    val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(grand.head.getLong(2) == nCust)
+  }
 }
