@@ -29,9 +29,17 @@ object AsOf {
     val p = probe.select(col(keyCol).as("_k"), col(probeTsCol).as("_t"),
       col(probeIdCol).as("_pid"),
       lit(null).cast("long").as("_bid"), lit(0).as("_side"))
-    val b = build.select(col(keyCol).as("_k"), col(buildTsCol).as("_t"),
-      lit(null).cast(probe.schema(probeIdCol).dataType).as("_pid"),
-      col(buildIdCol).cast("long").as("_bid"), lit(1).as("_side"))
+    // Drop null-key / null-ts build rows: the SQL restatement's equi-join
+    // never matches NULLs, while partitionBy groups NULL keys together and
+    // sorts NULL timestamps first — without this filter a null-key probe
+    // could "match" a null-key build row. With it, a null-key probe sits in
+    // a build-free partition and a null-ts probe sorts before every build
+    // row (nulls-first asc), so both engines agree: no match.
+    val b = build
+      .filter(col(keyCol).isNotNull && col(buildTsCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(buildTsCol).as("_t"),
+        lit(null).cast(probe.schema(probeIdCol).dataType).as("_pid"),
+        col(buildIdCol).cast("long").as("_bid"), lit(1).as("_side"))
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_side").desc, col("_bid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -28,7 +28,11 @@ final class SessionScoped[V] {
       })
     }
 
-  def getOrCompute(s: SparkSession, key: String)(compute: => V): V = {
+  /** `discard` releases a racer's duplicate when `putIfAbsent` loses —
+    * without it a losing `Stage.barrier` result would stay pinned in the
+    * block manager (and in Stage's tracked set) with no remaining caller. */
+  def getOrCompute(s: SparkSession, key: String, discard: V => Unit = _ => ())(
+      compute: => V): V = {
     hook(s)
     val k = (s, key)
     val existing = map.get(k)
@@ -36,7 +40,7 @@ final class SessionScoped[V] {
     else {
       val v = compute // outside any lock; racers may duplicate, first wins
       val prior = map.putIfAbsent(k, v)
-      if (prior != null) prior else v
+      if (prior != null) { discard(v); prior } else v
     }
   }
 

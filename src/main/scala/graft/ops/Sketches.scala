@@ -98,5 +98,9 @@ object Sketches {
                 .otherwise(acc.getField("ans")).as("ans"))
           }).getField("ans").as("bin"))
       .withColumn("value_lo", col("bin") * binWidth)
+      // empty input → no bins → NULL fold answer; the SQL restatement's
+      // join against an empty histogram returns ZERO rows, so drop the
+      // null-bin rows to agree on the empty-table edge
+      .filter(col("bin").isNotNull)
   }
 }

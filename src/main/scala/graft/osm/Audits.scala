@@ -97,17 +97,23 @@ object Audits {
     * (list_chars, audit_phone_numbers.py:164-174). Input is the ORDERED
     * audit ([[phoneNumbersOrdered]]); each character carries the minimum
     * (kind, id, tag_pos, char_pos) it appears at, flattened into one
-    * lexicographically sortable `first_seen` string — consumers ORDER BY
-    * it to reproduce the reference's printed list exactly. Distributed
-    * min-aggregation; output is bounded by the distinct-character count. */
+    * `(kind,id,tag_pos,char_pos)` struct; the output arrives pre-sorted by
+    * it, reproducing the reference's printed list exactly. Distributed
+    * min-aggregation; output is bounded by the distinct-character count.
+    * The min is taken over a STRUCT (field-lexicographic ordering), not a
+    * fixed-width formatted string — a node id ≥ 10^12 (ids are ~1.2e10 and
+    * growing) or a negative id would overflow a padded "%012d" and corrupt
+    * the ordering; `first_seen` is formatted afterwards for display only. */
   def phoneCharCensus(orderedAudit: DataFrame): DataFrame =
     orderedAudit
       .select(col("_kind"), col("id").cast("long").as("_idl"),
         col("_tag_pos"),
         posexplode(split(col("value"), "")).as(Seq("_chpos", "ch")))
       .groupBy(col("ch"))
-      .agg(min(format_string("%d|%012d|%06d|%06d", col("_kind"),
-        col("_idl"), col("_tag_pos"), col("_chpos"))).as("first_seen"))
-      .select(col("first_seen"), col("ch"))
-      .orderBy(col("first_seen"))
+      .agg(min(struct(col("_kind"), col("_idl"), col("_tag_pos"),
+        col("_chpos"))).as("_first"))
+      .orderBy(col("_first"))
+      .select(format_string("%d|%d|%d|%d", col("_first._kind"),
+        col("_first._idl"), col("_first._tag_pos"), col("_first._chpos"))
+        .as("first_seen"), col("ch"))
 }

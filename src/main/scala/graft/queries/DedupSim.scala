@@ -58,7 +58,7 @@ object DedupSim {
   // session (see ops.SessionScoped).
   private val pairCache = new graft.ops.SessionScoped[DataFrame]
   private def mutantPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrCompute(s, dir)(
+    pairCache.getOrCompute(s, dir, discard = graft.ops.Stage.release)(
       graft.ops.Stage.barrier(
         Dedup.minhashDedupPairs(docsWithMutants(s, dir))))
 
@@ -71,7 +71,7 @@ object DedupSim {
 
   /** Near-dup pairs → canonical clusters (keep min doc per component). */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
-    componentCache.getOrCompute(s, dir)(
+    componentCache.getOrCompute(s, dir, discard = graft.ops.Stage.release)(
       graft.ops.Stage.barrier(Dedup.components(mutantPairs(s, dir))))
 
   /** The cleaned corpus: drop every non-canonical cluster member (keep a

@@ -229,7 +229,9 @@ object Relational {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(count(lit(1)))
-      .na.fill(0L) // absent (user, type) = 0, matching SUM(CASE) semantics
+      // absent (user, type) = 0, matching SUM(CASE) semantics; fill ONLY the
+      // pivot columns so a NULL group key survives as the SQL NULL group
+      .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
       .select(col("user_id"), col("click"), col("view"), col("purchase"),
         col("signup"), col("error"))
 

@@ -67,6 +67,20 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("collectlimit"), plan.take(1000))
   }
 
+  test("pivot keeps a NULL group key (fill is scoped to pivot columns)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pivot-null").toString
+    Seq((Some(1L), "click", 1000000000L, "{}"),
+        (None, "view", 2000000000L, "{}"))
+      .toDF("user_id", "event_type", "ts", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val rows = Relational.pivotCounts(spark, dir).collect()
+    val nullRow = rows.filter(_.isNullAt(0))
+    // the NULL user survives as SQL's NULL group — not rewritten to 0
+    assert(nullRow.length == 1 && nullRow.head.getLong(2) == 1L)
+    assert(rows.filterNot(_.isNullAt(0)).head.getLong(1) == 1L)
+  }
+
   test("rollup emits leaf + subtotal + grand-total grouping sets") {
     val out = Relational.rollupAgg(spark, sf).collect()
     // 25 nations + 5 region subtotals + 1 grand total

@@ -40,6 +40,25 @@ class AsOfSpec extends SparkSpec {
     assert(got.getLong(2) == 11L)
   }
 
+  test("as-of join: null probe keys / build nulls never match") {
+    val probe = Seq(
+      (100L, Some(1L), Some(ts(50))), // normal: matches build 10
+      (101L, None, Some(ts(50))),     // null key → no match
+      (102L, Some(1L), None))         // null ts → no match
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, Some(1L), Some(ts(20))),
+      (11L, None, Some(ts(10))),      // null-key build: must never match
+      (12L, Some(1L), None))          // null-ts build: must never match
+      .toDF("event_id", "user_id", "ts")
+    val got = AsOf.asOfLatest(probe, build, "user_id", "ts", "event_id",
+        "ts", "event_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == Map(100L -> Some(10L), 101L -> None, 102L -> None))
+  }
+
   test("as-of join with value carry equals a per-probe argmax") {
     val probe = Seq((100L, 1L, ts(50)), (101L, 1L, ts(10)))
       .toDF("event_id", "user_id", "ts")

@@ -69,6 +69,12 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantiles on an empty input return zero rows") {
+    val empty = Seq.empty[Long].toDF("n_chars")
+    assert(Sketches.histogramQuantiles(empty, "n_chars", 64L,
+      Seq(50, 99)).count() == 0)
+  }
+
   test("segment dedup: first doc intact, exact dup emptied, reassembly ordered") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"), // 12 tokens → segs of 8: 2 segs
