@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Capwords, DotProduct, PolyHash, PolyHash2}
+import graft.functions.{Capwords, DotProduct, NfcNormalize, PolyHash, PolyHash2}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available to plain SQL users
@@ -34,7 +34,12 @@ object GraftExtensions {
           mod = exprs.lift(2).map(foldToLong).getOrElse(2147483647L))),
       (FunctionIdentifier("poly_hash2"),
         new ExpressionInfo(classOf[PolyHash2].getName, "poly_hash2"),
-        (exprs: Seq[Expression]) => PolyHash2(exprs.head)))
+        (exprs: Seq[Expression]) => PolyHash2(exprs.head)),
+      // nfc_normalize(s) — Unicode canonical composition, same name and
+      // semantics as DuckDB's built-in
+      (FunctionIdentifier("nfc_normalize"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+        (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
 
   private def foldToLong(e: Expression): Long =
     e.eval(null) match {

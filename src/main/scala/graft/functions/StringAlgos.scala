@@ -58,6 +58,18 @@ object StringAlgos {
     acc
   }
 
+  /** Unicode NFC (canonical composition) — the normalization step a text
+    * corpus needs before hashing/dedup so that "é" (U+00E9) and
+    * "e"+combining-acute (U+0065 U+0301) hash identically. JDK
+    * `java.text.Normalizer` implements the Unicode standard algorithm;
+    * DuckDB's `nfc_normalize` (utf8proc) is conformant to the same spec,
+    * which is what makes the cross-engine oracle exact. */
+  def nfc(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
+
   /** Two independent 31-bit polynomial hashes (bases 31 / 37, mod 2³¹−1)
     * packed into one 62-bit value: bits 0-30 = base-31 fold, bits 31-61 =
     * base-37 fold. Used as the SimHash bit source; 62 well-mixed bits,
@@ -92,6 +104,24 @@ case class Capwords(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.StringAlgos.capwords($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Capwords =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression for [[StringAlgos.nfc]]: null-safe, codegen'd
+  * static call. Normalization must run BEFORE fingerprinting/minhashing in
+  * a dedup pipeline, so it has to stay inside the same codegen span as the
+  * hash that consumes it. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StringAlgos.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringAlgos.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
 
@@ -138,6 +168,9 @@ object GraftFunctions {
 
   /** Column-level capwords. */
   def capwords(c: Column): Column = asColumn(Capwords(toExpr(c)))
+
+  /** Column-level Unicode NFC normalization. */
+  def nfcNormalize(c: Column): Column = asColumn(NfcNormalize(toExpr(c)))
 
   /** Column-level portable polynomial hash (see StringAlgos.polyHash). */
   def polyHash(c: Column, base: Long = 31L,

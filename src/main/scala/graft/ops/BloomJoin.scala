@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomAgg
+
+/** Bloom-filter-pruned semi join — the standard shape for "big fact ⋉
+  * small-but-not-tiny key set" at cluster scale.
+  *
+  * The exact semi join alone shuffles every fact row on the join key. Here
+  * the small side first reduces to ONE bloom bitmap (map-side partial OR
+  * merge, a few KB to the driver — the same driver-metadata scale as IVF
+  * centroids or a broadcast dim), the fact scan is pre-filtered by the
+  * probe INSIDE whole-stage codegen, and only the surviving sliver — true
+  * matches plus the bitmap's few false positives — pays the exact semi
+  * join that makes the result precise. On a 100 TB fact table with a 0.1%
+  * hit rate this turns the shuffle from 100 TB into ~100 GB while the
+  * result stays bit-identical to the plain semi join (blooms have no
+  * false negatives; the rescue join removes the false positives).
+  */
+object BloomJoin {
+
+  /** `big ⋉ small` on long-castable keys, bloom-pruned before the exact
+    * semi join. `bits`/`k` size the filter for the expected small-side
+    * cardinality (defaults: 64K bits / 5 probes ≈ 0.1% FPR at 4k keys). */
+  def semiJoin(big: DataFrame, bigKey: Column, small: DataFrame,
+      smallKey: Column, bits: Int = 1 << 16, k: Int = 5): DataFrame = {
+    // build: one bitmap row; partials OR-merge map-side so the driver pull
+    // is bits/8 bytes regardless of small-side row count
+    val words = small
+      .select(BloomAgg.bloomAgg(smallKey.cast("long"), bits, k).as("w"))
+      .head().getSeq[Long](0).toArray
+    val pruned = big.filter(
+      BloomAgg.mightContain(bigKey.cast("long"), words, bits, k))
+    // rescue: exact semi join over the pruned sliver only
+    pruned.join(small.select(smallKey.as("_bloom_k")).distinct(),
+      bigKey === col("_bloom_k"), "left_semi")
+  }
+}

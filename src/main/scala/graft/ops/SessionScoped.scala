@@ -8,16 +8,23 @@ import org.apache.spark.sql.SparkSession
 /** A per-(SparkSession, key) memo for staged DataFrames and driver-side
   * metadata, with an explicit lifecycle:
   *
-  *  - values compute OUTSIDE the map's bin lock (a `Stage.barrier` inside
-  *    `computeIfAbsent` would run multi-job materialization while holding
-  *    the lock); a losing racer discards its duplicate.
+  *  - compute is SERIALIZED per key via a lazy holder: `computeIfAbsent`
+  *    only allocates the (cheap) holder under the map's bin lock; the
+  *    multi-job `Stage.barrier` materialization runs when the holder is
+  *    first forced, outside that lock, and a concurrent caller blocks on
+  *    the holder instead of double-staging. This also removes the old
+  *    lost-race discard path, which could unpersist cache blocks the
+  *    winner shared (Spark's CacheManager keys entries by analyzed plan,
+  *    so two racers' barriers usually landed on ONE cache entry).
   *  - entries for a session are dropped when that session's context ends
   *    (a `SparkListener` registered on first use), so stopped sessions
   *    don't retain DataFrames — and their pinned cache lineage — forever.
   *  - `evict(session)` releases eagerly for long-lived sessions.
   */
 final class SessionScoped[V] {
-  private val map = new ConcurrentHashMap[(SparkSession, String), V]()
+  private final class Holder(compute: () => V) { lazy val value: V = compute() }
+
+  private val map = new ConcurrentHashMap[(SparkSession, String), Holder]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
 
   private def hook(s: SparkSession): Unit =
@@ -28,27 +35,23 @@ final class SessionScoped[V] {
       })
     }
 
-  /** `discard` releases a racer's duplicate when `putIfAbsent` loses —
-    * without it a losing `Stage.barrier` result would stay pinned in the
-    * block manager (and in Stage's tracked set) with no remaining caller. */
+  /** `discard` is retained for source compatibility but is never invoked:
+    * the per-key holder guarantees at most one compute, so there is no
+    * losing racer whose staged frame would need releasing. */
   def getOrCompute(s: SparkSession, key: String, discard: V => Unit = _ => ())(
       compute: => V): V = {
     hook(s)
-    val k = (s, key)
-    val existing = map.get(k)
-    if (existing != null) existing
-    else {
-      val v = compute // outside any lock; racers may duplicate, first wins
-      val prior = map.putIfAbsent(k, v)
-      if (prior != null) { discard(v); prior } else v
-    }
+    // holder allocation is lock-cheap; forcing `value` (the real work,
+    // possibly multi-job) happens outside the map's bin lock, and any
+    // concurrent caller for the same key blocks on the holder's lazy init
+    map.computeIfAbsent((s, key), _ => new Holder(() => compute)).value
   }
 
   /** All live values across sessions (e.g. oracle generation, which runs
     * after the queries and has no session handle of its own). */
   def allValues: Seq[V] = {
     val out = Seq.newBuilder[V]
-    map.values().forEach(v => out += v)
+    map.values().forEach(v => out += v.value)
     out.result()
   }
 
@@ -56,7 +59,10 @@ final class SessionScoped[V] {
   def valuesFor(s: SparkSession): Seq[V] = {
     val it = map.entrySet().iterator()
     val out = Seq.newBuilder[V]
-    while (it.hasNext) { val e = it.next(); if (e.getKey._1 eq s) out += e.getValue }
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) out += e.getValue.value
+    }
     out.result()
   }
 

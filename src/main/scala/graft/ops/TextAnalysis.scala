@@ -209,4 +209,40 @@ object TextAnalysis {
         sum(col("freq")).cast("long").as("sum_freq"))
       .withColumn("mean_freq", expr("sum_freq div n_tokens"))
   }
+
+  /** Per-group z-score outliers over an integral measure — the "drop the
+    * statistically weird documents" gate of a corpus pipeline.
+    *
+    * The group statistics are carried as EXACT integer sums (count, Σx,
+    * Σx²) through the shuffle; the floating-point mean/variance/z are
+    * derived per row in ONE fixed expression order, so the doubles are
+    * bit-reproducible across engines and partitionings (a double `avg`/
+    * `stddev` aggregate would be partition-order-dependent). The stats
+    * side is |groups| rows → broadcast join back onto the rows; two scans,
+    * one tiny shuffle, no window sort. */
+  def zscoreOutliers(docs: DataFrame, groupCol: String = "lang",
+      valueCol: String = "n_chars", idCol: String = "doc_id",
+      threshold: Double = 2.0): DataFrame = {
+    val stats = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("_n"),
+        sum(col(valueCol)).cast("long").as("_s"),
+        sum(col(valueCol) * col(valueCol)).cast("long").as("_s2"))
+      // zero-variance groups produce z = 0/0 = NaN, and BOTH engines sort
+      // NaN above every number, so abs(z) > t would flag every row of a
+      // constant group; the n·Σx² > (Σx)² test is variance > 0 in exact
+      // integer arithmetic — no epsilon, no float drift
+      .filter(col("_n") > 1 &&
+        col("_s2") * col("_n") > col("_s") * col("_s"))
+    // sample variance from integer sums; same literal formula as the oracle
+    val z = (col(valueCol).cast("double") -
+        col("_s").cast("double") / col("_n").cast("double")) /
+      sqrt((col("_s2").cast("double") -
+        col("_s").cast("double") * col("_s").cast("double") /
+          col("_n").cast("double")) /
+        (col("_n") - lit(1L)).cast("double"))
+    docs.join(broadcast(stats), groupCol)
+      .withColumn("z", z)
+      .filter(abs(col("z")) > lit(threshold))
+      .select(col(idCol), col(groupCol), col(valueCol), col("z"))
+  }
 }

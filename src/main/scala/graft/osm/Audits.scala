@@ -109,6 +109,10 @@ object Audits {
       .select(col("_kind"), col("id").cast("long").as("_idl"),
         col("_tag_pos"),
         posexplode(split(col("value"), "")).as(Seq("_chpos", "ch")))
+      // a non-numeric id casts to NULL, which sorts FIRST inside a struct
+      // min (unlike the old formatted-string min, where NULL was skipped);
+      // drop such rows so dirty inputs can't claim a first_seen slot
+      .filter(col("_idl").isNotNull)
       .groupBy(col("ch"))
       .agg(min(struct(col("_kind"), col("_idl"), col("_tag_pos"),
         col("_chpos"))).as("_first"))

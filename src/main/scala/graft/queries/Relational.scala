@@ -251,7 +251,37 @@ object Relational {
         sum(col("c_custkey")).cast("long").as("sum_key"))
   }
 
+  /** CUBE region × market segment: all four grouping sets in ONE pass
+    * (partial-aggregate expansion, one shuffle — not four queries).
+    * Same broadcast-dimension shape as [[rollupAgg]]. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer
+      .join(broadcast(t.nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region),
+        col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_custkey")).cast("long").as("sum_key"))
+  }
+
+  /** Bloom-pruned semi join (ops.BloomJoin): lineitem ⋉ a supplier subset.
+    * The oracle is the PLAIN semi join — the bloom must only prune, never
+    * change the result. Grouped output keeps the compare compact. */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    graft.ops.BloomJoin.semiJoin(
+        t.lineitem, col("l_suppkey"),
+        t.supplier.filter(col("s_nationkey") < 5), col("s_suppkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_orderkey")).cast("long").as("sum_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cube" -> cubeAgg,
+    "q_bloom_join" -> bloomJoin,
     "q_count_star" -> countStar,
     "q_json_agg" -> jsonAgg,
     "q_pivot" -> pivotCounts,
@@ -276,6 +306,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cube" ->
+      ("SELECT r_name, c_mktsegment, count(*) AS n_cust, " +
+        "CAST(sum(c_custkey) AS BIGINT) AS sum_key " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY CUBE (r_name, c_mktsegment)"),
+    // the plain semi join: bloom pruning must be result-invisible
+    "q_bloom_join" ->
+      ("SELECT l_suppkey, count(*) AS cnt, " +
+        "CAST(sum(l_orderkey) AS BIGINT) AS sum_ok FROM lineitem " +
+        "WHERE l_suppkey IN (SELECT s_suppkey FROM supplier " +
+        "WHERE s_nationkey < 5) GROUP BY l_suppkey"),
     "q_count_star" ->
       "SELECT count(*) AS cnt FROM lineitem",
     // ->> extracts as text; CAST matches Spark's projected-schema parse

@@ -3,8 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables
-import graft.functions.GraftFunctions.capwords
+import graft.functions.GraftFunctions.{capwords, nfcNormalize}
+import graft.functions.TopKAgg
 import graft.ops.{Sessionize, TextAnalysis}
 import graft.osm.PhoneFix
 
@@ -134,7 +137,52 @@ object TextOps {
       Tables(s, dir).documents
         .withColumn("split", TextAnalysis.splitAssign(col("doc_id"))))
 
+  /** Unicode NFC normalization (native expression): decomposed sequences
+    * are synthesized onto each document ("e"+U+0301, "A"+U+030A) so the
+    * composition is observable — the raw text is ASCII and NFC-invariant.
+    * Char counts before/after prove the combining marks fused. */
+  def nfcNorm(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(substring(col("text"), 1, 40), lit("e\u0301A\u030A"))  // decomposed: e+COMBINING ACUTE, A+COMBINING RING
+    Tables(s, dir).documents
+      .select(col("doc_id"), nfcNormalize(raw).as("norm"),
+        length(raw).cast("long").as("len_raw"),
+        length(nfcNormalize(raw)).cast("long").as("len_norm"))
+  }
+
+  /** Per-language z-score outlier gate over document length. 1.5σ keeps
+    * enough rows (58 at sf0.01) for a meaningful hash compare. */
+  def zscore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zscoreOutliers(Tables(s, dir).documents, threshold = 1.5)
+
+  /** Quartile gate: keep each language's longest quarter of documents.
+    * `ntile` is rank-based — no float statistics — so the gate is exact
+    * and engine-portable; the (n_chars, doc_id) order is a total order,
+    * which makes bucket edges deterministic. */
+  def ntileGate(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .withColumn("tile", ntile(4).over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))))
+      .filter(col("tile") === 4)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** Per-language top-3 documents by length via the native TopKAgg — each
+    * map task reduces its slice to ≤ k entries before the shuffle, versus
+    * the rank-window form that shuffles and sorts EVERY row per group. */
+  def groupTopK(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .groupBy(col("lang"))
+      .agg(TopKAgg.topKBy(col("n_chars").cast("double"), col("doc_id"), 3)
+        .as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("_i", "e")))
+      .select(col("lang"), (col("_i") + 1).cast("long").as("rk"),
+        col("e.id").as("doc_id"), col("e.score").cast("long").as("n_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nfc_norm" -> nfcNorm,
+    "q_zscore" -> zscore,
+    "q_ntile_gate" -> ntileGate,
+    "q_group_topk" -> groupTopK,
     "q_capwords" -> capwordsQuery,
     "q_phone_canon" -> phoneCanon,
     "q_token_stats" -> tokenStats,
@@ -165,6 +213,41 @@ object TextOps {
       | ELSE NULL END""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    // chr(769)/chr(778) are the combining marks; utf8proc NFC and JDK
+    // Normalizer both implement the standard canonical composition
+    "q_nfc_norm" ->
+      ("SELECT doc_id, nfc_normalize(raw) AS norm, " +
+        "length(raw) AS len_raw, " +
+        "length(nfc_normalize(raw)) AS len_norm FROM (" +
+        "SELECT doc_id, substr(text, 1, 40) || 'e' || chr(769) || " +
+        "'A' || chr(778) AS raw FROM documents)"),
+    // the SAME fixed expression order over exact integer sums on both
+    // sides → bit-identical doubles (no order-dependent float aggregate)
+    "q_zscore" ->
+      ("WITH st AS (SELECT * FROM (SELECT lang, " +
+        "CAST(count(*) AS BIGINT) AS _n, " +
+        "CAST(sum(n_chars) AS BIGINT) AS _s, " +
+        "CAST(sum(n_chars * n_chars) AS BIGINT) AS _s2 " +
+        "FROM documents GROUP BY lang) " +
+        "WHERE _n > 1 AND _s2 * _n > _s * _s) " + // variance > 0, exact
+        "SELECT doc_id, lang, n_chars, z FROM (" +
+        "SELECT d.doc_id, d.lang, d.n_chars, " +
+        "(CAST(d.n_chars AS DOUBLE) - " +
+        "CAST(st._s AS DOUBLE) / CAST(st._n AS DOUBLE)) / " +
+        "sqrt((CAST(st._s2 AS DOUBLE) - " +
+        "CAST(st._s AS DOUBLE) * CAST(st._s AS DOUBLE) / " +
+        "CAST(st._n AS DOUBLE)) / CAST(st._n - 1 AS DOUBLE)) AS z " +
+        "FROM documents d JOIN st USING (lang)) WHERE abs(z) > 1.5"),
+    "q_ntile_gate" ->
+      ("SELECT doc_id, lang, n_chars FROM (" +
+        "SELECT doc_id, lang, n_chars, ntile(4) OVER (" +
+        "PARTITION BY lang ORDER BY n_chars, doc_id) AS tile " +
+        "FROM documents) WHERE tile = 4"),
+    "q_group_topk" ->
+      ("SELECT lang, rk, doc_id, n_chars FROM (" +
+        "SELECT lang, doc_id, n_chars, row_number() OVER (" +
+        "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 3"),
     "q_capwords" ->
       ("SELECT p_partkey, array_to_string(list_transform(" +
         "string_split(p_name, ' '), x -> upper(x[1:1]) || lower(x[2:])), ' ')" +

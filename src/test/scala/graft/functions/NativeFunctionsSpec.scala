@@ -112,4 +112,26 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(df(0).getDouble(0) == 11.0 && df(0).getDouble(1) == 11.0)
     assert(df(1).isNullAt(0) && df(1).isNullAt(1))
   }
+
+  test("nfc_normalize composes decomposed sequences and is idempotent") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    // "e"+COMBINING ACUTE, "A"+COMBINING RING, precomposed pair, ASCII
+    val rows = Seq("e\u0301", "A\u030A", "\u00E9\u00C5", "plain")
+      .toDF("s")
+      .select(graft.functions.GraftFunctions.nfcNormalize(col("s")).as("n"),
+        length(col("s")).as("lr"), expr("nfc_normalize(s)").as("sqlN"))
+      .collect()
+    assert(rows(0).getString(0) == "\u00E9" && rows(0).getInt(1) == 2)
+    assert(rows(1).getString(0) == "\u00C5")
+    assert(rows(2).getString(0) == "\u00E9\u00C5") // already NFC: unchanged
+    assert(rows(3).getString(0) == "plain")
+    rows.foreach(r => assert(r.getString(0) == r.getString(2))) // SQL path
+    // idempotence: NFC(NFC(x)) == NFC(x)
+    val twice = Seq("e\u0301A\u030A").toDF("s").select(
+      graft.functions.GraftFunctions.nfcNormalize(
+        graft.functions.GraftFunctions.nfcNormalize(col("s"))).as("n"))
+      .head().getString(0)
+    assert(twice == "\u00E9\u00C5")
+  }
 }

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{BloomAgg, BloomAlgos}
+
+class BloomJoinSpec extends SparkSpec {
+
+  test("bloom bit math: inserted keys always probe true (no false negatives)") {
+    val words = new Array[Long](1 << 10) // 2^16 bits
+    val keys = (0L until 1000L).map(_ * 7919L + 13L)
+    keys.foreach(k => BloomAlgos.set(words, k, 1 << 16, 5))
+    assert(keys.forall(k => BloomAlgos.contains(k, words, 1 << 16, 5)))
+  }
+
+  test("bloom false-positive rate stays near the textbook estimate") {
+    val bits = 1 << 16
+    val words = new Array[Long](bits / 64)
+    (0L until 1000L).foreach(k => BloomAlgos.set(words, k, bits, 5))
+    // 1k keys in 64k bits, k=5 → (1-e^(-5000/65536))^5 ≈ 2.4e-6; allow
+    // three orders of slack — the point is "prunes almost everything"
+    val fp = (1000L until 101000L)
+      .count(k => BloomAlgos.contains(k, words, bits, 5))
+    assert(fp < 100, s"false positives: $fp / 100000")
+  }
+
+  test("BloomAgg bitmap equals a driver-side build (merge is a pure OR)") {
+    import spark.implicits._
+    val keys = (0L until 500L).map(_ * 31L + 7L)
+    val agg = keys.toDF("k").repartition(4)
+      .select(BloomAgg.bloomAgg(col("k"), 1 << 12, 4).as("w"))
+      .head().getSeq[Long](0).toArray
+    val local = new Array[Long]((1 << 12) / 64)
+    keys.foreach(k => BloomAlgos.set(local, k, 1 << 12, 4))
+    assert(agg.sameElements(local))
+  }
+
+  test("bloom-pruned semi join equals the plain semi join") {
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val supplier = spark.read.parquet(s"$sf/supplier.parquet")
+      .filter(col("s_nationkey") < 5)
+    val bloomed = BloomJoin.semiJoin(
+        lineitem, col("l_suppkey"), supplier, col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+    val plain = lineitem.join(supplier,
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+    assert(bloomed.count() > 0)
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+  }
+}

@@ -27,4 +27,28 @@ class StageSpec extends SparkSpec {
     assert(scoped.size == 0)
     assert(v == 3) // recomputed after eviction
   }
+
+  test("SessionScoped serializes racing computes: one winner, no discard") {
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
+    val scoped = new SessionScoped[java.lang.Integer]
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    val start = new CyclicBarrier(8)
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map(_ => pool.submit(new Callable[Integer] {
+        override def call(): Integer = {
+          start.await(5, TimeUnit.SECONDS) // all 8 enter simultaneously
+          scoped.getOrCompute(spark, "race") {
+            Thread.sleep(100) // widen the window a lost race would need
+            Integer.valueOf(calls.incrementAndGet())
+          }
+        }
+      }))
+      // the per-key holder runs compute exactly once; before this fix,
+      // racers double-staged and the loser's discard could unpersist the
+      // winner's shared cache entry
+      assert(futures.map(_.get(30, TimeUnit.SECONDS)).toSet == Set(1))
+      assert(calls.get() == 1)
+    } finally pool.shutdown()
+  }
 }

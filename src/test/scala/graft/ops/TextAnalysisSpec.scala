@@ -82,4 +82,17 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got(text) == want, s"<$text> → ${got(text)}, want $want")
     }
   }
+
+  test("zscoreOutliers flags the statistical outlier, exact-integer stats") {
+    import spark.implicits._
+    // group a: 10,10,10,10,100 -> mean 28, sd ~40.25: only 100 passes 1.5
+    // group b: all equal -> sd 0, z = x/0 -> NaN, abs(NaN)>t is false
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 10L),
+      (5L, "a", 100L), (6L, "b", 7L), (7L, "b", 7L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = TextAnalysis.zscoreOutliers(docs, threshold = 1.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(5L))
+  }
 }
