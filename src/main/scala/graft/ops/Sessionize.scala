@@ -39,6 +39,20 @@ object Sessionize {
         col("event_type"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Sliding (hopping) window histogram: each event lands in
+    * duration/slide overlapping windows aligned to the epoch slide grid —
+    * the batch dual of Structured Streaming's
+    * `window(ts, "1 hour", "30 minutes")`. Spark expands the windows at
+    * the expression level (a duration/slide-way explode) and then it is
+    * ONE partial-aggregating shuffle on (window, type) — no self-join.
+    * Window starts are exact integer micro arithmetic, so the assignment
+    * replays verbatim in any engine. */
+  def hoppingHistogram(events: DataFrame, duration: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), duration, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+
   /** Gap sessions WITH boundaries: (user_id, session_id, session_start,
     * session_end, session_n_events). session_id is the running count of
     * session starts per user — stable under the (ts, event_id) total

@@ -178,7 +178,12 @@ object TextOps {
       .select(col("lang"), (col("_i") + 1).cast("long").as("rk"),
         col("e.id").as("doc_id"), col("e.score").cast("long").as("n_chars"))
 
+  /** Sliding 1h/30m window histogram (each event in exactly 2 windows). */
+  def hopping(s: SparkSession, dir: String): DataFrame =
+    Sessionize.hoppingHistogram(Tables(s, dir).events)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hopping" -> hopping,
     "q_nfc_norm" -> nfcNorm,
     "q_zscore" -> zscore,
     "q_ntile_gate" -> ntileGate,
@@ -213,6 +218,14 @@ object TextOps {
       | ELSE NULL END""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    // with duration = 2×slide every event is valid in BOTH grid-aligned
+    // windows (k = 0, 1), so assignment is pure integer micro arithmetic
+    "q_hopping" ->
+      ("SELECT ws, event_type, count(*) AS cnt FROM (" +
+        "SELECT make_timestamp((epoch_us(ts) // 1800000000 - k) " +
+        "* 1800000000) AS ws, event_type " +
+        "FROM events, (SELECT unnest([0, 1]) AS k)) " +
+        "GROUP BY ws, event_type"),
     // chr(769)/chr(778) are the combining marks; utf8proc NFC and JDK
     // Normalizer both implement the standard canonical composition
     "q_nfc_norm" ->

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Layout-aware parquet storage: hive-style partitioned directories and
+  * bucketed tables.
+  *
+  * These are the two storage-side levers that decide whether a 100 TB
+  * query reads 100 TB or 100 GB:
+  *
+  *  - **Partitioning** (directory per key value) lets Catalyst prune whole
+  *    directories at PLANNING time — a filter on the partition column
+  *    never touches excluded files (`PartitionFilters` in the scan node),
+  *    so a day/type-scoped query on a year of data reads only its slice.
+  *    Use for low-cardinality, always-filtered columns.
+  *  - **Bucketing** (fixed hash-bucket files per table) pre-shuffles the
+  *    data ONCE at write time: two tables bucketed on the same key with
+  *    the same bucket count join with NO exchange on either side — the
+  *    repeated per-query shuffle of the fact table, usually the dominant
+  *    cost of a large join, disappears. Use for the high-cardinality keys
+  *    that joins/aggregations repeatedly shuffle on.
+  *
+  * Both are plain open formats (parquet + hive layout) — any engine,
+  * including the DuckDB oracle, can read the same files back.
+  */
+object PartitionedStore {
+
+  /** Write `df` as hive-partitioned parquet (one directory per value of
+    * `partitionCols`, in order). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Write `df` as a bucketed (and in-bucket sorted) managed table. Spark
+    * records bucketing in the catalog, so later equi-joins/aggregations on
+    * `bucketCol` across tables with the SAME bucket count skip their
+    * exchanges (and with the sort, their sorts). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -37,6 +37,18 @@ object EventStream {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("hour"), col("event_type"), col("cnt"))
 
+  /** Sliding (hopping) event-time window counts — the streaming form of
+    * Sessionize.hoppingHistogram. Watermark bounds state to the windows
+    * still open within the lateness horizon; each event updates
+    * duration/slide window states, all in the one stateful aggregation. */
+  def hoppingCounts(events: DataFrame, duration: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+
   case class SessionEvent(user_id: Long, ts_ms: Long)
   case class SessionState(lastTsMs: Long, nSessions: Long, nEvents: Long)
   case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)

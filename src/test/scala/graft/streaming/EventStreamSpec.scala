@@ -32,6 +32,20 @@ class EventStreamSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming sliding-window counts equal the batch hopping histogram") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val got = EventStream.runToMemory(
+      EventStream.hoppingCounts(stream), "hopping_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update,
+      lastPerKey = Seq("ws", "event_type"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Sessionize.hoppingHistogram(Tables(spark, sf).events)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == batch)
+  }
+
   test("watermarked streaming dedup equals batch distinct") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToMemory(
