@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -208,6 +209,36 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum(col("freq")).cast("long").as("sum_freq"))
       .withColumn("mean_freq", expr("sum_freq div n_tokens"))
+  }
+
+  /** Per-document keyword extraction by tf-idf rank. The score is the
+    * integer `tf · 10⁶ ÷ df` — document frequency `df` is how many docs
+    * contain the token. The corpus size N that textbook idf multiplies in
+    * is constant across one corpus, so it cannot change any per-document
+    * ranking; dropping it keeps the score integral (no log, no float
+    * drift) and saves the driver-side count.
+    *
+    * Shape: one (doc, token) aggregation, one token-level df aggregation
+    * (a |vocab|-row frame joined back on the token key), one per-doc rank
+    * window over ≤ |distinct tokens in doc| rows. At 100 TB the df frame
+    * is the only broadcast-or-shuffle decision — vocabulary row counts are
+    * millions, not billions, so it stays cheap relative to the corpus. */
+  def keywords(docs: DataFrame, k: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df")) // tf rows are distinct (doc, token)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), col("token"))
+    tf.join(df, "token")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("token"), col("score"))
   }
 
   /** Per-group z-score outliers over an integral measure — the "drop the

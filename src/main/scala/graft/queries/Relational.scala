@@ -279,7 +279,24 @@ object Relational {
         sum(col("l_orderkey")).cast("long").as("sum_ok"))
   }
 
+  /** Explicit GROUPING SETS — only the two single-dimension marginals, no
+    * cross cells and no grand total (the sets rollup/cube can't express).
+    * Still ONE pass / one shuffle via grouping-set expansion. */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer
+      .join(broadcast(t.nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("c_mktsegment"))),
+        col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_custkey")).cast("long").as("sum_key"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_grouping_sets" -> groupingSetsAgg,
     "q_cube" -> cubeAgg,
     "q_bloom_join" -> bloomJoin,
     "q_count_star" -> countStar,
@@ -306,6 +323,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      ("SELECT r_name, c_mktsegment, count(*) AS n_cust, " +
+        "CAST(sum(c_custkey) AS BIGINT) AS sum_key " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY GROUPING SETS ((r_name), (c_mktsegment))"),
     "q_cube" ->
       ("SELECT r_name, c_mktsegment, count(*) AS n_cust, " +
         "CAST(sum(c_custkey) AS BIGINT) AS sum_key " +

@@ -182,7 +182,12 @@ object TextOps {
   def hopping(s: SparkSession, dir: String): DataFrame =
     Sessionize.hoppingHistogram(Tables(s, dir).events)
 
+  /** Per-document tf-idf keyword extraction (top-2 tokens). */
+  def keywordsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.keywords(Tables(s, dir).documents)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_keywords" -> keywordsQ,
     "q_hopping" -> hopping,
     "q_nfc_norm" -> nfcNorm,
     "q_zscore" -> zscore,
@@ -218,6 +223,21 @@ object TextOps {
       | ELSE NULL END""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    // integer tf·10⁶÷df score (the constant corpus-size factor of idf
+    // can't change per-doc rankings, so it is dropped — see
+    // TextAnalysis.keywords); ties broken by token
+    "q_keywords" ->
+      ("WITH tf AS (SELECT doc_id, token, " +
+        "CAST(count(*) AS BIGINT) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents) GROUP BY doc_id, token), " +
+        "dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df " +
+        "FROM tf GROUP BY token) " +
+        "SELECT doc_id, rk, token, score FROM (" +
+        "SELECT tf.doc_id, tf.token, tf.tf * 1000000 // dfq.df AS score, " +
+        "row_number() OVER (PARTITION BY tf.doc_id " +
+        "ORDER BY tf.tf * 1000000 // dfq.df DESC, tf.token) AS rk " +
+        "FROM tf JOIN dfq USING (token)) WHERE rk <= 2"),
     // with duration = 2×slide every event is valid in BOTH grid-aligned
     // windows (k = 0, 1), so assignment is pure integer micro arithmetic
     "q_hopping" ->

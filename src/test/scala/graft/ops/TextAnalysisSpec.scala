@@ -95,4 +95,17 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(5L))
   }
+
+  test("keywords: tf-idf rank prefers rare tokens, ties break by token") {
+    import spark.implicits._
+    // df: a=2 docs, b=1, c=1. doc1: b tf2 -> 2e6, a -> 5e5; doc2: c -> 1e6
+    val docs = Seq((1L, "a b b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(got((1L, 1L)) == ("b", 2000000L))
+    assert(got((1L, 2L)) == ("a", 500000L))
+    assert(got((2L, 1L)) == ("c", 1000000L))
+    assert(got((2L, 2L)) == ("a", 500000L))
+  }
 }
