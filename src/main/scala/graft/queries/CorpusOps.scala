@@ -52,7 +52,12 @@ object CorpusOps {
   def freqScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.freqScore(Tables(s, dir).documents)
 
+  /** The composed gate→dedup→split curation pipeline (ops.Curation). */
+  def curation(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.curate(Tables(s, dir).documents)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation" -> curation,
     "q_stratified_sample" -> stratifiedSample,
     "q_source_quota" -> sourceQuota,
     "q_hll_distinct" -> hllDistinct,
@@ -62,6 +67,20 @@ object CorpusOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // every stage restated: BETWEEN gate, sha256 window-min dedup,
+    // polynomial-hash split, rollup — one recipe, two engines
+    "q_curation" ->
+      ("WITH gated AS (SELECT doc_id, lang, sha256(lower(text)) AS dig " +
+        "FROM documents WHERE n_chars BETWEEN 100 AND 400), " +
+        "kept AS (SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+        "min(doc_id) OVER (PARTITION BY dig) AS keep FROM gated) " +
+        "WHERE doc_id = keep) " +
+        "SELECT split, lang, count(*) AS n_docs, " +
+        "CAST(sum(doc_id) AS BIGINT) AS sum_id FROM (" +
+        "SELECT lang, doc_id, CASE WHEN b < 80 THEN 'train' " +
+        "WHEN b < 90 THEN 'valid' ELSE 'test' END AS split FROM (" +
+        s"SELECT lang, doc_id, ${pHash("doc_id")} % 100 AS b " +
+        "FROM kept)) GROUP BY split, lang"),
     "q_stratified_sample" ->
       (s"SELECT doc_id, lang FROM documents WHERE ${pHash("doc_id")} " +
         "% 100 < CASE WHEN lang = 'en' THEN 40 ELSE 80 END"),

@@ -98,4 +98,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L) == ((1L, 3L, 12L, 4L)))
     assert(out(2L) == ((2L, 2L, 5L, 2L)))
   }
+
+  test("curation: gate drops short docs, dedup is case-insensitive, totals hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Same Text", "en", 200L),   // kept, dedup winner
+      (2L, "sAME tEXT", "en", 200L),   // dropped: same lowercased digest
+      (3L, "short", "de", 50L),        // dropped by the length gate
+      (4L, "unique body", "fr", 399L)) // kept
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = Curation.curate(docs).collect()
+    assert(out.map(_.getLong(2)).sum == 2L)          // n_docs total
+    assert(out.map(_.getLong(3)).sum == 1L + 4L)     // sum_id total
+    assert(out.map(_.getString(1)).toSet == Set("en", "fr"))
+  }
 }
