@@ -75,6 +75,31 @@ object Sessionize {
         count(lit(1)).as("session_n_events"))
   }
 
+  /** Funnel analysis: how far each user progresses through an ORDERED step
+    * sequence (default view → click → purchase), advancing one stage at a
+    * time on the first qualifying event. One shuffle groups each user's
+    * timeline; the scan is a fold over the time-sorted event array with
+    * codegen'd higher-order functions — no UDF, no per-step self-join
+    * (the k-way join formulation shuffles the events table k times; this
+    * shuffles it once). The (ts, event_id, type) struct sort is a total
+    * order, so stage assignment is deterministic under ties. */
+  def funnelStages(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val enc = steps.zipWithIndex
+      .map { case (s, i) => s"WHEN '$s' THEN ${i + 1}" }.mkString(" ")
+    events
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("seq"))
+      .withColumn("stage", expr(
+        s"aggregate(transform(seq, e -> CASE e.event_type $enc ELSE 0 END)" +
+          ", 0, (acc, t) -> CASE WHEN t = acc + 1 THEN acc + 1 ELSE acc END)")
+        .cast("long"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("user_id")).cast("long").as("sum_uid"))
+  }
+
   /** Interval-containment attribution: each point row lands in the session
     * interval that contains it — an equi-join on the user key with the
     * range predicate as join residual (sort-merge on user_id; the interval

@@ -186,7 +186,16 @@ object TextOps {
   def keywordsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.keywords(Tables(s, dir).documents)
 
+  /** Funnel-stage distribution over a deterministic 1-in-11 event sample
+    * (the full stream is dense enough that EVERY user completes the
+    * funnel — one output row proves nothing; the thinned stream spreads
+    * users across all four stages at sf0.01). */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    Sessionize.funnelStages(
+      Tables(s, dir).events.filter(col("event_id") % 11 === 0))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> funnel,
     "q_keywords" -> keywordsQ,
     "q_hopping" -> hopping,
     "q_nfc_norm" -> nfcNorm,
@@ -223,6 +232,20 @@ object TextOps {
       | ELSE NULL END""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    // the same time-sorted fold: encode steps 1..3, advance acc only on
+    // exactly acc+1; DuckDB's list_reduce takes its init from the first
+    // element, hence the prepended 0 (same trick as the polyhash oracles)
+    "q_funnel" ->
+      ("SELECT stage, count(*) AS n_users, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_uid FROM (" +
+        "SELECT user_id, list_reduce(list_prepend(0, list_transform(" +
+        "list_sort(list({'ts': ts, 'event_id': event_id, " +
+        "'event_type': event_type})), " +
+        "e -> CASE e.event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 " +
+        "WHEN 'purchase' THEN 3 ELSE 0 END)), " +
+        "(acc, t) -> CASE WHEN t = acc + 1 THEN acc + 1 ELSE acc END) " +
+        "AS stage FROM events WHERE event_id % 11 = 0 " +
+        "GROUP BY user_id) GROUP BY stage"),
     // integer tf·10⁶÷df score (the constant corpus-size factor of idf
     // can't change per-doc rankings, so it is dropped — see
     // TextAnalysis.keywords); ties broken by token

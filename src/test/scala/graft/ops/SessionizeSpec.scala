@@ -52,4 +52,24 @@ class SessionizeSpec extends SparkSpec {
       4L -> ((1L, 4L)),
       5L -> ((1L, 5L))))
   }
+
+  test("funnelStages: in-order progress only, one advance per stage") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, t(1), 101L, "view"), (1L, t(2), 102L, "click"),
+      (1L, t(3), 103L, "purchase"),
+      // user 2: click BEFORE view never counts; view alone -> stage 1
+      (2L, t(1), 201L, "click"), (2L, t(2), 202L, "view"),
+      // user 3: purchase without click can't skip -> stage 1
+      (3L, t(1), 301L, "view"), (3L, t(2), 302L, "purchase"),
+      // user 4: nothing relevant -> stage 0
+      (4L, t(1), 401L, "error"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.funnelStages(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(3L -> (1L, 1L), 1L -> (2L, 2L + 3L), 0L -> (1L, 4L)))
+  }
 }
