@@ -65,6 +65,37 @@ object Sketches {
     exact.crossJoin(est) // two single-row frames
   }
 
+  /** Per-group [[hllDistinct]]: one register file per group key. The
+    * shuffle carries ≤ 64 register rows per (map task, group) — the
+    * grouped-sketch shape that answers "distinct users per segment" over
+    * any number of segments in one pass, without a per-group
+    * count-distinct expansion. Estimator arithmetic is identical to the
+    * global variant (int64-exact, engine-portable). */
+  def hllDistinctBy(df: DataFrame, keyCol: String,
+      groupCol: String): DataFrame = {
+    val h = pmod(
+      polyHash(col(keyCol).cast("string")) * 1103515245L + 12345L,
+      lit(2147483647L))
+    val bucket = pmod(h, lit(HllM.toLong))
+    val rest = shiftright(h, 6)
+    val rho = when(rest === 0, lit(26L))
+      .otherwise(lit(26L) - length(bin(rest.cast("long"))).cast("long"))
+    val est = df
+      .select(col(groupCol).as("_g"), bucket.as("b"), rho.as("rho"))
+      .groupBy(col("_g"), col("b")).agg(max(col("rho")).as("r"))
+      .groupBy(col("_g"))
+      .agg(sum(expr("shiftleft(1L, cast(26 - r as int))")).as("s_present"),
+        count(lit(1)).as("n_regs"))
+      .select(col("_g"), expr(
+        s"(709L * $HllM * $HllM * shiftleft(1L, 26)) div " +
+          s"(s_present + ($HllM - n_regs) * shiftleft(1L, 26))")
+        .as("hll_est_x1000"))
+    df.groupBy(col(groupCol))
+      .agg(countDistinct(col(keyCol)).as("n_exact"))
+      .join(est, col(groupCol) === col("_g"))
+      .select(col(groupCol), col("n_exact"), col("hll_est_x1000"))
+  }
+
   /** Approximate quantiles from an integer histogram: bin = value div
     * `binWidth`, quantile q answers with the first bin whose cumulative
     * share reaches q%. The histogram aggregation is the only data-scale

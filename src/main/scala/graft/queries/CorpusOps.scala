@@ -56,7 +56,13 @@ object CorpusOps {
   def curation(s: SparkSession, dir: String): DataFrame =
     graft.ops.Curation.curate(Tables(s, dir).documents)
 
+  /** Distinct users per event type via per-group 64-register HLLs. */
+  def hllBySegment(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllDistinctBy(Tables(s, dir).events,
+      keyCol = "user_id", groupCol = "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_by_segment" -> hllBySegment,
     "q_curation" -> curation,
     "q_stratified_sample" -> stratifiedSample,
     "q_source_quota" -> sourceQuota,
@@ -91,6 +97,23 @@ object CorpusOps {
     // the identical register construction: bucket = h mod 64, ρ from the
     // binary length of the remaining 25 bits, harmonic sum as an exact
     // 2²⁶-scaled integer — estimator drift is impossible by construction
+    "q_hll_by_segment" ->
+      (s"WITH h AS (SELECT event_type, (${pHash("user_id")} " +
+        "* 1103515245 + 12345) % 2147483647 AS h FROM events), " +
+        "r AS (SELECT event_type, h % 64 AS b, " +
+        "CASE WHEN h // 64 = 0 THEN 26 " +
+        "ELSE 26 - length(bin(h // 64)) END AS rho FROM h), " +
+        "regs AS (SELECT event_type, b, max(rho) AS r FROM r " +
+        "GROUP BY event_type, b), " +
+        "agg AS (SELECT event_type, " +
+        "CAST(sum(1::BIGINT << CAST(26 - r AS INTEGER)) AS BIGINT) " +
+        "AS s_present, count(*) AS n_regs FROM regs GROUP BY event_type), " +
+        "ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT ex.event_type, n_exact, " +
+        "CAST((709 * 64 * 64 * (1::BIGINT << 26)) // " +
+        "(s_present + (64 - n_regs) * (1::BIGINT << 26)) AS BIGINT) " +
+        "AS hll_est_x1000 FROM ex JOIN agg USING (event_type)"),
     "q_hll_distinct" ->
       (s"WITH h AS (SELECT (${pHash("o_custkey")} * 1103515245 + 12345) " +
         "% 2147483647 AS h FROM orders), " +
