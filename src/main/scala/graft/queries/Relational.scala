@@ -295,7 +295,24 @@ object Relational {
         sum(col("c_custkey")).cast("long").as("sum_key"))
   }
 
+  /** FULL OUTER join of two asymmetric key sets (high-quantity part keys
+    * vs every-third part key): unmatched rows survive from BOTH sides,
+    * NULL-padded. Completes the join-shape inventory next to inner /
+    * left / semi / anti / as-of / salted / bloom-pruned / bucketed. */
+  def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val sold = t.lineitem.filter(col("l_quantity") > 45)
+      .select(col("l_partkey")).distinct()
+    val tracked = t.part.filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey"))
+    sold.join(tracked, col("l_partkey") === col("p_partkey"), "full_outer")
+      .select(coalesce(col("l_partkey"), col("p_partkey")).as("partkey"),
+        col("l_partkey").isNotNull.as("hot_seller"),
+        col("p_partkey").isNotNull.as("tracked"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_full_outer" -> fullOuterJoin,
     "q_grouping_sets" -> groupingSetsAgg,
     "q_cube" -> cubeAgg,
     "q_bloom_join" -> bloomJoin,
@@ -323,6 +340,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_full_outer" ->
+      ("SELECT coalesce(l_partkey, p_partkey) AS partkey, " +
+        "l_partkey IS NOT NULL AS hot_seller, " +
+        "p_partkey IS NOT NULL AS tracked FROM " +
+        "(SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45) a " +
+        "FULL OUTER JOIN " +
+        "(SELECT p_partkey FROM part WHERE p_partkey % 3 = 0) b " +
+        "ON l_partkey = p_partkey"),
     "q_grouping_sets" ->
       ("SELECT r_name, c_mktsegment, count(*) AS n_cust, " +
         "CAST(sum(c_custkey) AS BIGINT) AS sum_key " +
