@@ -404,4 +404,44 @@ object Dedup {
             when(col("rn") === 1, struct(col("pos"), col("seg"))))),
           s => s.getField("seg"))).as("dedup_text"))
   }
+
+  /** Corpus-level boilerplate removal — the document-frequency complement
+    * of [[segmentDedup]] (the C4/CCNet "remove lines repeated across many
+    * pages" rule, an extension op beyond the reference's surface): cut each
+    * document into `segTokens`-token segments, count the DISTINCT
+    * documents each segment appears in, and drop EVERY occurrence of
+    * segments whose document frequency reaches `maxDf` — unlike
+    * first-occurrence dedup, a boilerplate segment vanishes from all
+    * documents, including the first one that carried it.
+    *
+    * Returns (doc_id, n_segs, n_dropped, clean_text) for every input doc.
+    *
+    * Scale shape: one bounded explode (×⌈tokens/segTokens⌉), a
+    * distinct-projection + partial-aggregated groupBy on the segment value
+    * for the df table (shuffle rows = distinct (seg, doc) pairs), one
+    * shuffle join exploded⋈df on the segment key, one groupBy doc_id to
+    * reassemble. No window over the raw occurrence stream: the df
+    * relation aggregates before it joins back, so a pathological hot
+    * segment (empty boilerplate on billions of pages) costs one combiner
+    * row per map task, not a skewed window partition. */
+  def boilerplateRemoval(docs: DataFrame, segTokens: Int = 8,
+      maxDf: Int = 3, textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nSegs = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    val segs = transform(sequence(lit(0), nSegs - 1),
+      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
+    val exploded = docs.select(col("doc_id"), posexplode(segs))
+      .toDF("doc_id", "pos", "seg")
+    val dfTable = exploded.select(col("seg"), col("doc_id")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+    exploded.join(dfTable, "seg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("df") >= maxDf, 1L).otherwise(0L)).cast("long")
+          .as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("df") < maxDf, struct(col("pos"), col("seg"))))),
+          s => s.getField("seg"))).as("clean_text"))
+  }
 }

@@ -168,4 +168,31 @@ object Similarity {
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
   }
+
+  /** Per-vector int8 scalar quantization — the 4× storage/bandwidth
+    * compression an ANN index applies before sharding at 100 TB: each
+    * vector maps to codes `floor((v − min) · 255 / (max − min))` ∈
+    * [0, 255] against its own min/max (per-vector scaling, the
+    * variant that needs no trained global statistics). All arithmetic
+    * runs in double with one fixed expression order, so the codes are
+    * bit-reproducible across engines (float→double widening is exact);
+    * `floor` avoids the engines' differing round-half conventions. A
+    * constant vector (max == min) quantizes to all zeros.
+    *
+    * Returns (vec_id, n_dims, codes_csv, checksum) — codes serialized
+    * CSV for portable comparison, checksum = Σ codes. Pure per-row
+    * projection: no shuffle, linear scale-out. */
+  def quantizeInt8(embs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    val codes = transform(v, x =>
+      when(mx === mn, lit(0L))
+        .otherwise(floor((x - mn) * lit(255.0d) / (mx - mn))))
+    embs.select(col(idCol),
+      size(col(vecCol)).cast("long").as("n_dims"),
+      concat_ws(",", codes).as("codes_csv"),
+      aggregate(codes, lit(0L), (acc, x) => acc + x).as("checksum"))
+  }
 }

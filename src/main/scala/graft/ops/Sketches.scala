@@ -134,4 +134,54 @@ object Sketches {
       // null-bin rows to agree on the empty-table edge
       .filter(col("bin").isNotNull)
   }
+
+  /** Count-min sketch dimensions: 4 hash rows × 512 counters. Error bound
+    * e·N/512 per row, min over 4 independent rows — heavy-hitter (≥ ~2%)
+    * resolution with a 2 KB register file. */
+  val CmD = 4
+  val CmW = 512
+
+  /** The CM hash family (aᵣ, bᵣ), the same universal construction the
+    * MinHash signatures use but a different seed — exposed so the DuckDB
+    * oracle renders identical literals. */
+  private[graft] def cmCoeffs: Seq[(Long, Long)] =
+    Dedup.minhashCoeffs(CmD, seed = 11L)
+
+  /** Heavy hitters via a count-min sketch, with the exact count alongside
+    * for audit (the same estimate-plus-exact shape as [[hllDistinct]]).
+    *
+    * Build: each item hashes to one cell per row, hᵣ = ((aᵣ·h + bᵣ) mod P)
+    * mod 512; the counter table is a groupBy over ≤ 4·512 keys, so the
+    * sketch shuffle carries at most 2,048 partially-combined rows per map
+    * task REGARDLESS of input size or key skew — this is the point: exact
+    * per-key counting of a skewed stream shuffles every distinct key,
+    * the sketch shuffles a constant. Probe: each candidate key reads its
+    * 4 cells (broadcast join against the 2,048-row counter table) and
+    * takes the min — an overestimate by at most the collision mass.
+    * Emits keys whose estimate reaches `sharePermille`‰ of the stream;
+    * all arithmetic int64-exact, engine-portable. */
+  def countMinHeavyHitters(items: DataFrame, keyCol: String = "token",
+      sharePermille: Int = 20): DataFrame = {
+    val h0 = polyHash(col(keyCol).cast("string"))
+    val cells = cmCoeffs.zipWithIndex.map { case ((a, b), r) =>
+      struct(lit(r).as("r"),
+        pmod(pmod(h0 * a + b, lit(Dedup.P)), lit(CmW.toLong)).as("cell"))
+    }
+    val counters = items.select(explode(array(cells: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = items.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+    val total = exact.agg(sum(col("n_exact")).cast("long").as("n_total"))
+    exact
+      .select(col(keyCol), col("n_exact"), explode(array(cells: _*)).as("rc"))
+      .select(col(keyCol), col("n_exact"),
+        col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .join(broadcast(counters), Seq("r", "cell"))
+      .groupBy(col(keyCol), col("n_exact"))
+      .agg(min(col("cnt")).cast("long").as("cm_est"))
+      .crossJoin(broadcast(total)) // single-row frame
+      .filter(col("cm_est") * 1000 >= col("n_total") * sharePermille.toLong)
+      .select(col(keyCol), col("n_exact"), col("cm_est"), col("n_total"))
+  }
 }

@@ -276,4 +276,78 @@ object TextAnalysis {
       .filter(abs(col("z")) > lit(threshold))
       .select(col(idCol), col(groupCol), col(valueCol), col("z"))
   }
+
+  /** Overlapping fixed-width character chunking — the context-window
+    * preparation step of an embedding/RAG pipeline: each document yields
+    * substrings of `chunkChars` characters starting every `stride`
+    * characters, so consecutive chunks overlap by `chunkChars − stride`.
+    * The chunk count is the integer closed form
+    * `max(len − chunkChars + stride − 1, 0) div stride + 1` — exactly
+    * enough windows to cover the last character, never an empty trailing
+    * window. Every document (even an empty one) yields chunk 0.
+    *
+    * Pure per-row projection (sequence + posexplode + substring): no
+    * shuffle, output rows ≈ len/stride per doc — linear scale-out, and
+    * the explode is bounded by the document length so no task can
+    * amplify beyond its input share. */
+  def chunkDocs(docs: DataFrame, chunkChars: Int = 96,
+      stride: Int = 64, textCol: String = "text"): DataFrame = {
+    require(stride > 0 && chunkChars >= stride,
+      s"need chunkChars >= stride > 0, got $chunkChars/$stride")
+    val nChunks =
+      expr(s"greatest(length($textCol) - $chunkChars + $stride - 1, 0) " +
+        s"div $stride + 1").cast("int")
+    docs
+      .select(col("doc_id"), col(textCol),
+        posexplode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        expr(s"substring($textCol, pos * $stride + 1, $chunkChars)")
+          .as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
+
+  /** Pointwise-mutual-information collocations over adjacent token pairs
+    * — the phrase-mining statistic (which bigrams co-occur far above
+    * chance). The score is the exact integer ratio
+    * `n_xy · N · 1000 div (n_x · n_y)` (PMI without the log, ×1000): a
+    * monotone transform of PMI, so rankings are identical, and int64-exact
+    * so the cross-engine oracle is float-free. int64 holds while
+    * `n_xy·N·1000 < 2⁶³` — corpus N up to ~4·10⁷ tokens in the worst
+    * (single-bigram) case; a real 100 TB run computes `log` in double at
+    * the end instead, where drift no longer matters because the counts
+    * themselves stay exact.
+    *
+    * Shape: one bigram aggregation (partial combine, shuffle = distinct
+    * bigrams per map task), one unigram aggregation, two joins of the
+    * bigram table against the |vocab|-row unigram table (broadcast — the
+    * distinct-token relation is always the small side), then a
+    * distributed TakeOrdered for the top-k, never a global sort. */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, topK: Int = 25,
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    // sequence(1, 0) would produce a DESCENDING range; guard short docs
+    val bigramArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bigrams = docs.select(explode(bigramArr).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+    val unigrams = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val total = unigrams.agg(sum(col("n")).cast("long").as("n_total"))
+    bigrams
+      .join(broadcast(unigrams.select(col("w").as("w1"),
+        col("n").as("n_x"))), "w1")
+      .join(broadcast(unigrams.select(col("w").as("w2"),
+        col("n").as("n_y"))), "w2")
+      .filter(col("n_xy") >= minCount)
+      .crossJoin(broadcast(total)) // single-row frame
+      .select(col("w1"), col("w2"), col("n_xy").cast("long").as("n_xy"),
+        col("n_x").cast("long").as("n_x"), col("n_y").cast("long").as("n_y"),
+        expr("n_xy * n_total * 1000 div (n_x * n_y)").as("pmi_x1000"))
+      .orderBy(desc("pmi_x1000"), col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -61,7 +61,34 @@ object CorpusOps {
     Sketches.hllDistinctBy(Tables(s, dir).events,
       keyCol = "user_id", groupCol = "event_type")
 
+  /** An 8-token header planted on every document so the df-threshold rule
+    * has a true positive to remove (the synthetic corpus carries no
+    * natural cross-document boilerplate); replayed verbatim in the
+    * oracle. Tokens are outside the corpus vocabulary, so the header
+    * never fuses with document text across the segment boundary. */
+  private[graft] val Header =
+    "hdr0 hdr1 hdr2 hdr3 hdr4 hdr5 hdr6 hdr7"
+
+  /** Boilerplate removal: segments appearing in ≥ 100 distinct docs are
+    * dropped from every document (the planted header plus whatever
+    * short tail segments the small vocabulary repeats naturally). */
+  def boilerplate(s: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateRemoval(
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          concat(lit(Header + " "), col("text")).as("text")),
+      segTokens = 8, maxDf = 100)
+
+  /** Count-min heavy hitters over the corpus token stream (≥ 2% share). */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    Sketches.countMinHeavyHitters(
+      Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("token")),
+      keyCol = "token", sharePermille = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate" -> boilerplate,
+    "q_heavy_hitters" -> heavyHitters,
     "q_hll_by_segment" -> hllBySegment,
     "q_curation" -> curation,
     "q_stratified_sample" -> stratifiedSample,
@@ -72,7 +99,55 @@ object CorpusOps {
     "q_freq_score" -> freqScore,
   )
 
+  /** The identical CM construction rendered from the same (aᵣ, bᵣ)
+    * literals [[Sketches.cmCoeffs]] uses — one hash family, two engines. */
+  private def duckCmSql: String = {
+    val coefs = Sketches.cmCoeffs.zipWithIndex
+    val w = Sketches.CmW
+    val buildCells = coefs.map { case ((a, b), r) =>
+      s"SELECT $r AS r, ((h * $a + $b) % 2147483647) % $w AS cell FROM h"
+    }.mkString(" UNION ALL ")
+    val probeCells = coefs.map { case ((a, b), r) =>
+      s"SELECT token, n_exact, $r AS r, " +
+        s"((h * $a + $b) % 2147483647) % $w AS cell FROM ph"
+    }.mkString(" UNION ALL ")
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token " +
+      "FROM documents), " +
+      s"h AS (SELECT ${pHash("token")} AS h FROM tok), " +
+      s"cells AS ($buildCells), " +
+      "counters AS (SELECT r, cell, count(*) AS cnt FROM cells " +
+      "GROUP BY r, cell), " +
+      "exact AS (SELECT token, count(*) AS n_exact FROM tok " +
+      "GROUP BY token), " +
+      "tot AS (SELECT CAST(sum(n_exact) AS BIGINT) AS n_total FROM exact), " +
+      s"ph AS (SELECT token, n_exact, ${pHash("token")} AS h FROM exact), " +
+      s"probe AS ($probeCells), " +
+      "est AS (SELECT token, n_exact, CAST(min(cnt) AS BIGINT) AS cm_est " +
+      "FROM probe JOIN counters USING (r, cell) GROUP BY token, n_exact) " +
+      "SELECT token, n_exact, cm_est, n_total FROM est, tot " +
+      "WHERE cm_est * 1000 >= n_total * 20"
+  }
+
   val oracle: Map[String, String] = Map(
+    // same segmentation as q_seg_dedup, but the keep rule is the
+    // document-frequency threshold, counted over distinct docs per segment
+    "q_boilerplate" ->
+      (s"WITH t AS (SELECT doc_id, string_split('$Header ' || text, ' ') " +
+        "AS l FROM documents), " +
+        "seg AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(0, (len(l)+7)//8), " +
+        "i -> {'pos': i, 'seg': array_to_string(" +
+        "l[(i*8+1):(i*8+8)], ' ')})) AS u FROM t)), " +
+        "dfq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg " +
+        "GROUP BY seg) " +
+        "SELECT doc_id, count(*) AS n_segs, " +
+        "CAST(sum(CASE WHEN df >= 100 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dropped, " +
+        "coalesce(array_to_string(list_transform(list_sort(" +
+        "list({'pos': pos, 'seg': seg}) FILTER (WHERE df < 100)), " +
+        "x -> x.seg), ' '), '') AS clean_text " +
+        "FROM seg JOIN dfq USING (seg) GROUP BY doc_id"),
+    "q_heavy_hitters" -> duckCmSql,
     // every stage restated: BETWEEN gate, sha256 window-min dedup,
     // polynomial-hash split, rollup — one recipe, two engines
     "q_curation" ->

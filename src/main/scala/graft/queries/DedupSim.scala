@@ -129,7 +129,12 @@ object DedupSim {
     Similarity.nearDupPairs(embsWithMutants(s, dir), minCosine = 0.95,
       bitsPerTable = 12)
 
+  /** Per-vector int8 scalar quantization of the embedding table. */
+  def quantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables(s, dir).embeddings)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantize" -> quantize,
     "q_dedup_docs" -> exactDedup,
     "q_dedup_hash" -> exactDedupHash,
     "q_jaccard_pairs" -> jaccardPairs,
@@ -363,6 +368,21 @@ object DedupSim {
         "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7")
 
   private lazy val oracleVectorPart: Map[String, String] = Map(
+    // per-vector min/max scaling in double (float→double widening exact);
+    // floor sidesteps the engines' round-half conventions, and the fixed
+    // ((x−mn)·255)/(mx−mn) operation order makes every code bit-identical
+    "q_quantize" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings), " +
+        "m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx " +
+        "FROM v), " +
+        "q AS (SELECT vec_id, len(e) AS n_dims, list_transform(e, " +
+        "x -> CASE WHEN mx = mn THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT) END) " +
+        "AS codes FROM m) " +
+        "SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, " +
+        "array_to_string(codes, ',') AS codes_csv, " +
+        "CAST(list_sum(codes) AS BIGINT) AS checksum FROM q"),
     "q_simhash" ->
       (duckSimhashOf("SELECT doc_id, text FROM documents") +
         " SELECT doc_id, sh AS simhash FROM sim"),

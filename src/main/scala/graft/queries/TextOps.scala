@@ -194,7 +194,19 @@ object TextOps {
     Sessionize.funnelStages(
       Tables(s, dir).events.filter(col("event_id") % 11 === 0))
 
+  /** Overlapping 96/64 character chunking (RAG window preparation). */
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocs(Tables(s, dir).documents,
+      chunkChars = 96, stride = 64)
+
+  /** Top-25 PMI bigram collocations (min count 5). */
+  def pmi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiBigrams(Tables(s, dir).documents,
+      minCount = 5, topK = 25)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk" -> chunk,
+    "q_pmi" -> pmi,
     "q_funnel" -> funnel,
     "q_keywords" -> keywordsQ,
     "q_hopping" -> hopping,
@@ -232,6 +244,33 @@ object TextOps {
       | ELSE NULL END""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    // identical closed-form chunk count and 1-based substring windows
+    "q_chunk" ->
+      ("WITH n AS (SELECT doc_id, text, " +
+        "greatest(length(text) - 33, 0) // 64 + 1 AS nc FROM documents), " +
+        "e AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM n) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, " +
+        "substring(text, CAST(i * 64 + 1 AS INTEGER), 96) AS chunk_text, " +
+        "CAST(length(substring(text, CAST(i * 64 + 1 AS INTEGER), 96)) " +
+        "AS BIGINT) AS chunk_len FROM e"),
+    // adjacent-pair counts vs unigram counts; the ×1000 integer PMI ratio
+    // and the (pmi, w1, w2) tie-broken top-25 restated 1:1
+    "q_pmi" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS l FROM documents), " +
+        "bg AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (" +
+        "SELECT unnest(list_transform(range(1, len(l)), " +
+        "i -> {'w1': l[i], 'w2': l[i+1]})) AS u FROM t)), " +
+        "nxy AS (SELECT w1, w2, count(*) AS n_xy FROM bg GROUP BY w1, w2), " +
+        "uni AS (SELECT unnest(l) AS w FROM t), " +
+        "nx AS (SELECT w, count(*) AS n FROM uni GROUP BY w), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM nx) " +
+        "SELECT w1, w2, n_xy, n_x, n_y, " +
+        "n_xy * n_total * 1000 // (n_x * n_y) AS pmi_x1000 FROM (" +
+        "SELECT nxy.w1 AS w1, nxy.w2 AS w2, nxy.n_xy AS n_xy, " +
+        "a.n AS n_x, b.n AS n_y FROM nxy " +
+        "JOIN nx a ON a.w = nxy.w1 JOIN nx b ON b.w = nxy.w2 " +
+        "WHERE nxy.n_xy >= 5), tot " +
+        "ORDER BY pmi_x1000 DESC, w1, w2 LIMIT 25"),
     // the same time-sorted fold: encode steps 1..3, advance acc only on
     // exactly acc+1; DuckDB's list_reduce takes its init from the first
     // element, hence the prepended 0 (same trick as the polyhash oracles)

@@ -112,4 +112,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum == 1L + 4L)     // sum_id total
     assert(out.map(_.getString(1)).toSet == Set("en", "fr"))
   }
+
+  test("count-min: estimate bounds exact, heavy hitter surfaces alone") {
+    import spark.implicits._
+    val items = (Seq.fill(100)("hot") ++ (1 to 50).map(i => s"cold$i"))
+      .toDF("token")
+    // 50% threshold: only the hot key (100 of 150 = 67%) qualifies
+    val hh = Sketches.countMinHeavyHitters(items, sharePermille = 500)
+      .collect()
+    assert(hh.length == 1)
+    val r = hh.head
+    assert(r.getString(0) == "hot" && r.getLong(1) == 100L &&
+      r.getLong(3) == 150L)
+    // CM never underestimates; with 51 keys in 4×512 cells it is exact
+    // unless a rare 4-row total collision occurs — allow the overestimate
+    assert(r.getLong(2) >= 100L)
+    // threshold 0 emits every key; est >= exact must hold for all
+    val all = Sketches.countMinHeavyHitters(items, sharePermille = 0)
+      .collect()
+    assert(all.length == 51)
+    assert(all.forall(x => x.getLong(2) >= x.getLong(1)))
+  }
 }

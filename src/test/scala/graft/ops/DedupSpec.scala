@@ -156,4 +156,31 @@ class DedupSpec extends SparkSpec {
     val bad = pairs.filter(col("hamming") > 6).count()
     assert(bad == 0)
   }
+
+  test("boilerplate removal: df threshold drops shared segments everywhere") {
+    val df = Seq(
+      (1L, "x y a b"),
+      (2L, "x y c d"),
+      (3L, "x y e f"),
+      (4L, "g h i j")).toDF("doc_id", "text")
+    val r = Dedup.boilerplateRemoval(df, segTokens = 2, maxDf = 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3)))
+      .toMap
+    // "x y" appears in 3 distinct docs → dropped from ALL of them,
+    // including the first (unlike segmentDedup's first-occurrence rule)
+    assert(r(1L) == ((2L, 1L, "a b")))
+    assert(r(2L) == ((2L, 1L, "c d")))
+    assert(r(3L) == ((2L, 1L, "e f")))
+    assert(r(4L) == ((2L, 0L, "g h i j")))
+  }
+
+  test("boilerplate removal: df counts distinct docs, not occurrences") {
+    // "x y" repeats within ONE doc → df = 1, below the threshold: kept
+    val df = Seq((1L, "x y x y"), (2L, "p q r s")).toDF("doc_id", "text")
+    val r = Dedup.boilerplateRemoval(df, segTokens = 2, maxDf = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3)))
+      .toMap
+    assert(r(1L) == ((2L, 0L, "x y x y")))
+    assert(r(2L) == ((2L, 0L, "p q r s")))
+  }
 }

@@ -76,4 +76,24 @@ class SimilaritySpec extends SparkSpec {
     // isotropic noise vectors must NOT appear as near-dups of each other
     assert(pairs.forall { case (a, b) => b - a == 1000000L })
   }
+
+  test("int8 quantization: endpoints, constant vectors, code bounds") {
+    val df = Seq(
+      (1L, Seq(0.0f, 1.0f, 0.5f)),
+      (2L, Seq(2.0f, 2.0f, 2.0f)),   // max == min → all zeros
+      (3L, Seq(-1.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2), x.getLong(3)))
+      .toMap
+    assert(r(1L) == ((3L, "0,255,127", 382L)))
+    assert(r(2L) == ((3L, "0,0,0", 0L)))
+    assert(r(3L) == ((3L, "0,127,255", 382L)))
+    // on real vectors: every code in [0, 255], min always present as 0
+    val real = Similarity.quantizeInt8(embs.limit(50))
+      .select(col("codes_csv")).collect().map(_.getString(0))
+    assert(real.forall(_.split(",").map(_.toLong).forall(c =>
+      c >= 0L && c <= 255L)))
+    assert(real.forall(_.split(",").map(_.toLong).min == 0L))
+  }
 }

@@ -108,4 +108,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got((2L, 1L)) == ("c", 1000000L))
     assert(got((2L, 2L)) == ("a", 500000L))
   }
+
+  test("chunking: closed-form count, stride overlap, full coverage") {
+    val df = Seq(
+      (1L, "a" * 200), // (200-96+63) div 64 + 1 = 3 chunks
+      (2L, "b" * 96),  // exactly one window
+      (3L, "c" * 97),  // one char past → 2 chunks, second is 33 chars
+      (4L, "d"))       // shorter than a window → 1 chunk of 1 char
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.chunkDocs(df, chunkChars = 96, stride = 64)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getString(2), x.getLong(3)))
+      .toMap
+    assert(r.keySet.map(_._1).toSeq.sorted == Seq(1L, 2L, 3L, 4L))
+    assert(r.count(_._1._1 == 1L) == 3 && r.count(_._1._1 == 2L) == 1 &&
+      r.count(_._1._1 == 3L) == 2 && r.count(_._1._1 == 4L) == 1)
+    assert(r((1L, 0L))._2 == 96L && r((1L, 1L))._2 == 96L)
+    assert(r((1L, 2L))._2 == 72L)  // 200 - 2·64 = 72 trailing chars
+    assert(r((3L, 1L))._2 == 33L)  // 97 - 64
+    assert(r((4L, 0L)) == (("d", 1L)))
+    // coverage: strides of 64 with 96-wide windows overlap by 32
+    assert(r((1L, 0L))._1.length == 96 && r((1L, 1L))._1 == "a" * 96)
+  }
+
+  test("pmi bigrams: true collocation outranks chance co-occurrence") {
+    // "new york" always adjacent; tokN fillers rotate
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"new york tok${i % 3} tok${(i + 1) % 3}"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.pmiBigrams(docs, minCount = 5, topK = 10).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // n_xy=30, n_x=n_y=30, N=120 → 30·120·1000 / 900 = 4000
+    assert(r(("new", "york")) == ((30L, 30L, 30L, 4000L)))
+    assert(r.values.map(_._4).max == 4000L) // nothing outranks it
+  }
 }
