@@ -133,8 +133,14 @@ object DedupSim {
   def quantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables(s, dir).embeddings)
 
+  /** Quantized-scan ANN: int8 shortlist, exact re-rank. */
+  def knnSq8(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnQuantized(Tables(s, dir).embeddings, nQueries = 10,
+      k = 5, shortlist = 32)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantize" -> quantize,
+    "q_knn_sq8" -> knnSq8,
     "q_dedup_docs" -> exactDedup,
     "q_dedup_hash" -> exactDedupHash,
     "q_jaccard_pairs" -> jaccardPairs,
@@ -383,6 +389,42 @@ object DedupSim {
         "SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, " +
         "array_to_string(codes, ',') AS codes_csv, " +
         "CAST(list_sum(codes) AS BIGINT) AS checksum FROM q"),
+    // the quantized-scan plan replayed stage-for-stage: identical codes
+    // (see q_quantize), the same reconstructed-dot shortlist with the
+    // (approx DESC, neighbor_id) tie-break, exact cosine on the shortlist
+    "q_knn_sq8" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings), " +
+        "m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx " +
+        "FROM v), " +
+        "qz AS (SELECT vec_id, e, mn, (mx - mn) / 255.0 AS delta, " +
+        "list_transform(e, x -> CASE WHEN mx = mn THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT) END) " +
+        "AS codes FROM m), " +
+        "qz2 AS (SELECT vec_id, e, mn, delta, codes, " +
+        "CAST(list_sum(codes) AS BIGINT) AS sq FROM qz), " +
+        "pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "a.e AS eq, b.e AS en, " +
+        "CAST(len(a.codes) AS DOUBLE) * a.mn * b.mn " +
+        "+ a.mn * b.delta * CAST(b.sq AS DOUBLE) " +
+        "+ b.mn * a.delta * CAST(a.sq AS DOUBLE) " +
+        "+ a.delta * b.delta * CAST(list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_zip(a.codes, b.codes), z -> z[1] * z[2])), " +
+        "(acc, x) -> acc + x) AS DOUBLE) AS approx " +
+        "FROM qz2 a JOIN qz2 b ON a.vec_id < 10 " +
+        "AND a.vec_id != b.vec_id), " +
+        "short AS (SELECT query_id, neighbor_id, eq, en FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY approx DESC, neighbor_id) AS srk FROM pairs) " +
+        "WHERE srk <= 32), " +
+        "sims AS (SELECT query_id, neighbor_id, " +
+        duckDot("eq", "en") + " / (sqrt(" + duckDot("eq", "eq") +
+        ") * sqrt(" + duckDot("en", "en") + ")) AS sim FROM short) " +
+        "SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r FROM (" +
+        "SELECT query_id, neighbor_id, sim, CAST(row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) " +
+        "AS rank FROM sims) WHERE rank <= 5"),
     "q_simhash" ->
       (duckSimhashOf("SELECT doc_id, text FROM documents") +
         " SELECT doc_id, sh AS simhash FROM sim"),

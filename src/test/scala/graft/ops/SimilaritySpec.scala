@@ -77,6 +77,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => b - a == 1000000L })
   }
 
+  test("quantized-scan ANN recalls a planted duplicate at rank 1") {
+    val dup = embs.filter(col("vec_id") === 0)
+      .select(lit(5000L).as("vec_id"), col("embedding"))
+    val corpus = embs.select("vec_id", "embedding").union(dup)
+    val got = Similarity.knnQuantized(corpus, nQueries = 1, k = 5)
+      .filter(col("query_id") === 0).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.length == 5)
+    val top = got.find(_._2 == 1).get
+    assert(top._1 == 5000L && math.abs(top._3 - 1.0) < 1e-9,
+      s"expected planted duplicate at rank 1, got $top")
+    // int8 shortlist should agree with brute force on most top-1 picks
+    val brute = Similarity.knnBrute(embs.limit(200), nQueries = 5, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sq8 = Similarity.knnQuantized(embs.limit(200), nQueries = 5, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = brute.keys.count(q => brute(q) == sq8(q))
+    assert(agree >= 4, s"sq8 top-1 agreed with brute on only $agree/5")
+  }
+
   test("int8 quantization: endpoints, constant vectors, code bounds") {
     val df = Seq(
       (1L, Seq(0.0f, 1.0f, 0.5f)),
