@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.polyHash
@@ -160,13 +160,20 @@ object Sketches {
     * takes the min — an overestimate by at most the collision mass.
     * Emits keys whose estimate reaches `sharePermille`‰ of the stream;
     * all arithmetic int64-exact, engine-portable. */
-  def countMinHeavyHitters(items: DataFrame, keyCol: String = "token",
-      sharePermille: Int = 20): DataFrame = {
-    val h0 = polyHash(col(keyCol).cast("string"))
-    val cells = cmCoeffs.zipWithIndex.map { case ((a, b), r) =>
+  /** The d (row, cell) coordinates of one key — shared by the batch
+    * heavy-hitter pass and the streaming sketch maintenance so both sides
+    * address the identical register file. */
+  private[graft] def cmCells(key: Column): Seq[Column] = {
+    val h0 = polyHash(key.cast("string"))
+    cmCoeffs.zipWithIndex.map { case ((a, b), r) =>
       struct(lit(r).as("r"),
         pmod(pmod(h0 * a + b, lit(Dedup.P)), lit(CmW.toLong)).as("cell"))
     }
+  }
+
+  def countMinHeavyHitters(items: DataFrame, keyCol: String = "token",
+      sharePermille: Int = 20): DataFrame = {
+    val cells = cmCells(col(keyCol))
     val counters = items.select(explode(array(cells: _*)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("cnt"))

@@ -103,6 +103,22 @@ object EventStream {
         (col("pos") + 1).cast("int").as("rank"),
         col("t.score").as("value"))
 
+  /** Streaming count-min sketch maintenance — the streaming dual of
+    * ops.Sketches.countMinHeavyHitters' build phase: every event updates
+    * its d register cells, and the sketch (≤ 4×512 counter rows) IS the
+    * aggregation state. Unlike keyed streaming counts, this needs NO
+    * watermark and no eviction: state is bounded by the register file's
+    * size — constant — no matter how many distinct keys or how skewed the
+    * stream. Heavy-hitter probes then run as batch queries over the
+    * maintained counter table (the standard sketch-serving split). */
+  def cmCounters(events: DataFrame, keyCol: String = "event_type"):
+      DataFrame =
+    events
+      .select(explode(array(
+        graft.ops.Sketches.cmCells(col(keyCol)): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Drive a streaming DataFrame to completion against a bounded source
     * and return the in-memory result table (local smoke harness).
     *

@@ -124,4 +124,26 @@ class EventStreamSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == batch)
   }
+
+  test("streaming count-min counters equal the batch sketch registers") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val got = EventStream.runToMemory(
+      EventStream.cmCounters(stream, "event_type"), "cm_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update,
+      lastPerKey = Seq("r", "cell"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the same register file built by the batch op's build phase
+    val events = Tables(spark, sf).events
+    val batch = events
+      .select(explode(array(graft.ops.Sketches.cmCells(
+        col("event_type")): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == batch)
+    // constant-state property: register rows bounded by d×w
+    assert(got.size <= 4 * 512)
+  }
 }
