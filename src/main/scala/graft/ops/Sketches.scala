@@ -117,21 +117,50 @@ object Sketches {
         (acc, x) => acc + x.getField("cnt")).as("n_total"))
     // per quantile: fold (cum, answer) once across the sorted bins
     packed.crossJoin(qs.toDF("q"))
-      .select(col("q").cast("long").as("q"),
-        aggregate(col("bins"),
-          struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
-          (acc, x) => {
-            val cum = acc.getField("cum") + x.getField("cnt")
-            struct(cum.as("cum"),
-              when(acc.getField("ans").isNull &&
-                  cum * 100 >= col("n_total") * col("q"),
-                x.getField("bin"))
-                .otherwise(acc.getField("ans")).as("ans"))
-          }).getField("ans").as("bin"))
+      .select(col("q").cast("long").as("q"), quantileFold.as("bin"))
       .withColumn("value_lo", col("bin") * binWidth)
       // empty input → no bins → NULL fold answer; the SQL restatement's
       // join against an empty histogram returns ZERO rows, so drop the
       // null-bin rows to agree on the empty-table edge
+      .filter(col("bin").isNotNull)
+  }
+
+  /** The (cum, answer) fold over a sorted `bins` array against `n_total`
+    * and `q` columns — shared by the global and per-group variants. */
+  private def quantileFold: Column =
+    aggregate(col("bins"),
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+      (acc, x) => {
+        val cum = acc.getField("cum") + x.getField("cnt")
+        struct(cum.as("cum"),
+          when(acc.getField("ans").isNull &&
+              cum * 100 >= col("n_total") * col("q"),
+            x.getField("bin"))
+            .otherwise(acc.getField("ans")).as("ans"))
+      }).getField("ans")
+
+  /** Per-group [[histogramQuantiles]] — the per-language / per-source
+    * length-profile a corpus audit reports. One grouped histogram
+    * aggregation (≤ #groups × #bins rows through the shuffle, partial
+    * combine), then each group's bin table packs into one sorted array
+    * row and the quantile fold runs per (group, q) — no window over the
+    * raw rows, no per-group sort of data-scale input. */
+  def histogramQuantilesBy(df: DataFrame, groupCol: String,
+      valueCol: String, binWidth: Long, qs: Seq[Int]): DataFrame = {
+    import df.sparkSession.implicits._
+    val hist = df
+      .select(col(groupCol).as("_g"),
+        expr(s"$valueCol div $binWidth").as("bin"))
+      .groupBy(col("_g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val packed = hist.groupBy(col("_g"))
+      .agg(array_sort(collect_list(struct(col("bin"), col("cnt"))))
+        .as("bins"))
+      .select(col("_g"), col("bins"), aggregate(col("bins"), lit(0L),
+        (acc, x) => acc + x.getField("cnt")).as("n_total"))
+    packed.crossJoin(qs.toDF("q"))
+      .select(col("_g").as(groupCol), col("q").cast("long").as("q"),
+        quantileFold.as("bin"))
+      .withColumn("value_lo", col("bin") * binWidth)
       .filter(col("bin").isNotNull)
   }
 

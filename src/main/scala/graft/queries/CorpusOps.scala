@@ -44,6 +44,13 @@ object CorpusOps {
     Sketches.histogramQuantiles(Tables(s, dir).documents,
       valueCol = "n_chars", binWidth = 64L, qs = Seq(50, 90, 99))
 
+  /** The same quantile sketch per language — the per-group length
+    * profile of a corpus audit. */
+  def quantileByLang(s: SparkSession, dir: String): DataFrame =
+    Sketches.histogramQuantilesBy(Tables(s, dir).documents,
+      groupCol = "lang", valueCol = "n_chars", binWidth = 64L,
+      qs = Seq(50, 90, 99))
+
   /** Corpus-wide 8-token segment dedup with document reassembly. */
   def segDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.segmentDedup(Tables(s, dir).documents, segTokens = 8)
@@ -89,6 +96,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> boilerplate,
     "q_heavy_hitters" -> heavyHitters,
+    "q_quantile_by_lang" -> quantileByLang,
     "q_hll_by_segment" -> hllBySegment,
     "q_curation" -> curation,
     "q_stratified_sample" -> stratifiedSample,
@@ -148,6 +156,17 @@ object CorpusOps {
         "x -> x.seg), ' '), '') AS clean_text " +
         "FROM seg JOIN dfq USING (seg) GROUP BY doc_id"),
     "q_heavy_hitters" -> duckCmSql,
+    "q_quantile_by_lang" ->
+      ("WITH hist AS (SELECT lang, n_chars // 64 AS bin, count(*) AS cnt " +
+        "FROM documents GROUP BY 1, 2), " +
+        "c AS (SELECT lang, bin, CAST(sum(cnt) OVER (PARTITION BY lang " +
+        "ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS cum, CAST(sum(cnt) OVER (PARTITION BY lang) " +
+        "AS BIGINT) AS n_total FROM hist) " +
+        "SELECT lang, CAST(q AS BIGINT) AS q, min(bin) AS bin, " +
+        "min(bin) * 64 AS value_lo " +
+        "FROM c, (VALUES (50), (90), (99)) AS qs(q) " +
+        "WHERE cum * 100 >= n_total * q GROUP BY lang, q"),
     // every stage restated: BETWEEN gate, sha256 window-min dedup,
     // polynomial-hash split, rollup — one recipe, two engines
     "q_curation" ->

@@ -113,6 +113,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSet == Set("en", "fr"))
   }
 
+  test("per-group histogram quantiles: independent per group, matches global on one group") {
+    import spark.implicits._
+    // group a: values 0..99 (p50 bin = 5 with width 10); group b: all 7
+    val df = ((0 until 100).map(i => ("a", i.toLong)) ++
+      Seq.fill(10)(("b", 7L))).toDF("g", "v")
+    val got = Sketches.histogramQuantilesBy(df, "g", "v", 10L, Seq(50, 99))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("a", 50L)) == ((4L, 40L))) // cum hits 50 at bin 4 (values 40-49)
+    assert(got(("a", 99L)) == ((9L, 90L)))
+    assert(got(("b", 50L)) == ((0L, 0L)))
+    assert(got(("b", 99L)) == ((0L, 0L)))
+    // a single-group frame reduces to the global sketch
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val global = Sketches.histogramQuantiles(docs, "n_chars", 64L,
+      Seq(50, 90, 99)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val grouped = Sketches.histogramQuantilesBy(
+      docs.withColumn("one", lit("x")), "one", "n_chars", 64L,
+      Seq(50, 90, 99)).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(global == grouped)
+  }
+
   test("count-min: estimate bounds exact, heavy hitter surfaces alone") {
     import spark.implicits._
     val items = (Seq.fill(100)("hot") ++ (1 to 50).map(i => s"cold$i"))
