@@ -405,6 +405,31 @@ object Dedup {
           s => s.getField("seg"))).as("dedup_text"))
   }
 
+  /** Incremental ingestion dedup — how a 100 TB corpus is actually built:
+    * per-increment, a NEW batch is deduped against the accumulated DIGEST
+    * table of the existing corpus (64-char rows, not documents), never by
+    * re-deduping the whole corpus. Keeps batch documents that are (a) the
+    * first occurrence of their content within the batch (lowest doc_id)
+    * and (b) unseen in the corpus digest set.
+    *
+    * Scale shape: one window-min over the batch's digests (shuffle
+    * carries digest+id projections of the new increment only), one anti
+    * join against the digest table on its 8-byte-prefix-sortable key —
+    * in production that table is bucketed by digest so the join is
+    * co-partitioned and the corpus side never reshuffles. */
+  def incrementalDedup(batch: DataFrame, seenDigests: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_dig"))
+    batch
+      .select(col("doc_id"), sha2(lower(col(textCol)), 256).as("_dig"))
+      .withColumn("_keep", min(col("doc_id")).over(win))
+      .filter(col("doc_id") === col("_keep"))
+      .join(seenDigests.select(col("digest").as("_dig")),
+        Seq("_dig"), "left_anti")
+      .select(col("doc_id"), col("_dig").as("digest"))
+  }
+
   /** Corpus-level boilerplate removal — the document-frequency complement
     * of [[segmentDedup]] (the C4/CCNet "remove lines repeated across many
     * pages" rule, an extension op beyond the reference's surface): cut each

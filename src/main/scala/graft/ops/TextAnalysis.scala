@@ -277,6 +277,66 @@ object TextAnalysis {
       .select(col(idCol), col(groupCol), col(valueCol), col("z"))
   }
 
+  /** Bounded inverted-index posting lists: per token, its document
+    * frequency and the `cap` lowest doc ids containing it — the
+    * retrieval-side index a contamination/attribution audit probes.
+    * The native TopKAgg (score = −doc_id) keeps every map task's buffer
+    * at ≤ cap entries BEFORE the shuffle, so capped posting lists build
+    * without ever materializing full postings for stopword-grade tokens
+    * (the classic index-build skew: "the" posts in every document). */
+  def postingLists(docs: DataFrame, cap: Int = 20,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"),
+        graft.functions.TopKAgg
+          .topKBy((-col("doc_id")).cast("double"), col("doc_id"), cap)
+          .as("top"))
+      .select(col("token"), col("df"),
+        concat_ws(",", transform(col("top"), t => t.getField("id")))
+          .as("postings_csv"))
+
+  /** Reason-coded document gate — the composed keep/drop decision a
+    * curation pipeline applies, with WHY preserved as a bitmask (audit
+    * dashboards report drop counts per reason, so the gate must emit
+    * codes, not just a boolean):
+    *
+    *   bit 0 (1)  too short (< 20 tokens)
+    *   bit 1 (2)  too long (> 500 tokens)
+    *   bit 2 (4)  stopword-heavy (4·stop ≥ tokens)
+    *   bit 3 (8)  repetitive (duplicate-bigram share ≥ 20%)
+    *   bit 4 (16) mean token length outside [2, 12] chars
+    *
+    * kept = reasons == 0. Pure per-row integer arithmetic over one token
+    * array — no shuffle, engine-portable, linear scale-out; thresholds
+    * mirror [[qualityScore]]/[[repetitionStats]] so the gate is exactly
+    * their conjunction. */
+  def documentGate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+    val meanLen = floor(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 100L /
+        size(toks)).cast("long")
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val nBig = when(size(toks) < 2, lit(0L))
+      .otherwise((size(toks) - 1).cast("long"))
+    val nDistinctBig = when(size(toks) < 2, lit(0L))
+      .otherwise(size(array_distinct(bigrams)).cast("long"))
+    val reasons =
+      when(nTok < 20, lit(1L)).otherwise(lit(0L)) +
+        when(nTok > 500, lit(2L)).otherwise(lit(0L)) +
+        when(nStop * 4 >= nTok, lit(4L)).otherwise(lit(0L)) +
+        when(nBig > 0 && (nBig - nDistinctBig) * 5 >= nBig, lit(8L))
+          .otherwise(lit(0L)) +
+        when(meanLen < 200 || meanLen > 1200, lit(16L)).otherwise(lit(0L))
+    docs.select(col("doc_id"), reasons.as("reasons"))
+      .withColumn("kept", col("reasons") === 0L)
+  }
+
   /** Overlapping fixed-width character chunking — the context-window
     * preparation step of an embedding/RAG pipeline: each document yields
     * substrings of `chunkChars` characters starting every `stride`

@@ -93,7 +93,31 @@ object CorpusOps {
         .select(explode(split(col("text"), " ")).as("token")),
       keyCol = "token", sharePermille = 20)
 
+  /** A synthetic "new increment" against the corpus-as-seen-set: even-id
+    * docs re-arrive verbatim (dups of the corpus), odd-id docs arrive
+    * freshened; every 7th row also re-arrives WITHIN the batch under a
+    * higher id, exercising the within-batch first-occurrence rule.
+    * Replayed verbatim in the oracle. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val newText = when(col("doc_id") % 2 === 0, col("text"))
+      .otherwise(concat(lit("fresh "), col("text")))
+    val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        newText.as("text"))
+      .union(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          newText.as("text")))
+    val seen = docs.select(sha2(lower(col("text")), 256).as("digest"))
+    Dedup.incrementalDedup(batch, seen)
+  }
+
+  /** Capped posting lists (df + 20 lowest doc ids per token). */
+  def postings(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.postingLists(Tables(s, dir).documents, cap = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_dedup" -> incrementalDedup,
+    "q_postings" -> postings,
     "q_boilerplate" -> boilerplate,
     "q_heavy_hitters" -> heavyHitters,
     "q_quantile_by_lang" -> quantileByLang,
@@ -156,6 +180,28 @@ object CorpusOps {
         "x -> x.seg), ' '), '') AS clean_text " +
         "FROM seg JOIN dfq USING (seg) GROUP BY doc_id"),
     "q_heavy_hitters" -> duckCmSql,
+    // same planted increment, same window-min first-occurrence, same
+    // NOT-IN-digests anti join (sha256 hex parity proven by q_dedup_hash)
+    "q_incremental_dedup" ->
+      ("WITH base AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text " +
+        "ELSE 'fresh ' || text END AS text FROM documents), " +
+        "batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM base " +
+        "UNION ALL SELECT doc_id + 2000000, text FROM base " +
+        "WHERE doc_id % 7 = 0), " +
+        "dig AS (SELECT doc_id, sha256(lower(text)) AS dig FROM batch), " +
+        "firstb AS (SELECT doc_id, dig FROM (SELECT doc_id, dig, " +
+        "min(doc_id) OVER (PARTITION BY dig) AS k FROM dig) " +
+        "WHERE doc_id = k) " +
+        "SELECT doc_id, dig AS digest FROM firstb " +
+        "WHERE dig NOT IN (SELECT sha256(lower(text)) FROM documents)"),
+    "q_postings" ->
+      ("WITH tok AS (SELECT doc_id, unnest(list_distinct(" +
+        "string_split(text, ' '))) AS token FROM documents), " +
+        "p AS (SELECT token, doc_id, row_number() OVER (" +
+        "PARTITION BY token ORDER BY doc_id) AS rk FROM tok) " +
+        "SELECT token, CAST(count(*) AS BIGINT) AS df, " +
+        "array_to_string(list_sort(list(doc_id) FILTER (WHERE rk <= 20)), " +
+        "',') AS postings_csv FROM p GROUP BY token"),
     "q_quantile_by_lang" ->
       ("WITH hist AS (SELECT lang, n_chars // 64 AS bin, count(*) AS cnt " +
         "FROM documents GROUP BY 1, 2), " +

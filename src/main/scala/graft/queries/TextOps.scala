@@ -204,7 +204,12 @@ object TextOps {
     TextAnalysis.pmiBigrams(Tables(s, dir).documents,
       minCount = 5, topK = 25)
 
+  /** Reason-coded composite document gate. */
+  def docGate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.documentGate(Tables(s, dir).documents)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_gate" -> docGate,
     "q_chunk" -> chunk,
     "q_pmi" -> pmi,
     "q_funnel" -> funnel,
@@ -244,6 +249,36 @@ object TextOps {
       | ELSE NULL END""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    // every gate rule restated bit-for-bit (thresholds shared with
+    // q_quality / q_repetition)
+    "q_doc_gate" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS l " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok, " +
+        "CAST(len(list_filter(l, x -> x IN " +
+        "('the', 'a', 'of', 'to', 'in'))) AS BIGINT) AS n_stop, " +
+        "CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) " +
+        "* 100 // len(l) AS mean_len, " +
+        "CASE WHEN len(l) < 2 THEN 0 ELSE CAST(len(l) - 1 AS BIGINT) END " +
+        "AS n_big, " +
+        "CASE WHEN len(l) < 2 THEN 0 ELSE CAST(len(list_distinct(" +
+        "list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) " +
+        "AS BIGINT) END AS n_dbig FROM t) " +
+        "SELECT doc_id, CAST(" +
+        "(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN n_tok > 500 THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN n_stop * 4 >= n_tok THEN 4 ELSE 0 END) + " +
+        "(CASE WHEN n_big > 0 AND (n_big - n_dbig) * 5 >= n_big " +
+        "THEN 8 ELSE 0 END) + " +
+        "(CASE WHEN mean_len < 200 OR mean_len > 1200 THEN 16 ELSE 0 END) " +
+        "AS BIGINT) AS reasons, " +
+        "(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN n_tok > 500 THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN n_stop * 4 >= n_tok THEN 4 ELSE 0 END) + " +
+        "(CASE WHEN n_big > 0 AND (n_big - n_dbig) * 5 >= n_big " +
+        "THEN 8 ELSE 0 END) + " +
+        "(CASE WHEN mean_len < 200 OR mean_len > 1200 THEN 16 ELSE 0 END) " +
+        "= 0 AS kept FROM s"),
     // identical closed-form chunk count and 1-based substring windows
     "q_chunk" ->
       ("WITH n AS (SELECT doc_id, text, " +

@@ -157,6 +157,21 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("incremental dedup: corpus digests and within-batch firsts both drop") {
+    val seen = Seq("old text one", "old text two").toDF("text")
+      .select(sha2(lower(col("text")), 256).as("digest"))
+    val batch = Seq(
+      (10L, "old text one"),   // dup of corpus → dropped
+      (11L, "brand new a"),    // kept
+      (12L, "brand new a"),    // within-batch dup, higher id → dropped
+      (13L, "Brand NEW a"),    // case-insensitive dup → dropped
+      (14L, "brand new b"))    // kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, seen).collect()
+      .map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(11L, 14L))
+  }
+
   test("boilerplate removal: df threshold drops shared segments everywhere") {
     val df = Seq(
       (1L, "x y a b"),

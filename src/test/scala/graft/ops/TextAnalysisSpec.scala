@@ -131,6 +131,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r((1L, 0L))._1.length == 96 && r((1L, 1L))._1 == "a" * 96)
   }
 
+  test("document gate: each reason bit fires on its own trigger") {
+    val ok = (1 to 30).map(i => s"w$i").mkString(" ")  // 30 distinct tokens
+    val df = Seq(
+      (1L, ok),                                      // passes everything
+      (2L, "tiny doc"),                              // bit 0: too short
+      (3L, (1 to 30).map(_ => "the a of to in")
+        .mkString(" ")),                             // bits 2+8: stopwords + repetitive
+      (4L, Seq.fill(20)("abcdefghijklmnopqrstuvwxyz")
+        .mkString(" ")))                             // bit 4: mean len 26 chars
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.documentGate(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(1L) == ((0L, true)))
+    assert((r(2L)._1 & 1L) == 1L && !r(2L)._2)
+    assert((r(3L)._1 & 4L) == 4L && (r(3L)._1 & 8L) == 8L)
+    assert((r(4L)._1 & 16L) == 16L)
+  }
+
+  test("posting lists: df exact, postings capped and ascending") {
+    val df = Seq(
+      (3L, "x y"), (1L, "x y z"), (2L, "x"), (4L, "x x x"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.postingLists(df, cap = 2).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getString(2))).toMap
+    // within-doc repeats count once (array_distinct before explode)
+    assert(r("x") == ((4L, "1,2")))  // df 4, capped at the 2 lowest ids
+    assert(r("y") == ((2L, "1,3")))
+    assert(r("z") == ((1L, "1")))
+  }
+
   test("pmi bigrams: true collocation outranks chance co-occurrence") {
     // "new york" always adjacent; tokN fillers rotate
     val docs = (1 to 30).map(i =>
