@@ -335,10 +335,20 @@ object Dedup {
     * than single-byte blocking (correlated corpora collide heavily on
     * 8-bit chunks). Equality joins only; exact bit_count verification. */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 6,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    hammingNearDupPairs(simhashes(docs, textCol), maxHamming,
+      idCol = "doc_id", sigCol = "simhash")
+
+  /** Generic near-dup pairing over 64-bit signatures `(id, sig)` — the
+    * chunk-pair blocking shared by text SimHash and media perceptual
+    * hashes. Any signature family whose similarity is hamming distance
+    * plugs in here; recall is guaranteed for maxHamming ≤ 6 (pigeonhole
+    * over the C(8,2) = 28 ordered byte-chunk pair keys). */
+  def hammingNearDupPairs(sigs: DataFrame, maxHamming: Int = 6,
+      idCol: String = "doc_id", sigCol: String = "simhash"): DataFrame = {
     require(maxHamming <= 6,
       "chunk-pair blocking guarantees recall only for hamming <= 6")
-    val hs = simhashes(docs, textCol)
+    val hs = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
     def chunk(c: Int): Column =
       shiftright(col("simhash"), c * 8).bitwiseAND(255L)
     val pairCols = for {

@@ -97,6 +97,35 @@ object Multimodal {
     }
   }
 
+  case class MediaSig(media_id: Long, sig: Long)
+
+  /** Perceptual-hash-style 62-bit media signature (the aHash construction
+    * over the stub decode): slot j of the 62-slot weighted byte histogram
+    * sets bit j iff its mass exceeds the mean (hist(j)·62 > Σhist —
+    * integer-exact). 62 bits so the signature stays positive int64 on
+    * every engine (the same reason SimHash uses 62 lanes). A re-encoded /
+    * lightly-edited payload moves a few slots across the threshold →
+    * small hamming distance; pair finding reuses the generic chunk-pair
+    * blocking ([[graft.ops.Dedup.hammingNearDupPairs]]) — the image-dedup
+    * pass of a multimodal corpus, on the same machinery as text. */
+  def mediaSignatures(media: Dataset[Media]): Dataset[MediaSig] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val h = histStub(m.bytes, 62)
+        val total = h.sum
+        var sig = 0L
+        var j = 0
+        while (j < 62) {
+          if (h(j) * 62 > total) sig |= (1L << j)
+          j += 1
+        }
+        MediaSig(m.media_id, sig)
+      }
+    }
+  }
+
   /** Frame sampling for video-kind rows: every `stride`-th fixed-size
     * window of the payload becomes a frame row (offset metadata kept so a
     * real decoder can seek). One row in → few rows out, per partition. */

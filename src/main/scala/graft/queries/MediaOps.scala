@@ -30,9 +30,29 @@ object MediaOps {
       .select(col("media_id"), col("frame_no"), col("offset"),
         length(col("frame_bytes")).as("n_frame_bytes"))
 
+  /** Media near-dup via perceptual-hash signatures: the corpus plus a
+    * lightly-edited copy of every payload (one byte appended — media_id
+    * + 1000000), paired by the generic hamming chunk-pair blocking.
+    * The oracle recomputes signatures byte-for-byte in DuckDB and scans
+    * ALL pairs exhaustively, independently re-proving the blocking's
+    * recall guarantee on binary payloads. */
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit("z")).as("text"))
+    val media = Multimodal.mediaFromDocuments(
+      docs.select(col("doc_id"), col("text")).union(mutated))
+    graft.ops.Dedup.hammingNearDupPairs(
+        Multimodal.mediaSignatures(media).toDF(),
+        maxHamming = 6, idCol = "media_id", sigCol = "sig")
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> features,
     "q_media_frames" -> frames,
+    "q_media_neardup" -> mediaNearDup,
   )
 
   /** Frame offsets/sizes are pure arithmetic on the payload length, and
@@ -72,5 +92,31 @@ object MediaOps {
         "SELECT doc_id AS media_id, octet_length(encode(text)) AS len, " +
         "unnest(range(0, greatest(len - 63, 1), 256)) AS off " +
         "FROM documents WHERE doc_id % 3 = 2)"),
+    // signatures recomputed byte-for-byte (same hex recovery as
+    // q_media_features, 62 slots, integer above-mean threshold), then an
+    // EXHAUSTIVE all-pairs hamming scan — independently proving the
+    // chunk-pair blocking's recall on binary payloads
+    "q_media_neardup" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text || 'z' FROM documents), " +
+        "m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx, " +
+        "CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM d), " +
+        "vals AS (SELECT media_id, i, " +
+        "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) " +
+        "- 1) * 16 + " +
+        "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) " +
+        "- 1) AS bv FROM (SELECT media_id, hx, " +
+        "unnest(range(0, n_bytes)) AS i FROM m)), " +
+        "hist AS (SELECT media_id, CAST((bv + i) % 62 AS INT) AS slot, " +
+        "CAST(sum(bv) AS BIGINT) AS s FROM vals GROUP BY 1, 2), " +
+        "tot AS (SELECT media_id, CAST(sum(bv) AS BIGINT) AS total " +
+        "FROM vals GROUP BY 1), " +
+        "sig AS (SELECT h.media_id, CAST(sum(CASE WHEN h.s * 62 > t.total " +
+        "THEN (1::BIGINT << h.slot) ELSE 0 END) AS BIGINT) AS sig " +
+        "FROM hist h JOIN tot t USING (media_id) GROUP BY h.media_id) " +
+        "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
+        "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming " +
+        "FROM sig a JOIN sig b ON a.media_id < b.media_id " +
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 6"),
   )
 }
