@@ -394,8 +394,10 @@ object TextAnalysis {
     val bigrams = docs.select(explode(bigramArr).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
-    val unigrams = docs.select(explode(toks).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // staged: consumed three times below (n_x join, n_y join, total) —
+    // one corpus scan instead of three for a vocabulary-bounded frame
+    val unigrams = Stage.barrier(docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n")))
     val total = unigrams.agg(sum(col("n")).cast("long").as("n_total"))
     bigrams
       .join(broadcast(unigrams.select(col("w").as("w1"),
