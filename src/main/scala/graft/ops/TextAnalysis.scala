@@ -277,6 +277,70 @@ object TextAnalysis {
       .select(col(idCol), col(groupCol), col(valueCol), col("z"))
   }
 
+  /** Distributed BPE tokenizer training (merge induction): starting from
+    * the corpus word-frequency table with words split into characters,
+    * each round counts adjacent symbol pairs weighted by word frequency,
+    * picks the most frequent pair (ties → lexicographic (l, r)), and
+    * merges it across the vocabulary. Returns the merge table
+    * (rank, l, r, pair_count) — the artifact a tokenizer ships.
+    *
+    * Conventions (identical in the DuckDB oracle, which replays the whole
+    * induction INDEPENDENTLY — its own argmax chain, not rendered
+    * literals): pair counting sees every adjacent pair; the merge applies
+    * left-to-right non-overlapping on the delimited symbol string, so
+    * occurrences sharing a delimiter space merge in a later round if
+    * their pair wins again.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregation — at web scale ~10⁷ rows); every round then runs one
+    * partial-aggregated pair count plus a 1-row TakeOrdered over the
+    * vocabulary table, cached and swapped per round. The driver holds
+    * only the argmax row per round — the same bounded-metadata pattern
+    * as IVF centroid training. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var vocab = words.select(col("w"), col("freq"),
+      concat_ws(" ", split(col("w"), "")).as("sym")).cache()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= nMerges && !done) {
+      val s = split(col("sym"), " ")
+      val pairArr = when(size(s) >= 2,
+        transform(sequence(lit(1), size(s) - 1),
+          i => struct(element_at(s, i).as("l"),
+            element_at(s, i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val top = vocab.select(col("freq"), explode(pairArr).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).cast("long").as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k.toLong, l, r, cnt))
+        val pat = java.util.regex.Pattern.quote(s" $l $r ")
+        val rep = java.util.regex.Matcher.quoteReplacement(s" $l$r ")
+        val next = vocab.withColumn("sym",
+          trim(regexp_replace(concat(lit(" "), col("sym"), lit(" ")),
+            pat, rep))).cache()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        k += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("rank", "l", "r", "pair_count")
+  }
+
   /** Bounded inverted-index posting lists: per token, its document
     * frequency and the `cap` lowest doc ids containing it — the
     * retrieval-side index a contamination/attribution audit probes.

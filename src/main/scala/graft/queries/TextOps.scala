@@ -208,7 +208,12 @@ object TextOps {
   def docGate(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.documentGate(Tables(s, dir).documents)
 
+  /** Eight BPE merge-induction rounds over the corpus vocabulary. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(Tables(s, dir).documents, nMerges = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train" -> bpeTrain,
     "q_doc_gate" -> docGate,
     "q_chunk" -> chunk,
     "q_pmi" -> pmi,
@@ -248,7 +253,38 @@ object TextOps {
       |   THEN '+86 755 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:86)?0?755(\d{6,8})$', 1)
       | ELSE NULL END""".stripMargin.replace("\n", " ")
 
+  /** The full BPE induction generated as chained CTEs — DuckDB runs its
+    * OWN argmax chain per round (independent replay, not rendered
+    * literals), so the merge tables match only if every pair count, every
+    * tie-break, and every left-to-right merge application agree. */
+  private def duckBpeSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= ("WITH v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, " +
+      "array_to_string(string_split(w, ''), ' ') AS sym FROM (" +
+      "SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "GROUP BY w)")
+    for (k <- 1 to nMerges) {
+      sb ++= (s", p$k AS (SELECT u.l AS l, u.r AS r, " +
+        "CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
+        "SELECT freq, unnest(list_transform(range(1, len(s)), " +
+        "i -> {'l': s[i], 'r': s[i+1]})) AS u FROM (" +
+        s"SELECT freq, string_split(sym, ' ') AS s FROM v${k - 1})) " +
+        "GROUP BY 1, 2)")
+      sb ++= (s", m$k AS (SELECT l, r, cnt FROM p$k " +
+        "ORDER BY cnt DESC, l, r LIMIT 1)")
+      sb ++= (s", v$k AS (SELECT w, freq, trim(replace(' ' || sym || ' ', " +
+        s"(SELECT ' ' || l || ' ' || r || ' ' FROM m$k), " +
+        s"(SELECT ' ' || l || r || ' ' FROM m$k))) AS sym FROM v${k - 1})")
+    }
+    sb ++= " "
+    sb ++= (1 to nMerges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, l, r, cnt AS pair_count " +
+        s"FROM m$k").mkString(" UNION ALL ")
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_train" -> duckBpeSql(8),
     // every gate rule restated bit-for-bit (thresholds shared with
     // q_quality / q_repetition)
     "q_doc_gate" ->

@@ -161,6 +161,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("z") == ((1L, "1")))
   }
 
+  test("bpe training: classic merge chain on the textbook corpus") {
+    // low×5 lower×2 newest×6 widest×3 — the standard BPE walkthrough
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, nMerges = 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    // (e,s)=9 ties (s,t)=9 → lexicographic l wins; then es+t, l+o, lo+w
+    assert(merges(1L) == (("e", "s", 9L)))
+    assert(merges(2L) == (("es", "t", 9L)))
+    assert(merges(3L) == (("l", "o", 7L)))
+    assert(merges(4L) == (("lo", "w", 7L)))
+  }
+
   test("pmi bigrams: true collocation outranks chance co-occurrence") {
     // "new york" always adjacent; tokN fillers rotate
     val docs = (1 to 30).map(i =>
