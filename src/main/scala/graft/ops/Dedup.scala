@@ -415,6 +415,29 @@ object Dedup {
           s => s.getField("seg"))).as("dedup_text"))
   }
 
+  /** Candidate-vs-gold pair-set metrics — the evaluation harness every
+    * near-dup method needs before it gates a corpus: given the pairs a
+    * method FOUND and a TRUTH pair set, report sizes, overlap, and
+    * integer precision/recall (×1000). Three count aggregations over
+    * bare id-pair rows plus one pair-key join; the single-row outputs
+    * cross-join, so nothing data-scale ever reaches the driver. */
+  def pairMetrics(found: DataFrame, truth: DataFrame): DataFrame = {
+    val f = found.select(col("doc_a"), col("doc_b")).distinct()
+    val t = truth.select(col("doc_a"), col("doc_b")).distinct()
+    val nCommon = f.join(t, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    val nFound = f.agg(count(lit(1)).cast("long").as("n_found"))
+    val nTruth = t.agg(count(lit(1)).cast("long").as("n_truth"))
+    nFound.crossJoin(nTruth).crossJoin(nCommon)
+      .select(col("n_found"), col("n_truth"), col("n_common"),
+        when(col("n_found") > 0,
+          expr("n_common * 1000 div n_found")).otherwise(0L)
+          .as("precision_x1000"),
+        when(col("n_truth") > 0,
+          expr("n_common * 1000 div n_truth")).otherwise(0L)
+          .as("recall_x1000"))
+  }
+
   /** Incremental ingestion dedup — how a 100 TB corpus is actually built:
     * per-increment, a NEW batch is deduped against the accumulated DIGEST
     * table of the existing corpus (64-char rows, not documents), never by

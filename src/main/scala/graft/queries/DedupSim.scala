@@ -93,6 +93,14 @@ object DedupSim {
   def simhashNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(docsWithMutants(s, dir))
 
+  /** SimHash (hamming ≤ 6) evaluated against the MinHash-verified
+    * (jaccard ≥ 0.7) pair set on the same mutant corpus — how well the
+    * cheap bit signature tracks set-overlap truth. */
+  def dedupEval(s: SparkSession, dir: String): DataFrame =
+    Dedup.pairMetrics(
+      found = Dedup.simhashNearDupPairs(docsWithMutants(s, dir)),
+      truth = mutantPairs(s, dir))
+
   def knnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.knnBrute(Tables(s, dir).embeddings, nQueries = 10, k = 5)
 
@@ -141,6 +149,7 @@ object DedupSim {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantize" -> quantize,
     "q_knn_sq8" -> knnSq8,
+    "q_dedup_eval" -> dedupEval,
     "q_dedup_docs" -> exactDedup,
     "q_dedup_hash" -> exactDedupHash,
     "q_jaccard_pairs" -> jaccardPairs,
@@ -373,6 +382,15 @@ object DedupSim {
         "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
         "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7")
 
+  /** Exhaustive all-pairs simhash scan (shared by the near-dup oracle and
+    * the pair-metrics oracle). */
+  private lazy val duckSimhashNearDupSql: String =
+    duckSimhashOf(duckDocsWithMutants) +
+      " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming " +
+      "FROM sim a JOIN sim b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.sh, b.sh)) <= 6"
+
   private lazy val oracleVectorPart: Map[String, String] = Map(
     // per-vector min/max scaling in double (float→double widening exact);
     // floor sidesteps the engines' round-half conventions, and the fixed
@@ -431,12 +449,22 @@ object DedupSim {
     // the oracle is the EXHAUSTIVE quadratic scan — independently proving
     // the chunk-pair blocking's pigeonhole recall guarantee, not replaying
     // the blocked plan
-    "q_simhash_neardup" ->
-      (duckSimhashOf(duckDocsWithMutants) +
-        " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming " +
-        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id " +
-        "WHERE bit_count(xor(a.sh, b.sh)) <= 6"),
+    "q_simhash_neardup" -> duckSimhashNearDupSql,
+    // both pair sets re-derived through their own oracles (exhaustive
+    // simhash scan vs the replayed minhash pipeline), then the same
+    // integer precision/recall arithmetic
+    "q_dedup_eval" ->
+      (s"WITH f AS (SELECT doc_a, doc_b FROM ($duckSimhashNearDupSql)), " +
+        s"t AS (SELECT doc_a, doc_b FROM ($duckMinhashNearDupSql)), " +
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM f " +
+        "JOIN t USING (doc_a, doc_b)), " +
+        "nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM f), " +
+        "nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM t) " +
+        "SELECT n_found, n_truth, n_common, " +
+        "CASE WHEN n_found > 0 THEN n_common * 1000 // n_found " +
+        "ELSE 0 END AS precision_x1000, " +
+        "CASE WHEN n_truth > 0 THEN n_common * 1000 // n_truth " +
+        "ELSE 0 END AS recall_x1000 FROM nf, nt, c"),
     // float-mutation parity: x·1.2f on the JVM is the exact double product
     // rounded to FLOAT, which is what CAST(CAST(x AS DOUBLE)·lit AS FLOAT)
     // computes regardless of DuckDB's promotion rules

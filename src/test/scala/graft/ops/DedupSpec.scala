@@ -157,6 +157,21 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("pair metrics: precision and recall from known overlap") {
+    val found = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val truth = Seq((1L, 2L), (3L, 4L), (9L, 10L))
+      .toDF("doc_a", "doc_b")
+    val m = Dedup.pairMetrics(found, truth).collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) == ((4L, 3L, 2L)))
+    assert(m.getLong(3) == 500L) // 2/4
+    assert(m.getLong(4) == 666L) // 2/3 floored
+    // empty found side: zero precision, no division error
+    val empty = Dedup.pairMetrics(
+      found.filter(col("doc_a") > 100L), truth).collect().head
+    assert(empty.getLong(0) == 0L && empty.getLong(3) == 0L)
+  }
+
   test("incremental dedup: corpus digests and within-batch firsts both drop") {
     val seen = Seq("old text one", "old text two").toDF("text")
       .select(sha2(lower(col("text")), 256).as("digest"))
