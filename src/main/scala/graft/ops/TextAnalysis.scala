@@ -277,6 +277,23 @@ object TextAnalysis {
       .select(col(idCol), col(groupCol), col(valueCol), col("z"))
   }
 
+  /** Per-source corpus manifest — the integrity record an incremental
+    * pipeline publishes with every increment so a consumer can verify a
+    * delivery without re-reading it: row count, total size, id range,
+    * and an ORDER-INDEPENDENT content checksum (the sum of per-document
+    * rolling-hash fingerprints — any changed/missing/extra document
+    * moves it, and it needs no sort to compute). One partial-aggregated
+    * groupBy; int64-exact to ~9·10⁹ docs per source (switch the sum to
+    * a modular fold beyond that). */
+  def manifest(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col(textCol))).cast("long").as("n_chars_total"),
+        min(col("doc_id")).cast("long").as("min_id"),
+        max(col("doc_id")).cast("long").as("max_id"),
+        sum(fingerprint(col(textCol))).cast("long").as("checksum_sum"))
+
   /** Distributed BPE tokenizer training (merge induction): starting from
     * the corpus word-frequency table with words split into characters,
     * each round counts adjacent symbol pairs weighted by word frequency,

@@ -115,9 +115,20 @@ object CorpusOps {
   def postings(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.postingLists(Tables(s, dir).documents, cap = 20)
 
+  /** Sequence packing into 2048-token bins (distributed prefix sum). */
+  def packing(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packSequences(Tables(s, dir).documents,
+      capacity = 2048L, nShards = 32)
+
+  /** Per-source integrity manifest (order-independent checksums). */
+  def manifest(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.manifest(Tables(s, dir).documents)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incremental_dedup" -> incrementalDedup,
     "q_postings" -> postings,
+    "q_packing" -> packing,
+    "q_manifest" -> manifest,
     "q_boilerplate" -> boilerplate,
     "q_heavy_hitters" -> heavyHitters,
     "q_quantile_by_lang" -> quantileByLang,
@@ -194,6 +205,27 @@ object CorpusOps {
         "WHERE doc_id = k) " +
         "SELECT doc_id, dig AS digest FROM firstb " +
         "WHERE dig NOT IN (SELECT sha256(lower(text)) FROM documents)"),
+    "q_manifest" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars_total, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+        "CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(text, ''), " +
+        "ch -> CAST(ord(ch) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) " +
+        "AS checksum_sum FROM documents GROUP BY source"),
+    // the oracle computes the same (shard, hash, doc_id)-ordered prefix
+    // sum as ONE window — single-node SQL can afford what the engine
+    // decomposes into parallel per-shard sums + broadcast shard bases
+    "q_packing" ->
+      (s"WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+        s"AS BIGINT) AS n_tokens, ${pHash("doc_id")} AS h FROM documents), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (" +
+        "ORDER BY h % 32, h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS BIGINT) - n_tokens AS global_start FROM d) " +
+        "SELECT doc_id, n_tokens, global_start, " +
+        "global_start // 2048 AS bin, global_start % 2048 AS bin_offset " +
+        "FROM o"),
     "q_postings" ->
       ("WITH tok AS (SELECT doc_id, unnest(list_distinct(" +
         "string_split(text, ' '))) AS token FROM documents), " +

@@ -137,6 +137,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert(global == grouped)
   }
 
+  test("manifest: order-independent checksum detects any content change") {
+    import spark.implicits._
+    val a = Seq((1L, "abc", "s1"), (2L, "def", "s1"), (3L, "ghi", "s2"))
+      .toDF("doc_id", "text", "source")
+    val m = TextAnalysis.manifest(a).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(m("s1")._1 == 2L && m("s2")._1 == 1L)
+    // row order does not move the checksum
+    val shuffled = TextAnalysis.manifest(a.orderBy(desc("doc_id"))).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(shuffled == m.map { case (k, v) => k -> v._5 })
+    // one changed character does
+    val b = Seq((1L, "abd", "s1"), (2L, "def", "s1"), (3L, "ghi", "s2"))
+      .toDF("doc_id", "text", "source")
+    val mb = TextAnalysis.manifest(b).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(mb("s1") != m("s1")._5 && mb("s2") == m("s2")._5)
+  }
+
+  test("sequence packing: gapless prefix sum, bin math, partition-invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val packed = Packing.packSequences(docs, capacity = 256L, nShards = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // sorted by global_start, each doc starts where the previous ended
+    val sorted = packed.sortBy(_._3)
+    assert(sorted.head._3 == 0L)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._3 + a._2,
+        s"gap between ${a._1} and ${b._1}")
+      case _ =>
+    }
+    // bin arithmetic consistent
+    packed.foreach { case (_, _, start, bin, off) =>
+      assert(bin == start / 256L && off == start % 256L)
+    }
+    // deterministic under a different input partitioning
+    val re = Packing.packSequences(docs.repartition(13), capacity = 256L,
+      nShards = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == packed.map(p => p._1 -> p._3).toMap)
+  }
+
   test("count-min: estimate bounds exact, heavy hitter surfaces alone") {
     import spark.implicits._
     val items = (Seq.fill(100)("hot") ++ (1 to 50).map(i => s"cold$i"))
