@@ -119,6 +119,21 @@ object EventStream {
       .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming incremental dedup against a STATIC corpus digest table —
+    * the stream-static join pattern: arriving documents drop when their
+    * content digest already exists in the (bucketed, on-disk) corpus
+    * digest set, plus watermark-free within-stream digest dedup via
+    * dropDuplicates (state grows with distinct digests; production runs
+    * bound it with `dropDuplicatesWithinWatermark`). The streaming dual
+    * of ops.Dedup.incrementalDedup. */
+  def dedupAgainstCorpus(docs: DataFrame, seenDigests: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("digest", sha2(lower(col(textCol)), 256))
+      .dropDuplicates("digest")
+      .join(seenDigests.select(col("digest")), Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("digest"))
+
   /** Drive a streaming DataFrame to completion against a bounded source
     * and return the in-memory result table (local smoke harness).
     *

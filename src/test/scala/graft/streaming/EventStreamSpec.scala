@@ -125,6 +125,26 @@ class EventStreamSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("stream-static anti join drops corpus-known digests") {
+    import java.nio.file.Files
+    val docs = Tables(spark, sf).documents
+    val dir = Files.createTempDirectory("graft-docs-stream").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val seen = docs.filter(col("doc_id") % 2 === 0)
+      .select(sha2(lower(col("text")), 256).as("digest"))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+        "n_chars LONG")
+      .parquet(dir)
+    val got = EventStream.runToMemory(
+      EventStream.dedupAgainstCorpus(stream, seen), "inc_dedup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect().map(_.getLong(0)).toSet
+    val expected = docs.filter(col("doc_id") % 2 === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
   test("streaming count-min counters equal the batch sketch registers") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToMemory(
