@@ -277,6 +277,44 @@ object TextAnalysis {
       .select(col(idCol), col(groupCol), col(valueCol), col("z"))
   }
 
+  /** Kneser-Ney sufficient statistics per token: the unigram count plus
+    * the CONTINUATION counts — how many distinct tokens precede it
+    * (N1+(•w), the numerator of the KN lower-order distribution) and how
+    * many distinct tokens follow it (N1+(w•), the normalizer of its
+    * discount mass). With these three tables an interpolated-KN bigram
+    * LM is fully specified — the count-side artifact of LM training,
+    * exact and engine-portable (no probabilities, no floats).
+    *
+    * Shape: one adjacent-pair projection feeding a distinct-pair
+    * aggregation (shuffle = distinct bigrams, combiner-friendly), from
+    * which both continuation counts derive WITHOUT re-touching the
+    * corpus; unigram counts join on the token key. */
+  def lmCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigramArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    // distinct bigram TYPES (the continuation-count base), staged: both
+    // direction aggregations below fold the same relation
+    val pairTypes = Stage.barrier(
+      docs.select(explode(bigramArr).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .distinct())
+    val succ = pairTypes.groupBy(col("w1").as("token"))
+      .agg(count(lit(1)).cast("long").as("n1p_succ"))
+    val pred = pairTypes.groupBy(col("w2").as("token"))
+      .agg(count(lit(1)).cast("long").as("n1p_pred"))
+    docs.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).cast("long").as("n"))
+      .join(pred, Seq("token"), "left")
+      .join(succ, Seq("token"), "left")
+      .select(col("token"), col("n"),
+        coalesce(col("n1p_pred"), lit(0L)).as("n1p_pred"),
+        coalesce(col("n1p_succ"), lit(0L)).as("n1p_succ"))
+  }
+
   /** Per-source corpus manifest — the integrity record an incremental
     * pipeline publishes with every increment so a consumer can verify a
     * delivery without re-reading it: row count, total size, id range,

@@ -212,7 +212,12 @@ object TextOps {
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrain(Tables(s, dir).documents, nMerges = 8)
 
+  /** Kneser-Ney count tables over the corpus. */
+  def lmCounts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmCounts(Tables(s, dir).documents)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_counts" -> lmCounts,
     "q_bpe_train" -> bpeTrain,
     "q_doc_gate" -> docGate,
     "q_chunk" -> chunk,
@@ -284,6 +289,21 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_lm_counts" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS l FROM documents), " +
+        "bg AS (SELECT DISTINCT u.w1 AS w1, u.w2 AS w2 FROM (" +
+        "SELECT unnest(list_transform(range(1, len(l)), " +
+        "i -> {'w1': l[i], 'w2': l[i+1]})) AS u FROM t)), " +
+        "succ AS (SELECT w1 AS token, CAST(count(*) AS BIGINT) " +
+        "AS n1p_succ FROM bg GROUP BY w1), " +
+        "pred AS (SELECT w2 AS token, CAST(count(*) AS BIGINT) " +
+        "AS n1p_pred FROM bg GROUP BY w2), " +
+        "uni AS (SELECT unnest(l) AS token FROM t) " +
+        "SELECT token, count(*) AS n, " +
+        "coalesce(any_value(n1p_pred), 0) AS n1p_pred, " +
+        "coalesce(any_value(n1p_succ), 0) AS n1p_succ " +
+        "FROM uni LEFT JOIN pred USING (token) " +
+        "LEFT JOIN succ USING (token) GROUP BY token"),
     "q_bpe_train" -> duckBpeSql(8),
     // every gate rule restated bit-for-bit (thresholds shared with
     // q_quality / q_repetition)

@@ -161,6 +161,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("z") == ((1L, "1")))
   }
 
+  test("lm counts: continuation counts are distinct-neighbor counts") {
+    val docs = Seq((1L, "a b"), (2L, "c b"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.lmCounts(docs).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("a") == ((2L, 0L, 1L))) // 2 occurrences, follows nothing, precedes {b}
+    assert(r("b") == ((3L, 2L, 0L))) // preceded by {a, c} — 2 TYPES, not 3 tokens
+    assert(r("c") == ((1L, 0L, 1L)))
+  }
+
   test("bpe training: classic merge chain on the textbook corpus") {
     // low×5 lower×2 newest×6 widest×3 — the standard BPE walkthrough
     val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
