@@ -277,6 +277,49 @@ object TextAnalysis {
       .select(col(idCol), col(groupCol), col(valueCol), col("z"))
   }
 
+  /** Skip-gram co-occurrence counts — the word2vec/GloVe training
+    * statistic: every ordered token pair within a ±`window` offset,
+    * counted corpus-wide. The pair generation is a per-row nested array
+    * fold (positions × offsets 1..window, flattened), so the corpus is
+    * touched once and ONLY the aggregated pair counts shuffle — at 100 TB
+    * the shuffle is |co-occurring vocab²|-bounded with partial combine,
+    * never corpus-scale. Emits pairs with count ≥ minCount. */
+  def skipgramCounts(docs: DataFrame, window: Int = 3, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // for each center i ≤ n−1, the forward pairs (w_i, w_{i+d}) with
+    // d = 1..min(window, n−i); inner bounds are ≥ 1 by construction so
+    // no null-filtering (and no descending-sequence trap on short docs)
+    val pairs = when(n >= 2, flatten(transform(sequence(lit(1), n - 1),
+      i => transform(sequence(lit(1), least(lit(window), n - i)),
+        d => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + d).as("w2"))))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("n_cooc"))
+      .filter(col("n_cooc") >= minCount)
+  }
+
+  /** Hashing-trick featurization: each document becomes a fixed `dim`-
+    * wide integer count vector, token → slot by the portable polynomial
+    * hash — the featurizer of a cheap linear quality classifier, with no
+    * vocabulary table to build, broadcast, or keep consistent across
+    * increments. Pure per-row projection — zero shuffle (O(dim·tokens)
+    * work per row, dim is small by design); CSV-serialized for flat
+    * storage. */
+  def hashFeatures(docs: DataFrame, dim: Int = 32,
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val feats = transform(sequence(lit(0), lit(dim - 1)),
+      s => size(filter(toks, t =>
+        pmod(graft.functions.GraftFunctions.polyHash(t),
+          lit(dim.toLong)) === s)).cast("long"))
+    docs.select(col("doc_id"), concat_ws(",", feats).as("features_csv"))
+  }
+
   /** Kneser-Ney sufficient statistics per token: the unigram count plus
     * the CONTINUATION counts — how many distinct tokens precede it
     * (N1+(•w), the numerator of the KN lower-order distribution) and how

@@ -216,7 +216,18 @@ object TextOps {
   def lmCounts(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmCounts(Tables(s, dir).documents)
 
+  /** ±3-window skip-gram co-occurrence counts (min count 5). */
+  def skipgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.skipgramCounts(Tables(s, dir).documents,
+      window = 3, minCount = 5)
+
+  /** 32-dim hashing-trick count features per document. */
+  def hashFeats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashFeatures(Tables(s, dir).documents, dim = 32)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skipgram" -> skipgrams,
+    "q_hash_features" -> hashFeats,
     "q_lm_counts" -> lmCounts,
     "q_bpe_train" -> bpeTrain,
     "q_doc_gate" -> docGate,
@@ -258,6 +269,14 @@ object TextOps {
       |   THEN '+86 755 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:86)?0?755(\d{6,8})$', 1)
       | ELSE NULL END""".stripMargin.replace("\n", " ")
 
+  /** The portable polynomial hash (functions.PolyHash) as DuckDB SQL —
+    * the same rendering CorpusOps uses. */
+  private def pHash(e: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(CAST($e AS VARCHAR), ''), " +
+      "ch -> CAST(ord(ch) AS BIGINT))), " +
+      "(acc, cp) -> (acc * 31 + cp) % 2147483647)"
+
   /** The full BPE induction generated as chained CTEs — DuckDB runs its
     * OWN argmax chain per round (independent replay, not rendered
     * literals), so the merge tables match only if every pair count, every
@@ -289,6 +308,20 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // same bounded forward-offset pair generation (i ≤ n−1,
+    // d ≤ min(3, n−i)); range()'s exclusive end supplies the bounds
+    "q_skipgram" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS l FROM documents), " +
+        "p AS (SELECT unnest(flatten(list_transform(range(1, len(l)), " +
+        "i -> list_transform(range(1, least(3, len(l) - i) + 1), " +
+        "d -> {'w1': l[i], 'w2': l[i + d]})))) AS u FROM t) " +
+        "SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS n_cooc FROM p " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5"),
+    "q_hash_features" ->
+      (s"SELECT doc_id, array_to_string(list_transform(range(0, 32), " +
+        s"s -> CAST(len(list_filter(string_split(text, ' '), " +
+        s"t -> ${pHash("t")} % 32 = s)) AS BIGINT)), ',') " +
+        "AS features_csv FROM documents"),
     "q_lm_counts" ->
       ("WITH t AS (SELECT string_split(text, ' ') AS l FROM documents), " +
         "bg AS (SELECT DISTINCT u.w1 AS w1, u.w2 AS w2 FROM (" +

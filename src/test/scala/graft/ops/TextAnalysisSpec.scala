@@ -161,6 +161,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("z") == ((1L, "1")))
   }
 
+  test("skipgram counts: window pairs, boundary-safe") {
+    val docs = Seq((1L, "a b c d"), (2L, "x")).toDF("doc_id", "text")
+    val r = TextAnalysis.skipgramCounts(docs, window = 2, minCount = 1)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    // forward pairs within distance 2: ab ac bc bd cd — single-token
+    // doc contributes nothing
+    assert(r == Map(("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L))
+  }
+
+  test("hash features: counts land in hash slots, row sums preserved") {
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val r = TextAnalysis.hashFeatures(docs, dim = 8).collect()
+      .map(x => x.getLong(0) ->
+        x.getString(1).split(",").map(_.toLong)).toMap
+    assert(r(1L).length == 8 && r(1L).sum == 3L) // every token lands once
+    assert(r(2L).sum == 1L)
+    assert(r(1L).max == 2L) // both "a"s share one slot
+  }
+
   test("lm counts: continuation counts are distinct-neighbor counts") {
     val docs = Seq((1L, "a b"), (2L, "c b"), (3L, "a b"))
       .toDF("doc_id", "text")
