@@ -30,12 +30,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word-level n-gram shingles of a document. For size < n the
-    * whole (shorter) token span becomes one shingle. */
+    * whole (shorter) token span becomes one shingle.
+    *
+    * Built from zip_with over shifted slices — each slice evaluates ONCE
+    * per row. The previous form indexed `toks` inside a position lambda,
+    * and a higher-order function re-evaluates its captured child per
+    * element (no subexpression elimination), making shingling O(tokens²)
+    * per document (measured 4× on q_skipgram's identical pattern,
+    * BENCH_NOTES r6). concat_ws skips the nulls zip_with pads onto the
+    * shorter side; the final slice drops the partial tail shingles,
+    * reproducing the original semantics exactly. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), size(toks)),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    array_distinct(slice(grams, lit(1),
+      greatest(size(toks) - (n - 1), lit(1))))
   }
 
   /** Pairwise n-gram Jaccard within a blocking column: emits pairs with
@@ -377,6 +389,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** (doc_id, pos, seg) rows: documents cut into `segTokens`-token
+    * segments. The token array materializes as a COLUMN before the
+    * position lambda slices it — slicing a raw split() inside the lambda
+    * re-evaluates the split per segment (HOFs are interpreted; see
+    * BENCH_NOTES r6), turning segmentation O(tokens²/segTokens). */
+  private def segmentRows(docs: DataFrame, segTokens: Int,
+      textCol: String): DataFrame = {
+    val toks = col("_toks")
+    val nSegs = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    val segs = transform(sequence(lit(0), nSegs - 1),
+      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
+    docs.select(col("doc_id"), split(col(textCol), " ").as("_toks"))
+      .select(col("doc_id"), posexplode(segs))
+      .toDF("doc_id", "pos", "seg")
+  }
+
   /** Corpus-level segment dedup (the C4/CCNet "remove duplicated lines
     * across documents" pass): cut each document into `segTokens`-token
     * segments, keep only the FIRST occurrence of each distinct segment
@@ -395,12 +423,7 @@ object Dedup {
     * and the per-segment groups duplicate-bounded. */
   def segmentDedup(docs: DataFrame, segTokens: Int = 8,
       textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nSegs = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
-    val segs = transform(sequence(lit(0), nSegs - 1),
-      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
-    val exploded = docs.select(col("doc_id"), posexplode(segs))
-      .toDF("doc_id", "pos", "seg")
+    val exploded = segmentRows(docs, segTokens, textCol)
     val firstWin = org.apache.spark.sql.expressions.Window
       .partitionBy(col("seg")).orderBy(col("doc_id"), col("pos"))
     exploded
@@ -484,12 +507,7 @@ object Dedup {
     * row per map task, not a skewed window partition. */
   def boilerplateRemoval(docs: DataFrame, segTokens: Int = 8,
       maxDf: Int = 3, textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nSegs = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
-    val segs = transform(sequence(lit(0), nSegs - 1),
-      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
-    val exploded = docs.select(col("doc_id"), posexplode(segs))
-      .toDF("doc_id", "pos", "seg")
+    val exploded = segmentRows(docs, segTokens, textCol)
     val dfTable = exploded.select(col("seg"), col("doc_id")).distinct()
       .groupBy(col("seg")).agg(count(lit(1)).as("df"))
     exploded.join(dfTable, "seg")

@@ -134,10 +134,13 @@ object TextAnalysis {
     * for cross-engine parity); no shuffle, linear scale-out. Single-token
     * docs define zero bigrams (guarded identically in the SQL oracle). */
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // token array as a column: slicing a raw split() inside the position
+    // lambda re-evaluates it per bigram (O(n²); see BENCH_NOTES r6)
+    val toks = col("_toks")
     val bigrams = transform(sequence(lit(1), size(toks) - 1),
       i => concat_ws(" ", slice(toks, i, lit(2))))
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
         when(size(toks) < 2, lit(0L))
@@ -277,6 +280,25 @@ object TextAnalysis {
       .select(col(idCol), col(groupCol), col(valueCol), col("z"))
   }
 
+  /** Adjacent (w1, w2) pair rows, with the token array materialized as a
+    * COLUMN before the position lambda runs — element_at inside a
+    * higher-order function re-evaluates its child expression per
+    * invocation (HOFs are interpreted, no subexpression elimination), so
+    * indexing a raw split() is O(n²) per document; the measured fix took
+    * q_skipgram from 10.5s to 2.8s (BENCH_NOTES r6). Short docs yield no
+    * pairs (the sequence(1, 0)-descends trap is guarded). */
+  private def adjacentPairRows(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = col("_toks")
+    val bigramArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    docs.select(tokens(col(textCol)).as("_toks"))
+      .select(explode(bigramArr).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
   /** Skip-gram co-occurrence counts — the word2vec/GloVe training
     * statistic: every ordered token pair within a ±`window` offset,
     * counted corpus-wide. The pair generation is a per-row nested array
@@ -286,17 +308,22 @@ object TextAnalysis {
     * never corpus-scale. Emits pairs with count ≥ minCount. */
   def skipgramCounts(docs: DataFrame, window: Int = 3, minCount: Long = 5,
       textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // materialize the token array as a COLUMN first: element_at inside a
+    // lambda re-evaluates its whole child expression per invocation (HOFs
+    // run interpreted, no subexpression elimination), so referencing
+    // split(text) directly costs O(tokens) per element — O(n²) per doc
+    val toks = col("_toks")
     val n = size(toks)
-    // for each center i ≤ n−1, the forward pairs (w_i, w_{i+d}) with
-    // d = 1..min(window, n−i); inner bounds are ≥ 1 by construction so
-    // no null-filtering (and no descending-sequence trap on short docs)
-    val pairs = when(n >= 2, flatten(transform(sequence(lit(1), n - 1),
-      i => transform(sequence(lit(1), least(lit(window), n - i)),
-        d => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + d).as("w2"))))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    docs.select(explode(pairs).as("p"))
+    // one single-level transform per distance d; the pair multiset is
+    // identical, and short docs fall out via the n > d guard
+    val pairsByD = (1 to window).map { d =>
+      when(n > d, transform(sequence(lit(1), n - d),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + d).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    docs.select(tokens(col(textCol)).as("_toks"))
+      .select(explode(concat(pairsByD: _*)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("long").as("n_cooc"))
@@ -333,23 +360,15 @@ object TextAnalysis {
     * which both continuation counts derive WITHOUT re-touching the
     * corpus; unigram counts join on the token key. */
   def lmCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val bigramArr = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     // distinct bigram TYPES (the continuation-count base), staged: both
     // direction aggregations below fold the same relation
     val pairTypes = Stage.barrier(
-      docs.select(explode(bigramArr).as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .distinct())
+      adjacentPairRows(docs, textCol).distinct())
     val succ = pairTypes.groupBy(col("w1").as("token"))
       .agg(count(lit(1)).cast("long").as("n1p_succ"))
     val pred = pairTypes.groupBy(col("w2").as("token"))
       .agg(count(lit(1)).cast("long").as("n1p_pred"))
-    docs.select(explode(toks).as("token"))
+    docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).cast("long").as("n"))
       .join(pred, Seq("token"), "left")
       .join(succ, Seq("token"), "left")
@@ -476,7 +495,9 @@ object TextAnalysis {
     * mirror [[qualityScore]]/[[repetitionStats]] so the gate is exactly
     * their conjunction. */
   def documentGate(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // token array as a column — the bigram lambda below would otherwise
+    // re-evaluate the split per element (O(n²); see BENCH_NOTES r6)
+    val toks = col("_toks")
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
     val meanLen = floor(
@@ -495,7 +516,8 @@ object TextAnalysis {
         when(nBig > 0 && (nBig - nDistinctBig) * 5 >= nBig, lit(8L))
           .otherwise(lit(0L)) +
         when(meanLen < 200 || meanLen > 1200, lit(16L)).otherwise(lit(0L))
-    docs.select(col("doc_id"), reasons.as("reasons"))
+    docs.select(col("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), reasons.as("reasons"))
       .withColumn("kept", col("reasons") === 0L)
   }
 
@@ -546,20 +568,13 @@ object TextAnalysis {
     * distributed TakeOrdered for the top-k, never a global sort. */
   def pmiBigrams(docs: DataFrame, minCount: Long = 5, topK: Int = 25,
       textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    // sequence(1, 0) would produce a DESCENDING range; guard short docs
-    val bigramArr = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val bigrams = docs.select(explode(bigramArr).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = adjacentPairRows(docs, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
     // staged: consumed three times below (n_x join, n_y join, total) —
     // one corpus scan instead of three for a vocabulary-bounded frame
-    val unigrams = Stage.barrier(docs.select(explode(toks).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n")))
+    val unigrams = Stage.barrier(
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n")))
     val total = unigrams.agg(sum(col("n")).cast("long").as("n_total"))
     bigrams
       .join(broadcast(unigrams.select(col("w").as("w1"),
