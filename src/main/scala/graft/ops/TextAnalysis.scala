@@ -427,13 +427,17 @@ object TextAnalysis {
     var k = 1
     var done = false
     while (k <= nMerges && !done) {
-      val s = split(col("sym"), " ")
+      // symbol array materialized as a column before the lambda indexes
+      // it (the HOF re-evaluation rule; see BENCH_NOTES r6)
+      val s = col("_s")
       val pairArr = when(size(s) >= 2,
         transform(sequence(lit(1), size(s) - 1),
           i => struct(element_at(s, i).as("l"),
             element_at(s, i + 1).as("r"))))
         .otherwise(array().cast("array<struct<l:string,r:string>>"))
-      val top = vocab.select(col("freq"), explode(pairArr).as("p"))
+      val top = vocab
+        .select(col("freq"), split(col("sym"), " ").as("_s"))
+        .select(col("freq"), explode(pairArr).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).cast("long").as("cnt"))
         .orderBy(desc("cnt"), col("l"), col("r"))
