@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Randomized equivalence checks for the per-row text kernels that were
+  * rewritten for the HOF re-evaluation fix (BENCH_NOTES r6): each is
+  * pinned against a straightforward driver-side Scala reference over
+  * generated documents — empty-ish, single-token, repetitive, and long. */
+class TextPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  // tiny vocabulary → heavy shingle/segment collisions
+  val docGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 60)
+    toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "ddd", "e"))
+  } yield toks.mkString(" ")
+
+  test("shingles (zip_with form) == naive reference, n in {1,2,3}") {
+    val texts = samples(docGen, 300).distinct
+    def reference(text: String, n: Int): Seq[String] = {
+      val t = text.split(" ", -1).toSeq
+      if (t.size < n) Seq(t.mkString(" "))
+      else t.sliding(n).map(_.mkString(" ")).toSeq
+    }.distinct
+    for (n <- Seq(1, 2, 3)) {
+      val got = texts.toDF("text")
+        .select(col("text"), Dedup.shingles(col("text"), n).as("sh"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      texts.foreach { t =>
+        assert(got(t) == reference(t, n).distinct,
+          s"shingle mismatch for n=$n text='$t'")
+      }
+    }
+  }
+
+  test("chunkDocs covers every character exactly once per stride window") {
+    val lens = samples(Gen.chooseNum(1, 400), 200).distinct
+    val docs = lens.zipWithIndex
+      .map { case (len, i) => (i.toLong, "x" * len) }
+    val got = docs.toDF("doc_id", "text")
+      .transform(d => TextAnalysis.chunkDocs(d, chunkChars = 96,
+        stride = 64))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val chunks = got(id).sortBy(_._2)
+      // expected count from the closed form
+      val expected = math.max(text.length - 96 + 64 - 1, 0) / 64 + 1
+      assert(chunks.length == expected, s"count for len=${text.length}")
+      // chunk i starts at i·stride and never overruns
+      chunks.foreach { case (_, i, c) =>
+        assert(c == text.slice((i * 64).toInt,
+          (i * 64).toInt + 96))
+      }
+      // full coverage: last chunk reaches the end
+      val last = chunks.last
+      assert(last._2 * 64 + last._3.length == text.length.toLong)
+    }
+  }
+}
