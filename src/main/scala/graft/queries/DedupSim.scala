@@ -146,10 +146,35 @@ object DedupSim {
     Similarity.knnQuantized(Tables(s, dir).embeddings, nQueries = 10,
       k = 5, shortlist = 32)
 
+  /** Recall@5 of every approximate ANN path against the brute-force
+    * truth — the measured answer to "which index do I ship". */
+  def annEval(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val truth = Similarity.knnBrute(e, nQueries = 10, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def arm(name: String, df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).cast("long").as("n_common"))
+        .select(lit(name).as("method"), col("n_common"))
+    val truthN = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    Seq(
+      arm("lsh", Similarity.knnLsh(e, nQueries = 10, k = 5)),
+      arm("ivf_static",
+        graft.ops.Ivf.knnIvfStatic(e, nQueries = 10, k = 5)),
+      arm("sq8", Similarity.knnQuantized(e, nQueries = 10, k = 5,
+        shortlist = 32)))
+      .reduce(_ unionByName _)
+      .crossJoin(broadcast(truthN))
+      .select(col("method"), col("n_truth"), col("n_common"),
+        expr("n_common * 1000 div n_truth").as("recall_x1000"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantize" -> quantize,
     "q_knn_sq8" -> knnSq8,
     "q_dedup_eval" -> dedupEval,
+    "q_ann_eval" -> annEval,
     "q_dedup_docs" -> exactDedup,
     "q_dedup_hash" -> exactDedupHash,
     "q_jaccard_pairs" -> jaccardPairs,
@@ -292,7 +317,29 @@ object DedupSim {
       case Seq(cents) => Map("q_knn_ivf" -> duckIvfSql(cents))
       case _ => Map.empty[String, String]
     }
-    staticOracle ++ oracleVectorPart ++ trainedIvf
+    staticOracle ++ oracleVectorPart ++ trainedIvf ++ annEvalOracle
+  }
+
+  /** Every method's pair set re-derived through its OWN oracle SQL (the
+    * same strings verifying q_knn_lsh / q_knn_ivf_static / q_knn_sq8),
+    * joined against the brute-force truth with the same integer recall
+    * arithmetic the engine uses. */
+  private lazy val annEvalOracle: Map[String, String] = {
+    val arms = Seq(
+      "lsh" -> oracleVectorPart("q_knn_lsh"),
+      "ivf_static" -> staticOracle("q_knn_ivf_static"),
+      "sq8" -> oracleVectorPart("q_knn_sq8")).map { case (name, sql) =>
+      s"SELECT '$name' AS method, CAST(count(*) AS BIGINT) AS n_common " +
+        s"FROM (SELECT query_id, neighbor_id FROM ($sql)) m " +
+        "JOIN t USING (query_id, neighbor_id)"
+    }.mkString(" UNION ALL ")
+    Map("q_ann_eval" ->
+      (s"WITH t AS (SELECT query_id, neighbor_id FROM " +
+        s"(${staticOracle("q_knn_brute")})), " +
+        s"arms AS ($arms), " +
+        "nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM t) " +
+        "SELECT method, n_truth, n_common, " +
+        "n_common * 1000 // n_truth AS recall_x1000 FROM arms, nt"))
   }
 
   private lazy val staticOracle: Map[String, String] = Map(
