@@ -69,6 +69,36 @@ object OsmIngest {
   def rawWays(spark: SparkSession, path: String): DataFrame =
     readXml(spark, path, "way", waySchema)
 
+  /** rowTag=relation schema — an EXTENSION beyond the reference, which
+    * silently skips `<relation>` elements (its shape_element handles only
+    * node/way, parse_clean_and_csv.py:115-166): same attribute whitelist,
+    * nested tag array, plus the member array (type/ref/role). */
+  val relationSchema: StructType = StructType(Seq(
+    StructField("_id", StringType), StructField("_user", StringType),
+    StructField("_uid", StringType), StructField("_version", StringType),
+    StructField("_changeset", StringType),
+    StructField("_timestamp", StringType),
+    StructField("tag", tagStruct),
+    StructField("member", ArrayType(StructType(Seq(
+      StructField("_type", StringType), StructField("_ref", StringType),
+      StructField("_role", StringType)))))))
+
+  def rawRelations(spark: SparkSession, path: String): DataFrame =
+    readXml(spark, path, "relation", relationSchema)
+
+  /** relations(id, user, uid, version, changeset, timestamp). */
+  def relations(raw: DataFrame): DataFrame = ways(raw)
+
+  /** relations_members(id, member_type, member_ref, role, position) —
+    * position is the member's 0-based ordinal within its relation (the
+    * same posexplode shape as ways_nodes). */
+  def relationMembers(raw: DataFrame): DataFrame =
+    raw.select(col("_id").as("id"),
+        posexplode(col("member")).as(Seq("position", "m")))
+      .select(col("id"), col("m._type").as("member_type"),
+        col("m._ref").as("member_ref"), col("m._role").as("role"),
+        col("position"))
+
   /** PERMISSIVE scan for dirty inputs at scale: malformed records land in
     * `_corrupt_record` instead of failing the job (the 100 TB reality —
     * a truncated shard must not kill a 1000-executor pipeline). Callers

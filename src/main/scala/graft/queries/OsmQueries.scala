@@ -25,6 +25,15 @@ object OsmQueries {
     pipelines.computeIfAbsent(s, OsmPipeline(_, OsmPath, PsiPath))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relation ingestion is an extension beyond the reference (its
+    // shape_element skips <relation> elements); content pinned by
+    // reference-derived hashes in OsmGoldenSpec like the other rows
+    "q_osm_relations" -> ((s, _) =>
+      graft.osm.OsmIngest.relations(
+        graft.osm.OsmIngest.rawRelations(s, OsmPath))),
+    "q_osm_relation_members" -> ((s, _) =>
+      graft.osm.OsmIngest.relationMembers(
+        graft.osm.OsmIngest.rawRelations(s, OsmPath))),
     "q_osm_nodes" -> ((s, _) => pipe(s).nodes),
     "q_osm_node_tags" -> ((s, _) => pipe(s).nodeTags),
     "q_osm_ways" -> ((s, _) => pipe(s).ways),
