@@ -124,11 +124,33 @@ object CorpusOps {
   def manifest(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.manifest(Tables(s, dir).documents)
 
+  /** The composed pre-training pipeline end-to-end: reason-coded gate →
+    * digest dedup (keep lowest id) → sequence packing of the survivors.
+    * Every stage is the library's own operator; the oracle restates the
+    * whole chain in one DuckDB query, so the COMPOSITION is cross-engine
+    * verified, not just the parts. */
+  def pipelineFull(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val kept = TextAnalysis.documentGate(docs)
+      .filter(col("kept")).select(col("doc_id"))
+    val gated = docs.join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(lower(col("text")), 256))
+    val survivors = gated
+      .withColumn("_keep", min(col("doc_id")).over(win))
+      .filter(col("doc_id") === col("_keep"))
+      .select(col("doc_id"), col("text"))
+    graft.ops.Packing.packSequences(survivors, capacity = 2048L,
+      nShards = 32)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incremental_dedup" -> incrementalDedup,
     "q_postings" -> postings,
     "q_packing" -> packing,
     "q_manifest" -> manifest,
+    "q_pipeline_full" -> pipelineFull,
     "q_boilerplate" -> boilerplate,
     "q_heavy_hitters" -> heavyHitters,
     "q_quantile_by_lang" -> quantileByLang,
@@ -214,6 +236,26 @@ object CorpusOps {
         "ch -> CAST(ord(ch) AS BIGINT))), " +
         "(acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) " +
         "AS checksum_sum FROM documents GROUP BY source"),
+    // gate → digest dedup → packing, restated as one chained query (the
+    // gate stage reuses TextOps' oracle SQL verbatim)
+    "q_pipeline_full" ->
+      (s"WITH g AS (SELECT doc_id FROM (${graft.queries.TextOps
+          .oracle("q_doc_gate")}) WHERE kept), " +
+        "s0 AS (SELECT d.doc_id, d.text FROM documents d " +
+        "JOIN g USING (doc_id)), " +
+        "k AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (" +
+        "PARTITION BY sha256(lower(text))) AS keep FROM s0) " +
+        "WHERE doc_id = keep), " +
+        "s AS (SELECT d.doc_id, d.text FROM documents d " +
+        "JOIN k USING (doc_id)), " +
+        "d2 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+        s"AS BIGINT) AS n_tokens, ${pHash("doc_id")} AS h FROM s), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (" +
+        "ORDER BY h % 32, h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS BIGINT) - n_tokens AS global_start FROM d2) " +
+        "SELECT doc_id, n_tokens, global_start, " +
+        "global_start // 2048 AS bin, global_start % 2048 AS bin_offset " +
+        "FROM o"),
     // the oracle computes the same (shard, hash, doc_id)-ordered prefix
     // sum as ONE window — single-node SQL can afford what the engine
     // decomposes into parallel per-shard sums + broadcast shard bases
