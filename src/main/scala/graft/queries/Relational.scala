@@ -311,7 +311,40 @@ object Relational {
         col("p_partkey").isNotNull.as("tracked"))
   }
 
+  /** Five-table star join (the TPC-H Q5 shape): facts shuffle on their
+    * join keys, the nation/region dims broadcast, and Catalyst reorders
+    * freely because the plan is declarative. Aggregates stay integral
+    * (count + integral quantity) for float-free oracle parity. */
+  def starJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+  }
+
+  /** Per-user inter-event gaps via lag — the feature-engineering window
+    * a behavioral model consumes. One shuffle on user_id; NULL gap marks
+    * each user's first event. */
+  def eventDeltas(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir).events
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        (unix_millis(col("ts")) - unix_millis(col("_prev"))).as("gap_ms"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_star_join" -> starJoin,
+    "q_event_deltas" -> eventDeltas,
     "q_full_outer" -> fullOuterJoin,
     "q_grouping_sets" -> groupingSetsAgg,
     "q_cube" -> cubeAgg,
@@ -408,6 +441,19 @@ object Relational {
     "q_join_agg" ->
       ("SELECT p_brand, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS qty " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
+    "q_star_join" ->
+      ("SELECT r_name, n_name, count(*) AS n_items, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE c_nationkey = s_nationkey GROUP BY r_name, n_name"),
+    "q_event_deltas" ->
+      ("SELECT user_id, event_id, epoch_ms(ts) - epoch_ms(lag(ts, 1) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms " +
+        "FROM events"),
     // the salted two-phase join must produce exactly the plain-join answer
     "q_salted_join" ->
       ("SELECT s_nationkey, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS qty " +

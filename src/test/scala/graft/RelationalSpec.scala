@@ -48,6 +48,19 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("star join broadcasts dims and gaps are non-negative") {
+    val plan = Relational.starJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val deltas = Relational.eventDeltas(spark, sf).collect()
+    // exactly one NULL gap (first event) per user
+    val byUser = deltas.groupBy(_.getLong(0))
+    byUser.values.foreach { rows =>
+      assert(rows.count(_.isNullAt(2)) == 1)
+      rows.filter(!_.isNullAt(2)).foreach(r => assert(r.getLong(2) >= 0L))
+    }
+  }
+
   test("json_agg parses every props payload") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val out = Relational.jsonAgg(spark, sf)
