@@ -26,10 +26,7 @@ object Curation {
       .filter(col("n_chars").between(minChars, maxChars))
       .select(col("doc_id"), col("lang"),
         sha2(lower(col("text")), 256).as("_dig"))
-    val keep = min(col("doc_id")).over(Window.partitionBy(col("_dig")))
-    gated
-      .withColumn("_keep", keep)
-      .filter(col("doc_id") === col("_keep"))
+    Dedup.firstPerDigest(gated)
       .withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),

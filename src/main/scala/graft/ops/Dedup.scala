@@ -461,6 +461,20 @@ object Dedup {
           .as("recall_x1000"))
   }
 
+  /** Lowest-id winners of a frame carrying `(_dig, doc_id, …)` — the ONE
+    * exact-dedup window shared by [[incrementalDedup]], Curation.curate,
+    * and the composed pipeline (so the keep rule cannot drift between
+    * them or their oracles). Callers project before calling, so the
+    * digest shuffle carries only what they need downstream. */
+  def firstPerDigest(digested: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_dig"))
+    digested
+      .withColumn("_keep", min(col("doc_id")).over(win))
+      .filter(col("doc_id") === col("_keep"))
+      .drop("_keep")
+  }
+
   /** Incremental ingestion dedup — how a 100 TB corpus is actually built:
     * per-increment, a NEW batch is deduped against the accumulated DIGEST
     * table of the existing corpus (64-char rows, not documents), never by
@@ -474,17 +488,12 @@ object Dedup {
     * in production that table is bucketed by digest so the join is
     * co-partitioned and the corpus side never reshuffles. */
   def incrementalDedup(batch: DataFrame, seenDigests: DataFrame,
-      textCol: String = "text"): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_dig"))
-    batch
-      .select(col("doc_id"), sha2(lower(col(textCol)), 256).as("_dig"))
-      .withColumn("_keep", min(col("doc_id")).over(win))
-      .filter(col("doc_id") === col("_keep"))
+      textCol: String = "text"): DataFrame =
+    firstPerDigest(batch.select(col("doc_id"),
+        sha2(lower(col(textCol)), 256).as("_dig")))
       .join(seenDigests.select(col("digest").as("_dig")),
         Seq("_dig"), "left_anti")
       .select(col("doc_id"), col("_dig").as("digest"))
-  }
 
   /** Corpus-level boilerplate removal — the document-frequency complement
     * of [[segmentDedup]] (the C4/CCNet "remove lines repeated across many

@@ -28,10 +28,14 @@ object Packing {
 
   def packSequences(docs: DataFrame, capacity: Long = 2048L,
       nShards: Int = 32, textCol: String = "text"): DataFrame = {
-    val d = docs.select(col("doc_id"),
+    // staged: consumed by both the per-shard window and the shard-totals
+    // aggregate below — without the barrier the corpus is re-scanned and
+    // re-tokenized per consumer (the narrow 3-column projection is what
+    // the cache holds, not the documents)
+    val d = Stage.barrier(docs.select(col("doc_id"),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"),
       polyHash(col("doc_id").cast("string")).as("_h"))
-      .withColumn("_shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("_shard", pmod(col("_h"), lit(nShards.toLong))))
     // parallel per-shard prefix sums
     val withinWin = Window.partitionBy(col("_shard"))
       .orderBy(col("_h"), col("doc_id"))

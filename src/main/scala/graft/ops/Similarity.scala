@@ -188,13 +188,23 @@ object Similarity {
     * shortlisted ids join back to the float vectors for the exact cosine
     * re-rank. Recall gap vs brute force is the quantization error only —
     * bounded by the shortlist factor (shortlist ≫ k). */
-  def knnQuantized(embs: DataFrame, nQueries: Int, k: Int,
-      shortlist: Int = 32): DataFrame = {
-    val v = toDouble(col("embedding"))
+  /** The per-vector quantization expression triple (mn, mx, codes) —
+    * ONE definition of the bit-reproducibility contract (fixed operation
+    * order, floor convention) shared by [[quantizeInt8]] and
+    * [[knnQuantized]], so the two cannot drift from the DuckDB oracle
+    * rendering. */
+  private def quantExprs(vecCol: Column): (Column, Column, Column) = {
+    val v = toDouble(vecCol)
     val mn = array_min(v)
     val mx = array_max(v)
     val codes = transform(v, x => when(mx === mn, lit(0L))
       .otherwise(floor((x - mn) * lit(255.0d) / (mx - mn))))
+    (mn, mx, codes)
+  }
+
+  def knnQuantized(embs: DataFrame, nQueries: Int, k: Int,
+      shortlist: Int = 32): DataFrame = {
+    val (mn, mx, codes) = quantExprs(col("embedding"))
     val quant = embs.select(col("vec_id"), mn.as("mn"),
       ((mx - mn) / lit(255.0d)).as("delta"), codes.as("codes"),
       aggregate(codes, lit(0L), (a, x) => a + x).as("sq"))
@@ -245,12 +255,7 @@ object Similarity {
     * projection: no shuffle, linear scale-out. */
   def quantizeInt8(embs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val mn = array_min(v)
-    val mx = array_max(v)
-    val codes = transform(v, x =>
-      when(mx === mn, lit(0L))
-        .otherwise(floor((x - mn) * lit(255.0d) / (mx - mn))))
+    val (_, _, codes) = quantExprs(col(vecCol))
     embs.select(col(idCol),
       size(col(vecCol)).cast("long").as("n_dims"),
       concat_ws(",", codes).as("codes_csv"),

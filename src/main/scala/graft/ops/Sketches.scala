@@ -203,11 +203,17 @@ object Sketches {
   def countMinHeavyHitters(items: DataFrame, keyCol: String = "token",
       sharePermille: Int = 20): DataFrame = {
     val cells = cmCells(col(keyCol))
-    val counters = items.select(explode(array(cells: _*)).as("rc"))
+    // ONE corpus scan: the audit-side exact counts are staged, and the
+    // register file derives from them (a token's d cells are identical
+    // for every occurrence, so summing n_exact per cell equals counting
+    // occurrences — the value the streaming build produces). Sketch-only
+    // production mode would aggregate the occurrence stream directly.
+    val exact = Stage.barrier(items.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_exact")))
+    val counters = exact
+      .select(col("n_exact"), explode(array(cells: _*)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
-      .agg(count(lit(1)).as("cnt"))
-    val exact = items.groupBy(col(keyCol))
-      .agg(count(lit(1)).cast("long").as("n_exact"))
+      .agg(sum(col("n_exact")).as("cnt"))
     val total = exact.agg(sum(col("n_exact")).cast("long").as("n_total"))
     exact
       .select(col(keyCol), col("n_exact"), explode(array(cells: _*)).as("rc"))

@@ -339,12 +339,16 @@ object TextAnalysis {
     * storage. */
   def hashFeatures(docs: DataFrame, dim: Int = 32,
       textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // slots materialize as a column first: one split + one hash per
+    // token; the per-slot filter below then reads an attribute (the HOF
+    // re-evaluation rule, BENCH_NOTES r6)
+    val slots = transform(tokens(col(textCol)),
+      t => pmod(graft.functions.GraftFunctions.polyHash(t),
+        lit(dim.toLong)))
     val feats = transform(sequence(lit(0), lit(dim - 1)),
-      s => size(filter(toks, t =>
-        pmod(graft.functions.GraftFunctions.polyHash(t),
-          lit(dim.toLong)) === s)).cast("long"))
-    docs.select(col("doc_id"), concat_ws(",", feats).as("features_csv"))
+      s => size(filter(col("_slots"), x => x === s)).cast("long"))
+    docs.select(col("doc_id"), slots.as("_slots"))
+      .select(col("doc_id"), concat_ws(",", feats).as("features_csv"))
   }
 
   /** Kneser-Ney sufficient statistics per token: the unigram count plus

@@ -13,12 +13,8 @@ import graft.ops.{Dedup, Sampling, Sketches, TextAnalysis}
   */
 object CorpusOps {
 
-  /** The portable polynomial hash (functions.PolyHash) as DuckDB SQL. */
-  private def pHash(e: String): String =
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(string_split(CAST($e AS VARCHAR), ''), " +
-      "ch -> CAST(ord(ch) AS BIGINT))), " +
-      "(acc, cp) -> (acc * 31 + cp) % 2147483647)"
+  /** The portable polynomial hash rendering (shared via [[OracleSql]]). */
+  private def pHash(e: String): String = OracleSql.pHash(e)
 
   /** Downsample the dominant language to rebalance the corpus mix:
     * en kept at 40%, everything else at 80% — all hash-deterministic. */
@@ -134,12 +130,9 @@ object CorpusOps {
     val kept = TextAnalysis.documentGate(docs)
       .filter(col("kept")).select(col("doc_id"))
     val gated = docs.join(kept, Seq("doc_id"))
-      .select(col("doc_id"), col("text"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(sha2(lower(col("text")), 256))
-    val survivors = gated
-      .withColumn("_keep", min(col("doc_id")).over(win))
-      .filter(col("doc_id") === col("_keep"))
+      .select(col("doc_id"), col("text"),
+        sha2(lower(col("text")), 256).as("_dig"))
+    val survivors = Dedup.firstPerDigest(gated)
       .select(col("doc_id"), col("text"))
     graft.ops.Packing.packSequences(survivors, capacity = 2048L,
       nShards = 32)

@@ -150,8 +150,11 @@ object DedupSim {
     * truth — the measured answer to "which index do I ship". */
   def annEval(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val truth = Similarity.knnBrute(e, nQueries = 10, k = 5)
-      .select(col("query_id"), col("neighbor_id"))
+    // staged: the brute-force truth is the most expensive sub-plan and
+    // feeds all three arms plus the total — one execution, not four
+    val truth = graft.ops.Stage.barrier(
+      Similarity.knnBrute(e, nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id")))
     def arm(name: String, df: DataFrame): DataFrame =
       df.select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"))

@@ -24,16 +24,21 @@ object OsmQueries {
   private def pipe(s: SparkSession): OsmPipeline =
     pipelines.computeIfAbsent(s, OsmPipeline(_, OsmPath, PsiPath))
 
+  // relation ingestion is an extension beyond the reference (its
+  // shape_element skips <relation> elements); content pinned by
+  // reference-derived hashes in OsmGoldenSpec. The raw parse is staged
+  // per session so the two queries below share one XML scan.
+  private val relCache = new graft.ops.SessionScoped[
+    org.apache.spark.sql.DataFrame]
+  private def rawRelations(s: SparkSession) =
+    relCache.getOrCompute(s, OsmPath)(graft.ops.Stage.barrier(
+      graft.osm.OsmIngest.rawRelations(s, OsmPath)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // relation ingestion is an extension beyond the reference (its
-    // shape_element skips <relation> elements); content pinned by
-    // reference-derived hashes in OsmGoldenSpec like the other rows
     "q_osm_relations" -> ((s, _) =>
-      graft.osm.OsmIngest.relations(
-        graft.osm.OsmIngest.rawRelations(s, OsmPath))),
+      graft.osm.OsmIngest.relations(rawRelations(s))),
     "q_osm_relation_members" -> ((s, _) =>
-      graft.osm.OsmIngest.relationMembers(
-        graft.osm.OsmIngest.rawRelations(s, OsmPath))),
+      graft.osm.OsmIngest.relationMembers(rawRelations(s))),
     "q_osm_nodes" -> ((s, _) => pipe(s).nodes),
     "q_osm_node_tags" -> ((s, _) => pipe(s).nodeTags),
     "q_osm_ways" -> ((s, _) => pipe(s).ways),

@@ -269,13 +269,8 @@ object TextOps {
       |   THEN '+86 755 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:86)?0?755(\d{6,8})$', 1)
       | ELSE NULL END""".stripMargin.replace("\n", " ")
 
-  /** The portable polynomial hash (functions.PolyHash) as DuckDB SQL —
-    * the same rendering CorpusOps uses. */
-  private def pHash(e: String): String =
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(string_split(CAST($e AS VARCHAR), ''), " +
-      "ch -> CAST(ord(ch) AS BIGINT))), " +
-      "(acc, cp) -> (acc * 31 + cp) % 2147483647)"
+  /** The portable polynomial hash rendering (shared via [[OracleSql]]). */
+  private def pHash(e: String): String = OracleSql.pHash(e)
 
   /** The full BPE induction generated as chained CTEs — DuckDB runs its
     * OWN argmax chain per round (independent replay, not rendered

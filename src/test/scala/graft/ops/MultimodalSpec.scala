@@ -69,37 +69,31 @@ class MultimodalSpec extends SparkSpec {
       .map(s => s.media_id -> s.sig).toMap
     assert(sigs == sigs2)
     // a one-byte append moves few slots across the threshold
-    val spark2 = spark
-    import spark2.implicits._
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf).documents.limit(50)
+    val docIds = docs.select("doc_id").collect().map(_.getLong(0))
     val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit("z")).as("text"))
-    val both = Multimodal.mediaSignatures(
+    val sigDs = Multimodal.mediaSignatures(
       Multimodal.mediaFromDocuments(docs.select("doc_id", "text")
-        .union(mutated))).collect().map(s => s.media_id -> s.sig).toMap
-    val hams = (0 until 50).flatMap { i =>
-      val id = docs.collect()(i).getLong(0)
+        .union(mutated)))
+    val both = sigDs.collect().map(s => s.media_id -> s.sig).toMap
+    val hamById = docIds.flatMap { id =>
       for {
         a <- both.get(id); b <- both.get(id + 1000000L)
-      } yield java.lang.Long.bitCount(a ^ b)
+      } yield id -> java.lang.Long.bitCount(a ^ b)
     }
-    assert(hams.nonEmpty)
+    assert(hamById.nonEmpty)
     // most mutant pairs stay within the hamming-6 budget the blocking
     // guarantees recall for
-    assert(hams.count(_ <= 6) * 10 >= hams.size * 8,
-      s"only ${hams.count(_ <= 6)}/${hams.size} pairs within budget")
+    val within = hamById.filter(_._2 <= 6)
+    assert(within.length * 10 >= hamById.length * 8,
+      s"only ${within.length}/${hamById.length} pairs within budget")
     // and the pair finder recovers them through the generic blocking
-    val pairs = Dedup.hammingNearDupPairs(
-      Multimodal.mediaSignatures(Multimodal.mediaFromDocuments(
-        docs.select("doc_id", "text").union(mutated))).toDF(),
-      maxHamming = 6, idCol = "media_id", sigCol = "sig")
+    val pairs = Dedup.hammingNearDupPairs(sigDs.toDF(),
+        maxHamming = 6, idCol = "media_id", sigCol = "sig")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val expected = hams.zipWithIndex.collect {
-      case (h, i) if h <= 6 =>
-        val id = docs.collect()(i).getLong(0)
-        (id, id + 1000000L)
-    }.toSet
+    val expected = within.map { case (id, _) => (id, id + 1000000L) }.toSet
     assert(expected.subsetOf(pairs),
       s"missing ${(expected -- pairs).take(5)}")
   }
