@@ -126,6 +126,22 @@ object Multimodal {
     }
   }
 
+  case class FrameHist(media_id: Long, frame_no: Int, hist: Array[Long])
+
+  /** Per-frame integer feature histograms — the video path's analog of
+    * [[extractHistograms]]: each sampled frame's byte window runs through
+    * the same batched stub decode, so a real frame decoder drops into the
+    * identical (media, frame_no) → features shape. */
+  def frameHistograms(frames: Dataset[Frame], dim: Int = 16):
+      Dataset[FrameHist] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { rows =>
+      rows.map(f => FrameHist(f.media_id, f.frame_no,
+        histStub(f.frame_bytes, dim)))
+    }
+  }
+
   /** Frame sampling for video-kind rows: every `stride`-th fixed-size
     * window of the payload becomes a frame row (offset metadata kept so a
     * real decoder can seek). One row in → few rows out, per partition. */

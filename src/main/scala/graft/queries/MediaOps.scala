@@ -49,10 +49,21 @@ object MediaOps {
         col("hamming"))
   }
 
+  /** Per-frame feature histograms over the sampled video frames. */
+  def frameFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameHistograms(
+        Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(Tables(s, dir).documents)))
+      .toDF()
+      .select(col("media_id"), col("frame_no"),
+        concat_ws(",", transform(col("hist"), _.cast("string")))
+          .as("hist_csv"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> features,
     "q_media_frames" -> frames,
     "q_media_neardup" -> mediaNearDup,
+    "q_frame_features" -> frameFeatures,
   )
 
   /** Frame offsets/sizes are pure arithmetic on the payload length, and
@@ -92,6 +103,32 @@ object MediaOps {
         "SELECT doc_id AS media_id, octet_length(encode(text)) AS len, " +
         "unnest(range(0, greatest(len - 63, 1), 256)) AS off " +
         "FROM documents WHERE doc_id % 3 = 2)"),
+    // per-frame histograms: the same hex byte recovery, windowed to each
+    // frame's offset with FRAME-LOCAL weighting indices
+    "q_frame_features" ->
+      ("WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS len FROM documents " +
+        "WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT media_id, hx, len, " +
+        "unnest(range(0, greatest(len - 63, 1), 256)) AS off FROM m), " +
+        "v AS (SELECT media_id, off, j, " +
+        "(strpos('0123456789ABCDEF', " +
+        "substr(hx, CAST(2*(off+j)+1 AS INT), 1)) - 1) * 16 + " +
+        "(strpos('0123456789ABCDEF', " +
+        "substr(hx, CAST(2*(off+j)+2 AS INT), 1)) - 1) AS bv FROM (" +
+        "SELECT media_id, hx, off, " +
+        "unnest(range(0, least(64, len - off))) AS j FROM f)), " +
+        "hist AS (SELECT media_id, off, CAST((bv + j) % 16 AS INT) " +
+        "AS slot, CAST(sum(bv) AS BIGINT) AS s FROM v GROUP BY 1, 2, 3), " +
+        "slots AS (SELECT f.media_id, f.off, sl.slot FROM f CROSS JOIN " +
+        "(SELECT CAST(unnest(range(16)) AS INT) AS slot) sl), " +
+        "filled AS (SELECT slots.media_id, slots.off, slots.slot, " +
+        "coalesce(hist.s, 0) AS s FROM slots LEFT JOIN hist " +
+        "ON hist.media_id = slots.media_id AND hist.off = slots.off " +
+        "AND hist.slot = slots.slot) " +
+        "SELECT media_id, CAST(off // 256 AS INT) AS frame_no, " +
+        "array_to_string(list(s ORDER BY slot), ',') AS hist_csv " +
+        "FROM filled GROUP BY media_id, off"),
     // signatures recomputed byte-for-byte (same hex recovery as
     // q_media_features, 62 slots, integer above-mean threshold), then an
     // EXHAUSTIVE all-pairs hamming scan — independently proving the
