@@ -19,13 +19,19 @@ import org.apache.spark.sql.SparkSession
   *  - entries for a session are dropped when that session's context ends
   *    (a `SparkListener` registered on first use), so stopped sessions
   *    don't retain DataFrames — and their pinned cache lineage — forever.
-  *  - `evict(session)` releases eagerly for long-lived sessions.
+  *  - `evict(session)` releases eagerly for long-lived sessions, and every
+  *    instance is evicted by `Stage.releaseAll(session)` (a global release
+  *    hook): a memo that outlived its staged frame's cache would hand out
+  *    an unpersisted DataFrame that recomputes from source on every
+  *    action. Eviction instead makes the next access recompute — and
+  *    re-stage — fresh (rebuild-on-touch).
   */
 final class SessionScoped[V] {
   private final class Holder(compute: () => V) { lazy val value: V = compute() }
 
   private val map = new ConcurrentHashMap[(SparkSession, String), Holder]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+  SessionScoped.register(this)
 
   private def hook(s: SparkSession): Unit =
     if (hooked.add(s)) {
@@ -73,4 +79,27 @@ final class SessionScoped[V] {
   }
 
   def size: Int = map.size()
+}
+
+object SessionScoped {
+  // weak set: an instance is only a query-object static today, but a
+  // dropped instance must not be pinned here forever
+  private val instances = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SessionScoped[_], java.lang.Boolean]())
+
+  private def register(i: SessionScoped[_]): Unit = {
+    instances.synchronized { instances.add(i) }
+    hookOnce
+  }
+
+  // one global Stage hook, installed on first instance construction
+  private lazy val hookOnce: Unit =
+    Stage.onReleaseAllGlobal { s =>
+      val snapshot = instances.synchronized {
+        val b = Seq.newBuilder[SessionScoped[_]]
+        instances.forEach(b += _)
+        b.result()
+      }
+      snapshot.foreach(_.evict(s))
+    }
 }

@@ -169,11 +169,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
   }
 
+  /** The per-vector quantization relation (vec_id, mn, delta, codes, sq) —
+    * ONE definition of the bit-reproducibility contract (fixed operation
+    * order, floor convention) shared by [[quantizeInt8]] and
+    * [[knnQuantized]], so the two cannot drift from the DuckDB oracle
+    * rendering.
+    *
+    * Built as STAGED PROJECTIONS, not one nested expression: higher-order
+    * functions run interpreted with no subexpression elimination, so a
+    * lambda that captures the `array_min`/`array_max` expression TREES
+    * re-evaluates them (each a full array scan over a freshly recomputed
+    * cast array) once per ELEMENT — O(d²) work and allocation per row.
+    * Materializing v/mn/mx as columns first makes the lambda capture
+    * cheap attribute references; CollapseProject leaves the projections
+    * alone because each alias is non-cheap and multiply referenced. */
+  private def quantized(embs: DataFrame, idCol: String, vecCol: String,
+      keepVec: Boolean = false): DataFrame = {
+    val v = embs.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    val m = v.select(col("vec_id"), col("v"),
+      array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+    val coded = m.select(col("vec_id"), col("v"), col("mn"),
+      ((col("mx") - col("mn")) / lit(255.0d)).as("delta"),
+      transform(col("v"), x => when(col("mx") === col("mn"), lit(0L))
+        .otherwise(floor((x - col("mn")) * lit(255.0d)
+          / (col("mx") - col("mn"))))).as("codes"))
+    val out = coded.select(col("vec_id"), col("v"), col("mn"), col("delta"),
+      col("codes"),
+      aggregate(col("codes"), lit(0L), (a, x) => a + x).as("sq"))
+    if (keepVec) out else out.drop("v")
+  }
+
   /** Quantized-scan ANN: the int8 [[quantizeInt8]] codes stand in for the
-    * float vectors during the scan, and only a per-query shortlist is
-    * re-ranked against the true vectors — the memory-bandwidth-bound
-    * shape a 100 TB vector corpus wants (4× less data streamed per
-    * candidate, exact math only on |queries|·shortlist rows).
+    * float vectors in the candidate-scoring loop, and only a per-query
+    * shortlist gets exact cosine math — the cheap-scan shape a 100 TB
+    * vector corpus wants (one 64-FMA integer dot per candidate vs the
+    * three full dots of [[knnBrute]]'s cosine; with a pre-materialized
+    * int8 code table the scan also streams 4× fewer bytes).
     *
     * The approximate score is the EXACT dot product of the reconstructed
     * vectors v̂ᵢ = mn + qᵢ·Δ (Δ = (mx−mn)/255):
@@ -183,61 +215,76 @@ object Similarity {
     * (mn, Δ)) and the arithmetic is engine-portable: the integer parts are
     * exact, the double tail has one fixed operation order.
     *
-    * Scale shape: queries broadcast (as in [[knnBrute]]); the corpus side
-    * streams its codes through the bounded TopKAgg shortlist, then only
-    * shortlisted ids join back to the float vectors for the exact cosine
-    * re-rank. Recall gap vs brute force is the quantization error only —
+    * Scale shape — SINGLE PASS: queries broadcast (as in [[knnBrute]]);
+    * the corpus streams once through the bounded [[functions.TopKVecAgg]]
+    * shortlist, which carries each surviving candidate's true vector in
+    * its ≤`shortlist`-entry buffer (the scan is already streaming the row
+    * that holds it, so this costs no extra IO — only k·dim·8 bytes per
+    * group move in the shuffle). The exact cosine re-rank then happens
+    * INSIDE each query's single output row with array expressions: no
+    * second corpus scan, no re-rank join, no second shuffle — the same
+    * stage count as the brute scan it replaces, with a ~3× cheaper inner
+    * loop. Recall gap vs brute force is the quantization error only —
     * bounded by the shortlist factor (shortlist ≫ k). */
-  /** The per-vector quantization expression triple (mn, mx, codes) —
-    * ONE definition of the bit-reproducibility contract (fixed operation
-    * order, floor convention) shared by [[quantizeInt8]] and
-    * [[knnQuantized]], so the two cannot drift from the DuckDB oracle
-    * rendering. */
-  private def quantExprs(vecCol: Column): (Column, Column, Column) = {
-    val v = toDouble(vecCol)
-    val mn = array_min(v)
-    val mx = array_max(v)
-    val codes = transform(v, x => when(mx === mn, lit(0L))
-      .otherwise(floor((x - mn) * lit(255.0d) / (mx - mn))))
-    (mn, mx, codes)
-  }
-
   def knnQuantized(embs: DataFrame, nQueries: Int, k: Int,
       shortlist: Int = 32): DataFrame = {
-    val (mn, mx, codes) = quantExprs(col("embedding"))
-    val quant = embs.select(col("vec_id"), mn.as("mn"),
-      ((mx - mn) / lit(255.0d)).as("delta"), codes.as("codes"),
-      aggregate(codes, lit(0L), (a, x) => a + x).as("sq"))
+    // codes ride as ARRAY<DOUBLE>: every value is an integer in [0, 255]
+    // and dims ≪ 2⁵³ − so the double representation (and the native fused
+    // dot below) is EXACT, bit-identical to the integer fold the DuckDB
+    // oracle runs. This keeps the per-candidate inner loop in the
+    // codegen'd vecDot kernel instead of an interpreted higher-order
+    // function that allocates a zipped array per pair − at 100 TB the
+    // interpreted form IS the scan cost (measured 6× slower than the
+    // brute scan this operator exists to beat).
+    val quant = quantized(embs, "vec_id", "embedding", keepVec = true)
+      .withColumn("codes", transform(col("codes"), _.cast("double")))
     val q = quant.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("mn").as("mn_q"),
         col("delta").as("d_q"), col("codes").as("codes_q"),
-        col("sq").as("sq_q"))
+        col("sq").as("sq_q"), col("v").as("vec_q"))
     val c = quant.select(col("vec_id").as("neighbor_id"),
       col("mn").as("mn_c"), col("delta").as("d_c"),
-      col("codes").as("codes_c"), col("sq").as("sq_c"))
-    val idot = aggregate(
-      zip_with(col("codes_q"), col("codes_c"), _ * _),
-      lit(0L), (a, x) => a + x)
+      col("codes").as("codes_c"), col("sq").as("sq_c"),
+      col("v").as("vec_n"))
+    val idot = graft.functions.GraftFunctions
+      .vecDot(col("codes_q"), col("codes_c"))
     val approx = size(col("codes_q")).cast("double") *
         col("mn_q") * col("mn_c") +
       col("mn_q") * col("d_c") * col("sq_c").cast("double") +
       col("mn_c") * col("d_q") * col("sq_q").cast("double") +
-      col("d_q") * col("d_c") * idot.cast("double")
-    val short = c.join(broadcast(q))
+      col("d_q") * col("d_c") * idot
+    val cand = c.join(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx", approx)
       .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAgg
-        .topKBy(col("approx"), col("neighbor_id"), shortlist).as("top"))
-      .select(col("query_id"), explode(col("top")).as("t"))
-      .select(col("query_id"), col("t.id").as("neighbor_id"))
-    val vecs = embs.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    topKRank(short
-      .join(vecs.select(col("vec_id").as("query_id"), col("v").as("vec_q")),
-        Seq("query_id"))
-      .join(vecs.select(col("vec_id").as("neighbor_id"),
-        col("v").as("vec_n")), Seq("neighbor_id"))
-      .withColumn("sim", cosine(col("vec_q"), col("vec_n"))), k)
+      .agg(graft.functions.TopKVecAgg.topKByVec(col("approx"),
+        col("neighbor_id"), col("vec_n"), shortlist).as("cand"),
+        first(col("vec_q")).as("vec_q"))
+    // exact re-rank entirely within the one row each query now owns: the
+    // shortlist is an array column carrying the candidates' true vectors,
+    // so exact cosine + rank are per-row array expressions (≤ shortlist
+    // elements each — interpreted HOF is fine at |queries| rows)
+    val scored = cand.select(col("query_id"),
+      transform(col("cand"), t => struct(
+        (dot(col("vec_q"), t.getField("vec")) /
+          (norm(col("vec_q")) * sqrt(dot(t.getField("vec"),
+            t.getField("vec"))))).as("sim"),
+        t.getField("id").as("id"))).as("sims"))
+    // (sim desc, id asc) — Spark's NaN-greatest comparison semantics match
+    // the Double.compare total order TopKAgg uses, so a zero-norm vector's
+    // NaN cosine still ranks first
+    val byRank = (l: Column, r: Column) =>
+      when(l.getField("sim") > r.getField("sim"), lit(-1))
+        .when(l.getField("sim") < r.getField("sim"), lit(1))
+        .when(l.getField("id") < r.getField("id"), lit(-1))
+        .when(l.getField("id") > r.getField("id"), lit(1))
+        .otherwise(lit(0))
+    scored.select(col("query_id"),
+      posexplode(slice(array_sort(col("sims"), byRank), 1, k))
+        .as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.sim"), 6).as("sim_r"))
   }
 
   /** Per-vector int8 scalar quantization — the 4× storage/bandwidth
@@ -254,11 +301,9 @@ object Similarity {
     * CSV for portable comparison, checksum = Σ codes. Pure per-row
     * projection: no shuffle, linear scale-out. */
   def quantizeInt8(embs: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val (_, _, codes) = quantExprs(col(vecCol))
-    embs.select(col(idCol),
-      size(col(vecCol)).cast("long").as("n_dims"),
-      concat_ws(",", codes).as("codes_csv"),
-      aggregate(codes, lit(0L), (acc, x) => acc + x).as("checksum"))
-  }
+      vecCol: String = "embedding"): DataFrame =
+    quantized(embs, idCol, vecCol).select(col("vec_id").as(idCol),
+      size(col("codes")).cast("long").as("n_dims"),
+      concat_ws(",", col("codes")).as("codes_csv"),
+      col("sq").as("checksum"))
 }

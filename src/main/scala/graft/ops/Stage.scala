@@ -20,18 +20,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * LIFECYCLE — read before calling from a long-lived session:
   *  - `barrier` is EAGER: it runs one Spark job (the materializing count)
   *    inside what would otherwise be pure plan construction. Library ops
-  *    that stage (jaccardPairs, minhashDedupPairs, lshCandidatePairs,
-  *    knnLsh, nearDupPairs, contamination, knnIvfWith) therefore trigger
-  *    work at call time, not first action.
+  *    that stage therefore trigger work at call time, not first action —
+  *    the authoritative list of such ops is `grep -rl Stage.barrier
+  *    src/main/scala` (it has grown every round; a prose list here kept
+  *    drifting stale).
   *  - the cached blocks stay pinned until released. Every barrier is
   *    tracked per session; call [[releaseAll]] when a batch of staged
   *    queries is done (or [[release]] for one frame). Tracking is dropped
   *    automatically when the session's context ends.
+  *  - holders that MEMOIZE staged frames (OsmPipeline's relation memos,
+  *    SessionScoped caches) register an [[onReleaseAll]] hook so a
+  *    session-wide release also invalidates the memo — otherwise the
+  *    memo would keep handing out an unpersisted frame that silently
+  *    recomputes from source on every action instead of re-staging.
+  *    Rebuild-on-touch is the contract: the first access after a release
+  *    re-runs the barrier.
   */
 object Stage {
   private val staged =
     new ConcurrentHashMap[SparkSession, java.util.Set[DataFrame]]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+  private val releaseHooks =
+    new ConcurrentHashMap[SparkSession, java.util.Set[() => Unit]]()
+  private val globalReleaseHooks =
+    ConcurrentHashMap.newKeySet[SparkSession => Unit]()
 
   def barrier(df: DataFrame): DataFrame = {
     val cached = df.cache()
@@ -40,15 +52,33 @@ object Stage {
     cached
   }
 
-  private def track(df: DataFrame): Unit = {
-    val s = df.sparkSession
+  /** Run `h` every time [[releaseAll]] fires for session `s` — the memo-
+    * invalidation side of the release contract (see LIFECYCLE). Hooks live
+    * until the session's context ends. */
+  def onReleaseAll(s: SparkSession, h: () => Unit): Unit = {
+    ensureHooked(s)
+    releaseHooks
+      .computeIfAbsent(s, _ => ConcurrentHashMap.newKeySet[() => Unit]())
+      .add(h)
+  }
+
+  /** Like [[onReleaseAll]] but for every session — used by class-level
+    * registries (SessionScoped) that exist before any session does. */
+  def onReleaseAllGlobal(h: SparkSession => Unit): Unit =
+    globalReleaseHooks.add(h)
+
+  private def ensureHooked(s: SparkSession): Unit =
     if (hooked.add(s)) {
       s.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
-          staged.remove(s); hooked.remove(s)
+          staged.remove(s); releaseHooks.remove(s); hooked.remove(s)
         }
       })
     }
+
+  private def track(df: DataFrame): Unit = {
+    val s = df.sparkSession
+    ensureHooked(s)
     staged.computeIfAbsent(s, _ => ConcurrentHashMap.newKeySet[DataFrame]())
       .add(df)
   }
@@ -62,8 +92,14 @@ object Stage {
     if (set != null) set.remove(df)
   }
 
-  /** Unpersist every frame staged in `s` since the last release. */
+  /** Unpersist every frame staged in `s` since the last release, after
+    * first firing the registered memo-invalidation hooks (so holders drop
+    * their references and re-stage on next touch rather than silently
+    * recomputing from source). */
   def releaseAll(s: SparkSession): Unit = {
+    globalReleaseHooks.forEach(h => h(s))
+    val hooks = releaseHooks.get(s)
+    if (hooks != null) hooks.forEach(h => h())
     val set = staged.remove(s)
     if (set != null) set.forEach(_.unpersist())
   }

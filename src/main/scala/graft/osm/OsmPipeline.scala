@@ -15,14 +15,46 @@ import org.apache.spark.sql.functions._
 final case class OsmPipeline(spark: SparkSession, osmPath: String,
     officialPath: String, quarantineDir: Option[String] = None) {
 
+  /** Resettable per-relation memo: like a `lazy val`, but [[release]] (or
+    * a session-wide `Stage.releaseAll`) invalidates it so the NEXT access
+    * rebuilds — and re-stages — the relation instead of handing out a
+    * frame whose cache was unpersisted (which would silently recompute
+    * from source on every action). */
+  private final class Memo[T](compute: () => T) {
+    private var v: Option[T] = None
+    def apply(): T = synchronized {
+      if (v.isEmpty) v = Some(compute())
+      v.get
+    }
+    def invalidate(): Unit = synchronized { v = None }
+  }
+  private val memos =
+    new java.util.concurrent.CopyOnWriteArrayList[Memo[_]]()
+  private def memo[T](f: => T): Memo[T] = {
+    val m = new Memo(() => f)
+    memos.add(m)
+    m
+  }
+  // a session-wide release must also invalidate this pipeline's memos —
+  // see Stage LIFECYCLE
+  graft.ops.Stage.onReleaseAll(spark, () => memos.forEach(_.invalidate()))
+
+  /** Drop every relation this session has staged (wired to
+    * `Stage.releaseAll`, so it is SESSION-wide: other staged queries in
+    * the same session release too — the notebook "free the ~15 pinned
+    * relations" hook). The pipeline stays usable: the next relation
+    * touched re-stages from the XML (rebuild-on-touch). */
+  def release(): Unit = graft.ops.Stage.releaseAll(spark)
+
   /** The audit scripts probe the UNCORRECTED list (SURVEY.md §3.2).
     * Cached: the corrected list derives from it, so the PSI XML parses
     * once for both pipelines. */
-  lazy val officialUncorrected: DataFrame =
-    graft.ops.Stage.barrier(OfficialList.cleaned(spark, officialPath))
+  private val officialUncorrectedM = memo(
+    graft.ops.Stage.barrier(OfficialList.cleaned(spark, officialPath)))
+  def officialUncorrected: DataFrame = officialUncorrectedM()
 
-  lazy val official: DataFrame = OfficialList.corrected(officialUncorrected)
-  lazy val lookup: DataFrame = OfficialList.lookup(official)
+  def official: DataFrame = OfficialList.corrected(officialUncorrected)
+  def lookup: DataFrame = OfficialList.lookup(official)
 
   // The raw XML reads are the caches that matter: a single OSM file parses
   // on one task, and every shaped relation (nodes, ways, tags ×2, way
@@ -69,35 +101,38 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
         raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     }
 
-  private lazy val rawNodes = stagedRaw("nodes",
+  private val rawNodesM = memo(stagedRaw("nodes",
     OsmIngest.rawNodes(spark, osmPath),
-    OsmIngest.rawNodesPermissive(spark, osmPath))
-  private lazy val rawWays = stagedRaw("ways",
+    OsmIngest.rawNodesPermissive(spark, osmPath)))
+  private def rawNodes = rawNodesM()
+  private val rawWaysM = memo(stagedRaw("ways",
     OsmIngest.rawWays(spark, osmPath),
-    OsmIngest.rawWaysPermissive(spark, osmPath))
+    OsmIngest.rawWaysPermissive(spark, osmPath)))
+  private def rawWays = rawWaysM()
 
   // nodes/ways appear in several branches of one exploration job
   // (counts + distinct_users + contribution joins) — barrier, not cache
-  lazy val nodes: DataFrame =
-    graft.ops.Stage.barrier(OsmIngest.nodes(rawNodes))
-  lazy val ways: DataFrame =
-    graft.ops.Stage.barrier(OsmIngest.ways(rawWays))
-  lazy val wayNodes: DataFrame = OsmIngest.wayNodes(rawWays)
+  private val nodesM = memo(graft.ops.Stage.barrier(OsmIngest.nodes(rawNodes)))
+  def nodes: DataFrame = nodesM()
+  private val waysM = memo(graft.ops.Stage.barrier(OsmIngest.ways(rawWays)))
+  def ways: DataFrame = waysM()
+  def wayNodes: DataFrame = OsmIngest.wayNodes(rawWays)
 
   /** Shaped tags BEFORE any cleaning — the audit scripts' input (they run
     * against the uncleaned data by design, SURVEY.md §3.2-3.3). Cheap
     * projections of the cached raw reads. */
-  lazy val rawNodeTags: DataFrame = OsmIngest.tags(rawNodes)
-  lazy val rawWayTags: DataFrame = OsmIngest.tags(rawWays)
+  def rawNodeTags: DataFrame = OsmIngest.tags(rawNodes)
+  def rawWayTags: DataFrame = OsmIngest.tags(rawWays)
 
   /** node tags after phone fix (with tag_pos + phone_changed). */
-  lazy val nodeTagsFixed: DataFrame =
-    graft.ops.Stage.barrier(PhoneFix.fixPhonesInTags(rawNodeTags))
+  private val nodeTagsFixedM = memo(
+    graft.ops.Stage.barrier(PhoneFix.fixPhonesInTags(rawNodeTags)))
+  def nodeTagsFixed: DataFrame = nodeTagsFixedM()
 
   /** way tags after phone fix THEN street-name fix (process_map order,
     * parse_clean_and_csv.py:260,272-273). phoneFixed is staged: it feeds
     * the fix plan AND the apply step of the same job (see Stage.barrier). */
-  lazy val wayTagsFixed: DataFrame = {
+  private val wayTagsFixedM = memo {
     val phoneFixed =
       graft.ops.Stage.barrier(PhoneFix.fixPhonesInTags(rawWayTags))
     val streets = StreetNameFix.streetIds(phoneFixed)
@@ -110,6 +145,7 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
       StreetNameFix.fixPlan(versions, lookup))
     graft.ops.Stage.barrier(StreetNameFix.applyFix(phoneFixed, plan))
   }
+  def wayTagsFixed: DataFrame = wayTagsFixedM()
 
   /** Output projections (drop the internal tag_pos / flag columns). */
   def nodeTags: DataFrame =
@@ -120,7 +156,7 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
   /** update_history(id, element_type, field_updated) — K2
     * (parse_clean_and_csv.py:263-290). Phone flags replicate the
     * reference's last-writer-wins quirk exactly (see PhoneFix). */
-  lazy val updateHistory: DataFrame = {
+  private val updateHistoryM = memo {
     val nodePhone = PhoneFix.phoneUpdatedPerElement(nodeTagsFixed)
       .filter(col("phone_updated"))
       .select(col("id"), lit("node").as("element_type"),
@@ -136,20 +172,22 @@ final case class OsmPipeline(spark: SparkSession, osmPath: String,
     graft.ops.Stage.barrier(
       nodePhone.unionByName(wayPhone).unionByName(wayName))
   }
+  def updateHistory: DataFrame = updateHistoryM()
 
   /** X6 — the phone audit over the uncleaned tags, shared (cached) by the
     * three audit outputs: full table, key histogram, char census. Staged
     * in ORDERED form (document-order metadata) so the census can replay
     * the reference's first-seen character order; [[phoneAuditRows]] is the
     * public reference row shape. */
-  lazy val phoneAudit: DataFrame = graft.ops.Stage.barrier(
-    Audits.phoneNumbersOrdered(rawNodeTags, rawWayTags))
+  private val phoneAuditM = memo(graft.ops.Stage.barrier(
+    Audits.phoneNumbersOrdered(rawNodeTags, rawWayTags)))
+  def phoneAudit: DataFrame = phoneAuditM()
 
   def phoneAuditRows: DataFrame =
     phoneAudit.select(col("id"), col("key"), col("value"), col("type"))
 
   /** X5 — the bilingual street-name audit (uncorrected official list). */
-  lazy val streetAudit: DataFrame =
+  def streetAudit: DataFrame =
     Audits.bilingualStreetNames(rawWayTags,
       OfficialList.lookup(officialUncorrected))
 

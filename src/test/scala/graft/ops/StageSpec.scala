@@ -28,6 +28,36 @@ class StageSpec extends SparkSpec {
     assert(v == 3) // recomputed after eviction
   }
 
+  test("releaseAll unpersists everything, fires hooks, and memoized " +
+      "holders rebuild-on-touch") {
+    var hookFired = 0
+    Stage.onReleaseAll(spark, () => hookFired += 1)
+    // a SessionScoped memo over a staged frame — the pattern OsmQueries
+    // and the ANN centroid cache use
+    val scoped = new SessionScoped[org.apache.spark.sql.DataFrame]
+    var computes = 0
+    def staged = scoped.getOrCompute(spark, "frame") {
+      computes += 1
+      Stage.barrier(spark.range(50).toDF("n"))
+    }
+    val first = staged
+    assert(computes == 1 && Stage.stagedCount(spark) >= 1)
+    assert(first.storageLevel != StorageLevel.NONE)
+
+    Stage.releaseAll(spark)
+    assert(hookFired == 1)
+    assert(Stage.stagedCount(spark) == 0) // between-queries invariant
+    assert(first.storageLevel == StorageLevel.NONE)
+    // the memo was evicted with the cache: next touch re-computes AND
+    // re-stages, rather than handing back the unpersisted frame
+    val second = staged
+    assert(computes == 2)
+    assert(second.storageLevel != StorageLevel.NONE)
+    assert(second.count() == 50)
+    Stage.releaseAll(spark)
+    assert(hookFired == 2) // hooks persist across release cycles
+  }
+
   test("SessionScoped serializes racing computes: one winner, no discard") {
     import java.util.concurrent.{Callable, CyclicBarrier, Executors, TimeUnit}
     val scoped = new SessionScoped[java.lang.Integer]
