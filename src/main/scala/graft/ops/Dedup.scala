@@ -240,13 +240,24 @@ object Dedup {
     * standard iterative-algorithm shape on Spark (label propagation /
     * large-star contraction family). */
   def components(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxRounds: Int = 50): DataFrame =
-    componentsWithStatus(pairs, aCol, bCol, maxRounds)._1
+      bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
+    val (labels, converged) = componentsWithStatus(pairs, aCol, bCol,
+      maxRounds)
+    // the library default FAILS LOUDLY: unconverged labels are silently
+    // wrong (a too-small drop set downstream of a dedup). Callers that
+    // want to inspect partial labels use componentsWithStatus.
+    if (!converged)
+      throw new IllegalStateException(
+        s"components() did not converge within $maxRounds rounds — " +
+          "raise maxRounds or use componentsWithStatus to inspect " +
+          "partial labels")
+    labels
+  }
 
   /** [[components]] plus its convergence status. A component whose
     * eccentricity exceeds `maxRounds` would otherwise return silently-wrong
     * labels (and a too-small drop set downstream) — callers that need the
-    * guarantee check the flag; [[components]] logs a warning. */
+    * partial labels check the flag; [[components]] throws instead. */
   def componentsWithStatus(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 50): (DataFrame, Boolean) = {
     val edges = Stage.barrier(
@@ -415,26 +426,33 @@ object Dedup {
     * n_kept = 0 yields an empty dedup_text, the "document fully consumed
     * by boilerplate" signal a filtering stage cuts on.
     *
-    * Scale shape: one explode (bounded ×⌈tokens/segTokens⌉), ONE shuffle
-    * on the segment text for the first-occurrence window, one groupBy
-    * doc_id to reassemble. The window partitions by segment value — at
-    * 100 TB a degenerate hot segment (empty-ish boilerplate) is a skew
-    * key; cutting segments at ≥ segTokens tokens keeps values high-entropy
-    * and the per-segment groups duplicate-bounded. */
+    * Scale shape: one explode (bounded ×⌈tokens/segTokens⌉), a PARTIAL-
+    * AGGREGATED groupBy on the segment text for the first occurrence
+    * (min(struct(doc_id, pos)) — lexicographic struct order ≡ the
+    * (doc_id, pos) sort), joined back, one groupBy doc_id to reassemble.
+    * Deliberately NOT a row_number window partitioned by segment value:
+    * at 100 TB a degenerate hot segment (empty-ish boilerplate) is a
+    * skew key, and a window must SORT the whole hot partition on one
+    * task with no runtime mitigation — min(struct) instead combines
+    * map-side so the hot key arrives pre-reduced, and the join back is
+    * AQE-skew-splittable. */
   def segmentDedup(docs: DataFrame, segTokens: Int = 8,
       textCol: String = "text"): DataFrame = {
     val exploded = segmentRows(docs, segTokens, textCol)
-    val firstWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("seg")).orderBy(col("doc_id"), col("pos"))
-    exploded
-      .withColumn("rn", row_number().over(firstWin))
+    val firsts = exploded.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("seg"), col("first.doc_id").as("f_doc"),
+        col("first.pos").as("f_pos"))
+    exploded.join(firsts, Seq("seg"))
+      .withColumn("is_first",
+        col("doc_id") === col("f_doc") && col("pos") === col("f_pos"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_segs"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long")
+        sum(when(col("is_first"), 1L).otherwise(0L)).cast("long")
           .as("n_kept"),
         concat_ws(" ", transform(
           array_sort(collect_list(
-            when(col("rn") === 1, struct(col("pos"), col("seg"))))),
+            when(col("is_first"), struct(col("pos"), col("seg"))))),
           s => s.getField("seg"))).as("dedup_text"))
   }
 
@@ -443,10 +461,20 @@ object Dedup {
     * method FOUND and a TRUTH pair set, report sizes, overlap, and
     * integer precision/recall (×1000). Three count aggregations over
     * bare id-pair rows plus one pair-key join; the single-row outputs
-    * cross-join, so nothing data-scale ever reaches the driver. */
+    * cross-join, so nothing data-scale ever reaches the driver.
+    *
+    * Pairs are UNORDERED: both inputs are canonicalized to
+    * (least, greatest) before the distinct and the overlap join, so a
+    * method that emits (b, a) against a truth set emitting (a, b) — or
+    * both orientations of the same pair — is scored correctly. All
+    * in-repo producers already emit doc_a < doc_b, so for them the
+    * canonicalization is a no-op. */
   def pairMetrics(found: DataFrame, truth: DataFrame): DataFrame = {
-    val f = found.select(col("doc_a"), col("doc_b")).distinct()
-    val t = truth.select(col("doc_a"), col("doc_b")).distinct()
+    def canon(df: DataFrame): DataFrame = df.select(
+      least(col("doc_a"), col("doc_b")).as("doc_a"),
+      greatest(col("doc_a"), col("doc_b")).as("doc_b")).distinct()
+    val f = canon(found)
+    val t = canon(truth)
     val nCommon = f.join(t, Seq("doc_a", "doc_b"))
       .agg(count(lit(1)).cast("long").as("n_common"))
     val nFound = f.agg(count(lit(1)).cast("long").as("n_found"))

@@ -148,9 +148,15 @@ object MediaOps {
         "CAST(sum(bv) AS BIGINT) AS s FROM vals GROUP BY 1, 2), " +
         "tot AS (SELECT media_id, CAST(sum(bv) AS BIGINT) AS total " +
         "FROM vals GROUP BY 1), " +
-        "sig AS (SELECT h.media_id, CAST(sum(CASE WHEN h.s * 62 > t.total " +
+        "sig0 AS (SELECT h.media_id, CAST(sum(CASE WHEN h.s * 62 > t.total " +
         "THEN (1::BIGINT << h.slot) ELSE 0 END) AS BIGINT) AS sig " +
-        "FROM hist h JOIN tot t USING (media_id) GROUP BY h.media_id) " +
+        "FROM hist h JOIN tot t USING (media_id) GROUP BY h.media_id), " +
+        // LEFT JOIN back to every media row: an empty payload has no vals/
+        // hist rows and would otherwise vanish here, while the engine's
+        // mediaSignatures emits sig = 0 for it — coalesce keeps the two
+        // sides divergence-free on degenerate corpora
+        "sig AS (SELECT m.media_id, coalesce(sig0.sig, 0) AS sig " +
+        "FROM m LEFT JOIN sig0 USING (media_id)) " +
         "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
         "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming " +
         "FROM sig a JOIN sig b ON a.media_id < b.media_id " +

@@ -49,6 +49,27 @@ object TextOps {
   def tokenStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(Tables(s, dir).documents)
 
+  /** The Unicode-whitespace mode of TextAnalysis.tokens (`"(?U)\\s+"` —
+    * what real text needs): the corpus is re-separated with a per-doc mix
+    * of tab / NBSP / multi-space runs, then tokenized Unicode-aware,
+    * recovering exactly the original tokens (count + total chars pin the
+    * content). The DuckDB oracle replays the injection and splits on the
+    * explicit `[tab NBSP space]+` class — RE2 has no `(?U)\s`, and the
+    * class covers precisely the separators injected. */
+  def tokenUnicode(s: SparkSession, dir: String): DataFrame = {
+    val sep = when(col("doc_id") % 3 === 0, lit("\t"))
+      .when(col("doc_id") % 3 === 1, lit("\u00a0"))
+      .otherwise(lit("  "))
+    val toks = TextAnalysis.tokens(col("messy"), "(?U)\\s+")
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        regexp_replace(col("text"), lit(" "), sep).as("messy"))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_token_chars"))
+  }
+
   /** Quality scoring (integer-only outputs for oracle parity). */
   def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(Tables(s, dir).documents)
@@ -243,6 +264,7 @@ object TextOps {
     "q_capwords" -> capwordsQuery,
     "q_phone_canon" -> phoneCanon,
     "q_token_stats" -> tokenStats,
+    "q_token_unicode" -> tokenUnicode,
     "q_token_bpe" -> tokenBpe,
     "q_train_split" -> trainSplit,
     "q_vocab_topk" -> vocabTopK,
@@ -484,6 +506,18 @@ object TextOps {
     "q_token_stats" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "length(text) AS n_chars_measured FROM documents"),
+    // the same per-doc separator injection as tokenUnicode; the split
+    // class [tab NBSP space]+ is (?U)\s's cover of the injected runs
+    "q_token_unicode" ->
+      ("WITH messy AS (SELECT doc_id, replace(text, ' ', " +
+        "CASE WHEN doc_id % 3 = 0 THEN chr(9) " +
+        "WHEN doc_id % 3 = 1 THEN chr(160) " +
+        "ELSE '  ' END) AS m FROM documents), " +
+        "t AS (SELECT doc_id, string_split_regex(m, " +
+        "'[' || chr(9) || chr(160) || ' ]+') AS toks FROM messy) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) " +
+        "AS sum_token_chars FROM t"),
     "q_train_split" ->
       ("SELECT split, count(*) AS n_docs FROM (SELECT CASE " +
         "WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' " +

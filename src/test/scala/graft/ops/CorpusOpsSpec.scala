@@ -90,6 +90,34 @@ class CorpusOpsSpec extends SparkSpec {
       out(3L)._4 == "x y z a b c d e f g h i j k l q")
   }
 
+  test("segment dedup: hot segment across half the corpus, no window op") {
+    // one boilerplate segment shared by 50% of docs — the skew shape the
+    // groupBy + min(struct) first-occurrence step exists for: a
+    // row_number window partitioned by segment value would sort the
+    // whole hot key on one task with no runtime mitigation
+    val hotSeg = (1 to 8).map(i => s"h$i").mkString(" ")
+    val docs = (1L to 40L).map { id =>
+      if (id % 2 == 0)
+        (id, hotSeg + " " + (1 to 8).map(i => s"u${id}_$i").mkString(" "))
+      else (id, (1 to 8).map(i => s"v${id}_$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, segTokens = 8)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "first-occurrence step must not plan a value-partitioned window")
+    val m = out.as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 2 is the lowest-(doc_id, pos) holder of the hot segment: intact
+    assert(m(2L)._3 == 2 &&
+      m(2L)._4.startsWith(hotSeg))
+    // every later even doc loses exactly the hot segment
+    (4L to 40L by 2).foreach { id =>
+      assert(m(id)._2 == 2 && m(id)._3 == 1)
+      assert(m(id)._4 == (1 to 8).map(i => s"u${id}_$i").mkString(" "))
+    }
+    // odd docs (unique segments) are untouched
+    (1L to 39L by 2).foreach(id => assert(m(id)._3 == 1))
+  }
+
   test("freq score: constant-token doc scores corpus count") {
     val docs = Seq((1L, "w w w"), (2L, "w rare")).toDF("doc_id", "text")
     val out = TextAnalysis.freqScore(docs)

@@ -172,6 +172,28 @@ class DedupSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.getLong(3) == 0L)
   }
 
+  test("pair metrics canonicalize orientation: reversed pairs still match") {
+    // (2,1) and (1,2) are the SAME unordered pair: one found entry after
+    // canonicalization, matching truth's (1,2)
+    val found = Seq((2L, 1L), (4L, 3L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val m = Dedup.pairMetrics(found, truth).collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) == ((2L, 2L, 2L)))
+    assert(m.getLong(3) == 1000L && m.getLong(4) == 1000L)
+  }
+
+  test("components() fails loudly when maxRounds is too small") {
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.components(pairs, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the status variant still hands back the partial labels
+    val (labels, converged) =
+      Dedup.componentsWithStatus(pairs, maxRounds = 3)
+    assert(!converged && labels.count() == 20)
+  }
+
   test("incremental dedup: corpus digests and within-batch firsts both drop") {
     val seen = Seq("old text one", "old text two").toDF("text")
       .select(sha2(lower(col("text")), 256).as("digest"))
