@@ -26,6 +26,41 @@ class TopKAggPropertySpec extends SparkSpec {
       Gen.const(0.5))
   } yield (group, id, score)
 
+  test("TopKVecAgg == TopKAgg ranking with the right payload attached, " +
+      "k in {1,3,7}") {
+    // same randomized tied data; the payload is a per-(group,id) vector,
+    // so carrying it through the aggregate must change NOTHING about the
+    // ranking and must attach the vector of exactly the surviving id
+    val rows = samples(rowGen, 2000)
+    val df = rows.toDF("query_id", "neighbor_id", "sim")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("vec", array(col("neighbor_id").cast("double"),
+        (col("neighbor_id") * 2 + col("query_id")).cast("double")))
+      .repartition(16) // forces the serialize/merge partial-buffer path
+      .cache()
+    for (k <- Seq(1, 3, 7)) {
+      val plain = df.groupBy(col("query_id"))
+        .agg(TopKAgg.topKBy(col("sim"), col("neighbor_id"), k).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.score"), col("t.id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      val withVec = df.groupBy(col("query_id"))
+        .agg(TopKVecAgg.topKByVec(col("sim"), col("neighbor_id"),
+          col("vec"), k).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .collect().map { r =>
+          val t = r.getStruct(1)
+          val vec = t.getSeq[Double](2)
+          // the payload is the surviving id's vector, element for element
+          assert(vec == Seq(t.getLong(1).toDouble,
+            (t.getLong(1) * 2 + r.getLong(0)).toDouble))
+          (r.getLong(0), t.getDouble(0), t.getLong(1))
+        }.toSet
+      assert(withVec == plain, s"k=$k")
+    }
+  }
+
   test("TopKAgg == rank-window on randomized tied data, k in {1,3,7}") {
     val rows = samples(rowGen, 2000)
     val df = rows.toDF("query_id", "neighbor_id", "sim")
