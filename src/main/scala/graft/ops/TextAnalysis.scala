@@ -466,6 +466,36 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "l", "r", "pair_count")
   }
 
+  /** The encode side of [[bpeTrain]]: apply a trained merge table to the
+    * corpus and report per-document word / BPE-token counts.
+    *
+    * The merges (driver-side metadata, like IVF centroids — a tokenizer
+    * ships thousands of rows, not data-scale) apply to the DISTINCT-WORD
+    * vocabulary, not to every occurrence: at web scale the vocabulary is
+    * ~10⁷ rows while the corpus is ~10¹² running words, so encoding the
+    * vocabulary once and joining occurrences to it saves five orders of
+    * magnitude of per-word merge work — the classic encode-once shape.
+    * The merge application is the same " l r " → " lr " left-to-right
+    * convention as training (and the DuckDB oracle's replay). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val sym0 = concat(lit(" "),
+      concat_ws(" ", split(col("w"), "")), lit(" "))
+    val symN = merges.foldLeft(sym0) { case (e, (l, r)) =>
+      regexp_replace(e,
+        lit(java.util.regex.Pattern.quote(s" $l $r ")),
+        lit(java.util.regex.Matcher.quoteReplacement(s" $l$r ")))
+    }
+    val vocab = words.select(col("w")).distinct()
+      .select(col("w"), trim(symN).as("sym"))
+    words.join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(size(split(col("sym"), " "))).cast("long").as("n_bpe_tokens"))
+  }
+
   /** Bounded inverted-index posting lists: per token, its document
     * frequency and the `cap` lowest doc ids containing it — the
     * retrieval-side index a contamination/attribution audit probes.

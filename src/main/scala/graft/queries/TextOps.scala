@@ -233,6 +233,20 @@ object TextOps {
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrain(Tables(s, dir).documents, nMerges = 8)
 
+  /** Encode the corpus with the trained merges (encode-vocab-once +
+    * occurrence join). The merge table is driver metadata, memoized per
+    * (session, dir); the oracle replays the induction independently and
+    * joins words to ITS final vocabulary — so training and encoding are
+    * cross-checked end to end. */
+  private val mergeCache = new graft.ops.SessionScoped[Seq[(String, String)]]
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = mergeCache.getOrCompute(s, dir)(
+      TextAnalysis.bpeTrain(Tables(s, dir).documents, nMerges = 8)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    TextAnalysis.bpeEncode(Tables(s, dir).documents, merges)
+  }
+
   /** Kneser-Ney count tables over the corpus. */
   def lmCounts(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmCounts(Tables(s, dir).documents)
@@ -251,6 +265,7 @@ object TextOps {
     "q_hash_features" -> hashFeats,
     "q_lm_counts" -> lmCounts,
     "q_bpe_train" -> bpeTrain,
+    "q_bpe_encode" -> bpeEncode,
     "q_doc_gate" -> docGate,
     "q_chunk" -> chunk,
     "q_pmi" -> pmi,
@@ -298,31 +313,36 @@ object TextOps {
     * OWN argmax chain per round (independent replay, not rendered
     * literals), so the merge tables match only if every pair count, every
     * tie-break, and every left-to-right merge application agree. */
-  private def duckBpeSql(nMerges: Int): String = {
+  /** The induction CTE chain alone (v0..vN, pN, mN) — shared by the
+    * train oracle (which selects the merge rows) and the encode oracle
+    * (which joins document words to the FINAL vocabulary vN). */
+  private def duckBpeCtes(nMerges: Int): String = {
     val sb = new StringBuilder
-    sb ++= ("WITH v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, " +
+    sb ++= ("WITH v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, " +
       "array_to_string(string_split(w, ''), ' ') AS sym FROM (" +
       "SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
       "GROUP BY w)")
     for (k <- 1 to nMerges) {
-      sb ++= (s", p$k AS (SELECT u.l AS l, u.r AS r, " +
+      sb ++= (s", p$k AS MATERIALIZED (SELECT u.l AS l, u.r AS r, " +
         "CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
         "SELECT freq, unnest(list_transform(range(1, len(s)), " +
         "i -> {'l': s[i], 'r': s[i+1]})) AS u FROM (" +
         s"SELECT freq, string_split(sym, ' ') AS s FROM v${k - 1})) " +
         "GROUP BY 1, 2)")
-      sb ++= (s", m$k AS (SELECT l, r, cnt FROM p$k " +
+      sb ++= (s", m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k " +
         "ORDER BY cnt DESC, l, r LIMIT 1)")
-      sb ++= (s", v$k AS (SELECT w, freq, trim(replace(' ' || sym || ' ', " +
+      sb ++= (s", v$k AS MATERIALIZED (SELECT w, freq, trim(replace(' ' || sym || ' ', " +
         s"(SELECT ' ' || l || ' ' || r || ' ' FROM m$k), " +
         s"(SELECT ' ' || l || r || ' ' FROM m$k))) AS sym FROM v${k - 1})")
     }
-    sb ++= " "
-    sb ++= (1 to nMerges).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS rank, l, r, cnt AS pair_count " +
-        s"FROM m$k").mkString(" UNION ALL ")
     sb.toString
   }
+
+  private def duckBpeSql(nMerges: Int): String =
+    duckBpeCtes(nMerges) + " " +
+      (1 to nMerges).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, l, r, cnt AS pair_count " +
+          s"FROM m$k").mkString(" UNION ALL ")
 
   val oracle: Map[String, String] = Map(
     // same bounded forward-offset pair generation (i ≤ n−1,
@@ -355,6 +375,16 @@ object TextOps {
         "FROM uni LEFT JOIN pred USING (token) " +
         "LEFT JOIN succ USING (token) GROUP BY token"),
     "q_bpe_train" -> duckBpeSql(8),
+    // independent replay: DuckDB derives its OWN merges (argmax chain),
+    // then encodes via the same vocabulary-join the engine uses
+    "q_bpe_encode" ->
+      (duckBpeCtes(8) +
+        ", wordsx AS (SELECT doc_id, unnest(string_split(text, ' ')) " +
+        "AS w FROM documents) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(len(string_split(v.sym, ' '))) AS BIGINT) " +
+        "AS n_bpe_tokens FROM wordsx JOIN v8 v USING (w) " +
+        "GROUP BY doc_id"),
     // every gate rule restated bit-for-bit (thresholds shared with
     // q_quality / q_repetition)
     "q_doc_gate" ->

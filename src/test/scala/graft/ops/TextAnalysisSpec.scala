@@ -208,6 +208,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges(4L) == (("lo", "w", 7L)))
   }
 
+  test("bpe encode: trained merges compress the corpus they came from") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, nMerges = 4).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextAnalysis.bpeEncode(docs, merges).collect().head
+    // after (e,s), (es,t), (l,o), (lo,w):
+    //   low → "low" (1 sym), lower → "low e r" (3), newest → "n e w est"
+    //   (4), widest → "w i d est" (4)
+    assert(enc.getLong(1) == 16L) // words
+    assert(enc.getLong(2) == 5 * 1 + 2 * 3 + 6 * 4 + 3 * 4)
+    // no merges → pure character count
+    val raw = TextAnalysis.bpeEncode(docs, Nil).collect().head
+    assert(raw.getLong(2) ==
+      (5 * 3 + 2 * 5 + 6 * 6 + 3 * 6))
+  }
+
   test("pmi bigrams: true collocation outranks chance co-occurrence") {
     // "new york" always adjacent; tokN fillers rotate
     val docs = (1 to 30).map(i =>
