@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.polyHash
@@ -37,20 +36,26 @@ object Sampling {
 
   /** Per-source quota: keep at most `quota` rows per `keyCol`, chosen
     * deterministically by (hash(id), id) order — an unbiased, stable
-    * "first K by hash" draw rather than "first K by arrival". One shuffle
-    * on the quota key.
+    * "first K by hash" draw rather than "first K by arrival".
     *
-    * Scale note: a row_number window ships EVERY row of a hot source to
-    * one reducer before cutting. That is exact and fine when the largest
-    * source fits a partition; when one source dominates a 100 TB corpus,
-    * cut first with [[stratifiedSample]] at rate ≈ quota/count(source)
-    * (counts from one cheap agg) so the window only ranks the survivors. */
+    * Scale shape: a bounded top-k aggregate, NOT a row_number window — a
+    * window ships EVERY row of a hot source to one reducer before
+    * cutting, while the aggregate reduces each map task's slice to ≤
+    * quota (hash, id) entries per key BEFORE the shuffle (the hash values
+    * are < 2³¹, exact in the double score; negation turns the aggregate's
+    * descending order into ascending hash, and its tie-break is the same
+    * ascending id). The surviving id set is quota·|sources| rows — tiny
+    * at any corpus size — so it broadcasts into a semi-join and the full
+    * rows never shuffle at all. */
   def sourceQuota(df: DataFrame, keyCol: String, idCol: String,
       quota: Int): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(polyHash(col(idCol).cast("string")), col(idCol))
-    df.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= quota)
-      .drop("rk")
+    val keep = df.select(col(keyCol), col(idCol))
+      .groupBy(col(keyCol))
+      .agg(graft.functions.TopKAgg.topKBy(
+        -polyHash(col(idCol).cast("string")).cast("double"),
+        col(idCol).cast("long"), quota).as("top"))
+      .select(col(keyCol), explode(col("top")).as("t"))
+      .select(col(keyCol), col("t.id").as(idCol))
+    df.join(broadcast(keep), Seq(keyCol, idCol), "left_semi")
   }
 }

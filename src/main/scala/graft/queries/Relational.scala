@@ -342,29 +342,30 @@ object Relational {
         (unix_millis(col("ts")) - unix_millis(col("_prev"))).as("gap_ms"))
   }
 
-  /** Co-partitioned join via bucketed layout (ops.Bucketing): customer
-    * and orders are written ONCE as external parquet tables bucketed by
-    * custkey — the write-time shuffle a pipeline pays so every later
-    * equi-join on the key reads the layout with ZERO shuffle exchanges
-    * (BucketingSpec plan-asserts both this and the one-sided incremental
-    * shape). Per (session, dir) the write happens once (SessionScoped —
-    * rebuilt on release); the oracle is the plain join over the raw
-    * parquet, since layout must be invisible to results. */
+  /** Co-partitioned join via bucketed layout (sources.PartitionedStore):
+    * customer and orders are written ONCE as external parquet tables
+    * bucketed by custkey — the write-time shuffle a pipeline pays so
+    * every later equi-join on the key reads the layout with ZERO shuffle
+    * exchanges (PartitionedStoreSpec plan-asserts both this and the
+    * one-sided incremental digest shape). Per (session, dir) the write
+    * happens once (SessionScoped — rebuilt on release); the oracle is the
+    * plain join over the raw parquet, since layout must be invisible to
+    * results. */
   private val bucketed = new graft.ops.SessionScoped[(String, String)]
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val (custT, ordT) = bucketed.getOrCompute(s, dir) {
       val suffix = (dir.hashCode.toLong & 0xffffffffL).toString
       val ct = s"graft_bkt_customer_$suffix"
       val ot = s"graft_bkt_orders_$suffix"
-      graft.ops.Bucketing.writeBucketed(
+      graft.sources.PartitionedStore.writeBucketed(
         Tables(s, dir).customer
           .select(col("c_custkey"), col("c_mktsegment")),
         ct, s"/tmp/graft_bucketed/$suffix/customer", "c_custkey", 8,
-        sortCols = Seq("c_custkey"))
-      graft.ops.Bucketing.writeBucketed(
+        Seq("c_custkey"))
+      graft.sources.PartitionedStore.writeBucketed(
         Tables(s, dir).orders.select(col("o_custkey"), col("o_orderkey")),
         ot, s"/tmp/graft_bucketed/$suffix/orders", "o_custkey", 8,
-        sortCols = Seq("o_custkey"))
+        Seq("o_custkey"))
       (ct, ot)
     }
     s.table(custT)

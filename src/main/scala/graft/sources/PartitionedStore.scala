@@ -45,6 +45,32 @@ object PartitionedStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** EXTERNAL-table variant of [[writeBucketed]]: the parquet lives at
+    * `path` (where the caller's storage layout says), only the bucketing
+    * metadata lives in the session catalog — the production shape, where
+    * tables are storage-first and catalogs are replaceable. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int, sortCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet").option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
+
+  /** The digest-table increment join (see Dedup.incrementalDedup): keep
+    * batch rows whose `_dig` is unseen in the bucketed corpus digest
+    * table. With the corpus bucketed on `digest`, its scan reads the
+    * bucket layout in place and only the (small) batch side shuffles —
+    * the 100 TB corpus never moves across increments
+    * (PartitionedStoreSpec plan-asserts). */
+  def antiJoinBucketed(spark: SparkSession, batch: DataFrame,
+      digestTable: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    batch.join(spark.table(digestTable).select(col("digest").as("_dig")),
+      Seq("_dig"), "left_anti")
+  }
+
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 }
