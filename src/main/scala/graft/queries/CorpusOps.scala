@@ -120,6 +120,29 @@ object CorpusOps {
   def manifest(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.manifest(Tables(s, dir).documents)
 
+  /** JSONL round-trip (sources.JsonlStore — the format corpora arrive
+    * in): documents are written once per (session, dir) as JSON lines,
+    * read back under the explicit schema, and aggregated per source. The
+    * oracle aggregates the parquet directly, so the round-trip must be
+    * content-lossless (quotes, backslashes, unicode) to hash-match. */
+  private val jsonlCache = new graft.ops.SessionScoped[String]
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = jsonlCache.getOrCompute(s, dir) {
+      val p = s"/tmp/graft_jsonl/${(dir.hashCode.toLong & 0xffffffffL)}"
+      graft.sources.JsonlStore.writeJsonl(
+        Tables(s, dir).documents
+          .select(col("doc_id"), col("source"), col("text")), p)
+      p
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("source", "string").add("text", "string")
+    graft.sources.JsonlStore.readJsonl(s, path, schema)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_id"),
+        sum(length(col("text"))).cast("long").as("sum_chars"))
+  }
+
   /** The composed pre-training pipeline end-to-end: reason-coded gate →
     * digest dedup (keep lowest id) → sequence packing of the survivors.
     * Every stage is the library's own operator; the oracle restates the
@@ -143,6 +166,7 @@ object CorpusOps {
     "q_postings" -> postings,
     "q_packing" -> packing,
     "q_manifest" -> manifest,
+    "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_pipeline_full" -> pipelineFull,
     "q_boilerplate" -> boilerplate,
     "q_heavy_hitters" -> heavyHitters,
@@ -206,6 +230,13 @@ object CorpusOps {
         "x -> x.seg), ' '), '') AS clean_text " +
         "FROM seg JOIN dfq USING (seg) GROUP BY doc_id"),
     "q_heavy_hitters" -> duckCmSql,
+    // the oracle never sees the JSONL — it aggregates the parquet, so a
+    // lossy round-trip (escaping, unicode, nulls) hash-mismatches
+    "q_jsonl_roundtrip" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(doc_id) AS BIGINT) AS sum_id, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY source"),
     // same planted increment, same window-min first-occurrence, same
     // NOT-IN-digests anti join (sha256 hex parity proven by q_dedup_hash)
     "q_incremental_dedup" ->

