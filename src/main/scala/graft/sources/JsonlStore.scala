@@ -28,6 +28,15 @@ object JsonlStore {
       schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
+  /** Streaming scan of a JSONL landing zone (file source): same
+    * explicit-schema contract as [[readJsonl]]; files appearing in the
+    * directory are picked up incrementally — the continuous-ingestion
+    * shape of a corpus drop folder feeding the pipeline's streaming
+    * duals. */
+  def readJsonlStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
   /** Quarantining scan: malformed lines land in `<quarantineDir>` as raw
     * text while clean rows flow on. The raw read materializes first
     * (Spark disallows querying only the corrupt column off a raw scan) —

@@ -102,8 +102,12 @@ class CorpusOpsSpec extends SparkSpec {
       else (id, (1 to 8).map(i => s"v${id}_$i").mkString(" "))
     }.toDF("doc_id", "text")
     val out = Dedup.segmentDedup(docs, segTokens = 8)
-    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
       "first-occurrence step must not plan a value-partitioned window")
+    // ...and the replacement really is a PARTIAL-aggregated min: the hot
+    // key arrives at the reducer pre-reduced by every map task
+    assert(plan.contains("partial_min"), plan)
     val m = out.as[(Long, Long, Long, String)].collect()
       .map(r => r._1 -> r).toMap
     // doc 2 is the lowest-(doc_id, pos) holder of the hot segment: intact

@@ -25,6 +25,32 @@ class JsonlStoreSpec extends SparkSpec {
         (3L, "unicode – ok")))
   }
 
+  test("streaming jsonl ingestion reduces to the batch aggregate") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, s"src_${i % 3}", s"text number $i"))
+      .toDF("doc_id", "source", "text")
+    val dir = Files.createTempDirectory("graft_jsonl_stream").toString
+    JsonlStore.writeJsonl(docs, dir)
+    val sch = new StructType().add("doc_id", LongType)
+      .add("source", StringType).add("text", StringType)
+    val counts = JsonlStore.readJsonlStream(spark, dir, sch)
+      .groupBy(col("source"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        sum(col("doc_id")).as("sum_id"))
+    val got = graft.streaming.EventStream.runToMemory(counts,
+      "jsonl_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val want = docs.groupBy(col("source"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        sum(col("doc_id")).as("sum_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want && want.size == 3)
+  }
+
   test("quarantining scan: bad lines captured, clean rows flow") {
     val dir = Files.createTempDirectory("graft_jsonl_dirty")
     Files.writeString(Paths.get(dir.toString, "part-0.jsonl"),
