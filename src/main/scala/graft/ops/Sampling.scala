@@ -46,7 +46,11 @@ object Sampling {
     * descending order into ascending hash, and its tie-break is the same
     * ascending id). The surviving id set is quota·|sources| rows — tiny
     * at any corpus size — so it broadcasts into a semi-join and the full
-    * rows never shuffle at all. */
+    * rows never shuffle at all.
+    *
+    * Assumes `idCol` identifies rows (the corpus contract): rows sharing
+    * an id are kept or dropped together, whereas the old window form cut
+    * arbitrarily between them. */
   def sourceQuota(df: DataFrame, keyCol: String, idCol: String,
       quota: Int): DataFrame = {
     val keep = df.select(col(keyCol), col(idCol))
