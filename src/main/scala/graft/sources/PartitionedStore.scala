@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Layout-aware parquet storage: hive-style partitioned directories and
@@ -73,4 +74,39 @@ object PartitionedStore {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-files compaction — the maintenance pass every long-lived
+    * 100 TB dataset needs: streaming ingestion and fine-grained writes
+    * leave thousands of KB-sized files whose per-file open/footer cost
+    * dominates later scans. Rewrites `path` into
+    * ⌈bytes / targetBytesPerFile⌉ files via [[Publish]], so the rewrite
+    * is atomic and AUDITED — the compacted copy must hold exactly the
+    * original row count before it replaces the original (a lost-rows
+    * compaction is unrecoverable; the audit makes it impossible to
+    * publish). Returns the row count. */
+  def compact(spark: SparkSession, path: String,
+      targetBytesPerFile: Long = 128L << 20): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L,
+      (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    val df = spark.read.parquet(path)
+    val expected = df.count()
+    // rewrite to a sibling then atomically swap over the original —
+    // Publish stages + audits + renames; the original stays readable
+    // until the rename
+    val rows = Publish.parquet(df.repartition(nFiles), path + ".compacted",
+      audit = _.count() == expected)
+    // swap: original steps aside first, so a crash mid-swap leaves BOTH
+    // copies on disk (recoverable), never neither
+    val retired = new Path(path + ".old")
+    fs.delete(retired, true)
+    if (!fs.rename(p, retired) ||
+        !fs.rename(new Path(path + ".compacted"), p))
+      throw new Publish.AuditFailedException(
+        s"swap of compacted files into $path failed")
+    fs.delete(retired, true)
+    rows
+  }
 }

@@ -75,6 +75,27 @@ class PartitionedStoreSpec extends SparkSpec {
     }
   }
 
+  test("compaction merges small files with audited row parity") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_compact").toString
+    val path = s"$base/data"
+    val df = (1L to 400L).map(i => (i, s"row_$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(path)
+    def partFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(partFiles == 40)
+
+    val rows = PartitionedStore.compact(spark, path,
+      targetBytesPerFile = 1L << 30)
+    assert(rows == 400L)
+    assert(partFiles == 1, s"got $partFiles files after compaction")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 400L)
+    assert(back.agg(sum(col("id"))).head.getLong(0) == 400L * 401L / 2)
+    // the retired originals are gone, not lingering as a shadow copy
+    assert(!new java.io.File(s"$path.old").exists())
+  }
+
   test("co-bucketed tables join with zero exchanges") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     assert(warehouse.nonEmpty)
