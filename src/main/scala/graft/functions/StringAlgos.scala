@@ -183,4 +183,8 @@ object GraftFunctions {
   /** Column-level fused dot product over ARRAY<DOUBLE> (see VectorAlgos). */
   def vecDot(a: Column, b: Column): Column =
     asColumn(DotProduct(toExpr(a), toExpr(b)))
+
+  /** Column-level fused int8 quantization → STRUCT<mn, delta, codes, sq>
+    * (see VectorAlgos.quantizeInt8). */
+  def quantizeInt8(v: Column): Column = asColumn(QuantizeInt8(toExpr(v)))
 }

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Vector kernels for the similarity operators.
   *
@@ -31,6 +32,40 @@ object VectorAlgos {
       i += 1
     }
     acc
+  }
+
+  /** One-pass per-vector int8 quantization → (mn, delta, codes, sq).
+    * Bit-compatible with the staged declarative form it fuses (and the
+    * DuckDB oracle): min/max via Double.compare (NaN ranks greatest,
+    * matching Spark's array_min/array_max ordering), codes =
+    * `floor((x − mn) · 255 / (mx − mn))` in exactly that operation
+    * order, all-zero codes when mx == mn, sq = Σ codes. Codes are emitted
+    * as doubles (exact: values ≤ 255) so the shortlist scan feeds the
+    * fused [[dot]] kernel directly. */
+  def quantizeInt8(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var mn = v.getDouble(0)
+    var mx = mn
+    var i = 1
+    while (i < n) {
+      val x = v.getDouble(i)
+      if (java.lang.Double.compare(x, mn) < 0) mn = x
+      if (java.lang.Double.compare(x, mx) > 0) mx = x
+      i += 1
+    }
+    val codes = new Array[Double](n)
+    var sq = 0L
+    if (mx != mn) {
+      i = 0
+      while (i < n) {
+        val c = math.floor((v.getDouble(i) - mn) * 255.0d / (mx - mn))
+        codes(i) = c
+        sq += c.toLong
+        i += 1
+      }
+    }
+    InternalRow(mn, (mx - mn) / 255.0d,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes), sq)
   }
 }
 
@@ -66,4 +101,45 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native fused [[VectorAlgos.quantizeInt8]]: one codegen'd pass per row
+  * replaces a three-projection chain of interpreted higher-order
+  * functions (cast-transform, code-transform, sum-fold — each an array
+  * allocation and an interpreted lambda per element; at corpus scale that
+  * per-row cost IS the staging cost). Input ARRAY<DOUBLE> with non-null
+  * elements; an EMPTY vector yields NULL (the declarative form's
+  * array_min(null) propagation). */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = QuantizeInt8.schema
+  override def prettyName: String = "quantize_int8"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() == 0) null
+    else VectorAlgos.quantizeInt8(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |if ($a.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorAlgos.quantizeInt8($a);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeInt8 = copy(child = newChild)
+}
+
+object QuantizeInt8 {
+  val schema: StructType = StructType(Seq(
+    StructField("mn", DoubleType, nullable = false),
+    StructField("delta", DoubleType, nullable = false),
+    StructField("codes", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("sq", LongType, nullable = false)))
 }

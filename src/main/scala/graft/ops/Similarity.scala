@@ -175,28 +175,24 @@ object Similarity {
     * [[knnQuantized]], so the two cannot drift from the DuckDB oracle
     * rendering.
     *
-    * Built as STAGED PROJECTIONS, not one nested expression: higher-order
-    * functions run interpreted with no subexpression elimination, so a
-    * lambda that captures the `array_min`/`array_max` expression TREES
-    * re-evaluates them (each a full array scan over a freshly recomputed
-    * cast array) once per ELEMENT — O(d²) work and allocation per row.
-    * Materializing v/mn/mx as columns first makes the lambda capture
-    * cheap attribute references; CollapseProject leaves the projections
-    * alone because each alias is non-cheap and multiply referenced. */
+    * The native fused kernel (functions.QuantizeInt8) computes all four
+    * outputs in ONE codegen'd pass per row. The declarative predecessor —
+    * three chained projections of interpreted higher-order functions —
+    * allocated an array and ran an interpreted lambda per element per
+    * layer; at corpus scale that per-row cost is the staging cost. The
+    * struct is aliased in its own projection and field-extracted in the
+    * next: CollapseProject leaves the split alone (non-cheap alias,
+    * referenced four times), so the kernel runs once per row, not once
+    * per extracted field. */
   private def quantized(embs: DataFrame, idCol: String, vecCol: String,
       keepVec: Boolean = false): DataFrame = {
-    val v = embs.select(col(idCol).as("vec_id"),
-      toDouble(col(vecCol)).as("v"))
-    val m = v.select(col("vec_id"), col("v"),
-      array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
-    val coded = m.select(col("vec_id"), col("v"), col("mn"),
-      ((col("mx") - col("mn")) / lit(255.0d)).as("delta"),
-      transform(col("v"), x => when(col("mx") === col("mn"), lit(0L))
-        .otherwise(floor((x - col("mn")) * lit(255.0d)
-          / (col("mx") - col("mn"))))).as("codes"))
-    val out = coded.select(col("vec_id"), col("v"), col("mn"), col("delta"),
-      col("codes"),
-      aggregate(col("codes"), lit(0L), (a, x) => a + x).as("sq"))
+    val q = embs.select(col(idCol).as("vec_id"),
+        toDouble(col(vecCol)).as("v"))
+      .select(col("vec_id"), col("v"),
+        graft.functions.GraftFunctions.quantizeInt8(col("v")).as("q"))
+    val out = q.select(col("vec_id"), col("v"), col("q.mn").as("mn"),
+      col("q.delta").as("delta"), col("q.codes").as("codes"),
+      col("q.sq").as("sq"))
     if (keepVec) out else out.drop("v")
   }
 
@@ -237,7 +233,6 @@ object Similarity {
     // interpreted form IS the scan cost (measured 6× slower than the
     // brute scan this operator exists to beat).
     val quant = quantized(embs, "vec_id", "embedding", keepVec = true)
-      .withColumn("codes", transform(col("codes"), _.cast("double")))
     val q = quant.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("mn").as("mn_q"),
         col("delta").as("d_q"), col("codes").as("codes_q"),
@@ -304,6 +299,8 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     quantized(embs, idCol, vecCol).select(col("vec_id").as(idCol),
       size(col("codes")).cast("long").as("n_dims"),
-      concat_ws(",", col("codes")).as("codes_csv"),
+      // codes are exact integer-valued doubles; render as integers
+      concat_ws(",", transform(col("codes"), _.cast("long")))
+        .as("codes_csv"),
       col("sq").as("checksum"))
 }

@@ -10,7 +10,7 @@ import graft.SparkSpec
   * them. */
 class QuantPlanSpec extends SparkSpec {
 
-  test("quantization lambda captures attributes, not array_min/max trees") {
+  test("quantization is the fused kernel, evaluated once per row") {
     val embs = graft.Tables(spark, sf).embeddings
     for (df <- Seq(Similarity.knnQuantized(embs, 5, 3, 8),
         Similarity.quantizeInt8(embs))) {
@@ -18,6 +18,13 @@ class QuantPlanSpec extends SparkSpec {
       assert(!"lambdafunction\\([^\n]*array_min".r.findFirstIn(plan).isDefined,
         "array_min captured inside a lambda body — the per-element " +
           "re-evaluation pathology is back")
+      // the kernel appears, and only in the ALIASING projection — field
+      // extraction must not have collapsed into four per-row evaluations
+      val hits = "quantize_int8".r.findAllIn(plan).size
+      assert(hits >= 1, "expected the fused quantize_int8 kernel")
+      assert(hits <= 2, // ≤ one aliased evaluation per join side
+        s"quantize_int8 inlined $hits times — CollapseProject merged the " +
+          "struct alias into its field extractions:\n" + plan)
     }
   }
 
