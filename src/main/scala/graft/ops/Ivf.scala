@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Similarity.{cosine, dot, toDouble}
+import graft.ops.Similarity.{dot, toDouble}
 
 /** IVF-flat approximate nearest neighbor: a coarse quantizer (deterministic
   * seeds + one Lloyd refinement) partitions the corpus into `nlist`
@@ -109,12 +109,19 @@ object Ivf {
         slice(array_sort(array(probeScores: _*)), 1, nprobe))
       .select(col("query_id"), col("vec_q"),
         explode(transform(col("probes"), _.getField("id"))).as("cluster"))
+      .select(col("query_id"), col("vec_q"), col("cluster"),
+        Similarity.norm(col("vec_q")).as("nrm_q"))
 
+    // norms are per-row: compute them below the probe join so the pair
+    // loop is one dot + one multiply (Similarity.cosineWithNorms)
     Similarity.topKRank(
       assigned.select(col("cluster"), col("vec_id").as("neighbor_id"),
           col("vec").as("vec_n"))
+        .select(col("cluster"), col("neighbor_id"), col("vec_n"),
+          Similarity.norm(col("vec_n")).as("nrm_n"))
         .join(queries, Seq("cluster"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim", cosine(col("vec_q"), col("vec_n"))), k)
+        .withColumn("sim", Similarity.cosineWithNorms(
+          dot(col("vec_q"), col("vec_n")), col("nrm_q"), col("nrm_n"))), k)
   }
 }

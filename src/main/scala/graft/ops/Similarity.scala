@@ -38,6 +38,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] with the norms already materialized as columns — the
+    * per-PAIR loops want this form: a pair loop evaluating `cosine`
+    * directly runs THREE full dot products per (query, candidate) pair,
+    * while each vector's norm is a per-ROW quantity. Computing norms in
+    * the projections below the join (projects never collapse across a
+    * join) makes the hot loop one dot + one multiply — same doubles,
+    * same operation order, bit-identical results. */
+  def cosineWithNorms(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
+
   /** Cast a float vector to double once, up front — keeps all downstream
     * arithmetic in double (and bit-identical to the DuckDB oracle). */
   def toDouble(a: Column): Column = transform(a, _.cast("double"))
@@ -63,14 +73,21 @@ object Similarity {
     * The query side is broadcast; the corpus side never shuffles — each
     * task emits its partial top-k (see topKRank). */
   def knnBrute(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    // norms are per-row, so they live in the scan-side projections; the
+    // pair loop is one dot + one multiply (see cosineWithNorms)
     val corpus = embs.select(col("vec_id").as("neighbor_id"),
-      toDouble(col("embedding")).as("vec_n"))
+        toDouble(col("embedding")).as("vec_n"))
+      .select(col("neighbor_id"), col("vec_n"),
+        norm(col("vec_n")).as("nrm_n"))
     val queries = embs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         toDouble(col("embedding")).as("vec_q"))
+      .select(col("query_id"), col("vec_q"),
+        norm(col("vec_q")).as("nrm_q"))
     topKRank(corpus.join(broadcast(queries))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("vec_q"), col("vec_n"))), k)
+      .withColumn("sim", cosineWithNorms(
+        dot(col("vec_q"), col("vec_n")), col("nrm_q"), col("nrm_n"))), k)
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed LCG — stable across
@@ -120,14 +137,18 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     val vecs = embs.select(col("vec_id"),
-      toDouble(col("embedding")).as("vec"))
+        toDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"), col("vec"), norm(col("vec")).as("nrm"))
     topKRank(candidateIds
       .join(broadcast(vecs.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("vec").as("vec_q"))),
+        .select(col("vec_id").as("query_id"), col("vec").as("vec_q"),
+          col("nrm").as("nrm_q"))),
         Seq("query_id"))
       .join(vecs.select(col("vec_id").as("neighbor_id"),
-        col("vec").as("vec_n")), Seq("neighbor_id"))
-      .withColumn("sim", cosine(col("vec_q"), col("vec_n"))), k)
+        col("vec").as("vec_n"), col("nrm").as("nrm_n")),
+        Seq("neighbor_id"))
+      .withColumn("sim", cosineWithNorms(
+        dot(col("vec_q"), col("vec_n")), col("nrm_q"), col("nrm_n"))), k)
   }
 
   /** Embedding near-duplicate pairs: LSH candidates (identical/near-
@@ -158,13 +179,15 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
       .distinct()
     val vecs = embs.select(col("vec_id"),
-      toDouble(col("embedding")).as("vec"))
+        toDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"), col("vec"), norm(col("vec")).as("nrm"))
     pairs
-      .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("vec_a")),
-        Seq("id_a"))
-      .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vec_b")),
-        Seq("id_b"))
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("sim", cosineWithNorms(
+        dot(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
   }
