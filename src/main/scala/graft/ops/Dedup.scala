@@ -310,6 +310,31 @@ object Dedup {
       changed == 0)
   }
 
+  /** Canonical selection within dup clusters by QUALITY, not min-id: real
+    * curation keeps the BEST copy of each near-dup cluster (longest /
+    * cleanest / highest-scoring), while [[components]]' min-label is just
+    * a stable cluster name. Given the label relation (doc_id, component)
+    * and an integer per-doc score, returns (doc_id, canonical_id) — the
+    * rewrite map whose image is the deduplicated corpus. Winner per
+    * component = max score, ties to the smallest doc_id (deterministic,
+    * engine-portable: integer struct max, no floats).
+    *
+    * Scale shape: one partial-aggregated `max(struct(score, −id))` per
+    * component — no window, no sort, skew-immune (a hot cluster combines
+    * map-side) — and the winners frame (one row per cluster) broadcasts
+    * back onto the members. */
+  def canonicalByScore(labels: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", labelCol: String = "component",
+      scoreCol: String = "score"): DataFrame = {
+    val member = labels.join(scores, Seq(idCol))
+    val best = member.groupBy(col(labelCol))
+      .agg(max(struct(col(scoreCol).as("s"),
+        (-col(idCol)).as("nid"))).as("b"))
+      .select(col(labelCol), (-col("b.nid")).as("canonical_id"))
+    member.join(broadcast(best), Seq(labelCol))
+      .select(col(idCol), col("canonical_id"))
+  }
+
   /** Bit width of the SimHash: the portable dual polynomial hash supplies
     * 62 well-mixed bits (functions.PolyHash2 — DuckDB-replicable, unlike
     * xxhash64). */

@@ -62,4 +62,47 @@ object Sampling {
       .select(col(keyCol), col("t.id").as(idCol))
     df.join(broadcast(keep), Seq(keyCol, idCol), "left_semi")
   }
+
+  /** Temperature-flattened source mixing — the multilingual/multi-source
+    * rebalance (XLM-style): sampling weight per source w_s ∝ c_s^α, so
+    * α = 1 preserves the natural mix and α → 0 flattens toward uniform,
+    * up-weighting small sources without duplicating rows. Realized as a
+    * deterministic per-row Bernoulli keep at
+    * rate_s = min(1, target · w_s / (Σw · c_s)) over the portable-hash
+    * uniform (hash("tmix:" + id) mod 10⁶ < rate · 10⁶) — like
+    * [[stratifiedSample]] but with the per-stratum rates DERIVED from the
+    * data and a total-row budget instead of dictated per key. The
+    * multiplicative finisher matters: a polynomial rolling hash is LINEAR
+    * in the trailing characters, so sequential ids land in tight bands
+    * (consecutive hashes), which a 10⁶ modulus inherits — Knuth's
+    * 2654435761 multiplier turns each band into an equidistributed Weyl
+    * sequence mod 10⁶ (the multiplier is coprime to the modulus; the
+    * int64 product cannot overflow: h < 2³¹). [[stratifiedSample]]'s
+    * mod-100 bucket doesn't need this only because any 100 consecutive
+    * ids sweep all 100 residues.
+    *
+    * Scale shape: one partial-aggregated count per source (tiny frame,
+    * staged so the corpus scans once), rates broadcast back, then a
+    * narrow filter — no shuffle of the corpus itself. The only doubles
+    * (pow, one sum over |sources| weights) sit far from the keep
+    * threshold's integer hash buckets, so the selected set is stable
+    * across engines and partitionings. */
+  def temperatureMix(df: DataFrame, keyCol: String, idCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    val counts = Stage.barrier(
+      df.groupBy(col(keyCol)).agg(count(lit(1)).cast("long").as("c"))
+        .withColumn("w", pow(col("c").cast("double"), lit(alpha))))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(sum(col("w")).as("wsum"))))
+      .select(col(keyCol),
+        least(lit(1.0d),
+          lit(targetRows.toDouble) * col("w") /
+            (col("wsum") * col("c").cast("double"))).as("rate"))
+    df.join(broadcast(rates), Seq(keyCol))
+      .filter(pmod(polyHash(concat(lit("tmix:"),
+          col(idCol).cast("string"))) * lit(2654435761L),
+          lit(1000000L))
+        .cast("double") < col("rate") * lit(1000000.0d))
+      .drop("rate")
+  }
 }

@@ -287,16 +287,22 @@ object TextAnalysis {
     * indexing a raw split() is O(n²) per document; the measured fix took
     * q_skipgram from 10.5s to 2.8s (BENCH_NOTES r6). Short docs yield no
     * pairs (the sequence(1, 0)-descends trap is guarded). */
-  private def adjacentPairRows(docs: DataFrame, textCol: String): DataFrame = {
+  private def adjacentPairRows(docs: DataFrame, textCol: String): DataFrame =
+    docBigramRows(docs, textCol).select(col("w1"), col("w2"))
+
+  /** [[adjacentPairRows]] carrying the document id — the per-doc bigram
+    * relation [[lmScore]] both aggregates into the model and scores
+    * against. */
+  private def docBigramRows(docs: DataFrame, textCol: String): DataFrame = {
     val toks = col("_toks")
     val bigramArr = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => struct(element_at(toks, i).as("w1"),
           element_at(toks, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    docs.select(tokens(col(textCol)).as("_toks"))
-      .select(explode(bigramArr).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    docs.select(col("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(bigramArr).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
 
   /** Skip-gram co-occurrence counts — the word2vec/GloVe training
@@ -379,6 +385,53 @@ object TextAnalysis {
       .select(col("token"), col("n"),
         coalesce(col("n1p_pred"), lit(0L)).as("n1p_pred"),
         coalesce(col("n1p_succ"), lit(0L)).as("n1p_succ"))
+  }
+
+  /** Per-document fluency score under the corpus's own add-one-smoothed
+    * bigram model — the model-based quality filter (the CCNet/perplexity
+    * shape) a curation pipeline runs after the heuristic gates: documents
+    * whose bigrams are systematically improbable under the corpus
+    * distribution (boilerplate soup, scrambled text, wrong language) score
+    * low and can be culled by threshold.
+    *
+    * EXACT INTEGER fixed point, no logs: each bigram contributes
+    * fp = ⌊10⁶ · (c(w₁,w₂)+1) / (c(w₁)+V)⌋ — add-one-smoothed p(w₂|w₁)
+    * scaled to parts-per-million and floor-divided in int64 (exact while
+    * c₁₂ < 9·10¹²; switch the scale constant down beyond that), so the
+    * per-doc sum is order-independent and bit-identical across engines —
+    * no float summation, no libm. score_avg is the mean bigram
+    * probability ×10⁶: a monotone fluency signal playing the role of
+    * (anti-)perplexity without the cross-engine log hazard.
+    *
+    * Scale shape: the per-doc bigram relation is staged once and feeds
+    * both the model aggregation (partial-aggregated groupBy on the bigram
+    * key) and the scoring join; unigram counts join on the token key; the
+    * vocab size is a one-row broadcast. The scoring joins are model-side
+    * tiny per key (one count row), so a hot bigram inflates only the
+    * streamed probe side. Docs with <2 tokens score 0 ("no evidence"),
+    * kept explicitly by the final left join. */
+  def lmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val bg = Stage.barrier(docBigramRows(docs, textCol))
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("c12"))
+    val uni = Stage.barrier(
+      docs.select(explode(tokens(col(textCol))).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).cast("long").as("c1")))
+    val vocab = uni.agg(count(lit(1)).cast("long").as("vocab"))
+    val scored = bg.join(c12, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("((c12 + 1L) * 1000000L) DIV (c1 + vocab)").as("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("fp")).cast("long").as("score_sum"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        coalesce(expr("score_sum DIV n_bigrams"), lit(0L)).as("score_avg"))
   }
 
   /** Per-source corpus manifest — the integrity record an incremental

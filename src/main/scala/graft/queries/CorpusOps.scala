@@ -30,6 +30,12 @@ object CorpusOps {
         keyCol = "source", idCol = "doc_id", quota = 10)
       .select(col("doc_id"), col("source"))
 
+  /** Temperature-flatten the source mix (α = 0.5) to a 300-row budget. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(Tables(s, dir).documents,
+        keyCol = "source", idCol = "doc_id", alpha = 0.5, targetRows = 300L)
+      .select(col("doc_id"), col("source"))
+
   /** 64-register portable HLL over the orders' customer key (10× dup
     * factor: 15k orders over 1.5k customers at sf0.01). */
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
@@ -175,6 +181,7 @@ object CorpusOps {
     "q_curation" -> curation,
     "q_stratified_sample" -> stratifiedSample,
     "q_source_quota" -> sourceQuota,
+    "q_temperature_mix" -> temperatureMix,
     "q_hll_distinct" -> hllDistinct,
     "q_quantile_hist" -> quantileHist,
     "q_seg_dedup" -> segDedup,
@@ -328,6 +335,22 @@ object CorpusOps {
     "q_stratified_sample" ->
       (s"SELECT doc_id, lang FROM documents WHERE ${pHash("doc_id")} " +
         "% 100 < CASE WHEN lang = 'en' THEN 40 ELSE 80 END"),
+    // identical expression shapes as Sampling.temperatureMix — same pow,
+    // same multiply/divide order — so the only cross-engine float hazard
+    // is a last-ulp libm difference landing a rate·10⁶ within ~1e-10 of
+    // an integer hash bucket (probability ≈ |docs|·1e-13; accepted, same
+    // class as the ANN round(·,6) oracles)
+    "q_temperature_mix" ->
+      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c " +
+        "FROM documents GROUP BY source), " +
+        "w AS (SELECT source, c, pow(CAST(c AS DOUBLE), 0.5) AS w FROM c), " +
+        "t AS (SELECT sum(w) AS wsum FROM w), " +
+        "r AS (SELECT source, least(CAST(1 AS DOUBLE), " +
+        "CAST(300 AS DOUBLE) * w / (wsum * CAST(c AS DOUBLE))) AS rate " +
+        "FROM w CROSS JOIN t) " +
+        "SELECT d.doc_id, d.source FROM documents d JOIN r USING (source) " +
+        s"WHERE CAST(${pHash("'tmix:' || d.doc_id")} * 2654435761 " +
+        "% 1000000 AS DOUBLE) < rate * CAST(1000000 AS DOUBLE)"),
     "q_source_quota" ->
       ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
         s"row_number() OVER (PARTITION BY source ORDER BY " +

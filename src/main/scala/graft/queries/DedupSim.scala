@@ -87,6 +87,21 @@ object DedupSim {
       .select(col("doc_id"))
   }
 
+  /** Quality-ranked canonical selection: within each near-dup component,
+    * keep the copy with the highest integer quality score
+    * (mean_tok_len_x100 — the mutants drop a token, so winner choice is
+    * content-driven, not id-driven). Untouched docs map to themselves.
+    * Shares the staged component labels with q_dedup_components. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val scores = graft.ops.TextAnalysis.qualityScore(docsWithMutants(s, dir))
+      .select(col("doc_id"), col("mean_tok_len_x100").as("score"))
+    val canon = Dedup.canonicalByScore(dedupComponents(s, dir), scores)
+    docsWithMutants(s, dir).select(col("doc_id"))
+      .join(canon, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+  }
+
   def simhashes(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(Tables(s, dir).documents)
 
@@ -185,6 +200,7 @@ object DedupSim {
     "q_minhash_neardup" -> minhashNearDups,
     "q_dedup_components" -> dedupComponents,
     "q_dedup_keep" -> dedupKeep,
+    "q_dedup_canonical" -> dedupCanonical,
     "q_simhash" -> simhashes,
     "q_simhash_neardup" -> simhashNearDups,
     "q_knn_brute" -> knnBrute,
@@ -409,6 +425,37 @@ object DedupSim {
         s"corpus AS ($duckDocsWithMutants) " +
         "SELECT doc_id FROM corpus WHERE doc_id NOT IN " +
         "(SELECT id FROM dropped)"),
+    // same recursive-CTE components as q_dedup_components, then the
+    // winner per component re-derived with a row_number ranking (score
+    // DESC, doc_id ASC) — a different mechanism than the engine's
+    // max(struct) aggregate, cross-checking the tie-break too
+    "q_dedup_canonical" ->
+      ("WITH RECURSIVE " +
+        s"pairs AS (SELECT doc_a, doc_b FROM ($duckMinhashNearDupSql)), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+        "SELECT reach.id, edges.d FROM reach JOIN edges " +
+        "ON edges.s = reach.r), " +
+        "comp AS (SELECT id AS doc_id, min(r) AS component " +
+        "FROM reach GROUP BY id), " +
+        s"corpus AS ($duckDocsWithMutants), " +
+        "q AS (SELECT doc_id, " +
+        "CAST(list_sum(list_transform(string_split(text, ' '), " +
+        "x -> length(x))) AS BIGINT) * 100 " +
+        "// len(string_split(text, ' ')) AS score FROM corpus), " +
+        "member AS (SELECT c.doc_id, c.component, q.score " +
+        "FROM comp c JOIN q USING (doc_id)), " +
+        "best AS (SELECT component, doc_id AS canonical_id FROM (" +
+        "SELECT component, doc_id, row_number() OVER (" +
+        "PARTITION BY component ORDER BY score DESC, doc_id) AS rn " +
+        "FROM member) WHERE rn = 1), " +
+        "mapped AS (SELECT m.doc_id, b.canonical_id FROM member m " +
+        "JOIN best b USING (component)) " +
+        "SELECT d.doc_id, coalesce(mp.canonical_id, d.doc_id) " +
+        "AS canonical_id FROM corpus d LEFT JOIN mapped mp " +
+        "USING (doc_id)"),
   )
 
   private lazy val duckMinhashNearDupSql: String =

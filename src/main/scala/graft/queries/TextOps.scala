@@ -251,6 +251,10 @@ object TextOps {
   def lmCounts(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmCounts(Tables(s, dir).documents)
 
+  /** Fixed-point add-one bigram fluency score per document. */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(Tables(s, dir).documents)
+
   /** ±3-window skip-gram co-occurrence counts (min count 5). */
   def skipgrams(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.skipgramCounts(Tables(s, dir).documents,
@@ -264,6 +268,7 @@ object TextOps {
     "q_skipgram" -> skipgrams,
     "q_hash_features" -> hashFeats,
     "q_lm_counts" -> lmCounts,
+    "q_lm_score" -> lmScore,
     "q_bpe_train" -> bpeTrain,
     "q_bpe_encode" -> bpeEncode,
     "q_doc_gate" -> docGate,
@@ -374,6 +379,30 @@ object TextOps {
         "coalesce(any_value(n1p_succ), 0) AS n1p_succ " +
         "FROM uni LEFT JOIN pred USING (token) " +
         "LEFT JOIN succ USING (token) GROUP BY token"),
+    // exact integer fixed point end to end — the same
+    // ⌊10⁶·(c12+1)/(c1+V)⌋ per bigram, summed as BIGINT, so no float
+    // summation order or libm log can diverge across engines
+    "q_lm_score" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l " +
+        "FROM documents), " +
+        "bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(l)), " +
+        "i -> {'w1': l[i], 'w2': l[i+1]})) AS u FROM toks)), " +
+        "c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 " +
+        "FROM bg GROUP BY w1, w2), " +
+        "uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (" +
+        "SELECT unnest(l) AS w1 FROM toks) GROUP BY w1), " +
+        "v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni), " +
+        "fp AS (SELECT doc_id, " +
+        "((c12 + 1) * 1000000) // (c1 + vocab) AS fp " +
+        "FROM bg JOIN c12 USING (w1, w2) JOIN uni USING (w1) " +
+        "CROSS JOIN v), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(fp) AS BIGINT) AS score_sum FROM fp GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, " +
+        "coalesce(a.score_sum, 0) AS score_sum, " +
+        "CAST(coalesce(a.score_sum // a.n_bigrams, 0) AS BIGINT) " +
+        "AS score_avg FROM documents d LEFT JOIN agg a USING (doc_id)"),
     "q_bpe_train" -> duckBpeSql(8),
     // independent replay: DuckDB derives its OWN merges (argmax chain),
     // then encodes via the same vocabulary-join the engine uses

@@ -47,6 +47,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(perSource.count(_._2 == 3) == eligible)
   }
 
+  test("temperature mix flattens a skewed source distribution to budget") {
+    val docs = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperatureMix(docs, "source", "doc_id",
+      alpha = 0.5, targetRows = 300L)
+    // deterministic: two evaluations agree exactly
+    assert(kept.select("doc_id")
+      .except(Sampling.temperatureMix(docs, "source", "doc_id", 0.5, 300L)
+        .select("doc_id")).count() == 0)
+    val bySource = kept.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    // w_big = 30, w_small = 10 → rate_big = 0.25, rate_small = 0.75:
+    // the small source keeps a 3× HIGHER fraction (flattening), and the
+    // Weyl-sequence buckets land each count within a few % of expectation
+    assert(math.abs(bySource("big") - 225L) <= 20, bySource.toString)
+    assert(math.abs(bySource("small") - 75L) <= 10, bySource.toString)
+    val total = bySource.values.sum
+    assert(math.abs(total - 300L) <= 25, s"total=$total")
+  }
+
   test("portable HLL estimate lands within 30% of exact") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val row = Sketches.hllDistinct(orders, "o_custkey").head()

@@ -235,4 +235,17 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) == ((2L, 0L, "x y x y")))
     assert(r(2L) == ((2L, 0L, "p q r s")))
   }
+
+  test("canonical by score: max score wins, ties break to smallest id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "component")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (9L, 1L))
+      .toDF("doc_id", "score")
+    val r = Dedup.canonicalByScore(labels, scores).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // cluster 1: docs 2 and 3 tie at score 9 → 2 (smallest id) wins,
+    // and the winner is NOT the min-id member (1), proving the choice
+    // is score-driven
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 9L -> 9L))
+  }
 }

@@ -238,4 +238,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(("new", "york")) == ((30L, 30L, 30L, 4000L)))
     assert(r.values.map(_._4).max == 4000L) // nothing outranks it
   }
+
+  test("lm score: hand-computed add-one fixed point, short docs score 0") {
+    val docs = Seq((1L, "a b a b"), (2L, "z z"), (3L, "q"))
+      .toDF("doc_id", "text")
+    // unigrams a:2 b:2 z:2 q:1 → V=4
+    // fp(a,b) = (2+1)·10⁶ // (2+4) = 500000; fp(b,a) = (1+1)·10⁶ // 6 =
+    // 333333; fp(z,z) = (1+1)·10⁶ // 6 = 333333
+    val r = TextAnalysis.lmScore(docs).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((3L, 1333333L, 444444L)))
+    assert(r(2L) == ((1L, 333333L, 333333L)))
+    assert(r(3L) == ((0L, 0L, 0L))) // no bigrams → zero evidence, kept
+  }
 }
