@@ -140,13 +140,12 @@ object Dedup {
       .agg(graft.functions.MinHashAgg
         .minhash(phash(col("shingle")), k, seed = 7L).as("sig"))
 
-  /** LSH banding: split the k-long signature into `bands` bands of k/bands
-    * values; docs sharing any band's exact sub-signature are candidate
-    * pairs. Shuffle key = (band, sub-signature) — the standard scale-out
-    * near-dup plan. `maxBucket` guards quadratic blowup in degenerate
-    * buckets (drop + log them at real scale rather than exploding). */
-  def lshCandidatePairs(sigs: DataFrame, bands: Int = 16, k: Int = 64,
-      maxBucket: Int = 10000): DataFrame = {
+  /** The banded bucket relation (doc_id, band, key) of a signature frame —
+    * the LSH join key shared by the self-join candidate generator below
+    * and the batch-vs-corpus incremental variant (which band-joins two
+    * DIFFERENT relations, so the keys must come from one definition). */
+  private[graft] def bandRows(sigs: DataFrame, bands: Int,
+      k: Int): DataFrame = {
     require(k % bands == 0, s"signature width $k must divide into $bands bands")
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { j =>
@@ -155,10 +154,19 @@ object Dedup {
           col("sig").getItem(j * rowsPerBand + r).cast("string")): _*)
           .as("key"))
     }
-    val buckets = sigs.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bk"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
+  }
+
+  /** LSH banding: split the k-long signature into `bands` bands of k/bands
+    * values; docs sharing any band's exact sub-signature are candidate
+    * pairs. Shuffle key = (band, sub-signature) — the standard scale-out
+    * near-dup plan. `maxBucket` guards quadratic blowup in degenerate
+    * buckets (drop + log them at real scale rather than exploding). */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int = 16, k: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
+    val buckets = bandRows(sigs, bands, k)
     // staged: both sides of the self-join read this — without the barrier
     // the whole signature computation runs once PER SIDE (concurrently)
     val sized = Stage.barrier(buckets
@@ -547,6 +555,65 @@ object Dedup {
       .join(seenDigests.select(col("digest").as("_dig")),
         Seq("_dig"), "left_anti")
       .select(col("doc_id"), col("_dig").as("digest"))
+
+  /** NEAR-dup incremental ingestion dedup — [[incrementalDedup]]'s analog
+    * one level up the fuzziness ladder: a new batch is screened against
+    * the accumulated corpus by MinHash-LSH banding, so a lightly edited
+    * recrawl of an already-ingested page is caught even though its digest
+    * differs. Candidates come from a (band, key) equi-join between the
+    * batch's band rows and the CORPUS's band rows (never all-pairs), and
+    * are verified by exact hashed-shingle Jaccard ≥ numer/denom in pure
+    * integer math before a doc is charged as a duplicate.
+    *
+    * Returns one row per batch doc: (doc_id, n_corpus_dups, kept) —
+    * n_corpus_dups = verified corpus near-matches, kept = no match.
+    * Within-batch self-dedup stays the existing [[minhashDedupPairs]] →
+    * [[components]] arc; this op owns only the batch↔corpus screen.
+    *
+    * Scale shape: at steady state the corpus side's signatures/band rows
+    * are a PRECOMPUTED index (append-only, like the digest table) — here
+    * they're derived inline from the corpus frame for a self-contained
+    * signature; both sides band-join on (band, key), and verification
+    * joins carry 8-byte hashed shingle arrays for only the candidate
+    * pairs. The batch (≪ corpus) streams against the band index the way
+    * the digest anti-join streams against the digest table. */
+  def incrementalNearDedup(batch: DataFrame, corpus: DataFrame, n: Int = 2,
+      k: Int = 64, bands: Int = 16, numer: Int = 7, denom: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    def hashedShingles(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        array_distinct(transform(shingles(col(textCol), n), s => phash(s)))
+          .as("sh"))
+    def sigsOf(sh: DataFrame): DataFrame =
+      sh.select(col("doc_id"), explode(col("sh")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashAgg.minhash(col("h"), k, seed = 7L)
+          .as("sig"))
+    // staged: each side's shingle relation feeds its signatures AND the
+    // verification probes
+    val bsh = Stage.barrier(hashedShingles(batch))
+    val csh = Stage.barrier(hashedShingles(corpus))
+    val cand = bandRows(sigsOf(bsh), bands, k)
+      .join(bandRows(sigsOf(csh), bands, k)
+        .withColumnRenamed("doc_id", "corpus_id"), Seq("band", "key"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    val verified = cand
+      .join(bsh, Seq("doc_id"))
+      .join(csh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+        Seq("corpus_id"))
+      .select(col("doc_id"),
+        size(array_intersect(col("sh"), col("sh_c"))).cast("long")
+          .as("n_inter"),
+        (size(col("sh")) + size(col("sh_c"))).cast("long").as("sz_sum"))
+      .filter(col("n_inter") * denom >= (col("sz_sum") - col("n_inter")) * numer)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_corpus_dups"))
+    batch.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        (coalesce(col("n_corpus_dups"), lit(0L)) === 0L).as("kept"))
+  }
 
   /** Corpus-level boilerplate removal — the document-frequency complement
     * of [[segmentDedup]] (the C4/CCNet "remove lines repeated across many

@@ -105,4 +105,38 @@ object Sampling {
         .cast("double") < col("rate") * lit(1000000.0d))
       .drop("rate")
   }
+
+  /** Token-budget mixing PLAN — the artifact a training run publishes
+    * before it samples: per source, the token count, the α-flattened
+    * sampling share, and the implied number of epochs (passes) over that
+    * source at a global token budget — epochs_s = budget · w_s / (Σw ·
+    * tok_s), the LLaMA/DoReMi data-mixture table. epochs > 1 flags a
+    * source the budget will repeat; the plan is where that's decided,
+    * not discovered mid-run. Where [[temperatureMix]] materializes a
+    * row-sampled corpus, this op emits the plan itself (fixed point
+    * ×1000, floor — the one double (pow) sits far from the floor
+    * boundary on real counts, same accepted class as temperatureMix).
+    *
+    * Scale shape: one narrow projection for per-row token counts, one
+    * partial-aggregated groupBy source (|sources| rows), one broadcast
+    * of the one-row weight sum. The corpus scans once; nothing else
+    * moves. */
+  def mixPlan(df: DataFrame, keyCol: String, textCol: String,
+      alpha: Double, tokenBudget: Long): DataFrame = {
+    // staged: the tiny per-source frame feeds both the weight sum and the
+    // output — without the barrier the corpus scan runs once per branch
+    val perSource = Stage.barrier(df
+      .select(col(keyCol),
+        size(split(col(textCol), " ")).cast("long").as("toks"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("w", pow(col("n_tokens").cast("double"), lit(alpha))))
+    perSource
+      .crossJoin(broadcast(perSource.agg(sum(col("w")).as("wsum"))))
+      .select(col(keyCol), col("n_docs"), col("n_tokens"),
+        floor(lit(tokenBudget.toDouble) * col("w") * lit(1000.0d) /
+          (col("wsum") * col("n_tokens").cast("double")))
+          .cast("long").as("epochs_x1000"))
+  }
 }

@@ -192,6 +192,48 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
   }
 
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster the
+    * embedding space with a coarse quantizer, then within each cluster
+    * drop every vector whose cosine to a SMALLER-id cluster-mate reaches
+    * `minCosine` — the greedy ε-dedup rule that removes semantic
+    * duplicates (paraphrases, templated rewrites) exact and near-dup
+    * passes can't see. Complements [[nearDupPairs]]: hyperplane LSH
+    * blocks by random projections; here the blocks are the IVF
+    * centroids' Voronoi cells, so the comparison set is "semantically
+    * nearby" rather than "hash-identical", and the output is the
+    * per-vector keep decision, not the pair list.
+    *
+    * Returns (vec_id, cluster, kept) for every input vector.
+    *
+    * Scale shape: assignment is a narrow per-row argmin over broadcast
+    * centroid literals (no shuffle); the only shuffle is the
+    * cluster-keyed self-join, quadratic ONLY within a cell — nlist is
+    * the knob that bounds cell population (SemDeDup runs ~100k clusters
+    * at web scale for exactly this reason). The kept set comes back via
+    * one distinct on bare ids + an 8-byte left join, never carrying
+    * vectors past the verification. */
+  def semanticDedup(embs: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], minCosine: Double): DataFrame = {
+    // staged: both sides of the within-cluster self-join read it
+    val assigned = Stage.barrier(
+      Ivf.assign(embs, centroids)
+        .select(col("vec_id"), col("cluster"), col("vec"),
+          norm(col("vec")).as("nrm")))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineWithNorms(dot(col("vec_a"), col("vec_b")),
+        col("nrm_a"), col("nrm_b")) >= minCosine)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dropped.withColumn("_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        not(coalesce(col("_dup"), lit(false))).as("kept"))
+  }
+
   /** The per-vector quantization relation (vec_id, mn, delta, codes, sq) —
     * ONE definition of the bit-reproducibility contract (fixed operation
     * order, floor convention) shared by [[quantizeInt8]] and

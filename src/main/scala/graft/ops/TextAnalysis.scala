@@ -357,6 +357,50 @@ object TextAnalysis {
       .select(col("doc_id"), concat_ws(",", feats).as("features_csv"))
   }
 
+  /** Deterministic integer weight vector for [[linearScore]] — the stand-in
+    * for a trained model's coefficients (same LCG family as the MinHash
+    * coefficients; values in [−8, 8]). Exposed so the DuckDB oracle can
+    * render the identical weights as SQL literals. */
+  private[graft] def classifierWeights(dim: Int, seed: Long = 11L): Seq[Long] = {
+    var state = seed
+    Seq.fill(dim) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 33) % 17L - 8L
+    }
+  }
+
+  /** Apply a PRETRAINED linear classifier over hashing-trick features —
+    * the fasttext-style quality/domain classifier pass a curation
+    * pipeline runs over every document (trained offline on labeled data;
+    * inference is the at-scale part). score = Σ_t w[hash(t) mod dim]
+    * in exact int64 (integer weights — the quantized-model form), so the
+    * decision boundary is bit-identical across engines; `label` is the
+    * sign thresholded at 0.
+    *
+    * Scale shape: tokens explode (bounded ×tokens/doc), each token maps
+    * to its weight through a broadcast-literal array lookup (codegen'd
+    * `element_at`, no join, no UDF), and one partial-aggregated groupBy
+    * doc_id sums the contributions — the same shuffle class as token
+    * counting. Equivalent to dotting [[hashFeatures]] with the weight
+    * vector, without materializing the feature vector. */
+  def linearScore(docs: DataFrame, dim: Int = 32,
+      weights: Seq[Long] = null, textCol: String = "text"): DataFrame = {
+    val w = Option(weights).getOrElse(classifierWeights(dim))
+    require(w.size == dim, s"weight vector size ${w.size} != dim $dim")
+    val slot = pmod(graft.functions.GraftFunctions.polyHash(col("t")),
+      lit(dim.toLong))
+    docs.select(col("doc_id"), explode_outer(tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), when(col("t").isNotNull,
+          element_at(typedLit(w), (slot + 1L).cast("int")))
+        .otherwise(lit(0L)).as("w"),
+        when(col("t").isNotNull, 1L).otherwise(0L).as("one"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("one")).cast("long").as("n_tokens"),
+        sum(col("w")).cast("long").as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") > 0L).as("label"))
+  }
+
   /** Kneser-Ney sufficient statistics per token: the unigram count plus
     * the CONTINUATION counts — how many distinct tokens precede it
     * (N1+(•w), the numerator of the KN lower-order distribution) and how

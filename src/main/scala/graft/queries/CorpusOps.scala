@@ -36,6 +36,11 @@ object CorpusOps {
         keyCol = "source", idCol = "doc_id", alpha = 0.5, targetRows = 300L)
       .select(col("doc_id"), col("source"))
 
+  /** Token-budget mixing plan (α = 0.5, 100k-token budget). */
+  def mixPlan(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixPlan(Tables(s, dir).documents, keyCol = "source",
+      textCol = "text", alpha = 0.5, tokenBudget = 100000L)
+
   /** 64-register portable HLL over the orders' customer key (10× dup
     * factor: 15k orders over 1.5k customers at sf0.01). */
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
@@ -182,6 +187,7 @@ object CorpusOps {
     "q_stratified_sample" -> stratifiedSample,
     "q_source_quota" -> sourceQuota,
     "q_temperature_mix" -> temperatureMix,
+    "q_mix_plan" -> mixPlan,
     "q_hll_distinct" -> hllDistinct,
     "q_quantile_hist" -> quantileHist,
     "q_seg_dedup" -> segDedup,
@@ -351,6 +357,20 @@ object CorpusOps {
         "SELECT d.doc_id, d.source FROM documents d JOIN r USING (source) " +
         s"WHERE CAST(${pHash("'tmix:' || d.doc_id")} * 2654435761 " +
         "% 1000000 AS DOUBLE) < rate * CAST(1000000 AS DOUBLE)"),
+    // same expression shapes as Sampling.mixPlan (pow, multiply/divide
+    // order); the floor sits at least ~1e-7 relative distance from any
+    // boundary on these counts — same accepted class as q_temperature_mix
+    "q_mix_plan" ->
+      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "w AS (SELECT source, n_docs, n_tokens, " +
+        "pow(CAST(n_tokens AS DOUBLE), 0.5) AS w FROM c), " +
+        "t AS (SELECT sum(w) AS wsum FROM w) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "CAST(floor(CAST(100000 AS DOUBLE) * w * 1000.0 / " +
+        "(wsum * CAST(n_tokens AS DOUBLE))) AS BIGINT) AS epochs_x1000 " +
+        "FROM w CROSS JOIN t"),
     "q_source_quota" ->
       ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
         s"row_number() OVER (PARTITION BY source ORDER BY " +

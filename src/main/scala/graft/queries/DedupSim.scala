@@ -152,6 +152,28 @@ object DedupSim {
     Similarity.nearDupPairs(embsWithMutants(s, dir), minCosine = 0.95,
       bitsPerTable = 12)
 
+  /** Semantic dedup over the mutant embedding corpus: IVF-cell blocking
+    * (the 16 static centroids knnIvfStatic uses), greedy smallest-id keep
+    * at cosine ≥ 0.9 — every mutant (cosine ≈ 0.99 to its source, same
+    * Voronoi cell) is dropped; isotropic noise pairs survive. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(embsWithMutants(s, dir),
+      graft.ops.Ivf.staticCentroids(nlist = 16, dim = 64), minCosine = 0.9)
+
+  /** Near-dup INCREMENTAL ingestion screen: the corpus is `documents`;
+    * the batch is a synthetic recrawl — even source ids arrive as
+    * lightly-edited copies (first token dropped: near-dup, caught by the
+    * LSH screen despite a new digest), odd ids as genuinely new text
+    * (vowels digit-substituted: no shingle overlap, kept). */
+  def incrementalNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      when(col("doc_id") % 2 === 0,
+          regexp_replace(col("text"), "^[^ ]* ", ""))
+        .otherwise(translate(col("text"), "aeiou", "01234")).as("text"))
+    Dedup.incrementalNearDedup(batch, docs)
+  }
+
   /** Per-vector int8 scalar quantization of the embedding table. */
   def quantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables(s, dir).embeddings)
@@ -208,6 +230,8 @@ object DedupSim {
     "q_knn_ivf" -> knnIvf,
     "q_knn_ivf_static" -> knnIvfStatic,
     "q_embed_neardup" -> embedNearDups,
+    "q_semantic_dedup" -> semanticDedup,
+    "q_incremental_neardup" -> incrementalNearDedup,
   )
 
   /** DuckDB dot product with the same left-to-right double accumulation as
@@ -317,12 +341,16 @@ object DedupSim {
 
   /** 16 bands × 4 rows of the signature as '_'-joined keys (0-based
     * getItem → 1-based DuckDB list index). */
-  private def duckBandSelects: String =
+  private def duckBandSelects: String = duckBandSelectsOf("sig")
+
+  /** [[duckBandSelects]] over an arbitrary signature CTE — the incremental
+    * screen band-joins batch and corpus band rows from two CTEs. */
+  private def duckBandSelectsOf(sigCte: String): String =
     (0 until 16).map { j =>
       val key = (0 until 4)
         .map(r => s"CAST(sig[${j * 4 + r + 1}] AS VARCHAR)")
         .mkString(" || '_' || ")
-      s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+      s"SELECT doc_id, $j AS band, $key AS key FROM $sigCte"
     }.mkString(" UNION ALL ")
 
   /** Oracles; a `def` because the trained-IVF entry is rendered from the
@@ -456,7 +484,76 @@ object DedupSim {
         "SELECT d.doc_id, coalesce(mp.canonical_id, d.doc_id) " +
         "AS canonical_id FROM corpus d LEFT JOIN mapped mp " +
         "USING (doc_id)"),
+    "q_semantic_dedup" -> duckSemanticDedupSql,
+    "q_incremental_neardup" -> duckIncrementalNearDupSql,
   )
+
+  /** SemDeDup replayed exactly: the same static-centroid argmin assignment
+    * as q_knn_ivf_static's oracle, then an EXHAUSTIVE within-cluster pair
+    * scan with the identical fixed-order cosine — re-proving the engine's
+    * cluster-blocked self-join finds precisely the ≥-threshold pairs. */
+  private lazy val duckSemanticDedupSql: String = {
+    val cents = graft.ops.Ivf.staticCentroids(16, 64)
+    val dcols = cents.map { case (i, c) =>
+      val lit = c.mkString("[", ", ", "]")
+      s"(${duckDot("e", lit)} * -2.0 + ${c.map(x => x * x).sum}) AS d$i"
+    }.mkString(", ")
+    val m = cents.indices.map(i => s"d$i").mkString("least(", ", ", ")")
+    val argmin = "CASE " +
+      cents.indices.map(i => s"WHEN d$i = m THEN $i").mkString(" ") + " END"
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+      "UNION ALL SELECT vec_id + 1000000, " +
+      "list_transform(embedding, (x, i) -> CASE WHEN i = 1 " +
+      "THEN CAST(CAST(x AS DOUBLE) * 1.2000000476837158 AS FLOAT) " +
+      "ELSE x END) FROM embeddings), " +
+      "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM base), " +
+      s"scored AS (SELECT vec_id, e, $dcols FROM v), " +
+      s"withm AS (SELECT *, $m AS m FROM scored), " +
+      s"assigned AS (SELECT vec_id, e, $argmin AS cluster FROM withm), " +
+      "dropped AS (SELECT DISTINCT b.vec_id FROM assigned a " +
+      "JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id " +
+      "WHERE " + duckDot("a.e", "b.e") + " / (sqrt(" +
+      duckDot("a.e", "a.e") + ") * sqrt(" + duckDot("b.e", "b.e") +
+      ")) >= 0.9) " +
+      "SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept " +
+      "FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id"
+  }
+
+  /** The incremental near-dup screen replayed end to end: batch and corpus
+    * each get the full shingle→minhash→band chain (same literals as the
+    * self-join oracle), the cross-relation (band, key) join, and the
+    * integer-Jaccard verification. */
+  private lazy val duckIncrementalNearDupSql: String = {
+    def chain(docsCte: String, p: String) =
+      s"${p}toks AS (SELECT doc_id, string_split(text,' ') AS t " +
+        s"FROM $docsCte), " +
+        s"${p}shs AS (SELECT doc_id, list_distinct(list_transform(" +
+        s"$duckShingle2, s -> ${duckPolyHash("s", 31L)})) AS sh " +
+        s"FROM ${p}toks), " +
+        s"${p}hx AS (SELECT doc_id, unnest(sh) AS h FROM ${p}shs), " +
+        s"${p}sig AS (SELECT doc_id, [$duckMinhashMins] AS sig " +
+        s"FROM ${p}hx GROUP BY doc_id), " +
+        s"${p}band AS (${duckBandSelectsOf(p + "sig")})"
+    "WITH corpus AS (SELECT doc_id, text FROM documents), " +
+      // subquery isolates the ORIGINAL id: DuckDB lateral aliases would
+      // otherwise bind doc_id % 2 to the shifted output column
+      "batch AS (SELECT orig + 1000000 AS doc_id, " +
+      "CASE WHEN orig % 2 = 0 THEN regexp_replace(text, '^[^ ]* ', '') " +
+      "ELSE translate(text, 'aeiou', '01234') END AS text FROM " +
+      "(SELECT doc_id AS orig, text FROM documents)), " +
+      chain("batch", "b") + ", " + chain("corpus", "c") + ", " +
+      "cand AS (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS corpus_id " +
+      "FROM bband b JOIN cband c ON b.band = c.band AND b.key = c.key), " +
+      "ver AS (SELECT cand.doc_id, CAST(count(*) AS BIGINT) AS n " +
+      "FROM cand JOIN bshs x ON x.doc_id = cand.doc_id " +
+      "JOIN cshs y ON y.doc_id = cand.corpus_id " +
+      "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
+      "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7 " +
+      "GROUP BY cand.doc_id) " +
+      "SELECT b.doc_id, coalesce(v.n, 0) AS n_corpus_dups, " +
+      "coalesce(v.n, 0) = 0 AS kept " +
+      "FROM batch b LEFT JOIN ver v USING (doc_id)"
+  }
 
   private lazy val duckMinhashNearDupSql: String =
       (s"WITH docs AS ($duckDocsWithMutants), " +

@@ -255,6 +255,10 @@ object TextOps {
   def lmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScore(Tables(s, dir).documents)
 
+  /** Pretrained linear classifier (integer weights, 32 hash slots). */
+  def linearScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.linearScore(Tables(s, dir).documents)
+
   /** ±3-window skip-gram co-occurrence counts (min count 5). */
   def skipgrams(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.skipgramCounts(Tables(s, dir).documents,
@@ -269,6 +273,7 @@ object TextOps {
     "q_hash_features" -> hashFeats,
     "q_lm_counts" -> lmCounts,
     "q_lm_score" -> lmScore,
+    "q_linear_score" -> linearScore,
     "q_bpe_train" -> bpeTrain,
     "q_bpe_encode" -> bpeEncode,
     "q_doc_gate" -> docGate,
@@ -403,6 +408,19 @@ object TextOps {
         "coalesce(a.score_sum, 0) AS score_sum, " +
         "CAST(coalesce(a.score_sum // a.n_bigrams, 0) AS BIGINT) " +
         "AS score_avg FROM documents d LEFT JOIN agg a USING (doc_id)"),
+    // identical integer weights rendered as a list literal; the same
+    // hash-slot lookup and int64 sum — the decision boundary (> 0) has no
+    // float anywhere near it
+    "q_linear_score" -> {
+      val w = TextAnalysis.classifierWeights(32).mkString("[", ", ", "]")
+      "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk " +
+        "FROM documents), " +
+        s"s AS (SELECT doc_id, ($w)[CAST(${pHash("tk")} % 32 AS INT) + 1] " +
+        "AS w FROM t) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(w) AS BIGINT) AS score, sum(w) > 0 AS label " +
+        "FROM s GROUP BY doc_id"
+    },
     "q_bpe_train" -> duckBpeSql(8),
     // independent replay: DuckDB derives its OWN merges (argmax chain),
     // then encodes via the same vocabulary-join the engine uses

@@ -68,6 +68,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(total - 300L) <= 25, s"total=$total")
   }
 
+  test("mix plan: flattened epochs, exact at alpha extremes") {
+    // big: 4 docs × 4 tokens = 16; small: 1 doc × 4 tokens = 4
+    val docs = ((1 to 4).map(i => (i.toLong, "big", "w x y z")) :+
+      ((9L, "small", "p q r s"))).toDF("doc_id", "source", "text")
+    // α = 1: natural mix — every source gets the same epoch count
+    // (budget/total = 40/20 = 2.000)
+    val nat = Sampling.mixPlan(docs, "source", "text", alpha = 1.0,
+        tokenBudget = 40L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(nat("big") == ((4L, 16L, 2000L)))
+    assert(nat("small") == ((1L, 4L, 2000L)))
+    // α = 0.5: w_big = 4, w_small = 2 → small's epochs 2× big's
+    // (big: 40·4/(6·16) = 5/3; small: 40·2/(6·4) = 10/3)
+    val flat = Sampling.mixPlan(docs, "source", "text", alpha = 0.5,
+        tokenBudget = 40L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(flat("big") == 1666L, flat.toString)
+    assert(flat("small") == 3333L, flat.toString)
+  }
+
   test("portable HLL estimate lands within 30% of exact") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val row = Sketches.hllDistinct(orders, "o_custkey").head()

@@ -236,6 +236,25 @@ class DedupSpec extends SparkSpec {
     assert(r(2L) == ((2L, 0L, "p q r s")))
   }
 
+  test("incremental near-dedup: edited recrawl dropped, new text kept") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs right now"),
+      (3L, "sphinx of black quartz judge my vow said the king"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // doc 1 with one token dropped — near-dup of corpus doc 1
+      (11L, "quick brown fox jumps over the lazy dog today"),
+      // genuinely new text — no shingle overlap with any corpus doc
+      (12L, "completely fresh words that never appeared before anywhere"))
+      .toDF("doc_id", "text")
+    val r = Dedup.incrementalNearDedup(batch, corpus)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2)))
+      .toMap
+    assert(r(11L)._1 >= 1L && !r(11L)._2, s"recrawl not caught: $r")
+    assert(r(12L) == ((0L, true)), s"new doc not kept: $r")
+  }
+
   test("canonical by score: max score wins, ties break to smallest id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("doc_id", "component")

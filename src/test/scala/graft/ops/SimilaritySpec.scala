@@ -116,4 +116,30 @@ class SimilaritySpec extends SparkSpec {
       c >= 0L && c <= 255L)))
     assert(real.forall(_.split(",").map(_.toLong).min == 0L))
   }
+
+  test("semantic dedup drops co-clustered near-duplicates, keeps noise") {
+    val mutant = embs.limit(50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * 1.2f).otherwise(x)).as("embedding"))
+    val corpus = embs.limit(50).select("vec_id", "embedding").union(mutant)
+    val r = Similarity.semanticDedup(corpus,
+        Ivf.staticCentroids(nlist = 4, dim = 64), minCosine = 0.9)
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getBoolean(2)))
+      .toMap
+    assert(r.size == 100)
+    // every original survives (it is the smallest id in any dup group)
+    assert((0L until 50L).forall(r(_)._2), "an original was dropped")
+    val clusters = r.map { case (id, (c, _)) => id -> c }
+    // a mutant is dropped IFF it landed in its source's cluster — the
+    // cluster-blocking semantics, exactly
+    (0L until 50L).foreach { i =>
+      val sameCell = clusters(i) == clusters(i + 1000000L)
+      assert(r(i + 1000000L)._2 == !sameCell,
+        s"mutant of $i: sameCell=$sameCell kept=${r(i + 1000000L)._2}")
+    }
+    // and the blocking is effective: most mutants do co-cluster
+    assert((0L until 50L).count(i =>
+      clusters(i) == clusters(i + 1000000L)) >= 40)
+  }
 }

@@ -239,6 +239,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.values.map(_._4).max == 4000L) // nothing outranks it
   }
 
+  test("linear score: hash-slot weight lookup, exact integer sum") {
+    // polyHash("a") = 97 → slot 1; polyHash("b") = 98 → slot 0 (dim 2)
+    val docs = Seq((1L, "a b a"), (2L, "a a"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.linearScore(docs, dim = 2,
+        weights = Seq(10L, -3L))
+      .collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getBoolean(3))).toMap
+    assert(r(1L) == ((3L, 4L, true)))   // -3 + 10 - 3
+    assert(r(2L) == ((2L, -6L, false)))
+    // empty text → one "" token → polyHash("") = 0 → slot 0
+    assert(r(3L) == ((1L, 10L, true)))
+  }
+
   test("lm score: hand-computed add-one fixed point, short docs score 0") {
     val docs = Seq((1L, "a b a b"), (2L, "z z"), (3L, "q"))
       .toDF("doc_id", "text")
