@@ -649,4 +649,41 @@ object Dedup {
             when(col("df") < maxDf, struct(col("pos"), col("seg"))))),
           s => s.getField("seg"))).as("clean_text"))
   }
+
+  /** Span-level benchmark decontamination — the GPT-3/PaLM "remove
+    * overlapping spans, not whole documents" pass: cut each training
+    * document into `segTokens`-token segments, drop every segment whose
+    * text occurs ANYWHERE in the eval corpus (segmented the same way),
+    * and reassemble the survivors in order. Where [[contamination]]
+    * reports doc-level overlap counts for auditing, this op produces the
+    * cleaned corpus itself, surgically: a doc quoting one benchmark
+    * passage loses that span and keeps the rest.
+    *
+    * Returns (doc_id, n_segs, n_dropped, clean_text) for every training
+    * doc — n_dropped = 0 means untouched; clean_text = "" means fully
+    * consumed (the doc IS benchmark text).
+    *
+    * Scale shape: the banned-segment set is tiny (benchmarks are MBs
+    * against a 100 TB corpus) — distinct-aggregated once and BROADCAST,
+    * so the corpus-side explode never shuffles: segment, probe the
+    * broadcast hash set, reassemble within the doc-keyed aggregation.
+    * The only shuffle is the final groupBy doc_id, which the pipeline
+    * needs anyway to rebuild documents. */
+  def decontaminateSegments(docs: DataFrame, evalDocs: DataFrame,
+      segTokens: Int = 8, textCol: String = "text"): DataFrame = {
+    val exploded = segmentRows(docs, segTokens, textCol)
+    val banned = segmentRows(evalDocs, segTokens, textCol)
+      .select(col("seg")).distinct()
+    exploded
+      .join(broadcast(banned.withColumn("_ban", lit(true))),
+        Seq("seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("_ban"), 1L).otherwise(0L)).cast("long")
+          .as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_ban").isNull, struct(col("pos"), col("seg"))))),
+          s => s.getField("seg"))).as("clean_text"))
+  }
 }

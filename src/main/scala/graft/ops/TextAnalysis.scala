@@ -478,6 +478,48 @@ object TextAnalysis {
         coalesce(expr("score_sum DIV n_bigrams"), lit(0L)).as("score_avg"))
   }
 
+  /** Domain-relevance importance score — the DSIR/importance-resampling
+    * shape (Xie et al. 2023): score raw-corpus documents by how much
+    * more likely their tokens are under a TARGET domain's unigram
+    * distribution than under the raw corpus's own, then keep/up-sample
+    * high scorers to shift the training mix toward the domain. Per
+    * token, the smoothed likelihood ratio in exact integer fixed point:
+    * fp(t) = ⌊(c_target(t)+1) · 10⁶ / (c_raw(t)+1)⌋ — monotone in
+    * p_target/p_raw up to the shared normalizer (which shifts every
+    * doc's score identically, so ranking and thresholding are
+    * unaffected), order-independent, bit-identical across engines.
+    * Returns (doc_id, n_tokens, score_sum, score_avg).
+    *
+    * Scale shape: the target-domain count table is small (a domain
+    * SAMPLE, not the corpus) — broadcast; raw counts join on the token
+    * key with map-side-combined partials; the raw corpus streams once
+    * through explode → join → per-doc sum. No floats, no vocabulary
+    * collected to the driver. */
+  def domainScore(raw: DataFrame, target: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def unigrams(df: DataFrame, cName: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).cast("long").as(cName))
+    val rawCounts = unigrams(raw, "c_raw")
+    val tgtCounts = unigrams(target, "c_tgt")
+    val scored = raw.select(col("doc_id"),
+        explode(tokens(col(textCol))).as("t"))
+      .join(rawCounts, Seq("t"))
+      .join(broadcast(tgtCounts), Seq("t"), "left")
+      .select(col("doc_id"),
+        expr("((coalesce(c_tgt, 0L) + 1L) * 1000000L) DIV (c_raw + 1L)")
+          .as("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("fp")).cast("long").as("score_sum"))
+    raw.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        coalesce(expr("score_sum DIV n_tokens"), lit(0L)).as("score_avg"))
+  }
+
   /** Per-source corpus manifest — the integrity record an incremental
     * pipeline publishes with every increment so a consumer can verify a
     * delivery without re-reading it: row count, total size, id range,

@@ -93,6 +93,15 @@ object CorpusOps {
           concat(lit(Header + " "), col("text")).as("text")),
       segTokens = 8, maxDf = 100)
 
+  /** Span-level benchmark decontamination: every 20th doc plays the
+    * benchmark — its spans vanish from the whole corpus (including from
+    * itself: clean_text = "" marks "this doc IS benchmark text"). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    Dedup.decontaminateSegments(docs,
+      docs.filter(col("doc_id") % 20 === 0), segTokens = 8)
+  }
+
   /** Count-min heavy hitters over the corpus token stream (≥ 2% share). */
   def heavyHitters(s: SparkSession, dir: String): DataFrame =
     Sketches.countMinHeavyHitters(
@@ -192,6 +201,7 @@ object CorpusOps {
     "q_quantile_hist" -> quantileHist,
     "q_seg_dedup" -> segDedup,
     "q_freq_score" -> freqScore,
+    "q_decontaminate" -> decontaminate,
   )
 
   /** The identical CM construction rendered from the same (aᵣ, bᵣ)
@@ -242,6 +252,26 @@ object CorpusOps {
         "list({'pos': pos, 'seg': seg}) FILTER (WHERE df < 100)), " +
         "x -> x.seg), ' '), '') AS clean_text " +
         "FROM seg JOIN dfq USING (seg) GROUP BY doc_id"),
+    // the same segmentation CTE as q_boilerplate (without the planted
+    // header); the ban set is the %20 subset's segments, matched on text
+    "q_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS l " +
+        "FROM documents), " +
+        "seg AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(0, (len(l)+7)//8), " +
+        "i -> {'pos': i, 'seg': array_to_string(" +
+        "l[(i*8+1):(i*8+8)], ' ')})) AS u FROM t)), " +
+        "ban AS (SELECT DISTINCT seg FROM seg WHERE doc_id % 20 = 0), " +
+        "j AS (SELECT s.doc_id, s.pos, s.seg, " +
+        "b.seg IS NOT NULL AS banned FROM seg s " +
+        "LEFT JOIN ban b ON b.seg = s.seg) " +
+        "SELECT doc_id, count(*) AS n_segs, " +
+        "CAST(sum(CASE WHEN banned THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dropped, " +
+        "coalesce(array_to_string(list_transform(list_sort(" +
+        "list({'pos': pos, 'seg': seg}) FILTER (WHERE NOT banned)), " +
+        "x -> x.seg), ' '), '') AS clean_text " +
+        "FROM j GROUP BY doc_id"),
     "q_heavy_hitters" -> duckCmSql,
     // the oracle never sees the JSONL — it aggregates the parquet, so a
     // lossy round-trip (escaping, unicode, nulls) hash-mismatches

@@ -259,6 +259,12 @@ object TextOps {
   def linearScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.linearScore(Tables(s, dir).documents)
 
+  /** DSIR-style domain relevance: target = the English subset. */
+  def domainScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    TextAnalysis.domainScore(docs, docs.filter(col("lang") === "en"))
+  }
+
   /** ±3-window skip-gram co-occurrence counts (min count 5). */
   def skipgrams(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.skipgramCounts(Tables(s, dir).documents,
@@ -274,6 +280,7 @@ object TextOps {
     "q_lm_counts" -> lmCounts,
     "q_lm_score" -> lmScore,
     "q_linear_score" -> linearScore,
+    "q_domain_score" -> domainScore,
     "q_bpe_train" -> bpeTrain,
     "q_bpe_encode" -> bpeEncode,
     "q_doc_gate" -> docGate,
@@ -421,6 +428,25 @@ object TextOps {
         "CAST(sum(w) AS BIGINT) AS score, sum(w) > 0 AS label " +
         "FROM s GROUP BY doc_id"
     },
+    // the same ⌊(c_tgt+1)·10⁶/(c_raw+1)⌋ per token, summed as BIGINT —
+    // exact integer fixed point end to end, like q_lm_score
+    "q_domain_score" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t " +
+        "FROM documents), " +
+        "raw AS (SELECT t, CAST(count(*) AS BIGINT) AS c_raw FROM tok " +
+        "GROUP BY t), " +
+        "tgt AS (SELECT t, CAST(count(*) AS BIGINT) AS c_tgt FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS t FROM documents " +
+        "WHERE lang = 'en') GROUP BY t), " +
+        "fp AS (SELECT doc_id, " +
+        "((coalesce(c_tgt, 0) + 1) * 1000000) // (c_raw + 1) AS fp " +
+        "FROM tok JOIN raw USING (t) LEFT JOIN tgt USING (t)), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(fp) AS BIGINT) AS score_sum FROM fp GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, " +
+        "coalesce(a.score_sum, 0) AS score_sum, " +
+        "CAST(coalesce(a.score_sum // a.n_tokens, 0) AS BIGINT) " +
+        "AS score_avg FROM documents d LEFT JOIN agg a USING (doc_id)"),
     "q_bpe_train" -> duckBpeSql(8),
     // independent replay: DuckDB derives its OWN merges (argmax chain),
     // then encodes via the same vocabulary-join the engine uses

@@ -236,6 +236,24 @@ class DedupSpec extends SparkSpec {
     assert(r(2L) == ((2L, 0L, "p q r s")))
   }
 
+  test("decontamination: benchmark spans cut out, rest reassembled") {
+    // 2-token segments: doc 1 = [a b][c d][e f], doc 2 = [x y][c d]
+    val train = Seq((1L, "a b c d e f"), (2L, "x y c d"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "c d")).toDF("doc_id", "text")
+    val r = Dedup.decontaminateSegments(train, eval_, segTokens = 2)
+      .collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) == ((3L, 1L, "a b e f")))  // middle span removed
+    assert(r(2L) == ((2L, 1L, "x y")))
+    // a doc that IS the benchmark text is fully consumed
+    val all = Dedup.decontaminateSegments(
+        Seq((5L, "c d")).toDF("doc_id", "text"), eval_, segTokens = 2)
+      .collect().map(x => (x.getLong(2), x.getString(3))).head
+    assert(all == ((1L, "")))
+  }
+
   test("incremental near-dedup: edited recrawl dropped, new text kept") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

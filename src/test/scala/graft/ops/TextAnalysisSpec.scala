@@ -239,6 +239,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.values.map(_._4).max == 4000L) // nothing outranks it
   }
 
+  test("domain score: target-domain tokens outrank off-domain, exact fp") {
+    val raw = Seq((1L, "k k"), (2L, "z z")).toDF("doc_id", "text")
+    val target = Seq((9L, "k")).toDF("doc_id", "text")
+    // c_raw(k)=2, c_tgt(k)=1 → fp = 2·10⁶ // 3 = 666666
+    // c_raw(z)=2, c_tgt(z)=0 → fp = 1·10⁶ // 3 = 333333
+    val r = TextAnalysis.domainScore(raw, target).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((2L, 1333332L, 666666L)))
+    assert(r(2L) == ((2L, 666666L, 333333L)))
+    // ranking property: the on-domain doc strictly outranks
+    assert(r(1L)._3 > r(2L)._3)
+  }
+
   test("linear score: hash-slot weight lookup, exact integer sum") {
     // polyHash("a") = 97 → slot 1; polyHash("b") = 98 → slot 0 (dim 2)
     val docs = Seq((1L, "a b a"), (2L, "a a"), (3L, ""))
