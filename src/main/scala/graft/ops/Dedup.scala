@@ -145,7 +145,7 @@ object Dedup {
     * and the batch-vs-corpus incremental variant (which band-joins two
     * DIFFERENT relations, so the keys must come from one definition). */
   private[graft] def bandRows(sigs: DataFrame, bands: Int,
-      k: Int): DataFrame = {
+      k: Int, carry: Seq[String] = Nil): DataFrame = {
     require(k % bands == 0, s"signature width $k must divide into $bands bands")
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { j =>
@@ -154,9 +154,10 @@ object Dedup {
           col("sig").getItem(j * rowsPerBand + r).cast("string")): _*)
           .as("key"))
     }
-    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
+    val lead = col("doc_id") +: carry.map(col)
+    sigs.select(lead :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(lead ++ Seq(col("bk.band").as("band"),
+        col("bk.key").as("key")): _*)
   }
 
   /** LSH banding: split the k-long signature into `bands` bands of k/bands

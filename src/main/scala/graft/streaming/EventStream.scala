@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode}
@@ -133,6 +133,61 @@ object EventStream {
       .dropDuplicates("digest")
       .join(seenDigests.select(col("digest")), Seq("digest"), "left_anti")
       .select(col("doc_id"), col("digest"))
+
+  /** Streaming NEAR-dup screen against a static corpus LSH index — the
+    * streaming dual of ops.Dedup.incrementalNearDedup, one level up the
+    * fuzziness ladder from [[dedupAgainstCorpus]]: an arriving document
+    * is checked for MinHash-LSH band collisions against the corpus index
+    * and verified by exact hashed-shingle Jaccard before being reported
+    * as a duplicate. Emits the verified (doc_id, corpus_id) match pairs
+    * (append mode); the ingest decision is then a flag lookup in the
+    * sink (production keeps the band index as a compacted static table,
+    * refreshed between micro-batch epochs).
+    *
+    * The stream side computes its signature STATELESSLY per row (an
+    * array fold over the row's own shingles) instead of reusing the
+    * batch engine's exploded native aggregate: no streaming-aggregation
+    * state, no update-mode output — each arriving row carries everything
+    * its screen needs. Both static joins are stream-static inner joins;
+    * the only state is the final pair dropDuplicates (bounded in
+    * production with dropDuplicatesWithinWatermark). Identical hash
+    * family, banding, and integer-Jaccard threshold as the batch op —
+    * the spec asserts per-doc match parity. */
+  def nearDupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      n: Int = 2, k: Int = 64, bands: Int = 16, numer: Int = 7,
+      denom: Int = 10, textCol: String = "text"): DataFrame = {
+    import graft.ops.Dedup
+    val ph = (c: Column) => graft.functions.GraftFunctions.polyHash(c)
+    // static index: shingles for verification, native-agg signatures,
+    // band rows — built once per (micro-batch-epoch) plan
+    val csh = corpus.select(col("doc_id").as("corpus_id"),
+      array_distinct(transform(Dedup.shingles(col(textCol), n), ph))
+        .as("sh_c"))
+    val cband = Dedup.bandRows(
+        Dedup.minhashSignaturesNative(corpus, n, k, textCol), bands, k)
+      .withColumnRenamed("doc_id", "corpus_id")
+    // stream side: per-row shingle hashes + stateless signature fold
+    val sigCol = array(Dedup.minhashCoeffs(k).map { case (a, b) =>
+      array_min(transform(col("sh"),
+        h => pmod(h * a + b, lit(Dedup.P))))
+    }: _*)
+    val streamBands = Dedup.bandRows(
+      docs.select(col("doc_id"),
+          array_distinct(transform(Dedup.shingles(col(textCol), n), ph))
+            .as("sh"))
+        .withColumn("sig", sigCol),
+      bands, k, carry = Seq("sh"))
+    streamBands
+      .join(cband, Seq("band", "key"))
+      .join(csh, Seq("corpus_id"))
+      .filter(size(array_intersect(col("sh"), col("sh_c"))).cast("long")
+        * denom >=
+        (size(col("sh")) + size(col("sh_c")) -
+          size(array_intersect(col("sh"), col("sh_c")))).cast("long")
+        * numer)
+      .select(col("doc_id"), col("corpus_id"))
+      .dropDuplicates("doc_id", "corpus_id")
+  }
 
   /** Drive a streaming DataFrame to completion against a bounded source
     * and return the in-memory result table (local smoke harness).

@@ -145,6 +145,34 @@ class EventStreamSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming near-dup screen matches the batch incremental screen") {
+    import java.nio.file.Files
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 250)
+    // the arriving batch: edited recrawls of even corpus docs + fresh text
+    val batch = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0,
+            regexp_replace(col("text"), "^[^ ]* ", ""))
+          .otherwise(translate(col("text"), "aeiou", "01234")).as("text"))
+    val dir = Files.createTempDirectory("graft-neardup-stream").toString
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val gotPairs = EventStream.runToMemory(
+      EventStream.nearDupAgainstCorpus(stream, corpus), "neardup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotPairs.length == gotPairs.distinct.length)
+    // per-doc match counts equal the batch op's verified counts
+    val gotCounts = gotPairs.groupBy(_._1).view.mapValues(_.size.toLong)
+      .toMap
+    val expected = graft.ops.Dedup.incrementalNearDedup(batch, corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expected.values.exists(_ > 0L), "screen found nothing — vacuous")
+    assert(gotCounts == expected.filter(_._2 > 0L))
+  }
+
   test("streaming count-min counters equal the batch sketch registers") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToMemory(
