@@ -139,4 +139,34 @@ object Sampling {
           (col("wsum") * col("n_tokens").cast("double")))
           .cast("long").as("epochs_x1000"))
   }
+
+  /** Materialize the [[mixPlan]]: emit each document with one row per
+    * training copy — ⌊epochs⌋ full passes for every doc of the source,
+    * plus one more for a deterministic epochs-fractional share of its
+    * docs (hash-Bernoulli, same Weyl-multiplier equidistribution as
+    * [[temperatureMix]]) — so each source's expected token count hits
+    * the plan's share of the budget without any doc-level randomness.
+    * Returns (idCol, keyCol, copy); a downstream writer typically
+    * re-shuffles by a (doc, copy)-keyed hash to interleave the epochs.
+    *
+    * Scale shape: the plan is |sources| rows, broadcast onto the corpus;
+    * the explode is bounded by ⌈epochs⌉ per row — the output is the
+    * training mixture itself, so its size IS the requested budget.
+    * Deterministic end to end: same plan + same ids → the same mixture,
+    * on any engine and any partitioning. */
+  def materializeMix(df: DataFrame, keyCol: String, idCol: String,
+      textCol: String, alpha: Double, tokenBudget: Long): DataFrame = {
+    val plan = mixPlan(df, keyCol, textCol, alpha, tokenBudget)
+      .select(col(keyCol), col("epochs_x1000"))
+    val extra = (pmod(polyHash(concat(lit("mmix:"),
+        col(idCol).cast("string"))) * lit(2654435761L), lit(1000L)) <
+      col("epochs_x1000") % 1000L).cast("long")
+    df.select(col(idCol), col(keyCol))
+      .join(broadcast(plan), Seq(keyCol))
+      .withColumn("n_copies", expr("epochs_x1000 DIV 1000") + extra)
+      .filter(col("n_copies") >= 1L)
+      .select(col(idCol), col(keyCol),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .select(col(idCol), col(keyCol), col("copy").cast("int").as("copy"))
+  }
 }

@@ -41,6 +41,12 @@ object CorpusOps {
     Sampling.mixPlan(Tables(s, dir).documents, keyCol = "source",
       textCol = "text", alpha = 0.5, tokenBudget = 100000L)
 
+  /** The materialized training mixture for the same plan. */
+  def materializeMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.materializeMix(Tables(s, dir).documents, keyCol = "source",
+      idCol = "doc_id", textCol = "text", alpha = 0.5,
+      tokenBudget = 100000L)
+
   /** 64-register portable HLL over the orders' customer key (10× dup
     * factor: 15k orders over 1.5k customers at sf0.01). */
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
@@ -197,6 +203,7 @@ object CorpusOps {
     "q_source_quota" -> sourceQuota,
     "q_temperature_mix" -> temperatureMix,
     "q_mix_plan" -> mixPlan,
+    "q_materialize_mix" -> materializeMix,
     "q_hll_distinct" -> hllDistinct,
     "q_quantile_hist" -> quantileHist,
     "q_seg_dedup" -> segDedup,
@@ -401,6 +408,24 @@ object CorpusOps {
         "CAST(floor(CAST(100000 AS DOUBLE) * w * 1000.0 / " +
         "(wsum * CAST(n_tokens AS DOUBLE))) AS BIGINT) AS epochs_x1000 " +
         "FROM w CROSS JOIN t"),
+    // the plan re-derived as above, then materialized with the identical
+    // ⌊e⌋ + hash-Bernoulli(e mod 1000) copy rule
+    "q_materialize_mix" ->
+      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "w AS (SELECT source, n_tokens, " +
+        "pow(CAST(n_tokens AS DOUBLE), 0.5) AS w FROM c), " +
+        "t AS (SELECT sum(w) AS wsum FROM w), " +
+        "e AS (SELECT source, CAST(floor(CAST(100000 AS DOUBLE) * w * " +
+        "1000.0 / (wsum * CAST(n_tokens AS DOUBLE))) AS BIGINT) AS e " +
+        "FROM w CROSS JOIN t), " +
+        "n AS (SELECT doc_id, source, e // 1000 + CASE WHEN " +
+        s"${pHash("'mmix:' || doc_id")} * 2654435761 % 1000 < e % 1000 " +
+        "THEN 1 ELSE 0 END AS n_copies " +
+        "FROM documents JOIN e USING (source)) " +
+        "SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) " +
+        "AS INT) AS copy FROM n WHERE n_copies >= 1"),
     "q_source_quota" ->
       ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
         s"row_number() OVER (PARTITION BY source ORDER BY " +

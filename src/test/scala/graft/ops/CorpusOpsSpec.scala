@@ -89,6 +89,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(flat("small") == 3333L, flat.toString)
   }
 
+  test("materialized mix: floor copies for all, fraction via hash share") {
+    val docs = (0 until 100).map(i => (i.toLong, "s", "a b c d"))
+      .toDF("doc_id", "source", "text")
+    // integral epochs: 800·1000/400 = 2000 → exactly 2 copies each
+    val exact = Sampling.materializeMix(docs, "source", "doc_id", "text",
+      alpha = 1.0, tokenBudget = 800L)
+    assert(exact.count() == 200L)
+    assert(exact.groupBy("doc_id").count().filter(col("count") =!= 2L)
+      .count() == 0L)
+    // fractional: 1000·1000/400 = 2500 → 2 or 3 copies, ~half each
+    val frac = Sampling.materializeMix(docs, "source", "doc_id", "text",
+      alpha = 1.0, tokenBudget = 1000L)
+    val per = frac.groupBy("doc_id").count().as[(Long, Long)]
+      .collect().toMap
+    assert(per.size == 100 && per.values.forall(c => c == 2L || c == 3L))
+    assert(math.abs(per.values.sum - 250L) <= 20, per.values.sum.toString)
+    // deterministic: two evaluations agree exactly
+    assert(frac.exceptAll(Sampling.materializeMix(docs, "source",
+      "doc_id", "text", 1.0, 1000L)).count() == 0L)
+  }
+
   test("portable HLL estimate lands within 30% of exact") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val row = Sketches.hllDistinct(orders, "o_custkey").head()
