@@ -616,6 +616,29 @@ object Dedup {
         (coalesce(col("n_corpus_dups"), lit(0L)) === 0L).as("kept"))
   }
 
+  /** Corpus snapshot diff — the audit between two versions of an
+    * incrementally-built corpus (what did this increment actually do?):
+    * per doc_id, whether the new snapshot ADDED, REMOVED, kept
+    * (unchanged), or rewrote (modified) it. Content is compared by
+    * sha-256 digest, so the join carries 64-char rows, never documents —
+    * the same shuffle class as [[exactByDigest]]; one full outer join on
+    * the id key and nothing else. Publishing this diff alongside each
+    * increment's [[graft.ops.TextAnalysis.manifest]] is what makes a
+    * 100 TB corpus auditable without re-reading it. */
+  def corpusDiff(prev: DataFrame, curr: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val a = prev.select(col("doc_id"),
+      sha2(lower(col(textCol)), 256).as("dig_prev"))
+    val b = curr.select(col("doc_id"),
+      sha2(lower(col(textCol)), 256).as("dig_curr"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("dig_prev").isNull, "added")
+          .when(col("dig_curr").isNull, "removed")
+          .when(col("dig_prev") === col("dig_curr"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
+
   /** Corpus-level boilerplate removal — the document-frequency complement
     * of [[segmentDedup]] (the C4/CCNet "remove lines repeated across many
     * pages" rule, an extension op beyond the reference's surface): cut each

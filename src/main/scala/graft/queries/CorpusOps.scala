@@ -108,6 +108,19 @@ object CorpusOps {
       docs.filter(col("doc_id") % 20 === 0), segTokens = 8)
   }
 
+  /** Snapshot diff: v2 removes every 5th doc (mod 3), rewrites every 5th
+    * (mod 1), adds a fresh id per 5th (mod 0), keeps the rest. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val curr = docs.filter(col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 1, concat(lit("v2 "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id") + 1000000L, col("text")))
+    Dedup.corpusDiff(docs, curr)
+  }
+
   /** Count-min heavy hitters over the corpus token stream (≥ 2% share). */
   def heavyHitters(s: SparkSession, dir: String): DataFrame =
     Sketches.countMinHeavyHitters(
@@ -209,6 +222,7 @@ object CorpusOps {
     "q_seg_dedup" -> segDedup,
     "q_freq_score" -> freqScore,
     "q_decontaminate" -> decontaminate,
+    "q_corpus_diff" -> corpusDiff,
   )
 
   /** The identical CM construction rendered from the same (aᵣ, bᵣ)
@@ -279,6 +293,21 @@ object CorpusOps {
         "list({'pos': pos, 'seg': seg}) FILTER (WHERE NOT banned)), " +
         "x -> x.seg), ' '), '') AS clean_text " +
         "FROM j GROUP BY doc_id"),
+    // digests never leave SQL either: the diff is a full outer join of
+    // two sha256 projections, statuses derived identically
+    "q_corpus_diff" ->
+      ("WITH prev AS (SELECT doc_id, sha256(lower(text)) AS dg " +
+        "FROM documents), " +
+        "curr AS (SELECT doc_id, sha256(lower(CASE WHEN doc_id % 5 = 1 " +
+        "THEN 'v2 ' || text ELSE text END)) AS dg FROM documents " +
+        "WHERE doc_id % 5 != 3 " +
+        "UNION ALL SELECT doc_id + 1000000, sha256(lower(text)) " +
+        "FROM documents WHERE doc_id % 5 = 0) " +
+        "SELECT coalesce(p.doc_id, c.doc_id) AS doc_id, " +
+        "CASE WHEN p.dg IS NULL THEN 'added' " +
+        "WHEN c.dg IS NULL THEN 'removed' " +
+        "WHEN p.dg = c.dg THEN 'unchanged' ELSE 'modified' END AS status " +
+        "FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id"),
     "q_heavy_hitters" -> duckCmSql,
     // the oracle never sees the JSONL — it aggregates the parquet, so a
     // lossy round-trip (escaping, unicode, nulls) hash-mismatches

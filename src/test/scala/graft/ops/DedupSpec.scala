@@ -236,6 +236,15 @@ class DedupSpec extends SparkSpec {
     assert(r(2L) == ((2L, 0L, "p q r s")))
   }
 
+  test("corpus diff: added / removed / modified / unchanged statuses") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val curr = Seq((1L, "a"), (2L, "b v2"), (4L, "d")).toDF("doc_id", "text")
+    val r = Dedup.corpusDiff(prev, curr).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("decontamination: benchmark spans cut out, rest reassembled") {
     // 2-token segments: doc 1 = [a b][c d][e f], doc 2 = [x y][c d]
     val train = Seq((1L, "a b c d e f"), (2L, "x y c d"))
