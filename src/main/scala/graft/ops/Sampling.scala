@@ -169,4 +169,33 @@ object Sampling {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
       .select(col(idCol), col(keyCol), col("copy").cast("int").as("copy"))
   }
+
+  /** Deterministic training-order shuffle + sharding — the last hop
+    * before the training writer: every (doc, copy) of the materialized
+    * mixture gets a shard and a position within it, both derived from a
+    * portable hash (Weyl-multiplied, then a PRIME modulus so the shard
+    * residue and the intra-shard order are decorrelated), so the
+    * "randomized" training order is reproducible across runs, engines,
+    * and partitionings, and two copies of the same doc land in
+    * different shards/positions.
+    *
+    * Scale shape: the per-shard position is a row_number window
+    * partitioned by shard — at real scale nShards is sized to the
+    * writer's output files (thousands), making each window partition
+    * exactly one shard's worth, i.e. the same repartition +
+    * sortWithinPartitions the writer itself performs; no global sort
+    * ever happens. */
+  def trainingOrder(mix: DataFrame, idCol: String, copyCol: String,
+      nShards: Int): DataFrame = {
+    val h = pmod(polyHash(concat(lit("ord:"), col(idCol).cast("string"),
+      lit(":"), col(copyCol).cast("string"))) * lit(2654435761L),
+      lit(1000000007L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("_h"), col(idCol), col(copyCol))
+    mix.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_h")
+  }
 }

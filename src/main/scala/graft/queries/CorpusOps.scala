@@ -47,6 +47,11 @@ object CorpusOps {
       idCol = "doc_id", textCol = "text", alpha = 0.5,
       tokenBudget = 100000L)
 
+  /** The mixture sharded into 16 deterministic training-order shards. */
+  def trainingOrder(s: SparkSession, dir: String): DataFrame =
+    Sampling.trainingOrder(materializeMix(s, dir), idCol = "doc_id",
+      copyCol = "copy", nShards = 16)
+
   /** 64-register portable HLL over the orders' customer key (10× dup
     * factor: 15k orders over 1.5k customers at sf0.01). */
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
@@ -217,6 +222,7 @@ object CorpusOps {
     "q_temperature_mix" -> temperatureMix,
     "q_mix_plan" -> mixPlan,
     "q_materialize_mix" -> materializeMix,
+    "q_training_order" -> trainingOrder,
     "q_hll_distinct" -> hllDistinct,
     "q_quantile_hist" -> quantileHist,
     "q_seg_dedup" -> segDedup,
@@ -224,6 +230,25 @@ object CorpusOps {
     "q_decontaminate" -> decontaminate,
     "q_corpus_diff" -> corpusDiff,
   )
+
+  /** The mix-plan epochs + copy rule, shared by the materialize oracle
+    * and the training-order oracle layered on top of it. */
+  private lazy val duckMaterializeMixSql: String =
+    "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+      "FROM documents GROUP BY source), " +
+      "w AS (SELECT source, n_tokens, " +
+      "pow(CAST(n_tokens AS DOUBLE), 0.5) AS w FROM c), " +
+      "t AS (SELECT sum(w) AS wsum FROM w), " +
+      "e AS (SELECT source, CAST(floor(CAST(100000 AS DOUBLE) * w * " +
+      "1000.0 / (wsum * CAST(n_tokens AS DOUBLE))) AS BIGINT) AS e " +
+      "FROM w CROSS JOIN t), " +
+      "n AS (SELECT doc_id, source, e // 1000 + CASE WHEN " +
+      s"${pHash("'mmix:' || doc_id")} * 2654435761 % 1000 < e % 1000 " +
+      "THEN 1 ELSE 0 END AS n_copies " +
+      "FROM documents JOIN e USING (source)) " +
+      "SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) " +
+      "AS INT) AS copy FROM n WHERE n_copies >= 1"
 
   /** The identical CM construction rendered from the same (aᵣ, bᵣ)
     * literals [[Sketches.cmCoeffs]] uses — one hash family, two engines. */
@@ -439,22 +464,17 @@ object CorpusOps {
         "FROM w CROSS JOIN t"),
     // the plan re-derived as above, then materialized with the identical
     // ⌊e⌋ + hash-Bernoulli(e mod 1000) copy rule
-    "q_materialize_mix" ->
-      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
-        "FROM documents GROUP BY source), " +
-        "w AS (SELECT source, n_tokens, " +
-        "pow(CAST(n_tokens AS DOUBLE), 0.5) AS w FROM c), " +
-        "t AS (SELECT sum(w) AS wsum FROM w), " +
-        "e AS (SELECT source, CAST(floor(CAST(100000 AS DOUBLE) * w * " +
-        "1000.0 / (wsum * CAST(n_tokens AS DOUBLE))) AS BIGINT) AS e " +
-        "FROM w CROSS JOIN t), " +
-        "n AS (SELECT doc_id, source, e // 1000 + CASE WHEN " +
-        s"${pHash("'mmix:' || doc_id")} * 2654435761 % 1000 < e % 1000 " +
-        "THEN 1 ELSE 0 END AS n_copies " +
-        "FROM documents JOIN e USING (source)) " +
-        "SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) " +
-        "AS INT) AS copy FROM n WHERE n_copies >= 1"),
+    "q_materialize_mix" -> duckMaterializeMixSql,
+    // the same mixture, then the identical decorrelated hash →
+    // (shard, row_number) order restated over it
+    "q_training_order" ->
+      (s"WITH m AS ($duckMaterializeMixSql), " +
+        s"h AS (SELECT doc_id, source, copy, " +
+        s"${pHash("'ord:' || doc_id || ':' || copy")} * 2654435761 " +
+        "% 1000000007 AS h FROM m) " +
+        "SELECT doc_id, source, copy, CAST(h % 16 AS INT) AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY h % 16 " +
+        "ORDER BY h, doc_id, copy) - 1 AS BIGINT) AS pos FROM h"),
     "q_source_quota" ->
       ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
         s"row_number() OVER (PARTITION BY source ORDER BY " +

@@ -110,6 +110,29 @@ class CorpusOpsSpec extends SparkSpec {
       "doc_id", "text", 1.0, 1000L)).count() == 0L)
   }
 
+  test("training order: dense per-shard positions, spread, deterministic") {
+    val mix = (0 until 200).flatMap(i =>
+      Seq((i.toLong, "s", 1), (i.toLong, "s", 2)))
+      .toDF("doc_id", "source", "copy")
+    val r = Sampling.trainingOrder(mix, "doc_id", "copy", nShards = 8)
+    assert(r.count() == 400)
+    val byShard = r.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("mn"),
+        max(col("pos")).as("mx"))
+      .collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(byShard.map(_._1).toSet.subsetOf((0 until 8).toSet))
+    // positions are dense 0..n-1 within every shard
+    byShard.foreach { case (s, n, mn, mx) =>
+      assert(mn == 0L && mx == n - 1, s"shard $s: n=$n mn=$mn mx=$mx") }
+    // hash spread: no shard hogs the mixture
+    assert(byShard.map(_._2).max <= 150L, byShard.mkString(","))
+    assert(byShard.length == 8)
+    // deterministic: two evaluations agree exactly
+    assert(r.exceptAll(Sampling.trainingOrder(mix, "doc_id", "copy", 8))
+      .count() == 0L)
+  }
+
   test("portable HLL estimate lands within 30% of exact") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val row = Sketches.hllDistinct(orders, "o_custkey").head()

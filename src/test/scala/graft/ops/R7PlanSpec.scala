@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Plan audit for the r7 operators: each one's scale story names a join
+  * strategy — this spec pins it so a refactor (or an optimizer change)
+  * can't silently swap a broadcast for a shuffle or an equi-join for a
+  * cartesian. Runs on sf0.001 query entries (plan shape, not data). */
+class R7PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("decontamination broadcasts the ban set — corpus side stays put") {
+    val plan = executed(graft.queries.CorpusOps.decontaminate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "ban-set join is not broadcast:\n" + plan.take(600))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("semantic dedup: cluster self-join is a real equi-join") {
+    val plan = executed(graft.queries.DedupSim.semanticDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "within-cluster pairing degenerated to a cross product:\n" +
+        plan.take(600))
+  }
+
+  test("incremental near-dup screen: banding never goes quadratic") {
+    val plan = executed(
+      graft.queries.DedupSim.incrementalNearDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "band join degenerated to a cross product:\n" + plan.take(600))
+  }
+
+  test("materialized mix broadcasts the plan onto the corpus") {
+    val plan = executed(graft.queries.CorpusOps.materializeMix(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "plan join is not broadcast:\n" + plan.take(600))
+  }
+
+  test("linear score: no join at all — weights are a literal lookup") {
+    val plan = executed(graft.queries.TextOps.linearScore(spark, dir))
+    assert(!plan.contains("Join"),
+      "classifier scoring grew a join; weights must stay a broadcast " +
+        "literal element_at:\n" + plan.take(600))
+  }
+}
