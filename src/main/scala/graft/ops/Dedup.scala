@@ -344,6 +344,23 @@ object Dedup {
       .select(col(idCol), col("canonical_id"))
   }
 
+  /** Duplication profile: the cluster-size histogram of a component
+    * labelling — how much of the corpus sits in 2-copy pairs vs
+    * 1000-copy boilerplate blobs. THE first diagnostic a dedup run
+    * reports (and the input to "cap clusters at k copies" retention
+    * policies): `(cluster_size, n_clusters, n_docs)`.
+    *
+    * Scale shape: two partial-aggregated counts — component → size, then
+    * size → cluster count; both combine map-side, output is ≤ |distinct
+    * sizes| rows (tiny). No window, no sort, skew-immune. */
+  def dupProfile(labels: DataFrame, labelCol: String = "component")
+      : DataFrame =
+    labels.groupBy(col(labelCol))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** Bit width of the SimHash: the portable dual polynomial hash supplies
     * 62 well-mixed bits (functions.PolyHash2 — DuckDB-replicable, unlike
     * xxhash64). */

@@ -70,6 +70,70 @@ object Ivf {
     embs.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("vec"))
       .withColumn("cluster", assignExpr(col("vec"), centroids))
 
+  /** Index-health profile of a quantizer: per inverted list, the vector
+    * count and the min/max squared distance to the list's centroid
+    * (rounded ×10⁶ for cross-engine float parity). Empty and overfull
+    * lists — the two IVF failure modes (wasted probes / one list that IS
+    * the corpus) — read straight off this relation, as does the
+    * "re-train or re-balance" decision.
+    *
+    * Full |v−c|² = v·v + (−2·v·c + c·c); the parenthesized term is the
+    * same fixed-order argmin score [[assign]] ranks by, so the stats are
+    * consistent with the assignment by construction. min/max are the
+    * ONLY float aggregates — order-insensitive, so the cross-engine hash
+    * can't drift with partitioning (a float SUM would).
+    *
+    * Scale shape: narrow per-row argmin over broadcast centroid
+    * literals, then one partial-aggregated group per list — ≤ nlist
+    * output rows, no window, no sort. */
+  def clusterStats(embs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = centroids.map { case (id, c) =>
+      struct((dot(col("vec"), typedLit(c)) * -2.0d +
+        lit(c.map(x => x * x).sum)).as("d"), lit(id).as("id"))
+    }
+    embs.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("best", array_min(array(scored: _*)))
+      .select(col("best.id").as("cluster"),
+        round((dot(col("vec"), col("vec")) + col("best.d")) * 1e6, 0)
+          .cast("long").as("d2_x1e6"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        min(col("d2_x1e6")).as("min_d2_x1e6"),
+        max(col("d2_x1e6")).as("max_d2_x1e6"))
+  }
+
+  /** Cluster-capped diversity subsample: at most `cap` vectors per
+    * inverted list, selected by a deterministic portable hash (ties →
+    * vec_id) — the "spread the sample across the embedding space" rule
+    * (cluster-balanced selection à la DiverseSelect/DC-sampling) that a
+    * plain uniform sample violates whenever the corpus is lumpy: it
+    * keeps hash-random WITHIN a semantic region but never lets one
+    * region dominate. Returns (cluster, rk, vec_id), rk = 1-based rank
+    * inside the cluster.
+    *
+    * Scale shape: assignment is the narrow broadcast-literal argmin; the
+    * per-cluster selection is ONE bounded [[functions.TopKAgg]] partial
+    * aggregate (cap-entry buffers that combine map-side) — no
+    * row_number window over a potentially hot cluster, so a skewed
+    * Voronoi cell costs memory cap·16 bytes, not a single-task sort. */
+  def clusterCap(embs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      cap: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    // ascending-hash selection via the descending aggregate: score = −h
+    // (h < 2³¹ — exact in a double); ties break ascending on id already
+    val h = graft.functions.GraftFunctions.polyHash(
+      concat(lit("cap:"), col("vec_id").cast("string")))
+    assign(embs, centroids, idCol, vecCol)
+      .withColumn("_s", -h.cast("double"))
+      .groupBy(col("cluster"))
+      .agg(graft.functions.TopKAgg.topKBy(col("_s"), col("vec_id"), cap)
+        .as("picked"))
+      .select(col("cluster"), posexplode(col("picked")).as(Seq("p", "e")))
+      .select(col("cluster"), (col("p") + 1).cast("int").as("rk"),
+        col("e.id").as("vec_id"))
+  }
+
   /** IVF top-k: queries (vec_id < nQueries) probe their `nprobe` nearest
     * lists; exact cosine re-rank inside the probed lists. */
   def knnIvf(embs: DataFrame, nQueries: Int, k: Int, nlist: Int = 16,

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval / vocabulary-coverage operators: BM25 scoring against
+  * a term list and out-of-vocabulary rate against a frequency-ranked
+  * vocabulary — the "find the docs about X" and "how much of this doc does
+  * my tokenizer cover" questions a training-data pipeline asks constantly
+  * (topical subset mining, tokenizer-fit QA before a vocab freeze).
+  *
+  * Both scores are INTEGER-exact (scaled rationals, integer division) so
+  * the cross-engine oracle comparison is float-free: BM25's k1/b
+  * constants are carried as ×1000 integers and the per-term contribution
+  * is one integer division of two int64 products.
+  */
+object Retrieval {
+
+  /** Canonical query-term bag for the oracled retrieval queries (terms
+    * present in the synthetic corpus with distinct document frequencies). */
+  val DefaultTerms: Seq[String] = Seq("spark", "join", "vector")
+
+  /** BM25 top-k retrieval for a conjunctive bag of query `terms`.
+    *
+    * Per (doc, term): idf_x1e6 · tf_x1000, with
+    *   idf_x1e6 = ⌊(2(N−df)+1)·10⁶ / (2df+1)⌋   (the +0.5 idf, ×2 to
+    *              stay integral; floored at 0 for df > N/2 terms)
+    *   tf_x1000 = ⌊tf·(k1+1)·10³·tot / (tf·10³·tot + k1·((10³−b)·tot +
+    *              b·dl·N))⌋ — the BM25 length normalization with
+    *              avgdl = tot/N multiplied through, so the only division
+    *              is the final integer one.
+    * k1 = k1X1000/1000 (default 1.2), b = bX1000/1000 (default 0.75).
+    *
+    * Scale shape: the term list is a literal array (a broadcast
+    * dimension in the degenerate); the corpus is touched once — one
+    * explode limited to query terms BEFORE the shuffle (the filter is a
+    * pushed `isin` over the exploded tokens, so non-query tokens never
+    * leave the map side), one (doc, term) partial-aggregated count, one
+    * df aggregation over ≤|terms| rows, and a TakeOrdered top-k — no
+    * global sort, no join bigger than |terms|. The corpus-level (N, tot)
+    * scalars ride a single-row broadcast cross join, not a collect.
+    *
+    * Int64 headroom: contribution ≤ (2N+1)·10⁶ · 2200 ≈ 4.4·10⁹·N — exact
+    * to N ≈ 10⁹ docs; past that switch the idf to doubles (ranking is
+    * unchanged; only the oracle needs the integer form). */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1X1000: Long = 1200L, bX1000: Long = 750L,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    // corpus scalars: N docs, tot tokens (single row, broadcast below)
+    val stats = docs.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(split(col(textCol), " "))).cast("long").as("tot"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df")) // tf rows: distinct pairs
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .join(dl, "doc_id")
+      // tfc ×1000: numerator and denominator both multiplied by 10⁶·tot
+      // so the ONLY division is the final integer one (float-free);
+      // df ≤ n_docs always, so the idf numerator is ≥ 10⁶ — no clamp
+      .withColumn("num",
+        col("tf") * (lit(1000L) + k1X1000) * lit(1000L) * col("tot") *
+          lit(1000L))
+      .withColumn("den",
+        col("tf") * lit(1000000L) * col("tot") +
+          lit(k1X1000) * ((lit(1000L) - bX1000) * col("tot") +
+            lit(bX1000) * col("dl") * col("n_docs")))
+      .withColumn("contrib",
+        expr("((2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1)) " +
+          "* (num div den)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("score"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid retrieval — the RAG candidate-generation shape: a cheap
+    * lexical BM25 scan shortlists `shortlist` documents, then only the
+    * shortlist pays for exact embedding cosine against the query vector
+    * (the row of `embs` with id `queryVecId`), and the top `k` by
+    * semantic similarity (ties → doc_id) come back with BOTH scores.
+    * Lexical recall + semantic precision, without ever running the
+    * vector math over the full corpus.
+    *
+    * Scale shape: [[bm25]]'s scan cost (one corpus pass, no global
+    * sort); the shortlist is ≤`shortlist` rows, so the embedding join is
+    * a broadcast of the shortlist onto the (bucketable) embeddings
+    * table, the query vector rides a single-row broadcast cross join,
+    * and the rerank is per-row array math over `shortlist` rows. */
+  def hybridSearch(docs: DataFrame, embs: DataFrame, terms: Seq[String],
+      queryVecId: Long = 0L, shortlist: Int = 20, k: Int = 5): DataFrame = {
+    val short = bm25(docs, terms, shortlist)
+    val vecs = embs.select(col("vec_id").as("doc_id"),
+      Similarity.toDouble(col("embedding")).as("v"))
+    val qv = vecs.filter(col("doc_id") === queryVecId)
+      .select(col("v").as("qv"))
+    broadcast(short).join(vecs, "doc_id")
+      .crossJoin(broadcast(qv))
+      .withColumn("sim_r", round(
+        Similarity.dot(col("qv"), col("v")) /
+          (sqrt(Similarity.dot(col("qv"), col("qv"))) *
+            sqrt(Similarity.dot(col("v"), col("v")))), 6))
+      .orderBy(desc("sim_r"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score"), col("sim_r"))
+  }
+
+  /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
+    * vocabulary (ties broken by token — the [[TextAnalysis.vocabulary]]
+    * rule): per document, token count, OOV token count, and the OOV rate
+    * ×10⁶ (integer). The tokenizer-coverage QA metric: a vocab freeze
+    * that strands 30% of a source's tokens shows up here, not in loss
+    * curves three weeks later.
+    *
+    * Scale shape: the vocabulary is |vocabSize| rows — broadcast to the
+    * exploded token stream (hash lookup per token, no shuffle of the
+    * corpus side); one per-doc partial-aggregated count after. The
+    * vocabulary build itself is the one corpus-wide aggregation, shared
+    * shape with [[TextAnalysis.vocabulary]]. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val vocab = TextAnalysis.vocabulary(docs, vocabSize, textCol)
+      .select(col("token"), lit(1).as("iv"))
+    docs.select(col("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_oov"))
+      .withColumn("oov_x1e6",
+        expr("n_oov * 1000000 div n_tokens"))
+  }
+}

@@ -154,6 +154,43 @@ object TextAnalysis {
             col("n_bigrams"))
   }
 
+  /** The Gopher-style composite quality gate (Rae et al. 2021 §A1.1, the
+    * rule set C4/RefinedWeb-family pipelines apply before any model-based
+    * scoring): token-count bounds, mean-word-length bounds, symbol-token
+    * ratio, alphabetic-token ratio, and a minimum stopword count — each
+    * signal surfaced as its own integer column plus the conjunction as
+    * `gopher_pass`, so a pipeline can tune one rule without recomputing
+    * the rest. Bounds are parameters; the defaults shrink Gopher's
+    * 50-token floor to 20 for short-doc corpora.
+    *
+    * Pure per-row array math over one materialized token array (HOF
+    * lambdas re-evaluate captured children — see BENCH_NOTES r6), all
+    * counts integer for cross-engine parity; no shuffle. */
+  def gopherRules(docs: DataFrame, minTokens: Long = 20L,
+      maxTokens: Long = 100000L, textCol: String = "text"): DataFrame = {
+    val toks = col("_toks")
+    docs.select(col("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        expr("aggregate(_toks, 0L, (a, t) -> a + length(t)) * 100")
+          .as("_chars100"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha"),
+        size(filter(toks, t => t.rlike("^[^A-Za-z0-9]+$"))).cast("long")
+          .as("n_sym"),
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+          .as("n_stop"))
+      .withColumn("mean_tok_len_x100", expr("_chars100 div n_tokens"))
+      .drop("_chars100")
+      .withColumn("gopher_pass",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("mean_tok_len_x100") >= 300L &&
+          col("mean_tok_len_x100") <= 1000L &&
+          col("n_sym") * 10L <= col("n_tokens") &&
+          col("n_alpha") * 5L >= col("n_tokens") * 4L &&
+          col("n_stop") >= 2L)
+  }
+
   /** PII patterns — lookahead-free so Java regex and RE2 (DuckDB) agree. */
   val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
   val PhoneRe = "\\+[0-9]{2,3} [0-9]{7,11}"

@@ -52,6 +52,15 @@ object CorpusOps {
     Sampling.trainingOrder(materializeMix(s, dir), idCol = "doc_id",
       copyCol = "copy", nShards = 16)
 
+  /** ANALYZE-style per-column profile of the documents table (row/null/
+    * exact-distinct counts, lexicographic min/max over one canonical
+    * string rendering per column). */
+  def profileDocs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.profile(Tables(s, dir).documents, Seq(
+      "doc_id" -> col("doc_id"), "lang" -> col("lang"),
+      "n_chars" -> col("n_chars"), "source" -> col("source"),
+      "text" -> col("text")))
+
   /** 64-register portable HLL over the orders' customer key (10× dup
     * factor: 15k orders over 1.5k customers at sf0.01). */
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
@@ -223,6 +232,7 @@ object CorpusOps {
     "q_mix_plan" -> mixPlan,
     "q_materialize_mix" -> materializeMix,
     "q_training_order" -> trainingOrder,
+    "q_profile" -> profileDocs,
     "q_hll_distinct" -> hllDistinct,
     "q_quantile_hist" -> quantileHist,
     "q_seg_dedup" -> segDedup,
@@ -355,6 +365,22 @@ object CorpusOps {
         "WHERE doc_id = k) " +
         "SELECT doc_id, dig AS digest FROM firstb " +
         "WHERE dig NOT IN (SELECT sha256(lower(text)) FROM documents)"),
+    // the same canonical string renderings, unpivoted via UNION ALL
+    "q_profile" ->
+      ("WITH p AS (" +
+        "SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS value " +
+        "FROM documents " +
+        "UNION ALL SELECT 'lang', lang FROM documents " +
+        "UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) " +
+        "FROM documents " +
+        "UNION ALL SELECT 'source', source FROM documents " +
+        "UNION ALL SELECT 'text', text FROM documents) " +
+        "SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_nulls, " +
+        "CAST(count(DISTINCT value) AS BIGINT) AS n_distinct, " +
+        "min(value) AS min_value, max(value) AS max_value " +
+        "FROM p GROUP BY col_name"),
     "q_manifest" ->
       ("SELECT source, count(*) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS n_chars_total, " +

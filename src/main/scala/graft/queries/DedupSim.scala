@@ -210,7 +210,35 @@ object DedupSim {
         expr("n_common * 1000 div n_truth").as("recall_x1000"))
   }
 
+  /** Cluster-size histogram of the minhash near-dup components — shares
+    * the staged labels with q_dedup_components. */
+  def dupProfile(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupProfile(dedupComponents(s, dir))
+
+  /** IVF index-health stats over the static quantizer (the
+    * cross-engine-replayable one, as in q_knn_ivf_static). */
+  def clusterStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ivf.clusterStats(Tables(s, dir).embeddings,
+      graft.ops.Ivf.staticCentroids(16, 64))
+
+  /** Hybrid retrieval: BM25 shortlist (20) → exact-cosine rerank against
+    * the embedding of vec_id 0 → top 5. */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.hybridSearch(Tables(s, dir).documents,
+      Tables(s, dir).embeddings, graft.ops.Retrieval.DefaultTerms,
+      queryVecId = 0L, shortlist = 20, k = 5)
+
+  /** Cluster-balanced diversity subsample: ≤ 8 vectors per static IVF
+    * cell, deterministic-hash selection. */
+  def clusterCap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ivf.clusterCap(Tables(s, dir).embeddings,
+      graft.ops.Ivf.staticCentroids(16, 64), cap = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_profile" -> dupProfile,
+    "q_cluster_stats" -> clusterStats,
+    "q_hybrid_search" -> hybridSearch,
+    "q_cluster_cap" -> clusterCap,
     "q_quantize" -> quantize,
     "q_knn_sq8" -> knnSq8,
     "q_dedup_eval" -> dedupEval,
@@ -391,6 +419,41 @@ object DedupSim {
 
   private lazy val staticOracle: Map[String, String] = Map(
     "q_knn_ivf_static" -> duckIvfSql(graft.ops.Ivf.staticCentroids(16, 64)),
+    "q_cluster_stats" -> duckClusterStatsSql,
+    // the shared BM25 rendering shortlists, then the identical
+    // fixed-order cosine reranks against vec 0 — scores from both stages
+    // carried through
+    "q_hybrid_search" ->
+      ("WITH s AS (SELECT * FROM (" +
+        OracleSql.duckBm25(graft.ops.Retrieval.DefaultTerms, 20) + ")), " +
+        "v AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) " +
+        "AS e FROM embeddings), " +
+        "q AS (SELECT e AS qe FROM v WHERE doc_id = 0), " +
+        "j AS (SELECT s.doc_id, s.score, " +
+        s"round(${duckDot("qe", "e")} / (sqrt(${duckDot("qe", "qe")}) * " +
+        s"sqrt(${duckDot("e", "e")})), 6) AS sim_r " +
+        "FROM s JOIN v USING (doc_id) CROSS JOIN q) " +
+        "SELECT doc_id, score, sim_r FROM j " +
+        "ORDER BY sim_r DESC, doc_id LIMIT 5"),
+    "q_cluster_cap" -> duckClusterCapSql,
+    // same recursive-CTE components as q_dedup_components, then the
+    // two-level size histogram over the labels
+    "q_dup_profile" ->
+      ("WITH RECURSIVE " +
+        s"pairs AS (SELECT doc_a, doc_b FROM ($duckMinhashNearDupSql)), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+        "SELECT reach.id, edges.d FROM reach JOIN edges " +
+        "ON edges.s = reach.r), " +
+        "comp AS (SELECT id AS doc_id, min(r) AS component " +
+        "FROM reach GROUP BY id), " +
+        "cs AS (SELECT component, CAST(count(*) AS BIGINT) " +
+        "AS cluster_size FROM comp GROUP BY component) " +
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, " +
+        "cluster_size * CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM cs GROUP BY cluster_size"),
     "q_dedup_docs" ->
       ("SELECT lower(text) AS text_norm, min(doc_id) AS keep_id, " +
         "count(*) AS n_copies FROM documents GROUP BY 1"),
@@ -487,6 +550,57 @@ object DedupSim {
     "q_semantic_dedup" -> duckSemanticDedupSql,
     "q_incremental_neardup" -> duckIncrementalNearDupSql,
   )
+
+  /** Ivf.clusterStats replayed: the same static-centroid argmin (fixed
+    * fold order, first-index tie-break) plus the full |v−c|² = v·v + m
+    * per row; ×10⁶-rounded distances are integer-valued doubles, so the
+    * BIGINT cast truncation/rounding difference between engines is moot
+    * and min/max are order-insensitive. */
+  private lazy val duckClusterStatsSql: String = {
+    val cents = graft.ops.Ivf.staticCentroids(16, 64)
+    val dcols = cents.map { case (i, c) =>
+      val lit = c.mkString("[", ", ", "]")
+      s"(${duckDot("e", lit)} * -2.0 + ${c.map(x => x * x).sum}) AS d$i"
+    }.mkString(", ")
+    val m = cents.indices.map(i => s"d$i").mkString("least(", ", ", ")")
+    val argmin = "CASE " +
+      cents.indices.map(i => s"WHEN d$i = m THEN $i").mkString(" ") + " END"
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+      "FROM embeddings), " +
+      s"scored AS (SELECT vec_id, e, $dcols FROM v), " +
+      s"withm AS (SELECT *, $m AS m FROM scored), " +
+      s"a AS (SELECT $argmin AS cluster, " +
+      s"CAST(round((${duckDot("e", "e")} + m) * 1000000.0, 0) " +
+      "AS BIGINT) AS d2 FROM withm) " +
+      "SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs, " +
+      "min(d2) AS min_d2_x1e6, max(d2) AS max_d2_x1e6 " +
+      "FROM a GROUP BY cluster"
+  }
+
+  /** Ivf.clusterCap replayed with a row_number window (a different
+    * mechanism than the engine's bounded TopKAgg buffers — the ranking
+    * semantics are cross-checked, not just the survivor set): same
+    * static-centroid argmin, same ascending (portable hash, vec_id)
+    * order, keep rank ≤ 8. */
+  private lazy val duckClusterCapSql: String = {
+    val cents = graft.ops.Ivf.staticCentroids(16, 64)
+    val dcols = cents.map { case (i, c) =>
+      val lit = c.mkString("[", ", ", "]")
+      s"(${duckDot("e", lit)} * -2.0 + ${c.map(x => x * x).sum}) AS d$i"
+    }.mkString(", ")
+    val m = cents.indices.map(i => s"d$i").mkString("least(", ", ", ")")
+    val argmin = "CASE " +
+      cents.indices.map(i => s"WHEN d$i = m THEN $i").mkString(" ") + " END"
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+      "FROM embeddings), " +
+      s"scored AS (SELECT vec_id, e, $dcols FROM v), " +
+      s"withm AS (SELECT *, $m AS m FROM scored), " +
+      s"a AS (SELECT vec_id, $argmin AS cluster FROM withm), " +
+      "r AS (SELECT cluster, vec_id, row_number() OVER (" +
+      "PARTITION BY cluster ORDER BY " +
+      OracleSql.pHash("'cap:' || vec_id") + ", vec_id) AS rk FROM a) " +
+      "SELECT cluster, CAST(rk AS INT) AS rk, vec_id FROM r WHERE rk <= 8"
+  }
 
   /** SemDeDup replayed exactly: the same static-centroid argmin assignment
     * as q_knn_ivf_static's oracle, then an EXHAUSTIVE within-cluster pair

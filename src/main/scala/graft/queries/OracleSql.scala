@@ -11,4 +11,35 @@ object OracleSql {
       s"list_transform(string_split(CAST($e AS VARCHAR), ''), " +
       "ch -> CAST(ord(ch) AS BIGINT))), " +
       "(acc, cp) -> (acc * 31 + cp) % 2147483647)"
+
+  /** ops.Retrieval.bm25 restated with the same ×1000/×10⁶ scaled-integer
+    * arithmetic: the only divisions are the two integer ones, so scores
+    * are bit-exact across engines (sum(contrib) re-cast: DuckDB widens
+    * BIGINT sums to HUGEINT). Shared by q_bm25 and the hybrid-search
+    * oracle that shortlists through it. */
+  def duckBm25(terms: Seq[String], k: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) " +
+      "AS token FROM documents), " +
+      "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot " +
+      "FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+      "AS BIGINT) AS dl FROM documents), " +
+      "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf " +
+      s"FROM toks WHERE token IN ($termList) " +
+      "GROUP BY doc_id, token), " +
+      "df AS (SELECT token, CAST(count(*) AS BIGINT) AS df " +
+      "FROM tf GROUP BY token), " +
+      "sc AS (SELECT tf.doc_id, " +
+      "((2 * (n_docs - df) + 1) * 1000000 // (2 * df + 1)) * " +
+      "((tf * 2200 * 1000 * tot * 1000) // " +
+      "(tf * 1000000 * tot + 1200 * ((1000 - 750) * tot + " +
+      "750 * dl * n_docs))) AS contrib " +
+      "FROM tf JOIN df USING (token) CROSS JOIN stats " +
+      "JOIN dl USING (doc_id)) " +
+      "SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score, " +
+      "CAST(count(*) AS BIGINT) AS n_terms_hit FROM sc " +
+      s"GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $k"
+  }
 }

@@ -375,7 +375,23 @@ object Relational {
         sum(col("o_orderkey")).cast("long").as("sum_okey"))
   }
 
+  /** Integer-scaled PageRank (3 rounds) over the symmetrized
+    * customer↔supplier bipartite graph derived from orders⋈lineitem
+    * (supplier ids offset by 10⁶ into the customer id space). */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(s, dir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        (col("l_suppkey").cast("long") + 1000000L).as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    graft.ops.Graph.pageRank(edges, iters = 3)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pagerank" -> pageRank,
     "q_bucketed_join" -> bucketedJoin,
     "q_star_join" -> starJoin,
     "q_event_deltas" -> eventDeltas,
@@ -406,7 +422,32 @@ object Relational {
     "q_topk" -> topK,
   )
 
+  /** The 3 PageRank rounds unrolled as chained CTEs — per-edge integer
+    * division before the order-independent integer sum, exactly the
+    * engine's arithmetic. */
+  private lazy val duckPageRankSql: String = {
+    def round(k: Int): String =
+      s"r$k AS (SELECT n.id, 150000 + (850 * coalesce(s.s, 0)) // 1000 " +
+        "AS rank FROM n LEFT JOIN (SELECT e.dst AS id, " +
+        s"CAST(sum(r.rank // d.deg) AS BIGINT) AS s FROM e " +
+        s"JOIN r${k - 1} r ON r.id = e.src " +
+        "JOIN deg d ON d.src = e.src GROUP BY e.dst) s USING (id))"
+    "WITH p AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust, " +
+      "CAST(l_suppkey AS BIGINT) + 1000000 AS supp FROM orders " +
+      "JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "e AS (SELECT cust AS src, supp AS dst FROM p " +
+      "UNION SELECT supp, cust FROM p), " +
+      "n AS (SELECT DISTINCT src AS id FROM e " +
+      "UNION SELECT DISTINCT dst FROM e), " +
+      "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e " +
+      "GROUP BY src), " +
+      "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n), " +
+      (1 to 3).map(round).mkString(", ") + " " +
+      "SELECT id, rank FROM r3"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_pagerank" -> duckPageRankSql,
     "q_bucketed_join" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "CAST(sum(o_orderkey) AS BIGINT) AS sum_okey " +

@@ -274,7 +274,24 @@ object TextOps {
   def hashFeats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.hashFeatures(Tables(s, dir).documents, dim = 32)
 
+  /** BM25 top-10 retrieval for a fixed term bag (integer-exact scoring). */
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.bm25(Tables(s, dir).documents,
+      graft.ops.Retrieval.DefaultTerms, k = 10)
+
+  /** OOV rate against the corpus's own top-20 vocabulary (small enough
+    * that the synthetic corpus has real OOV mass). */
+  def oovRate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.oovRate(Tables(s, dir).documents, vocabSize = 20)
+
+  /** Gopher-style composite quality gate, per-rule signals surfaced. */
+  def gopherRulesQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(Tables(s, dir).documents)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> bm25,
+    "q_oov_rate" -> oovRate,
+    "q_gopher_rules" -> gopherRulesQ,
     "q_skipgram" -> skipgrams,
     "q_hash_features" -> hashFeats,
     "q_lm_counts" -> lmCounts,
@@ -676,6 +693,41 @@ object TextOps {
         "x -> x IN ('the', 'a', 'of', 'to', 'in'))) AS n_stop, " +
         "CAST(list_sum(list_transform(string_split(text, ' '), " +
         "x -> length(x))) AS BIGINT) AS total_len FROM documents)"),
+    "q_bm25" ->
+      OracleSql.duckBm25(graft.ops.Retrieval.DefaultTerms, 10),
+    // the same top-20 vocabulary rule as q_vocab_topk (n DESC, token),
+    // then a left-join OOV count per document
+    "q_oov_rate" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) " +
+        "AS token FROM documents), " +
+        "vocab AS (SELECT token FROM (SELECT token, count(*) AS n " +
+        "FROM toks GROUP BY token) ORDER BY n DESC, token LIMIT 20), " +
+        "j AS (SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 " +
+        "ELSE 0 END AS oov FROM toks t LEFT JOIN vocab v " +
+        "USING (token)) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "CAST(sum(oov) AS BIGINT) * 1000000 // " +
+        "CAST(count(*) AS BIGINT) AS oov_x1e6 " +
+        "FROM j GROUP BY doc_id"),
+    "q_gopher_rules" ->
+      ("SELECT doc_id, n_tokens, n_alpha, n_sym, n_stop, " +
+        "chars100 // n_tokens AS mean_tok_len_x100, " +
+        "n_tokens >= 20 AND n_tokens <= 100000 AND " +
+        "chars100 // n_tokens >= 300 AND chars100 // n_tokens <= 1000 " +
+        "AND n_sym * 10 <= n_tokens AND n_alpha * 5 >= n_tokens * 4 " +
+        "AND n_stop >= 2 AS gopher_pass FROM (" +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(list_sum(list_transform(toks, x -> length(x))) " +
+        "AS BIGINT) * 100 AS chars100, " +
+        "CAST(len(list_filter(toks, x -> " +
+        "regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha, " +
+        "CAST(len(list_filter(toks, x -> " +
+        "regexp_matches(x, '^[^A-Za-z0-9]+$'))) AS BIGINT) AS n_sym, " +
+        "CAST(len(list_filter(toks, x -> " +
+        "x IN ('the', 'a', 'of', 'to', 'in'))) AS BIGINT) AS n_stop " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents))"),
     "q_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split(text, ''), " +

@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Integer PageRank on hand-computable graphs. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric 2-cycle is the fixed point 1000000") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRank: star center accumulates; exact fixed-point integers") {
+    // undirected star: center 0, leaves 1..3
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    // hand-computed 3-round fixed-point arithmetic (see scaladoc rule)
+    assert(r(0L) == 2483250L, r.toString)
+    // leaves: round-3 center contribution 1254999 div 3 = 418333;
+    // 150000 + (850*418333) div 1000 = 505583.
+    assert(Seq(1L, 2L, 3L).map(r).distinct == Seq(505583L), r.toString)
+    assert(r(0L) > r(1L))
+  }
+
+  test("pageRank: duplicate input edges do not double-count") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+}

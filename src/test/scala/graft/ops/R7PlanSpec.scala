@@ -42,6 +42,28 @@ class R7PlanSpec extends SparkSpec {
       "plan join is not broadcast:\n" + plan.take(600))
   }
 
+  test("bm25: broadcast joins + distributed top-k, no global sort") {
+    val plan = executed(graft.queries.TextOps.bm25(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "bm25 top-k is not a TakeOrdered:\n" + plan.take(600))
+    assert(plan.contains("BroadcastHashJoin"),
+      "df/stats frames are not broadcast:\n" + plan.take(600))
+  }
+
+  test("oovRate: vocabulary is broadcast onto the token stream") {
+    val plan = executed(graft.queries.TextOps.oovRate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocab join is not broadcast:\n" + plan.take(600))
+  }
+
+  test("clusterCap: bounded aggregate, no per-cluster sort window") {
+    val plan = executed(graft.queries.DedupSim.clusterCap(spark, dir))
+    assert(!plan.contains("Window"),
+      "cluster cap degenerated to a row_number window:\n" + plan.take(600))
+    assert(plan.contains("ObjectHashAggregate"),
+      "TopKAgg buffers not in play:\n" + plan.take(600))
+  }
+
   test("linear score: no join at all — weights are a literal lookup") {
     val plan = executed(graft.queries.TextOps.linearScore(spark, dir))
     assert(!plan.contains("Join"),
