@@ -361,6 +361,39 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
 
+  /** Per-document n-gram novelty against the whole corpus: how much of a
+    * document's n-gram set appears in ANY other document. The soft
+    * counterpart to near-dup removal — a ranking signal ("keep the novel
+    * docs first" retention, self-BLEU-style diversity audits) rather than
+    * a pair set. Returns (doc_id, n_ngrams, n_shared, novelty_x1e6) with
+    * novelty = (distinct n-grams seen nowhere else) / (distinct n-grams),
+    * ×10⁶ integer.
+    *
+    * Scale shape: the hashed-shingle relation ([[shingles]] → 8-byte
+    * [[phash]]) is staged and read twice — once for the corpus-wide
+    * document-frequency aggregate (map-side-combined on the hash key),
+    * once joined back per doc. The join is an 8-byte-key shuffle join on
+    * both sides' natural key — the df table is corpus-sized, so no
+    * broadcast; at 100 TB the standard cheapener is a bloom filter of
+    * the df>1 keys in place of the full join (the join stays exact here
+    * because the oracle replays it). Per-doc distinctness comes free
+    * from [[shingles]]' array_distinct, so df counts documents. */
+  def ngramNovelty(docs: DataFrame, n: Int = 2, textCol: String = "text")
+      : DataFrame = {
+    val sh = Stage.barrier(docs.select(col("doc_id"),
+      explode(transform(shingles(col(textCol), n), s => phash(s)))
+        .as("h")))
+    val df = sh.groupBy(col("h"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    sh.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_ngrams"),
+        sum(when(col("df") > 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_shared"))
+      .withColumn("novelty_x1e6",
+        expr("(n_ngrams - n_shared) * 1000000 div n_ngrams"))
+  }
+
   /** Bit width of the SimHash: the portable dual polynomial hash supplies
     * 62 well-mixed bits (functions.PolyHash2 — DuckDB-replicable, unlike
     * xxhash64). */

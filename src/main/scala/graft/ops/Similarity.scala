@@ -109,6 +109,30 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Johnson–Lindenstrauss random projection: compress each embedding to
+    * `kOut` dense coordinates against the deterministic LCG plane matrix
+    * ([[hyperplanes]], so the matrix renders as SQL literals for the
+    * cross-engine oracle, like the static IVF quantizer). Unlike
+    * [[lshSignature]] (sign bits → buckets), the projected VALUES are
+    * kept — the distance-preserving sketch used to pre-filter ANN scans,
+    * cluster cheaply, or visualize; coordinates come back ×10⁶-rounded
+    * as longs so the oracle hash compare is float-format-free.
+    *
+    * Scale shape: a pure per-row projection over broadcast plane
+    * literals (kOut fused native [[dot]] kernels) — no shuffle, no join,
+    * stays inside whole-stage codegen; output rows are kOut longs where
+    * the input was `dim` floats. */
+  def randomProjection(embs: DataFrame, kOut: Int = 8, dim: Int = 64,
+      seed: Long = 123L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(kOut, dim, seed)
+    embs.select(col(idCol).as("vec_id") +:
+      planes.zipWithIndex.map { case (p, i) =>
+        round(dot(toDouble(col(vecCol)), typedLit(p)) * 1e6, 0)
+          .cast("long").as(s"p$i")
+      }: _*)
+  }
+
   /** LSH-bucketed ANN: `nTables` independent signature tables of
     * `bitsPerTable` hyperplane bits; candidates = corpus vectors sharing a
     * bucket with the query in ANY table; exact cosine re-rank inside the

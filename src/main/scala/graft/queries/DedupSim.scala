@@ -234,7 +234,18 @@ object DedupSim {
     graft.ops.Ivf.clusterCap(Tables(s, dir).embeddings,
       graft.ops.Ivf.staticCentroids(16, 64), cap = 8)
 
+  /** JL random projection of the embeddings to 8 dense coordinates
+    * (deterministic LCG plane matrix, ×10⁶-rounded longs). */
+  def randProj(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.randomProjection(Tables(s, dir).embeddings)
+
+  /** Per-document bigram novelty vs the whole corpus. */
+  def novelty(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramNovelty(Tables(s, dir).documents, n = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rand_proj" -> randProj,
+    "q_novelty" -> novelty,
     "q_dup_profile" -> dupProfile,
     "q_cluster_stats" -> clusterStats,
     "q_hybrid_search" -> hybridSearch,
@@ -419,6 +430,33 @@ object DedupSim {
 
   private lazy val staticOracle: Map[String, String] = Map(
     "q_knn_ivf_static" -> duckIvfSql(graft.ops.Ivf.staticCentroids(16, 64)),
+    // the identical LCG plane matrix rendered as literals; same fixed
+    // fold order as every other oracled dot product
+    "q_rand_proj" -> {
+      val planes = graft.ops.Similarity.hyperplanes(8, 64, seed = 123L)
+      val cols = planes.zipWithIndex.map { case (p, i) =>
+        val lit = p.mkString("[", ", ", "]")
+        s"CAST(round(${duckDot("e", lit)} * 1000000.0, 0) AS BIGINT) " +
+          s"AS p$i"
+      }.mkString(", ")
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        s"FROM embeddings) SELECT vec_id, $cols FROM v"
+    },
+    // same bigram shingles → same portable hash → df>1 share per doc
+    "q_novelty" ->
+      ("WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t " +
+        "FROM documents), " +
+        s"sh AS (SELECT doc_id, unnest(list_transform($duckShingle2, " +
+        s"s -> ${graft.queries.OracleSql.pHash("s")})) AS h FROM t0), " +
+        "df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM sh " +
+        "GROUP BY h) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, " +
+        "CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_shared, " +
+        "(CAST(count(*) AS BIGINT) - CAST(sum(CASE WHEN df > 1 THEN 1 " +
+        "ELSE 0 END) AS BIGINT)) * 1000000 // " +
+        "CAST(count(*) AS BIGINT) AS novelty_x1e6 " +
+        "FROM sh JOIN df USING (h) GROUP BY doc_id"),
     "q_cluster_stats" -> duckClusterStatsSql,
     // the shared BM25 rendering shortlists, then the identical
     // fixed-order cosine reranks against vec 0 — scores from both stages

@@ -64,6 +64,14 @@ class R7PlanSpec extends SparkSpec {
       "TopKAgg buffers not in play:\n" + plan.take(600))
   }
 
+  test("randomProjection: pure projection — no shuffle, no join") {
+    val plan = executed(graft.queries.DedupSim.randProj(spark, dir))
+    assert(!plan.contains("Exchange"),
+      "JL projection shuffles:\n" + plan.take(600))
+    assert(!plan.contains("Join"),
+      "JL projection joins:\n" + plan.take(600))
+  }
+
   test("linear score: no join at all — weights are a literal lookup") {
     val plan = executed(graft.queries.TextOps.linearScore(spark, dir))
     assert(!plan.contains("Join"),
