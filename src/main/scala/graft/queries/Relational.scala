@@ -390,7 +390,41 @@ object Relational {
     graft.ops.Graph.pageRank(edges, iters = 3)
   }
 
+  /** INTERSECT and EXCEPT — the distinct set operations beyond UNION:
+    * negative-balance customers split by whether they ever placed a
+    * >300k order, each set tagged and unioned into one relation (121 / 1
+    * rows at sf0.01 — both branches populated). Spark lowers
+    * intersect/except to distinct + left-semi/anti hash joins: the same
+    * partial-aggregated equi-join shuffles as any join, no sort, both
+    * sides key-pruned to one column before the shuffle. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(s, dir)
+    val neg = t.customer.filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+    val big = t.orders.filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey"))
+    neg.intersect(big).withColumn("tag", lit("ordered_big"))
+      .union(neg.except(big).withColumn("tag", lit("no_big_order")))
+  }
+
+  /** Z-order layout audit: Morton-interleave the low 8 bits of
+    * (l_partkey, l_suppkey), split the Z domain into 16 equal ranges,
+    * and report each range's row count and per-dimension bounding box —
+    * the min/max-stats relation a file-skipping reader consults
+    * ([[graft.ops.Layout]]). With 8-bit dims the 16 buckets are exact
+    * 64×64 quadrants of the 256×256 grid: tight on BOTH columns, which
+    * a single-column sort cannot do. The mod-256 fold keeps the value
+    * range matched to `bits` at every scale factor. */
+  def zorderStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.zorderStats(
+      graft.Tables(s, dir).lineitem.select(
+        (col("l_partkey") % 256).as("px"),
+        (col("l_suppkey") % 256).as("sy")),
+      "px", "sy", bits = 8, nBuckets = 16)
+
   val queries: Map[String, Q] = Map(
+    "q_set_ops" -> setOps,
+    "q_zorder" -> zorderStats,
     "q_pagerank" -> pageRank,
     "q_bucketed_join" -> bucketedJoin,
     "q_star_join" -> starJoin,
@@ -446,7 +480,34 @@ object Relational {
       "SELECT id, rank FROM r3"
   }
 
+  /** The same literal-unrolled Morton interleave as Layout.zValue. */
+  private lazy val duckZorderSql: String = {
+    val interleave = (0 until 8).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val span = (1L << 16) / 16
+    "WITH d AS (SELECT CAST(l_partkey AS BIGINT) % 256 AS x, " +
+      "CAST(l_suppkey AS BIGINT) % 256 AS y FROM lineitem), " +
+      s"z AS (SELECT x, y, $interleave AS zval FROM d) " +
+      s"SELECT zval // $span AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS n_rows, " +
+      "min(x) AS min_x, max(x) AS max_x, " +
+      "min(y) AS min_y, max(y) AS max_y " +
+      "FROM z GROUP BY bucket"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_set_ops" ->
+      ("WITH neg AS (SELECT c_custkey AS custkey FROM customer " +
+        "WHERE c_acctbal < 0), " +
+        "big AS (SELECT o_custkey AS custkey FROM orders " +
+        "WHERE o_totalprice > 300000) " +
+        "SELECT custkey, 'ordered_big' AS tag FROM " +
+        "(SELECT custkey FROM neg INTERSECT SELECT custkey FROM big) " +
+        "UNION ALL " +
+        "SELECT custkey, 'no_big_order' AS tag FROM " +
+        "(SELECT custkey FROM neg EXCEPT SELECT custkey FROM big)"),
+    "q_zorder" -> duckZorderSql,
     "q_pagerank" -> duckPageRankSql,
     "q_bucketed_join" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
