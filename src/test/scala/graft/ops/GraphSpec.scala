@@ -27,6 +27,16 @@ class GraphSpec extends SparkSpec {
     assert(r(0L) > r(1L))
   }
 
+  test("pageRank: partitioning-invariant (integer sums commute)") {
+    val pairs = (1L to 40L).map(i => (i, i % 7 + 100L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val a = Graph.pageRank(edges.repartition(1), iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val b = Graph.pageRank(edges.repartition(13), iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(a == b)
+  }
+
   test("pageRank: duplicate input edges do not double-count") {
     val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(edges, iters = 2).collect()

@@ -42,6 +42,15 @@ class LayoutSpec extends SparkSpec {
       (3L, 64L, 8L, 15L, 8L, 15L)))
   }
 
+  test("zValue: bijective on the full bits x bits grid") {
+    val grid = (0 until 16).flatMap(x => (0 until 16).map(y => (x, y)))
+      .toDF("x", "y")
+    val zs = grid.select(Layout.zValue(col("x"), col("y"), bits = 4)
+      .as("z")).collect().map(_.getLong(0))
+    assert(zs.distinct.length == 256)
+    assert(zs.min == 0L && zs.max == 255L)
+  }
+
   test("repartitionByZ: range-partitioned on the Z value") {
     val df = Seq((1L, 2L, "a"), (3L, 4L, "b")).toDF("x", "y", "v")
     val plan = Layout.repartitionByZ(df, "x", "y", 4)
