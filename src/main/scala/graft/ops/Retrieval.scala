@@ -40,9 +40,14 @@ object Retrieval {
     * global sort, no join bigger than |terms|. The corpus-level (N, tot)
     * scalars ride a single-row broadcast cross join, not a collect.
     *
-    * Int64 headroom: contribution ≤ (2N+1)·10⁶ · 2200 ≈ 4.4·10⁹·N — exact
-    * to N ≈ 10⁹ docs; past that switch the idf to doubles (ranking is
-    * unchanged; only the oracle needs the integer form). */
+    * Int64 headroom — the honest bound is on the INTERMEDIATES, not the
+    * final contribution: `num` = tf·2200·10³·tot·10³ stays exact while
+    * tf·tot ≲ 4·10⁹ (corpora to a few 10⁹ tokens at ordinary tf). Past
+    * that, score in doubles — the ranking is unchanged (every factor is
+    * far under 2⁵³, and the ratio is smooth); the all-integer form
+    * exists for the bit-exact cross-engine oracle, which runs at test
+    * scale by construction. The idf term alone is exact to N ≈ 10⁹
+    * docs. */
   def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10,
       k1X1000: Long = 1200L, bX1000: Long = 750L,
       textCol: String = "text"): DataFrame = {

@@ -134,6 +134,19 @@ object EventStream {
       .join(seenDigests.select(col("digest")), Seq("digest"), "left_anti")
       .select(col("doc_id"), col("digest"))
 
+  /** Streaming quality screen — the Gopher-rule gate
+    * ([[graft.ops.TextAnalysis.gopherRules]]) applied to an arriving
+    * document stream, keeping only passing rows (signals carried for
+    * audit sinks). The front of the landing-zone chain: quality screen →
+    * [[dedupAgainstCorpus]] → [[nearDupAgainstCorpus]]. Entirely
+    * STATELESS (per-row array math): append mode, no watermark, no
+    * state store — each micro-batch's cost is exactly the batch
+    * projection's, so the dual is the same plan modulo the source. */
+  def qualityScreen(docs: DataFrame, minTokens: Long = 20L,
+      maxTokens: Long = 100000L, textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.gopherRules(docs, minTokens, maxTokens, textCol)
+      .filter(col("gopher_pass"))
+
   /** Streaming NEAR-dup screen against a static corpus LSH index — the
     * streaming dual of ops.Dedup.incrementalNearDedup, one level up the
     * fuzziness ladder from [[dedupAgainstCorpus]]: an arriving document

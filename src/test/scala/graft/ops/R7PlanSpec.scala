@@ -50,6 +50,15 @@ class R7PlanSpec extends SparkSpec {
       "df/stats frames are not broadcast:\n" + plan.take(600))
   }
 
+  test("hybridSearch: shortlist rerank is broadcast, no corpus-wide " +
+      "vector math") {
+    val plan = executed(graft.queries.DedupSim.hybridSearch(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "shortlist join is not broadcast:\n" + plan.take(600))
+    assert(!plan.contains("CartesianProduct"),
+      "rerank degenerated to a cartesian product:\n" + plan.take(600))
+  }
+
   test("oovRate: vocabulary is broadcast onto the token stream") {
     val plan = executed(graft.queries.TextOps.oovRate(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),

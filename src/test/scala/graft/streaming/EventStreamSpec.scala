@@ -194,4 +194,22 @@ class EventStreamSpec extends SparkSpec {
     // constant-state property: register rows bounded by d×w
     assert(got.size <= 4 * 512)
   }
+
+  test("streaming quality screen equals the batch gopher gate") {
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-quality-stream").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val got = EventStream.runToMemory(
+      EventStream.qualityScreen(stream), "quality_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect().map(_.getLong(0)).toSet
+    val all = graft.ops.TextAnalysis.gopherRules(docs)
+    val expected = all.filter(col("gopher_pass"))
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "gate passed nothing — vacuous")
+    assert(expected.size < all.count(), "gate rejected nothing — vacuous")
+    assert(got == expected)
+  }
 }
