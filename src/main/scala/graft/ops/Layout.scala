@@ -36,8 +36,8 @@ object Layout {
     * point of Z-ordering vs a single-column sort (LayoutSpec asserts the
     * boxes really are tight).
     *
-    * `nBuckets` must divide 2^(2·bits) (any power of two ≤ 2·bits works)
-    * so the bucket rule is one exact integer division.
+    * `nBuckets` must divide 2^(2·bits) — any power of two up to
+    * 2^(2·bits) — so the bucket rule is one exact integer division.
     *
     * Scale shape: a narrow per-row integer projection then ONE
     * partial-aggregated shuffle of ≤ nBuckets groups; min/max/count all
