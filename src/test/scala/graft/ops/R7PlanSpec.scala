@@ -42,6 +42,17 @@ class R7PlanSpec extends SparkSpec {
       "plan join is not broadcast:\n" + plan.take(600))
   }
 
+  test("pageRank: rounds read the STAGED edge/degree frames, no " +
+      "cartesian") {
+    val plan = executed(graft.queries.Relational.pageRank(spark, dir))
+    assert(plan.contains("InMemoryTableScan"),
+      "edges/degrees not staged — every round rescans the source:\n" +
+        plan.take(600))
+    assert(!plan.contains("CartesianProduct"),
+      "a rank join degenerated to a cartesian product:\n" +
+        plan.take(600))
+  }
+
   test("bm25: broadcast joins + distributed top-k, no global sort") {
     val plan = executed(graft.queries.TextOps.bm25(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"),
