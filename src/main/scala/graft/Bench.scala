@@ -46,7 +46,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    println(line)
+    // Self-contained record: the driver captures stdout with a bounded
+    // tail, and a 141-query JSON line can exceed it (round 7's BENCH_r07
+    // arrived truncated, `parsed: null`, losing ~50 queries' numbers). The
+    // file in the repo is the durable copy; stdout stays the contract.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          "/root/repo/bench_results.json")), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_results.json: $e") }
     spark.stop()
   }
 }

@@ -19,14 +19,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and
-    * floor-convert to a microsecond timestamp — the same truncation DuckDB
-    * applies, so oracle comparisons stay exact. */
+  /** `events.ts` has varied across driver testdata generations:
+    * TIMESTAMP(NANOS) footers (unreadable by Spark's vectorized reader
+    * without `nanosAsLong`, then a bigint of nanos) and plain
+    * TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ). Normalize both
+    * to a session-zone (UTC) timestamp with microsecond values — the same
+    * floor truncation DuckDB applies — so every downstream query and
+    * oracle comparison sees one type regardless of the footer. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
+    val raw = table("events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)") // nanos footer
+      case _        => col("ts").cast("timestamp")           // micros footer
+    }
+    raw.withColumn("ts", ts)
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")

@@ -62,4 +62,15 @@ object OsmQueries {
     "q_osm_explore_contributions" -> ((s, _) =>
       Explore.df.updatedUsersVsContributions(pipe(s))),
   )
+
+  /** DuckDB oracles for the RELATIONAL half of the OSM surface (joins /
+    * aggregations over the shaped relations). The ingest half stays
+    * golden-pinned — DuckDB cannot read the XML inputs — but once
+    * [[graft.Verify]] exports the shaped relations to parquet
+    * ([[OsmOracleExport]]), the downstream join/aggregate semantics get a
+    * real cross-engine check. Populated in this file's companion section
+    * below; empty entries here would weaken the gate, so only queries
+    * whose SQL restates the LOGIC (not `SELECT *` of the exported result)
+    * are included. */
+  val oracle: Map[String, String] = Map()
 }
