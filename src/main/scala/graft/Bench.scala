@@ -8,6 +8,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/Cli: Tables.events casts TIMESTAMP_NTZ using the
+      // session zone — bench must see the same values the gate verified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,12 +44,17 @@ object Bench {
         // pinned blocks would evict each other unpredictably at larger
         // sf). Memoized holders rebuild-on-touch, so the release is safe.
         graft.ops.Stage.releaseAll(spark)
-        name -> times.min
+        name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    // per-rep times alongside the min: a fully contended run (both reps
+    // slow, as in the r8 record) is diagnosable from the artifact alone —
+    // uniform inflation across reps says box noise, one bad rep says warmup
+    val repJson = results.map { case (k, v) =>
+      s"\"" + k + "\":[" + v.mkString(",") + "]" }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repJson,"sf":"$sfDir","reps":$reps}"""
     println(line)
     // Self-contained record: the driver captures stdout with a bounded
     // tail, and a 141-query JSON line can exceed it (round 7's BENCH_r07

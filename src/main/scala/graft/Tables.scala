@@ -19,35 +19,47 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
 
-  /** `events.ts` has varied across driver testdata generations:
-    * TIMESTAMP(NANOS) footers (unreadable by Spark's vectorized reader
-    * without `nanosAsLong`, then a bigint of nanos) and plain
-    * TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ). Normalize both
-    * to a session-zone (UTC) timestamp with microsecond values — the same
-    * floor truncation DuckDB applies — so every downstream query and
-    * oracle comparison sees one type regardless of the footer. */
+  /** `events.ts` has varied across driver testdata generations — see
+    * [[Tables.normalizeEventTs]], the ONE place the footer branch lives
+    * (shared with the streaming read path so a testdata flip cannot split
+    * batch and stream again, the round-8 failure mode). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.LongType
-    val raw = table("events")
-    val ts = raw.schema("ts").dataType match {
-      case LongType => expr("timestamp_micros(ts div 1000)") // nanos footer
-      case _        => col("ts").cast("timestamp")           // micros footer
-    }
-    raw.withColumn("ts", ts)
+    Tables.normalizeEventTs(table("events"))
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
   /** Register all tables as temp views for `spark.sql` exploration
     * (mirrors the reference's CSV→SQLite→SQL flow, SURVEY.md §3.4).
-    * `events` goes through its converting accessor — the raw parquet is
-    * TIMESTAMP(NANOS) and unreadable without the nanos→micros conversion. */
+    * `events` goes through the normalizing accessor so either footer
+    * variant (nanos or micros) surfaces as one UTC micro timestamp. */
   def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings")
       .foreach(n => table(n).createOrReplaceTempView(n))
     events.createOrReplaceTempView("events")
+  }
+}
+
+object Tables {
+  /** Normalize `events.ts` to a session-zone (UTC) timestamp with
+    * microsecond values, whatever the parquet footer said. Driver testdata
+    * generations have alternated between TIMESTAMP(NANOS) footers (which
+    * Spark's vectorized reader only accepts as a bigint of nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain TIMESTAMP(MICROS)
+    * (read natively as TIMESTAMP_NTZ). Branching on the OBSERVED column
+    * type — not an assumption about the footer — makes both the batch
+    * accessor ([[Tables.events]]) and the streaming source
+    * ([[graft.streaming.EventStream.readEvents]]) robust to the next
+    * flip; `ts div 1000` is the same floor truncation DuckDB applies. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
+    val ts = raw.schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)") // nanos footer
+      case _        => col("ts").cast("timestamp")           // micros footer
+    }
+    raw.withColumn("ts", ts)
   }
 }

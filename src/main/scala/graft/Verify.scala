@@ -28,6 +28,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // OSM oracle support: dump the shaped relations so the driver's DuckDB
+    // can re-run the relational half of the OSM surface (OsmOracleExport).
+    // On export failure the OSM entries are DROPPED from oracle_sql.json
+    // (falling back to the rows-only check) rather than shipping SQL that
+    // is guaranteed to error against a missing path.
+    val osmDir = queries.OsmOracleExport.DefaultDir
+    val osmExported =
+      try { queries.OsmOracleExport.export(spark, osmDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] osm oracle export failed: ${e.getMessage}")
+        false
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,7 +52,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val ph = queries.OsmOracleExport.Placeholder
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) =>
+        if (!v.contains(ph)) Some(k -> v)
+        else if (osmExported) Some(k -> v.replace(ph, osmDir))
+        else None
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

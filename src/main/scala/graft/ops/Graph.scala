@@ -20,39 +20,70 @@ object Graph {
   /** `iters` rounds of damped PageRank (d = 0.85, teleport 0.15, rank
     * scale ×10⁶) over a DIRECTED edge list; returns (id, rank) for every
     * node appearing as a source or destination. Per round:
-    * rank'(v) = 150000 + 850·Σ_{u→v} (rank(u) div deg(u)) div 1000.
-    * Dangling mass is dropped (the simplified variant) — feed an
-    * undirected (symmetrized) edge list to avoid dangling nodes.
+    * rank'(v) = 150000 + 850·(Σ_{u→v} (rank(u) div deg(u)) [+ share]) div
+    * 1000. By default dangling mass is dropped (the simplified variant —
+    * feed a symmetrized edge list to avoid dangling nodes);
+    * `redistributeDangling` adds the standard correction: each round the
+    * rank mass sitting on out-degree-0 nodes is split equally over ALL
+    * nodes (share = danglingSum div |nodes|, same integer convention as
+    * the per-edge division), conserving total mass.
     *
-    * Scale shape: the edge list and degree frame stage once
-    * ([[Stage.barrier]] — every round's join reads them from memory);
-    * each round is ONE shuffle: the 8-byte-key edge⋈rank join, a narrow
-    * per-edge projection, and a map-side-combined sum keyed on dst. The
-    * rank frame is |nodes| rows (ids + one long). Plan depth grows
-    * linearly in `iters` with no self-reference, so a handful of rounds
-    * needs no checkpoint truncation (components() iterates to an
-    * unbounded fixpoint and does need it — different regime). */
+    * Scale shape: the edge relation stages ONCE as `(src, dst, deg)` —
+    * the out-degree rides ON the edge row, so every round is ONE 8-byte-
+    * key join (edges ⋈ ranks), a narrow per-edge projection, and a
+    * map-side-combined sum keyed on dst; the old shape paid a second
+    * (edge ⋈ deg) join in EVERY round for a value that never changes
+    * across rounds. The rank frame is |nodes| rows (ids + one long).
+    * With redistribution on, the round also semi-joins the rank frame
+    * against the (staged, tiny) dangling-id set and crossJoins the
+    * 1-row mass aggregate back in broadcast form — no driver-side
+    * collect — and each round's rank frame is staged so the dual use
+    * (contribs + dangling sum) doesn't fork the lineage exponentially.
+    * Plan depth grows linearly in `iters` with no self-reference, so a
+    * handful of rounds needs no checkpoint truncation (components()
+    * iterates to an unbounded fixpoint and does need it — different
+    * regime). */
   def pageRank(edges: DataFrame, iters: Int = 3, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
-    val e = Stage.barrier(
+      dstCol: String = "dst",
+      redistributeDangling: Boolean = false): DataFrame = {
+    val e0 = Stage.barrier(
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).distinct())
     val nodes = Stage.barrier(
-      e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct())
-    val deg = Stage.barrier(
-      e.groupBy(col("src")).agg(count(lit(1)).cast("long").as("deg")))
+      e0.select(col("src").as("id"))
+        .union(e0.select(col("dst").as("id"))).distinct())
+    val deg = e0.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    // the per-round join payload: degree joined onto the edge ONCE here,
+    // instead of once per round
+    val e = Stage.barrier(e0.join(deg, "src"))
+    // nodes with no outgoing edge — only needed for redistribution
+    lazy val dangling = Stage.barrier(
+      nodes.join(deg.select(col("src").as("id")), Seq("id"), "left_anti"))
+    // |nodes| as a long for the integer share; one cheap action on the
+    // already-staged node frame (not a per-round collect)
+    lazy val nNodes = nodes.count()
     var r = nodes.withColumn("rank", lit(1000000L))
     (1 to iters).foreach { _ =>
       val contribs = e
         .join(r.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy(col("id"))
         .agg(sum(col("c")).cast("long").as("s"))
-      r = nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          expr("150000 + (850 * coalesce(s, 0)) div 1000").as("rank"))
+      r = if (!redistributeDangling) {
+        nodes.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            expr("150000 + (850 * coalesce(s, 0)) div 1000").as("rank"))
+      } else {
+        val share = broadcast(r.join(dangling, Seq("id"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+          .select(expr(s"dsum div $nNodes").as("share")))
+        Stage.barrier(nodes.join(contribs, Seq("id"), "left")
+          .crossJoin(share)
+          .select(col("id"),
+            expr("150000 + (850 * (coalesce(s, 0) + share)) div 1000")
+              .as("rank")))
+      }
     }
     r
   }

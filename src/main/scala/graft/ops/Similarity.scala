@@ -233,16 +233,38 @@ object Similarity {
     * centroid literals (no shuffle); the only shuffle is the
     * cluster-keyed self-join, quadratic ONLY within a cell — nlist is
     * the knob that bounds cell population (SemDeDup runs ~100k clusters
-    * at web scale for exactly this reason). The kept set comes back via
-    * one distinct on bare ids + an 8-byte left join, never carrying
-    * vectors past the verification. */
+    * at web scale for exactly this reason). `maxCell` is the guard rail
+    * for when the knob is mis-set: a degenerate quantizer (collapsed
+    * centroids, skewed corpus) would otherwise go SILENTLY quadratic —
+    * instead the job fails loudly, naming the hot cell. The check is a
+    * `raise_error` fused into the cluster column (same trick as Dedup's
+    * `maxBucket`, but failing instead of dropping — dropping here would
+    * silently change keep decisions, not just lose candidates). It
+    * evaluates lazily per row at staging time and adds no job; the
+    * window's cluster partitioning is the same layout the self-join
+    * shuffles to anyway. The kept set comes back via one distinct on
+    * bare ids + an 8-byte left join, never carrying vectors past the
+    * verification. */
   def semanticDedup(embs: DataFrame,
-      centroids: Seq[(Int, Seq[Double])], minCosine: Double): DataFrame = {
+      centroids: Seq[(Int, Seq[Double])], minCosine: Double,
+      maxCell: Int = 100000): DataFrame = {
+    val cellN = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("cluster")))
     // staged: both sides of the within-cluster self-join read it
     val assigned = Stage.barrier(
       Ivf.assign(embs, centroids)
         .select(col("vec_id"), col("cluster"), col("vec"),
-          norm(col("vec")).as("nrm")))
+          norm(col("vec")).as("nrm"))
+        .withColumn("cell_n", cellN)
+        .withColumn("cluster",
+          when(col("cell_n") > maxCell, raise_error(concat(
+            lit("semanticDedup: cluster "), col("cluster").cast("string"),
+            lit(" population "), col("cell_n").cast("string"),
+            lit(s" exceeds maxCell=$maxCell — the within-cell self-join" +
+              " would go quadratic; raise nlist (finer quantizer) or" +
+              " maxCell"))))
+            .otherwise(col("cluster")))
+        .drop("cell_n"))
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),

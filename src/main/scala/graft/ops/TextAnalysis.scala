@@ -165,21 +165,28 @@ object TextAnalysis {
     *
     * Pure per-row array math over one materialized token array (HOF
     * lambdas re-evaluate captured children — see BENCH_NOTES r6), all
-    * counts integer for cross-engine parity; no shuffle. */
+    * counts integer for cross-engine parity; no shuffle.
+    *
+    * `carry` forwards caller columns (e.g. the text itself) through the
+    * gate unchanged — the landing-zone chain screens and then still needs
+    * the document downstream; default Nil keeps the audited signal-only
+    * schema. */
   def gopherRules(docs: DataFrame, minTokens: Long = 20L,
-      maxTokens: Long = 100000L, textCol: String = "text"): DataFrame = {
+      maxTokens: Long = 100000L, textCol: String = "text",
+      carry: Seq[String] = Nil): DataFrame = {
     val toks = col("_toks")
-    docs.select(col("doc_id"), tokens(col(textCol)).as("_toks"))
-      .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
+    docs.select(col("doc_id") +: carry.map(col) :+
+        tokens(col(textCol)).as("_toks"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        size(toks).cast("long").as("n_tokens") :+
         expr("aggregate(_toks, 0L, (a, t) -> a + length(t)) * 100")
-          .as("_chars100"),
+          .as("_chars100") :+
         size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
-          .as("n_alpha"),
+          .as("n_alpha") :+
         size(filter(toks, t => t.rlike("^[^A-Za-z0-9]+$"))).cast("long")
-          .as("n_sym"),
+          .as("n_sym") :+
         size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
-          .as("n_stop"))
+          .as("n_stop"): _*)
       .withColumn("mean_tok_len_x100", expr("_chars100 div n_tokens"))
       .drop("_chars100")
       .withColumn("gopher_pass",

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Cross-engine oracle support for the RELATIONAL half of the OSM surface.
+  *
+  * DuckDB cannot read the bundled OSM/PSI XML, so the INGEST half of the
+  * OSM engine stays golden-pinned (OsmGoldenSpec's reference-derived
+  * hashes). But everything DOWNSTREAM of ingestion — the exploration
+  * joins/aggregations (case_study_osm.pdf p.8-12), the update-history
+  * derivation (parse_clean_and_csv.py:263-290), the phone audit
+  * (audit_phone_numbers.py:142-184) and the official-list corrections
+  * (parse_clean_and_csv.py:342-356) — is plain relational logic. This
+  * object exports the shaped input relations to parquet during
+  * [[graft.Verify]], and [[OsmQueries.oracle]] carries DuckDB SQL that
+  * RESTATES each downstream computation over those exports (never a
+  * `SELECT *` of a query's own result), giving those rows a real
+  * rows+schema+hash cross-engine check in the driver's gate.
+  */
+object OsmOracleExport {
+
+  /** Token in [[OsmQueries.oracle]] SQL that [[graft.Verify]] replaces
+    * with the actual export directory before writing oracle_sql.json. */
+  val Placeholder = "__OSM_ORACLE_DIR__"
+
+  /** Fixed export location. Deliberately NOT inside Verify's outDir: the
+    * driver treats every outDir subdirectory as a query result, so a
+    * side-band export there would surface as a bogus correctness row. */
+  val DefaultDir = "/root/repo/target/osm_oracle"
+
+  /** Write the shaped relations the oracle SQL reads. All derive from the
+    * one staged pipeline in [[OsmQueries]], so the export costs no extra
+    * XML parse. Relations exported:
+    *   - `nodes`, `ways`             — shaped elements (explore inputs)
+    *   - `ways_tags`                 — final (post-fix) way tags
+    *   - `node_tags_fixed`,
+    *     `way_tags_fixed`            — tags WITH tag_pos + change flags
+    *                                   (update-history derivation inputs)
+    *   - `raw_tags`                  — pre-clean tags of both kinds in
+    *                                   document order (audit input)
+    *   - `official_cleaned`          — the uncorrected official list
+    *   - `update_history`            — explore input (its own oracle
+    *                                   re-derives it from the fixed tags,
+    *                                   not from this export)
+    */
+  def export(spark: SparkSession, dir: String): Unit = {
+    val p = OsmQueries.pipeline(spark)
+    def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+    w(p.nodes, "nodes")
+    w(p.ways, "ways")
+    w(p.wayTags, "ways_tags")
+    w(p.nodeTagsFixed, "node_tags_fixed")
+    w(p.wayTagsFixed, "way_tags_fixed")
+    val rawTags = p.rawNodeTags.withColumn("_kind", lit(0))
+      .unionByName(p.rawWayTags.withColumn("_kind", lit(1)))
+      .select(col("_kind"), col("tag_pos").as("_tag_pos"),
+        col("id"), col("key"), col("value"), col("type"))
+    w(rawTags, "raw_tags")
+    w(p.officialUncorrected, "official_cleaned")
+    w(p.updateHistory, "update_history")
+  }
+}

@@ -24,6 +24,10 @@ object OsmQueries {
   private def pipe(s: SparkSession): OsmPipeline =
     pipelines.computeIfAbsent(s, OsmPipeline(_, OsmPath, PsiPath))
 
+  /** The session's shared pipeline, for [[OsmOracleExport]]'s relation
+    * dump — same staged scans, no extra XML parse. */
+  private[queries] def pipeline(s: SparkSession): OsmPipeline = pipe(s)
+
   // relation ingestion is an extension beyond the reference (its
   // shape_element skips <relation> elements); content pinned by
   // reference-derived hashes in OsmGoldenSpec. The raw parse is staged
@@ -63,14 +67,139 @@ object OsmQueries {
       Explore.df.updatedUsersVsContributions(pipe(s))),
   )
 
-  /** DuckDB oracles for the RELATIONAL half of the OSM surface (joins /
-    * aggregations over the shaped relations). The ingest half stays
-    * golden-pinned — DuckDB cannot read the XML inputs — but once
-    * [[graft.Verify]] exports the shaped relations to parquet
-    * ([[OsmOracleExport]]), the downstream join/aggregate semantics get a
-    * real cross-engine check. Populated in this file's companion section
-    * below; empty entries here would weaken the gate, so only queries
-    * whose SQL restates the LOGIC (not `SELECT *` of the exported result)
-    * are included. */
-  val oracle: Map[String, String] = Map()
+  // ---- DuckDB oracle SQL over the relations [[OsmOracleExport]] dumps ----
+  //
+  // Each entry RESTATES the downstream relational logic over exported
+  // upstream inputs — never `SELECT *` of a query's own result. The ingest
+  // half (XML scans, tag shaping) remains golden-pinned by OsmGoldenSpec;
+  // these give the join/aggregate half a real cross-engine check.
+
+  /** An exported relation, via the placeholder [[graft.Verify]] rewrites
+    * to the actual export directory when writing oracle_sql.json. */
+  private def rel(name: String): String =
+    s"read_parquet('${OsmOracleExport.Placeholder}/$name/*.parquet')"
+
+  /** Single-quoted SQL string literal (DuckDB standard strings treat
+    * backslash literally, so Java regexes embed verbatim). */
+  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def phoneKeyList: String =
+    graft.osm.PhoneFix.PhoneKeys.map(lit).mkString(", ")
+
+  /** The audit's three tolerant phone-shape regexes, as a DuckDB filter
+    * over one exploded `;`-segment (audit_phone_numbers.py:30-55 — the
+    * same constants the engine compiles, so engine and oracle agree by
+    * construction on the DATA while the explode/filter/union LOGIC is
+    * computed independently). */
+  private def segmentIsPhoneShaped: String = {
+    import graft.osm.Audits
+    Seq(Audits.HkPhoneRe, Audits.SzLandRe, Audits.PrcCellRe)
+      .map(r => s"regexp_matches(segment, ${lit(r)})").mkString(" OR ")
+  }
+
+  /** X6 — the phone audit restated: keep phone/fax tags outright; other
+    * tags emit one row PER `;`-segment whose shape matches (duplicates
+    * preserved deliberately, matching the reference's append-per-segment).
+    * `cols` lets the three audit queries share the derivation. */
+  private def auditSql(cols: String): String =
+    s"WITH t AS (SELECT * FROM ${rel("raw_tags")}), " +
+      s"seg AS (SELECT _kind, _tag_pos, id, key, value, type, " +
+      "unnest(string_split(value, ';')) AS segment FROM t " +
+      "WHERE key <> 'phone' AND key <> 'fax') " +
+      s"SELECT $cols FROM t WHERE key = 'phone' OR key = 'fax' " +
+      s"UNION ALL SELECT $cols FROM seg WHERE $segmentIsPhoneShaped"
+
+  val oracle: Map[String, String] = Map(
+    // p.8 scalar explore metrics, one row per metric (counts, the
+    // distinct-contributors UNION ALL, the IN / NOT IN subqueries)
+    "q_osm_explore_summary" ->
+      (s"WITH nodes AS (SELECT * FROM ${rel("nodes")}), " +
+        s"ways AS (SELECT * FROM ${rel("ways")}), " +
+        s"ways_tags AS (SELECT * FROM ${rel("ways_tags")}), " +
+        s"uh AS (SELECT * FROM ${rel("update_history")}) " +
+        "SELECT 'distinct_users' AS metric, (SELECT COUNT(DISTINCT uid) " +
+        "FROM (SELECT uid FROM nodes UNION ALL SELECT uid FROM ways)) " +
+        "AS value " +
+        "UNION ALL SELECT 'name_updates', (SELECT COUNT(*) FROM uh " +
+        "WHERE field_updated = 'name') " +
+        "UNION ALL SELECT 'named_buildings_amenities', " +
+        "(SELECT COUNT(DISTINCT id) FROM ways_tags " +
+        "WHERE (key = 'amenity' OR key = 'building') AND id IN " +
+        "(SELECT DISTINCT id FROM ways_tags WHERE key = 'name')) " +
+        "UNION ALL SELECT 'nodes_count', (SELECT COUNT(*) FROM nodes) " +
+        "UNION ALL SELECT 'phone_updates', (SELECT COUNT(*) FROM uh " +
+        "WHERE field_updated = 'phone') " +
+        "UNION ALL SELECT 'unnamed_buildings_amenities', " +
+        "(SELECT COUNT(DISTINCT id) FROM ways_tags " +
+        "WHERE (key = 'amenity' OR key = 'building') AND id NOT IN " +
+        "(SELECT DISTINCT id FROM ways_tags WHERE key = 'name')) " +
+        "UNION ALL SELECT 'ways_count', (SELECT COUNT(*) FROM ways)"),
+    // p.10 — JOIN + UNION ALL + GROUP BY + LEFT JOIN
+    "q_osm_explore_contributions" ->
+      (s"WITH nodes AS (SELECT * FROM ${rel("nodes")}), " +
+        s"ways AS (SELECT * FROM ${rel("ways")}), " +
+        s"uh AS (SELECT * FROM ${rel("update_history")}), " +
+        "updated AS (SELECT w.uid AS uid FROM uh JOIN ways w " +
+        "ON w.id = uh.id WHERE uh.element_type = 'way' " +
+        "UNION ALL SELECT n.uid AS uid FROM uh JOIN nodes n " +
+        "ON n.id = uh.id WHERE uh.element_type = 'node'), " +
+        "b AS (SELECT uid, COUNT(*) AS updates FROM updated GROUP BY uid), " +
+        "a AS (SELECT uid, COUNT(*) AS contributions FROM " +
+        "(SELECT uid FROM nodes UNION ALL SELECT uid FROM ways) " +
+        "GROUP BY uid) " +
+        "SELECT b.uid AS uid, b.updates AS updates, " +
+        "a.contributions AS contributions FROM b " +
+        "LEFT JOIN a ON b.uid = a.uid"),
+    // K2 — update_history re-DERIVED from the flagged tag relations:
+    // per-element phone flag is the reference's last-writer-wins quirk
+    // (the LAST phone-key tag in document order decides → arg_max by
+    // tag_pos); name flag is any-changed-tag per way
+    "q_osm_update_history" ->
+      (s"WITH nt AS (SELECT * FROM ${rel("node_tags_fixed")}), " +
+        s"wt AS (SELECT * FROM ${rel("way_tags_fixed")}), " +
+        s"np AS (SELECT id FROM nt WHERE key IN ($phoneKeyList) " +
+        "GROUP BY id HAVING arg_max(phone_changed, tag_pos)), " +
+        s"wp AS (SELECT id FROM wt WHERE key IN ($phoneKeyList) " +
+        "GROUP BY id HAVING arg_max(phone_changed, tag_pos)), " +
+        "wn AS (SELECT DISTINCT id FROM wt WHERE name_changed) " +
+        "SELECT id, 'node' AS element_type, 'phone' AS field_updated " +
+        "FROM np " +
+        "UNION ALL SELECT id, 'way', 'phone' FROM wp " +
+        "UNION ALL SELECT id, 'way', 'name' FROM wn"),
+    // X6 — the audit relation itself (explode + regex filter + union)
+    "q_osm_audit_phones" -> auditSql("id, key, value, type"),
+    // A4 — key histogram over the same re-derived audit
+    "q_osm_audit_phone_keys" ->
+      (s"WITH audit AS (${auditSql("key")}) " +
+        "SELECT key, COUNT(*) AS cnt FROM audit GROUP BY key"),
+    // A5 — first-appearance character census over the re-derived ordered
+    // audit: explode each value's characters with positions, take each
+    // character's minimal (kind, id, tag_pos, char_pos) via a rank window
+    "q_osm_audit_phone_chars" ->
+      (s"WITH audit AS (${auditSql("_kind, _tag_pos, id, value")}), " +
+        "ex AS (SELECT _kind, TRY_CAST(id AS BIGINT) AS idl, _tag_pos, " +
+        "unnest(string_split(value, '')) AS ch, " +
+        "generate_subscripts(string_split(value, ''), 1) - 1 AS chpos " +
+        "FROM audit), " +
+        "r AS (SELECT _kind, idl, _tag_pos, ch, chpos, " +
+        "row_number() OVER (PARTITION BY ch " +
+        "ORDER BY _kind, idl, _tag_pos, chpos) AS rn " +
+        "FROM ex WHERE idl IS NOT NULL) " +
+        "SELECT format('{}|{}|{}|{}', _kind, idl, _tag_pos, chpos) " +
+        "AS first_seen, ch FROM r WHERE rn = 1"),
+    // C2 + F4 — literal corrections (as a lookup join over the same
+    // 14-entry map, parse_clean_and_csv.py:81-100) then the Shenzhen
+    // exclusion, over the exported UNCORRECTED list
+    "q_osm_official_list" -> {
+      val pairs = graft.osm.OfficialList.Corrections.toSeq.sorted
+        .map { case (k, v) => s"(${lit(k)}, ${lit(v)})" }.mkString(", ")
+      val sz = graft.osm.OfficialList.SzStreetNames.map(lit).mkString(", ")
+      s"WITH c AS (SELECT * FROM ${rel("official_cleaned")}), " +
+        s"m AS (SELECT * FROM (VALUES $pairs) AS m(k, v)), " +
+        "corr AS (SELECT coalesce(me.v, c.eng) AS eng, " +
+        "coalesce(mc.v, c.chi) AS chi FROM c " +
+        "LEFT JOIN m me ON c.eng = me.k " +
+        "LEFT JOIN m mc ON c.chi = mc.k) " +
+        s"SELECT eng, chi FROM corr WHERE chi NOT IN ($sz)"
+    })
 }

@@ -458,14 +458,15 @@ object Relational {
 
   /** The 3 PageRank rounds unrolled as chained CTEs — per-edge integer
     * division before the order-independent integer sum, exactly the
-    * engine's arithmetic. */
+    * engine's arithmetic. In lockstep with Graph.pageRank's staged
+    * `(src, dst, deg)` shape: degree is folded onto the edge relation
+    * ONCE (`ed`), so each round is a single edge⋈rank join. */
   private lazy val duckPageRankSql: String = {
     def round(k: Int): String =
       s"r$k AS (SELECT n.id, 150000 + (850 * coalesce(s.s, 0)) // 1000 " +
         "AS rank FROM n LEFT JOIN (SELECT e.dst AS id, " +
-        s"CAST(sum(r.rank // d.deg) AS BIGINT) AS s FROM e " +
-        s"JOIN r${k - 1} r ON r.id = e.src " +
-        "JOIN deg d ON d.src = e.src GROUP BY e.dst) s USING (id))"
+        s"CAST(sum(r.rank // e.deg) AS BIGINT) AS s FROM ed e " +
+        s"JOIN r${k - 1} r ON r.id = e.src GROUP BY e.dst) s USING (id))"
     "WITH p AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust, " +
       "CAST(l_suppkey AS BIGINT) + 1000000 AS supp FROM orders " +
       "JOIN lineitem ON o_orderkey = l_orderkey), " +
@@ -475,6 +476,8 @@ object Relational {
       "UNION SELECT DISTINCT dst FROM e), " +
       "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e " +
       "GROUP BY src), " +
+      "ed AS (SELECT e.src, e.dst, d.deg FROM e " +
+      "JOIN deg d ON d.src = e.src), " +
       "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n), " +
       (1 to 3).map(round).mkString(", ") + " " +
       "SELECT id, rank FROM r3"

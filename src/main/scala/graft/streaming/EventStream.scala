@@ -17,15 +17,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   */
 object EventStream {
 
-  /** Event schema as streamed — ts arrives as nanos (TIMESTAMP(NANOS)
-    * parquet), converted to a micro timestamp exactly like Tables.events. */
+  /** Event stream source. A streaming parquet read needs a declared
+    * schema, and the driver's testdata has flipped `ts` between
+    * TIMESTAMP(NANOS) (surfaced as LONG nanos) and TIMESTAMP(MICROS)
+    * footers across generations — so probe the footer once with a batch
+    * metadata read and declare whatever it actually contains, then apply
+    * the SAME shared normalization as the batch accessor
+    * ([[graft.Tables.normalizeEventTs]]). One code path for both reads:
+    * the next footer flip cannot split batch from stream again. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
+    val tsDdl = spark.read.parquet(dir).schema("ts").dataType.sql
+    val raw = spark.readStream
+      .schema(s"event_id LONG, ts $tsDdl, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeEventTs(raw)
   }
 
   /** Tumbling event-time window counts with a watermark — the streaming
@@ -127,12 +134,12 @@ object EventStream {
     * bound it with `dropDuplicatesWithinWatermark`). The streaming dual
     * of ops.Dedup.incrementalDedup. */
   def dedupAgainstCorpus(docs: DataFrame, seenDigests: DataFrame,
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", carry: Seq[String] = Nil): DataFrame =
     docs
       .withColumn("digest", sha2(lower(col(textCol)), 256))
       .dropDuplicates("digest")
       .join(seenDigests.select(col("digest")), Seq("digest"), "left_anti")
-      .select(col("doc_id"), col("digest"))
+      .select(col("doc_id") +: col("digest") +: carry.map(col): _*)
 
   /** Streaming quality screen — the Gopher-rule gate
     * ([[graft.ops.TextAnalysis.gopherRules]]) applied to an arriving
@@ -143,8 +150,10 @@ object EventStream {
     * state store — each micro-batch's cost is exactly the batch
     * projection's, so the dual is the same plan modulo the source. */
   def qualityScreen(docs: DataFrame, minTokens: Long = 20L,
-      maxTokens: Long = 100000L, textCol: String = "text"): DataFrame =
-    graft.ops.TextAnalysis.gopherRules(docs, minTokens, maxTokens, textCol)
+      maxTokens: Long = 100000L, textCol: String = "text",
+      carry: Seq[String] = Nil): DataFrame =
+    graft.ops.TextAnalysis.gopherRules(docs, minTokens, maxTokens, textCol,
+        carry)
       .filter(col("gopher_pass"))
 
   /** Streaming NEAR-dup screen against a static corpus LSH index — the

@@ -25,8 +25,8 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("the real query and oracle maps merge without collisions") {
-    // Evaluating these forces the require at class-load of each module;
-    // a regression that reintroduces a duplicate key fails here, not in
+    // Evaluating these exercises mergeDistinct's duplicate-key check; a
+    // regression that reintroduces a duplicate key fails here, not in
     // the driver's correctness run.
     assert(SparkEntry.queries.nonEmpty)
     assert(SparkEntry.oracleSql.nonEmpty)

@@ -43,4 +43,26 @@ class GraphSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
   }
+
+  test("pageRank: dangling-mass redistribution conserves total rank") {
+    // 1 → 2 and nothing out of 2: node 2 is dangling
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(edges, iters = 1, redistributeDangling = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // round 1: dangling sum = rank(2) = 1000000 → share = 500000
+    //   rank'(1) = 150000 + (850 ·  500000) div 1000 =  575000
+    //   rank'(2) = 150000 + (850 · 1500000) div 1000 = 1425000
+    assert(r1 == Map(1L -> 575000L, 2L -> 1425000L), r1.toString)
+    val r2 = Graph.pageRank(edges, iters = 2, redistributeDangling = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // round 2: dangling sum = 1425000 → share = 712500
+    //   rank'(1) = 150000 + (850 · 712500) div 1000            =  755625
+    //   rank'(2) = 150000 + (850 · (575000 + 712500)) div 1000 = 1244375
+    assert(r2 == Map(1L -> 755625L, 2L -> 1244375L), r2.toString)
+    // total mass conserved each round; the simplified variant leaks it
+    assert(r1.values.sum == 2000000L && r2.values.sum == 2000000L)
+    val leaky = Graph.pageRank(edges, iters = 1)
+      .collect().map(_.getLong(1)).sum
+    assert(leaky < 2000000L, s"expected dropped dangling mass, got $leaky")
+  }
 }

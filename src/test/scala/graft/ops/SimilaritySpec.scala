@@ -142,4 +142,23 @@ class SimilaritySpec extends SparkSpec {
     assert((0L until 50L).count(i =>
       clusters(i) == clusters(i + 1000000L)) >= 40)
   }
+
+  test("semantic dedup hot-cell guard fails loudly, not quadratically") {
+    val corpus = embs.limit(60).select("vec_id", "embedding")
+    // a 1-centroid quantizer lands every vector in one cell — the
+    // degenerate-quantizer shape the guard exists for
+    val one = Ivf.staticCentroids(nlist = 1, dim = 64)
+    val e = intercept[Throwable] {
+      Similarity.semanticDedup(corpus, one, minCosine = 0.9, maxCell = 50)
+        .collect()
+    }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("maxCell"),
+      s"expected the hot-cell guard message, got: $messages")
+    // the same degenerate cell under a sufficient bound still computes
+    val ok = Similarity.semanticDedup(corpus, one, minCosine = 0.9,
+      maxCell = 60).collect()
+    assert(ok.length == 60)
+  }
 }
