@@ -174,6 +174,94 @@ object DedupSim {
     Dedup.incrementalNearDedup(batch, docs)
   }
 
+  /** The landed recrawl batch for the end-to-end landing pipeline: every
+    * doc re-arrives under a fresh id — id ≡ 0 (mod 3) verbatim (exact
+    * duplicate of the corpus), ≡ 1 with the first token dropped (near
+    * duplicate: new digest, high shingle overlap), ≡ 2 with s/r
+    * digit-substituted (genuinely fresh text: ~57% of corpus tokens
+    * carry an s or r, so shingle Jaccard vs the source collapses — but
+    * the stopwords `the a of to in` contain neither letter, so the
+    * quality gate still judges the rewrite on its merits; a vowel
+    * substitution would zero the stopword count and every fresh doc
+    * would die at the screen, leaving the publish path vacuous).
+    * Shared with the streaming chain-equality spec so batch and stream
+    * screen the same landing. */
+  private[graft] def landingBatch(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .when(col("doc_id") % 3 === 1,
+          regexp_replace(col("text"), "^[^ ]* ", ""))
+        .otherwise(translate(col("text"), "sr", "59")).as("text"))
+
+  // the landing JSONL and its published output are written once per
+  // (session, dir) — reps re-read the landed files, as a real landing
+  // zone would, instead of re-writing them
+  private val landingCache = new graft.ops.SessionScoped[String]
+  private val publishCache = new graft.ops.SessionScoped[String]
+
+  /** The landing-zone chain END-TO-END, every stage the library's own
+    * operator: JSONL landing scan ([[graft.sources.JsonlStore]]) →
+    * Gopher quality screen → exact digest dedup (within-batch first
+    * occurrence + corpus anti-join) → MinHash-LSH near-dup screen against
+    * the corpus → write–audit–publish of the survivors
+    * ([[graft.sources.Publish]], staged write, row-count audit, atomic
+    * rename). Returns one row per LANDED doc with its terminal status —
+    * screened / dup_exact / dup_near / published — the audit relation a
+    * landing zone keeps; the published set is read back from the
+    * PUBLISHED STORE, not the in-memory frame, so the query verifies
+    * what downstream actually sees. The oracle restates the whole chain
+    * (gate conjunction, sha-256 window-min, banding, integer Jaccard) in
+    * one DuckDB query over `documents`, so the COMPOSITION is
+    * cross-engine-verified, and — reading the parquet directly where the
+    * engine read its own JSONL — re-proves the landing scan lossless.
+    *
+    * Scale shape: each stage keeps its own audited plan (per-row gate;
+    * digest-keyed shuffles; banded candidates, never all-pairs); the
+    * status assembly is three left joins on bare 8-byte ids. */
+  def landingPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val path = landingCache.getOrCompute(s, dir) {
+      val p = s"/tmp/graft_landing/${dir.hashCode.toLong & 0xffffffffL}"
+      graft.sources.JsonlStore.writeJsonl(landingBatch(docs), p)
+      p
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val landed = graft.ops.Stage.barrier(
+      graft.sources.JsonlStore.readJsonl(s, path, schema))
+    val passed = graft.ops.TextAnalysis.gopherRules(landed)
+      .filter(col("gopher_pass")).select(col("doc_id"))
+    val screened = graft.ops.Stage.barrier(
+      landed.join(passed, Seq("doc_id"), "left_semi"))
+    val seen = docs.select(sha2(lower(col("text")), 256).as("digest"))
+    val exactKept = graft.ops.Stage.barrier(
+      Dedup.incrementalDedup(screened, seen).select(col("doc_id")))
+    val survivors = graft.ops.Stage.barrier(
+      screened.join(exactKept, Seq("doc_id"), "left_semi"))
+    val near = Dedup.incrementalNearDedup(survivors, docs)
+    val pubPath = publishCache.getOrCompute(s, dir) {
+      val p = s"$path.published"
+      val toPublish = survivors.join(
+        near.filter(col("kept")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val expected = toPublish.count()
+      graft.sources.Publish.parquet(toPublish, p,
+        audit = staged => staged.count() == expected)
+      p
+    }
+    val published = graft.sources.Publish.readPublished(s, pubPath)
+      .select(col("doc_id"))
+    landed.select(col("doc_id"))
+      .join(passed.withColumn("_s", lit(true)), Seq("doc_id"), "left")
+      .join(exactKept.withColumn("_e", lit(true)), Seq("doc_id"), "left")
+      .join(published.withColumn("_p", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_s").isNull, lit("screened"))
+          .when(col("_e").isNull, lit("dup_exact"))
+          .when(col("_p").isNull, lit("dup_near"))
+          .otherwise(lit("published")).as("status"))
+  }
+
   /** Per-vector int8 scalar quantization of the embedding table. */
   def quantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables(s, dir).embeddings)
@@ -271,6 +359,7 @@ object DedupSim {
     "q_embed_neardup" -> embedNearDups,
     "q_semantic_dedup" -> semanticDedup,
     "q_incremental_neardup" -> incrementalNearDedup,
+    "q_landing_pipeline" -> landingPipeline,
   )
 
   /** DuckDB dot product with the same left-to-right double accumulation as
@@ -587,6 +676,7 @@ object DedupSim {
         "USING (doc_id)"),
     "q_semantic_dedup" -> duckSemanticDedupSql,
     "q_incremental_neardup" -> duckIncrementalNearDupSql,
+    "q_landing_pipeline" -> duckLandingPipelineSql,
   )
 
   /** Ivf.clusterStats replayed: the same static-centroid argmin (fixed
@@ -675,17 +765,73 @@ object DedupSim {
     * each get the full shingle→minhash→band chain (same literals as the
     * self-join oracle), the cross-relation (band, key) join, and the
     * integer-Jaccard verification. */
+  /** The MinHash screen's CTE chain over an arbitrary (doc_id, text) CTE:
+    * tokens → hashed 2-shingles → exploded hashes → k=64 signature →
+    * band rows, all prefixed `p` so two chains coexist in one query.
+    * Shared by the incremental screen and the landing pipeline oracles. */
+  private def duckNearDupChain(docsCte: String, p: String): String =
+    s"${p}toks AS (SELECT doc_id, string_split(text,' ') AS t " +
+      s"FROM $docsCte), " +
+      s"${p}shs AS (SELECT doc_id, list_distinct(list_transform(" +
+      s"$duckShingle2, s -> ${duckPolyHash("s", 31L)})) AS sh " +
+      s"FROM ${p}toks), " +
+      s"${p}hx AS (SELECT doc_id, unnest(sh) AS h FROM ${p}shs), " +
+      s"${p}sig AS (SELECT doc_id, [$duckMinhashMins] AS sig " +
+      s"FROM ${p}hx GROUP BY doc_id), " +
+      s"${p}band AS (${duckBandSelectsOf(p + "sig")})"
+
+  /** The landing chain restated end-to-end: the same recrawl batch
+    * construction, the gopher-gate conjunction (as in q_gopher_rules'
+    * oracle), sha-256 window-min within-batch dedup + corpus NOT IN,
+    * then the full MinHash band/verify chain of the near-dup screen —
+    * terminal status per landed doc. The oracle reads `documents`
+    * directly where the engine read its own landing JSONL and published
+    * parquet, so a lossy store would hash-mismatch here. */
+  private lazy val duckLandingPipelineSql: String = {
+    val gopherPass =
+      "len(t) >= 20 AND len(t) <= 100000 AND " +
+        "list_sum(list_transform(t, x -> length(x))) * 100 // len(t) " +
+        "BETWEEN 300 AND 1000 AND " +
+        "len(list_filter(t, x -> regexp_matches(x, '^[^A-Za-z0-9]+$'))) " +
+        "* 10 <= len(t) AND " +
+        "len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 5 >= " +
+        "len(t) * 4 AND " +
+        "len(list_filter(t, x -> x IN ('the', 'a', 'of', 'to', 'in'))) >= 2"
+    "WITH corpus AS (SELECT doc_id, text FROM documents), " +
+      "batch AS (SELECT orig + 1000000 AS doc_id, " +
+      "CASE WHEN orig % 3 = 0 THEN text " +
+      "WHEN orig % 3 = 1 THEN regexp_replace(text, '^[^ ]* ', '') " +
+      "ELSE translate(text, 'sr', '59') END AS text FROM " +
+      "(SELECT doc_id AS orig, text FROM documents)), " +
+      "g AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+      s"string_split(text, ' ') AS t FROM batch) WHERE $gopherPass), " +
+      "dg AS (SELECT doc_id, text, sha256(lower(text)) AS d FROM g), " +
+      "ek AS (SELECT doc_id, text FROM (SELECT doc_id, text, d, " +
+      "min(doc_id) OVER (PARTITION BY d) AS k FROM dg) " +
+      "WHERE doc_id = k AND d NOT IN " +
+      "(SELECT sha256(lower(text)) FROM corpus)), " +
+      duckNearDupChain("ek", "b") + ", " +
+      duckNearDupChain("corpus", "c") + ", " +
+      "cand AS (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id " +
+      "AS corpus_id FROM bband b JOIN cband c " +
+      "ON b.band = c.band AND b.key = c.key), " +
+      "ver AS (SELECT cand.doc_id, CAST(count(*) AS BIGINT) AS n " +
+      "FROM cand JOIN bshs x ON x.doc_id = cand.doc_id " +
+      "JOIN cshs y ON y.doc_id = cand.corpus_id " +
+      "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
+      "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7 " +
+      "GROUP BY cand.doc_id) " +
+      "SELECT b.doc_id, CASE WHEN g.doc_id IS NULL THEN 'screened' " +
+      "WHEN e.doc_id IS NULL THEN 'dup_exact' " +
+      "WHEN coalesce(v.n, 0) > 0 THEN 'dup_near' " +
+      "ELSE 'published' END AS status " +
+      "FROM batch b LEFT JOIN g ON g.doc_id = b.doc_id " +
+      "LEFT JOIN ek e ON e.doc_id = b.doc_id " +
+      "LEFT JOIN ver v ON v.doc_id = b.doc_id"
+  }
+
   private lazy val duckIncrementalNearDupSql: String = {
-    def chain(docsCte: String, p: String) =
-      s"${p}toks AS (SELECT doc_id, string_split(text,' ') AS t " +
-        s"FROM $docsCte), " +
-        s"${p}shs AS (SELECT doc_id, list_distinct(list_transform(" +
-        s"$duckShingle2, s -> ${duckPolyHash("s", 31L)})) AS sh " +
-        s"FROM ${p}toks), " +
-        s"${p}hx AS (SELECT doc_id, unnest(sh) AS h FROM ${p}shs), " +
-        s"${p}sig AS (SELECT doc_id, [$duckMinhashMins] AS sig " +
-        s"FROM ${p}hx GROUP BY doc_id), " +
-        s"${p}band AS (${duckBandSelectsOf(p + "sig")})"
+    def chain(docsCte: String, p: String) = duckNearDupChain(docsCte, p)
     "WITH corpus AS (SELECT doc_id, text FROM documents), " +
       // subquery isolates the ORIGINAL id: DuckDB lateral aliases would
       // otherwise bind doc_id % 2 to the shifted output column

@@ -195,6 +195,48 @@ class EventStreamSpec extends SparkSpec {
     assert(got.size <= 4 * 512)
   }
 
+  test("streaming landing chain (screen → dedup → near-dup) equals the " +
+      "batch landing pipeline") {
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-landing-stream").toString
+    graft.queries.DedupSim.landingBatch(docs)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    def stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val seen = docs.select(sha2(lower(col("text")), 256).as("digest"))
+    def chainToExact = EventStream.dedupAgainstCorpus(
+      EventStream.qualityScreen(stream, carry = Seq("text"))
+        .select(col("doc_id"), col("text")),
+      seen, carry = Seq("text"))
+    val passIds = EventStream.runToMemory(
+      EventStream.qualityScreen(stream).select("doc_id"), "landing_pass",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect().map(_.getLong(0)).toSet
+    val exactKept = EventStream.runToMemory(
+      chainToExact.select("doc_id"), "landing_exact",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect().map(_.getLong(0)).toSet
+    // the FULL chain in one streaming DAG: screen → exact dedup →
+    // near-dup screen, emitting the verified corpus-match doc ids
+    val nearMatched = EventStream.runToMemory(
+      EventStream.nearDupAgainstCorpus(
+        chainToExact.select(col("doc_id"), col("text")), docs)
+        .select("doc_id"), "landing_near",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect().map(_.getLong(0)).toSet
+    val statuses = graft.queries.DedupSim.landingPipeline(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ids(st: String) = statuses.filter(_._2 == st).keySet
+    // every terminal status is populated (the chain is non-vacuous) and
+    // each streaming stage's frontier equals the batch attribution
+    assert(Seq("screened", "dup_exact", "dup_near", "published")
+      .forall(st => ids(st).nonEmpty), statuses.values.toSet.toString)
+    assert(statuses.keySet -- passIds == ids("screened"))
+    assert(passIds -- exactKept == ids("dup_exact"))
+    assert(nearMatched == ids("dup_near"))
+    assert(exactKept -- nearMatched == ids("published"))
+  }
+
   test("streaming quality screen equals the batch gopher gate") {
     val docs = Tables(spark, sf).documents.select("doc_id", "text")
     val dir = Files.createTempDirectory("graft-quality-stream").toString
