@@ -450,9 +450,19 @@ object Dedup {
     * chunk-pair blocking shared by text SimHash and media perceptual
     * hashes. Any signature family whose similarity is hamming distance
     * plugs in here; recall is guaranteed for maxHamming ≤ 6 (pigeonhole
-    * over the C(8,2) = 28 ordered byte-chunk pair keys). */
+    * over the C(8,2) = 28 ordered byte-chunk pair keys).
+    *
+    * `maxBucket` mirrors [[lshCandidatePairs]]' guard: a (blk, key)
+    * bucket of B rows contributes B²/2 candidate pairs, so one
+    * degenerate key (a constant-signature corpus slice) would go
+    * silently quadratic; buckets beyond the cap are dropped before the
+    * self-join (losing only recall in pathological mass-duplicate
+    * regions — at real scale, drop + log, never explode). The default
+    * is far above any bucket the tested scale factors produce, so it is
+    * purely a rail. */
   def hammingNearDupPairs(sigs: DataFrame, maxHamming: Int = 6,
-      idCol: String = "doc_id", sigCol: String = "simhash"): DataFrame = {
+      idCol: String = "doc_id", sigCol: String = "simhash",
+      maxBucket: Int = 100000): DataFrame = {
     require(maxHamming <= 6,
       "chunk-pair blocking guarantees recall only for hamming <= 6")
     val hs = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
@@ -463,12 +473,19 @@ object Dedup {
     } yield struct(lit(c1 * 8 + c2).as("blk"),
       (chunk(c1) * 256L + chunk(c2)).as("key"))
     // staged: self-joined below — without the barrier the 62 sum-aggregates
-    // of the simhash computation run once per join side (concurrently)
+    // of the simhash computation run once per join side (concurrently);
+    // the bucket-size window shares the (blk, key) layout the join
+    // shuffles to anyway
     val blocked = Stage.barrier(
       hs.select(col("doc_id"), col("simhash"),
           explode(array(pairCols: _*)).as("ck"))
         .select(col("doc_id"), col("simhash"),
-          col("ck.blk").as("blk"), col("ck.key").as("key")))
+          col("ck.blk").as("blk"), col("ck.key").as("key"))
+        .withColumn("_bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("blk"), col("key"))))
+        .filter(col("_bn") <= maxBucket)
+        .drop("_bn"))
     val a = blocked.select(col("blk"), col("key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = blocked.select(col("blk"), col("key"),

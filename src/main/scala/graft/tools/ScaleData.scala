@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for bench runs beyond the driver-provided scale
+  * factors: replicate a testdata directory `factor`× into `outDir`,
+  * preserving the join structure and per-row work profile while avoiding
+  * the two artifacts that would make a naive union useless for scaling
+  * measurements:
+  *
+  *  - **Key collisions.** Every copy's keys are offset by
+  *    copy × (max(key) + 1) per key domain, so each copy is a
+  *    self-contained star: joins match within a copy exactly as they do
+  *    at the source scale, and group counts grow linearly. The small
+  *    dimension tables (region, nation) are shared, as real deployments
+  *    share them.
+  *  - **Cross-copy duplicate families.** Verbatim text copies would make
+  *    every document a 10-way exact+near duplicate, turning the LSH
+  *    verification stage quadratic BY CONSTRUCTION (45 pairs per doc at
+  *    ×10) and drowning the scaling signal of the plan under a workload
+  *    the source data doesn't have. Instead each copy's text goes
+  *    through a per-copy consonant substitution (stopwords untouched, so
+  *    quality-gate pass rates stay comparable) and each copy's
+  *    embeddings get a per-copy dimension ROTATION (cosine to the source
+  *    vector ≈ random for isotropic data; norms, distributions, and
+  *    per-row cost identical).
+  *
+  * Usage: ScaleData <srcDir> <outDir> <factor>
+  */
+object ScaleData {
+
+  /** Letters absent from the gopher stopwords (`the a of to in`) — the
+    * substitution alphabet each copy rotates within. */
+  private val Rot = "bcdgjkmpqvwxz"
+
+  private def rotated(i: Int): String = {
+    val n = Rot.length
+    val k = i % n
+    Rot.substring(k) + Rot.substring(0, k)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def table(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+    def write(df: DataFrame, n: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+
+    // one tiny driver action per key domain — generator setup, not a query
+    def keySpan(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+
+    val custSpan = keySpan(table("customer"), "c_custkey")
+    val suppSpan = keySpan(table("supplier"), "s_suppkey")
+    val partSpan = keySpan(table("part"), "p_partkey")
+    val orderSpan = keySpan(table("orders"), "o_orderkey")
+    val eventSpan = keySpan(table("events").selectExpr(
+      "CAST(event_id AS LONG) AS event_id"), "event_id")
+    val userSpan = keySpan(table("events").selectExpr(
+      "CAST(user_id AS LONG) AS user_id"), "user_id")
+    val docSpan = keySpan(table("documents"), "doc_id")
+    val vecSpan = keySpan(table("embeddings"), "vec_id")
+
+    /** `factor` copies of `df`, each transformed by `f(df, copy)`. */
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => f(df, i)).reduce(_ unionByName _)
+
+    def off(c: String, span: Long, i: Int) =
+      (col(c) + lit(span * i)).as(c)
+
+    // shared dimensions — every copy references the same 5/25 rows
+    write(table("region"), "region")
+    write(table("nation"), "nation")
+
+    write(copies(table("customer")) { (d, i) =>
+      d.withColumn("c_custkey", off("c_custkey", custSpan, i))
+    }, "customer")
+    write(copies(table("supplier")) { (d, i) =>
+      d.withColumn("s_suppkey", off("s_suppkey", suppSpan, i))
+    }, "supplier")
+    write(copies(table("part")) { (d, i) =>
+      d.withColumn("p_partkey", off("p_partkey", partSpan, i))
+    }, "part")
+    write(copies(table("orders")) { (d, i) =>
+      d.withColumn("o_orderkey", off("o_orderkey", orderSpan, i))
+        .withColumn("o_custkey", off("o_custkey", custSpan, i))
+    }, "orders")
+    write(copies(table("lineitem")) { (d, i) =>
+      d.withColumn("l_orderkey", off("l_orderkey", orderSpan, i))
+        .withColumn("l_partkey", off("l_partkey", partSpan, i))
+        .withColumn("l_suppkey", off("l_suppkey", suppSpan, i))
+    }, "lineitem")
+    // ts kept: factor× the events in the same time range (denser stream),
+    // the shape a larger deployment actually has
+    write(copies(table("events")) { (d, i) =>
+      d.withColumn("event_id", (col("event_id") + lit(eventSpan * i))
+          .as("event_id"))
+        .withColumn("user_id", (col("user_id") + lit(userSpan * i))
+          .as("user_id"))
+    }, "events")
+    write(copies(table("documents")) { (d, i) =>
+      d.withColumn("doc_id", off("doc_id", docSpan, i))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else translate(col("text"), Rot, rotated(i)))
+    }, "documents")
+    write(copies(table("embeddings")) { (d, i) =>
+      val offDim = (i * 7) % 64
+      d.withColumn("vec_id", off("vec_id", vecSpan, i))
+        .withColumn("embedding",
+          if (offDim == 0) col("embedding")
+          else expr(s"transform(embedding, (x, j) -> " +
+            s"embedding[(j + $offDim) % 64])"))
+    }, "embeddings")
+
+    println(s"scaled $src -> $out x$factor")
+    spark.stop()
+  }
+}

@@ -157,6 +157,18 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("hamming blocking: maxBucket drops a degenerate constant bucket") {
+    // 50 identical signatures: every (blk, key) bucket holds all 50 rows
+    // — the shape that would otherwise go quadratic
+    val sigs = (1L to 50L).map(i => (i, 0x0123456789abcdefL))
+      .toDF("doc_id", "simhash")
+    val capped = Dedup.hammingNearDupPairs(sigs, maxBucket = 49)
+    assert(capped.count() == 0L)
+    // under the default rail the same bucket pairs normally
+    val open = Dedup.hammingNearDupPairs(sigs)
+    assert(open.count() == 50L * 49L / 2L)
+  }
+
   test("pair metrics: precision and recall from known overlap") {
     val found = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
       .toDF("doc_a", "doc_b")
