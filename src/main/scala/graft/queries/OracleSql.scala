@@ -12,6 +12,27 @@ object OracleSql {
       "ch -> CAST(ord(ch) AS BIGINT))), " +
       "(acc, cp) -> (acc * 31 + cp) % 2147483647)"
 
+  /** PhoneFix.fixPhoneValue's per-segment cascade over a lambda alias
+    * `s` — strip separators (incl. the fullwidth plus), then
+    * first-match-wins HK → PRC cell → Shenzhen landline; NULL when no
+    * shape matches (parse_clean_and_csv.py:490-522). Shared by
+    * q_phone_canon and the OSM tag-fix oracles. */
+  val phoneSegmentCase: String =
+    """CASE
+      | WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(852)?\d{8}$')
+      |   THEN '+852 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:852)?(\d{8})$', 1)
+      | WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(86)?1[3-9]\d{9}$')
+      |   THEN '+86 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:86)?(1[3-9]\d{9})$', 1)
+      | WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(86)?0?755\d{6,8}$')
+      |   THEN '+86 755 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:86)?0?755(\d{6,8})$', 1)
+      | ELSE NULL END""".stripMargin.replace("\n", " ")
+
+  /** The canonicalized (matched-only) segment list of `,`/`;`-separated
+    * phone expression `raw`. */
+  def phoneMatchedList(raw: String): String =
+    s"list_filter(list_transform(string_split_regex($raw, '[,;]'), " +
+      s"s -> $phoneSegmentCase), x -> x IS NOT NULL)"
+
   /** ops.Retrieval.bm25 restated with the same ×1000/×10⁶ scaled-integer
     * arithmetic: the only divisions are the two integer ones, so scores
     * are bit-exact across engines (sum(contrib) re-cast: DuckDB widens

@@ -7,9 +7,18 @@ import graft.osm.{Audits, Explore, OsmPipeline}
 /** SparkEntry surface for the OSM engine itself (SURVEY.md §2 rows S1-S3,
   * P1-P4, F1-F7, J1-J3, C1-C10, X1-X7) — run on the reference's bundled
   * inputs (`shatin.osm` + official street list), independent of the sfDir
-  * argument. No SQL oracle exists for these (the driver's DuckDB sees only
-  * the synthetic tables), so they are registered as rows-only checks; exact
-  * content parity is enforced by OsmGoldenSpec's reference-derived hashes.
+  * argument.
+  *
+  * Correctness evidence is two-layered. The XML INGEST half (raw scans,
+  * tag shaping, relations) has no possible DuckDB oracle — DuckDB cannot
+  * read the XML, and exporting a scan's own output to compare against
+  * itself would verify nothing — so those rows stay rows-only here and
+  * content-pinned by OsmGoldenSpec's reference-derived hashes. Everything
+  * DOWNSTREAM of ingestion (the explore joins/aggregations, update-history
+  * derivation, both audits, the official-list corrections, and the full
+  * phone + street-name tag fixes) IS oracled: [[graft.Verify]] exports the
+  * upstream relations via [[OsmOracleExport]] and the [[oracle]] map below
+  * restates each computation in DuckDB SQL over those exports.
   */
 object OsmQueries {
 
@@ -109,6 +118,81 @@ object OsmQueries {
       s"SELECT $cols FROM t WHERE key = 'phone' OR key = 'fax' " +
       s"UNION ALL SELECT $cols FROM seg WHERE $segmentIsPhoneShaped"
 
+  /** X3 as CTEs: phone-fix the shaped tags in `src` → `out` (same rows,
+    * phone-key values canonicalized; the matched-segment list shares
+    * q_phone_canon's rendering via [[OracleSql.phoneMatchedList]]). */
+  private def duckPhoneFixedCtes(src: String, out: String): String =
+    s"${out}_m AS (SELECT id, key, value, type, tag_pos, " +
+      s"${graft.queries.OracleSql.phoneMatchedList("value")} AS m " +
+      s"FROM $src), " +
+      s"$out AS (SELECT id, key, CASE WHEN key IN ($phoneKeyList) " +
+      "AND len(m) > 0 THEN array_to_string(m, ';') ELSE value END " +
+      s"AS value, type, tag_pos FROM ${out}_m)"
+
+  /** F2 + X1 as CTEs over shaped tags CTE `base`: street-way selection,
+    * then per way the up-to-4 name versions — last-writer-wins by
+    * tag_pos (arg_max), regex sub-name extraction (C3/C4, RE2 side) —
+    * plus presence flags. Emits CTEs `streets`, `st`, `ver`. */
+  private def duckVersionsCtes(base: String): String = {
+    import graft.osm.StreetNameFix
+    val streetVals = StreetNameFix.StreetValues.map(lit).mkString(", ")
+    val engEx = s"nullif(regexp_extract(value, " +
+      s"${lit(StreetNameFix.EngNameRe)}, 1), '')"
+    val chiEx = s"nullif(regexp_extract(value, " +
+      s"${lit(StreetNameFix.ChiNameRe)}, 1), '')"
+    def lastBy(cond: String, value: String, as: String) =
+      s"arg_max(CASE WHEN $cond THEN $value END, " +
+        s"CASE WHEN $cond THEN tag_pos END) AS $as"
+    s"streets AS (SELECT DISTINCT id FROM $base WHERE key = 'highway' " +
+      s"AND value IN ($streetVals)), " +
+      s"st AS (SELECT $base.* FROM $base JOIN streets USING (id)), " +
+      "ver AS (SELECT id, " +
+      lastBy("type = 'name' AND key = 'en'", "value", "en_only") + ", " +
+      lastBy("type = 'name' AND key = 'zh'", "value", "zh_only") + ", " +
+      lastBy(s"type = 'regular' AND key = 'name' AND $engEx IS NOT NULL",
+        engEx, "reg_eng") + ", " +
+      lastBy(s"type = 'regular' AND key = 'name' AND $chiEx IS NOT NULL",
+        chiEx, "reg_chi") + ", " +
+      "max(CASE WHEN type = 'name' AND key = 'en' THEN 1 ELSE 0 END) " +
+      "AS has_en, " +
+      "max(CASE WHEN type = 'name' AND key = 'zh' THEN 1 ELSE 0 END) " +
+      "AS has_zh, " +
+      "max(CASE WHEN type = 'regular' AND key = 'name' THEN 1 ELSE 0 END) " +
+      "AS has_reg " +
+      "FROM st GROUP BY id)"
+  }
+
+  /** J1/J3 as CTEs: probe `ver`'s four versions against lookup CTE `lk`
+    * (name → (eng, chi)): distinct-match count, not-found count, and the
+    * matched canonical pair. Emits CTEs `pr`, `prf`, `res`. */
+  private def duckLookupResCtes: String =
+    "pr AS (SELECT id, unnest([en_only, zh_only, reg_eng, reg_chi]) " +
+      "AS name FROM ver), " +
+      "prf AS (SELECT id, name FROM pr WHERE name IS NOT NULL), " +
+      "res AS (SELECT p.id, count(DISTINCT CASE WHEN l.eng IS NOT NULL " +
+      "THEN (l.eng, l.chi) END) AS n_matches, " +
+      "sum(CASE WHEN l.eng IS NULL THEN 1 ELSE 0 END) AS not_found, " +
+      "max(l.eng) FILTER (WHERE l.eng IS NOT NULL) AS c_eng, " +
+      "max(l.chi) FILTER (WHERE l.eng IS NOT NULL) AS c_chi " +
+      "FROM prf p LEFT JOIN lk l ON l.name = p.name GROUP BY p.id)"
+
+  /** C2 + F4 as CTEs over `oc` (the exported uncorrected list): the
+    * 14-entry corrections lookup, the Shenzhen exclusion, and the
+    * bidirectional probe table. Emits CTEs `m`, `corr`, `official`,
+    * `lk`. */
+  private def duckCorrectedLookupCtes: String = {
+    val pairs = graft.osm.OfficialList.Corrections.toSeq.sorted
+      .map { case (k, v) => s"(${lit(k)}, ${lit(v)})" }.mkString(", ")
+    val sz = graft.osm.OfficialList.SzStreetNames.map(lit).mkString(", ")
+    s"m AS (SELECT * FROM (VALUES $pairs) AS m(k, v)), " +
+      "corr AS (SELECT coalesce(me.v, c.eng) AS eng, " +
+      "coalesce(mc.v, c.chi) AS chi FROM oc c " +
+      "LEFT JOIN m me ON c.eng = me.k LEFT JOIN m mc ON c.chi = mc.k), " +
+      s"official AS (SELECT eng, chi FROM corr WHERE chi NOT IN ($sz)), " +
+      "lk AS (SELECT eng AS name, eng, chi FROM official " +
+      "UNION SELECT chi, eng, chi FROM official)"
+  }
+
   val oracle: Map[String, String] = Map(
     // p.8 scalar explore metrics, one row per metric (counts, the
     // distinct-contributors UNION ALL, the IN / NOT IN subqueries)
@@ -187,19 +271,77 @@ object OsmQueries {
         "FROM ex WHERE idl IS NOT NULL) " +
         "SELECT format('{}|{}|{}|{}', _kind, idl, _tag_pos, chpos) " +
         "AS first_seen, ch FROM r WHERE rn = 1"),
+    // X5 — the bilingual street audit re-derived end-to-end: street-way
+    // selection (F2), the up-to-4-version name pivot with last-writer-
+    // wins per tag kind (X1, as arg_max by tag_pos), the regex sub-name
+    // extraction (C3/C4 — same patterns, RE2 side), the official-list
+    // probe with distinct-match counting (J1/J3), and the audit's
+    // disagreement filter — over the exported raw way tags and the
+    // UNCORRECTED official list (the audit runs before cleaning by
+    // design, audit_bilingual_street_names.py:230-278)
+    "q_osm_audit_streets" ->
+      (s"WITH wt AS (SELECT id, key, value, type, _tag_pos AS tag_pos " +
+        s"FROM ${rel("raw_tags")} WHERE _kind = 1), " +
+        duckVersionsCtes("wt") + ", " +
+        // the audit probes the UNCORRECTED list (it runs before cleaning
+        // by design, audit_bilingual_street_names.py:230-278)
+        s"oc AS (SELECT * FROM ${rel("official_cleaned")}), " +
+        "lk AS (SELECT eng AS name, eng, chi FROM oc " +
+        "UNION SELECT chi AS name, eng, chi FROM oc), " +
+        duckLookupResCtes + " " +
+        "SELECT v.id, v.en_only, v.reg_eng, v.zh_only, v.reg_chi, " +
+        "r.c_eng AS official_eng, r.c_chi AS official_chi " +
+        "FROM ver v JOIN res r USING (id) " +
+        "WHERE r.n_matches = 1 AND (r.not_found > 0 OR " +
+        "CAST(v.en_only IS NOT NULL AS INT) + " +
+        "CAST(v.zh_only IS NOT NULL AS INT) + " +
+        "CAST(v.reg_eng IS NOT NULL AS INT) + " +
+        "CAST(v.reg_chi IS NOT NULL AS INT) < 4)"),
+    // X3 alone — the node tags ARE the phone-fixed raw tags (nodes see
+    // no street fix), re-derived from the raw export
+    "q_osm_node_tags" ->
+      (s"WITH nt AS (SELECT id, key, value, type, _tag_pos AS tag_pos " +
+        s"FROM ${rel("raw_tags")} WHERE _kind = 0), " +
+        duckPhoneFixedCtes("nt", "nfx") + " " +
+        "SELECT id, key, value, type FROM nfx"),
+    // X2+X3 — the way tags re-derived END-TO-END: phone fix, then the
+    // street-name fix (versions pivot → corrected-list probe → exactly-
+    // one-match plan → overwrite the three name kinds → append the
+    // missing ones), exactly process_map's order
+    // (parse_clean_and_csv.py:260,272-273)
+    "q_osm_way_tags" ->
+      (s"WITH wt AS (SELECT id, key, value, type, _tag_pos AS tag_pos " +
+        s"FROM ${rel("raw_tags")} WHERE _kind = 1), " +
+        duckPhoneFixedCtes("wt", "wfx") + ", " +
+        duckVersionsCtes("wfx") + ", " +
+        s"oc AS (SELECT * FROM ${rel("official_cleaned")}), " +
+        duckCorrectedLookupCtes + ", " +
+        duckLookupResCtes + ", " +
+        "plan AS (SELECT r.id, r.c_eng, r.c_chi, " +
+        "r.c_chi || ' ' || r.c_eng AS c_reg, " +
+        "v.has_en, v.has_zh, v.has_reg " +
+        "FROM res r JOIN ver v USING (id) WHERE r.n_matches = 1), " +
+        "ow AS (SELECT w.id, w.key, " +
+        "CASE WHEN p.c_eng IS NOT NULL AND w.type = 'name' " +
+        "AND w.key = 'en' THEN p.c_eng " +
+        "WHEN p.c_eng IS NOT NULL AND w.type = 'name' " +
+        "AND w.key = 'zh' THEN p.c_chi " +
+        "WHEN p.c_eng IS NOT NULL AND w.type = 'regular' " +
+        "AND w.key = 'name' THEN p.c_reg " +
+        "ELSE w.value END AS value, w.type " +
+        "FROM wfx w LEFT JOIN plan p USING (id)) " +
+        "SELECT id, key, value, type FROM ow " +
+        "UNION ALL SELECT id, 'en', c_eng, 'name' FROM plan " +
+        "WHERE has_en = 0 " +
+        "UNION ALL SELECT id, 'zh', c_chi, 'name' FROM plan " +
+        "WHERE has_zh = 0 " +
+        "UNION ALL SELECT id, 'name', c_reg, 'regular' FROM plan " +
+        "WHERE has_reg = 0"),
     // C2 + F4 — literal corrections (as a lookup join over the same
     // 14-entry map, parse_clean_and_csv.py:81-100) then the Shenzhen
     // exclusion, over the exported UNCORRECTED list
-    "q_osm_official_list" -> {
-      val pairs = graft.osm.OfficialList.Corrections.toSeq.sorted
-        .map { case (k, v) => s"(${lit(k)}, ${lit(v)})" }.mkString(", ")
-      val sz = graft.osm.OfficialList.SzStreetNames.map(lit).mkString(", ")
-      s"WITH c AS (SELECT * FROM ${rel("official_cleaned")}), " +
-        s"m AS (SELECT * FROM (VALUES $pairs) AS m(k, v)), " +
-        "corr AS (SELECT coalesce(me.v, c.eng) AS eng, " +
-        "coalesce(mc.v, c.chi) AS chi FROM c " +
-        "LEFT JOIN m me ON c.eng = me.k " +
-        "LEFT JOIN m mc ON c.chi = mc.k) " +
-        s"SELECT eng, chi FROM corr WHERE chi NOT IN ($sz)"
-    })
+    "q_osm_official_list" ->
+      (s"WITH oc AS (SELECT * FROM ${rel("official_cleaned")}), " +
+        duckCorrectedLookupCtes + " " +
+        "SELECT eng, chi FROM official"))
 }

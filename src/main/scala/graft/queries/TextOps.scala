@@ -330,15 +330,9 @@ object TextOps {
     "q_session_attrib" -> sessionAttrib,
   )
 
-  private val phoneCase =
-    """CASE
-      | WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(852)?\d{8}$')
-      |   THEN '+852 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:852)?(\d{8})$', 1)
-      | WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(86)?1[3-9]\d{9}$')
-      |   THEN '+86 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:86)?(1[3-9]\d{9})$', 1)
-      | WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(86)?0?755\d{6,8}$')
-      |   THEN '+86 755 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(?:86)?0?755(\d{6,8})$', 1)
-      | ELSE NULL END""".stripMargin.replace("\n", " ")
+  /** The per-segment phone cascade — ONE rendering, shared with the OSM
+    * tag-fix oracles (see [[OracleSql.phoneSegmentCase]]). */
+  private def phoneCase = OracleSql.phoneSegmentCase
 
   /** The portable polynomial hash rendering (shared via [[OracleSql]]). */
   private def pHash(e: String): String = OracleSql.pHash(e)
