@@ -51,6 +51,25 @@ class R7PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "a rank join degenerated to a cartesian product:\n" +
         plan.take(600))
+    // ONE edge join per round (deg staged onto the edge relation once) +
+    // one |nodes|-row rank rebuild per round: ≤ 2 joins × 3 iters. The
+    // old shape paid a third (edge ⋈ deg) join every round. Counted by
+    // TREE traversal: InMemoryTableScan has no children, so the staging
+    // plans cached behind the barriers don't inflate the count (the
+    // printed form re-renders them at every reference).
+    val joins = graft.queries.Relational.pageRank(spark, dir)
+      .queryExecution.executedPlan
+      .collect { case p if p.nodeName.contains("Join") => p }.size
+    assert(joins <= 6,
+      s"expected <= 2 joins per round over 3 rounds, found $joins:\n" +
+        plan.take(600))
+  }
+
+  test("landing pipeline: every stage keeps its audited join strategy") {
+    val plan = executed(graft.queries.DedupSim.landingPipeline(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "a landing stage degenerated to a cross product:\n" + plan.take(600))
   }
 
   test("bm25: broadcast joins + distributed top-k, no global sort") {
