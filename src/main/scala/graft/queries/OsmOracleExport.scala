@@ -33,15 +33,16 @@ object OsmOracleExport {
     * one staged pipeline in [[OsmQueries]], so the export costs no extra
     * XML parse. Relations exported:
     *   - `nodes`, `ways`             — shaped elements (explore inputs)
-    *   - `ways_tags`                 — final (post-fix) way tags
-    *   - `node_tags_fixed`,
-    *     `way_tags_fixed`            — tags WITH tag_pos + change flags
-    *                                   (update-history derivation inputs)
+    *   - `ways_tags`                 — final (post-fix) way tags (explore
+    *                                   IN/NOT-IN probe input; its OWN
+    *                                   oracle, q_osm_way_tags, re-derives
+    *                                   it from `raw_tags` instead)
     *   - `raw_tags`                  — pre-clean tags of both kinds in
-    *                                   document order (audit input)
+    *                                   document order (audit + tag-fix +
+    *                                   update-history derivation input)
     *   - `official_cleaned`          — the uncorrected official list
     *   - `update_history`            — explore input (its own oracle
-    *                                   re-derives it from the fixed tags,
+    *                                   re-derives it from `raw_tags`,
     *                                   not from this export)
     */
   def export(spark: SparkSession, dir: String): Unit = {
@@ -51,8 +52,6 @@ object OsmOracleExport {
     w(p.nodes, "nodes")
     w(p.ways, "ways")
     w(p.wayTags, "ways_tags")
-    w(p.nodeTagsFixed, "node_tags_fixed")
-    w(p.wayTagsFixed, "way_tags_fixed")
     val rawTags = p.rawNodeTags.withColumn("_kind", lit(0))
       .unionByName(p.rawWayTags.withColumn("_kind", lit(1)))
       .select(col("_kind"), col("tag_pos").as("_tag_pos"),

@@ -234,18 +234,46 @@ object OsmQueries {
         "SELECT b.uid AS uid, b.updates AS updates, " +
         "a.contributions AS contributions FROM b " +
         "LEFT JOIN a ON b.uid = a.uid"),
-    // K2 — update_history re-DERIVED from the flagged tag relations:
-    // per-element phone flag is the reference's last-writer-wins quirk
-    // (the LAST phone-key tag in document order decides → arg_max by
-    // tag_pos); name flag is any-changed-tag per way
+    // K2 — update_history re-DERIVED end-to-end from the RAW tags (no
+    // engine-computed flags cross the oracle boundary): per-tag
+    // phone_changed is "canonicalized value differs", the per-element
+    // flag is the reference's last-writer-wins quirk (the LAST phone-key
+    // tag in document order decides → arg_max by tag_pos); the way name
+    // flag is "any overwrite changed a value, or anything was appended",
+    // both re-derived through the same fix-plan CTEs as q_osm_way_tags
     "q_osm_update_history" ->
-      (s"WITH nt AS (SELECT * FROM ${rel("node_tags_fixed")}), " +
-        s"wt AS (SELECT * FROM ${rel("way_tags_fixed")}), " +
-        s"np AS (SELECT id FROM nt WHERE key IN ($phoneKeyList) " +
-        "GROUP BY id HAVING arg_max(phone_changed, tag_pos)), " +
-        s"wp AS (SELECT id FROM wt WHERE key IN ($phoneKeyList) " +
-        "GROUP BY id HAVING arg_max(phone_changed, tag_pos)), " +
-        "wn AS (SELECT DISTINCT id FROM wt WHERE name_changed) " +
+      (s"WITH nt AS (SELECT id, key, value, type, _tag_pos AS tag_pos " +
+        s"FROM ${rel("raw_tags")} WHERE _kind = 0), " +
+        s"wt AS (SELECT id, key, value, type, _tag_pos AS tag_pos " +
+        s"FROM ${rel("raw_tags")} WHERE _kind = 1), " +
+        duckPhoneFixedCtes("nt", "nfx") + ", " +
+        duckPhoneFixedCtes("wt", "wfx") + ", " +
+        duckVersionsCtes("wfx") + ", " +
+        s"oc AS (SELECT * FROM ${rel("official_cleaned")}), " +
+        duckCorrectedLookupCtes + ", " +
+        duckLookupResCtes + ", " +
+        "plan AS (SELECT r.id, r.c_eng, r.c_chi, " +
+        "r.c_chi || ' ' || r.c_eng AS c_reg, " +
+        "v.has_en, v.has_zh, v.has_reg " +
+        "FROM res r JOIN ver v USING (id) WHERE r.n_matches = 1), " +
+        // the *_m CTEs carry the raw value AND the matched-segment list,
+        // so per-tag phone_changed is computable without a join back
+        "np AS (SELECT id FROM nfx_m " +
+        s"WHERE key IN ($phoneKeyList) GROUP BY id " +
+        "HAVING arg_max(len(m) > 0 AND array_to_string(m, ';') <> value, " +
+        "tag_pos)), " +
+        "wp AS (SELECT id FROM wfx_m " +
+        s"WHERE key IN ($phoneKeyList) GROUP BY id " +
+        "HAVING arg_max(len(m) > 0 AND array_to_string(m, ';') <> value, " +
+        "tag_pos)), " +
+        "wn AS (SELECT DISTINCT id FROM (" +
+        "SELECT p.id FROM wfx w JOIN plan p USING (id) " +
+        "WHERE (w.type = 'name' AND w.key = 'en' AND w.value <> p.c_eng) " +
+        "OR (w.type = 'name' AND w.key = 'zh' AND w.value <> p.c_chi) " +
+        "OR (w.type = 'regular' AND w.key = 'name' " +
+        "AND w.value <> p.c_reg) " +
+        "UNION ALL SELECT id FROM plan " +
+        "WHERE has_en = 0 OR has_zh = 0 OR has_reg = 0)) " +
         "SELECT id, 'node' AS element_type, 'phone' AS field_updated " +
         "FROM np " +
         "UNION ALL SELECT id, 'way', 'phone' FROM wp " +
