@@ -48,6 +48,11 @@ object ScaleData {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts has shipped as TIMESTAMP(NANOS) in some testdata
+      // generations — read it as a long of nanos rather than throwing;
+      // the copied column round-trips bit-identically either way and
+      // Tables.normalizeEventTs handles both output footers
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
