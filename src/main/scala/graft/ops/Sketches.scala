@@ -44,25 +44,70 @@ object Sketches {
     * h' = (a·h + b) mod P — the same family the MinHash signatures use —
     * wraps every key through the full 31-bit range; measured error is
     * then −5%…−2% at 150/1.5k/15k distinct keys with 64 registers. */
-  def hllDistinct(df: DataFrame, keyCol: String): DataFrame = {
+  /** The mixed 31-bit hash, bucket, and leading-zero rank ρ — ONE
+    * definition of the register construction, shared by the global,
+    * per-group, and merge variants (drift between them would silently
+    * break sketch-union semantics). */
+  private def hllBucketRho(keyCol: String): (Column, Column) = {
     val h = pmod(
       polyHash(col(keyCol).cast("string")) * 1103515245L + 12345L,
       lit(2147483647L))
-    val bucket = pmod(h, lit(HllM.toLong))
     val rest = shiftright(h, 6) // h div 64, h ≥ 0; int-exact
     val rho = when(rest === 0, lit(26L))
       .otherwise(lit(26L) - length(bin(rest.cast("long"))).cast("long"))
-    val regs = df.select(bucket.as("b"), rho.as("rho"))
-      .groupBy(col("b")).agg(max(col("rho")).as("r"))
-    val est = regs.agg(
+    (pmod(h, lit(HllM.toLong)), rho)
+  }
+
+  /** The int64-exact harmonic estimator over a register file (b, r) —
+    * est×1000 = 709·m²·2²⁶ div Σ 2^(26−ρ); absent registers contribute
+    * ρ = 0. One row out. */
+  private def hllEstimate(regs: DataFrame): DataFrame =
+    regs.agg(
         sum(expr("shiftleft(1L, cast(26 - r as int))")).as("s_present"),
         count(lit(1)).as("n_regs"))
       .select((lit(709L) * HllM * HllM * (1L << 26)).as("num"),
         (col("s_present") + (lit(HllM.toLong) - col("n_regs")) * (1L << 26))
           .as("den"))
       .select(expr("num div den").as("hll_est_x1000"))
+
+  def hllDistinct(df: DataFrame, keyCol: String): DataFrame = {
+    val (bucket, rho) = hllBucketRho(keyCol)
+    val regs = df.select(bucket.as("b"), rho.as("rho"))
+      .groupBy(col("b")).agg(max(col("rho")).as("r"))
     val exact = df.agg(countDistinct(col(keyCol)).as("n_exact"))
-    exact.crossJoin(est) // two single-row frames
+    exact.crossJoin(hllEstimate(regs)) // two single-row frames
+  }
+
+  /** Sketch-union reaggregability — the property that makes a sketch a
+    * MERGEABLE METADATA artifact at cluster scale: build one register
+    * file PER `segmentCol` value (exactly as 1000 executors, or 1000
+    * daily increments, would sketch their shards independently and
+    * persist ≤ 64 rows each), then merge by per-bucket max and estimate
+    * the UNION cardinality. Returns one row: the exact distinct count,
+    * the merged-from-segments estimate, and the direct single-pass
+    * estimate. Merged == direct BY CONSTRUCTION (max is associative and
+    * commutative over the identical register construction) — the
+    * invariant the spec pins; overlap between segments (the same key in
+    * several segments) is handled exactly, where summing per-segment
+    * counts would double-count.
+    *
+    * Scale shape: per-segment registers are one partial-aggregated
+    * groupBy (≤ 64 rows per segment); the merge is a 64-row groupBy of
+    * THOSE — post-aggregation metadata, never data-scale. */
+  def hllMergeAcross(df: DataFrame, keyCol: String,
+      segmentCol: String): DataFrame = {
+    val (bucket, rho) = hllBucketRho(keyCol)
+    val perSegment = df
+      .select(col(segmentCol).as("_g"), bucket.as("b"), rho.as("rho"))
+      .groupBy(col("_g"), col("b")).agg(max(col("rho")).as("r"))
+    val merged = perSegment.groupBy(col("b")).agg(max(col("r")).as("r"))
+    val direct = df.select(bucket.as("b"), rho.as("rho"))
+      .groupBy(col("b")).agg(max(col("rho")).as("r"))
+    df.agg(countDistinct(col(keyCol)).as("n_exact"))
+      .crossJoin(hllEstimate(merged)
+        .withColumnRenamed("hll_est_x1000", "merged_est_x1000"))
+      .crossJoin(hllEstimate(direct)
+        .withColumnRenamed("hll_est_x1000", "direct_est_x1000"))
   }
 
   /** Per-group [[hllDistinct]]: one register file per group key. The
@@ -73,13 +118,7 @@ object Sketches {
     * global variant (int64-exact, engine-portable). */
   def hllDistinctBy(df: DataFrame, keyCol: String,
       groupCol: String): DataFrame = {
-    val h = pmod(
-      polyHash(col(keyCol).cast("string")) * 1103515245L + 12345L,
-      lit(2147483647L))
-    val bucket = pmod(h, lit(HllM.toLong))
-    val rest = shiftright(h, 6)
-    val rho = when(rest === 0, lit(26L))
-      .otherwise(lit(26L) - length(bin(rest.cast("long"))).cast("long"))
+    val (bucket, rho) = hllBucketRho(keyCol)
     val est = df
       .select(col(groupCol).as("_g"), bucket.as("b"), rho.as("rho"))
       .groupBy(col("_g"), col("b")).agg(max(col("rho")).as("r"))

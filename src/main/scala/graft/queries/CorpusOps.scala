@@ -95,6 +95,14 @@ object CorpusOps {
     Sketches.hllDistinctBy(Tables(s, dir).events,
       keyCol = "user_id", groupCol = "event_type")
 
+  /** Sketch-union reaggregability: per-event-type register files merged
+    * into the UNION distinct-user estimate (users appear under several
+    * event types, so summing per-segment counts would double-count;
+    * the merged sketch equals the direct one exactly). */
+  def hllMerge(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllMergeAcross(Tables(s, dir).events,
+      keyCol = "user_id", segmentCol = "event_type")
+
   /** An 8-token header planted on every document so the df-threshold rule
     * has a true positive to remove (the synthetic corpus carries no
     * natural cross-document boilerplate); replayed verbatim in the
@@ -225,6 +233,7 @@ object CorpusOps {
     "q_heavy_hitters" -> heavyHitters,
     "q_quantile_by_lang" -> quantileByLang,
     "q_hll_by_segment" -> hllBySegment,
+    "q_hll_merge" -> hllMerge,
     "q_curation" -> curation,
     "q_stratified_sample" -> stratifiedSample,
     "q_source_quota" -> sourceQuota,
@@ -525,6 +534,31 @@ object CorpusOps {
         "CAST((709 * 64 * 64 * (1::BIGINT << 26)) // " +
         "(s_present + (64 - n_regs) * (1::BIGINT << 26)) AS BIGINT) " +
         "AS hll_est_x1000 FROM ex JOIN agg USING (event_type)"),
+    // per-segment register files merged by per-bucket max, estimated with
+    // the same exact-rational arithmetic — and the direct single-pass
+    // sketch alongside; DuckDB re-derives BOTH, so the merge≡direct
+    // union property is cross-engine-checked, not just spec-asserted
+    "q_hll_merge" ->
+      (s"WITH h AS (SELECT event_type, (${pHash("user_id")} " +
+        "* 1103515245 + 12345) % 2147483647 AS h FROM events), " +
+        "r AS (SELECT event_type, h % 64 AS b, " +
+        "CASE WHEN h // 64 = 0 THEN 26 " +
+        "ELSE 26 - length(bin(h // 64)) END AS rho FROM h), " +
+        "seg AS (SELECT event_type, b, max(rho) AS r FROM r " +
+        "GROUP BY event_type, b), " +
+        "mreg AS (SELECT b, max(r) AS r FROM seg GROUP BY b), " +
+        "dreg AS (SELECT b, max(rho) AS r FROM r GROUP BY b), " +
+        "ma AS (SELECT CAST(sum(1::BIGINT << CAST(26 - r AS INTEGER)) " +
+        "AS BIGINT) AS s_present, count(*) AS n_regs FROM mreg), " +
+        "da AS (SELECT CAST(sum(1::BIGINT << CAST(26 - r AS INTEGER)) " +
+        "AS BIGINT) AS s_present, count(*) AS n_regs FROM dreg) " +
+        "SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_exact, " +
+        "CAST((709 * 64 * 64 * (1::BIGINT << 26)) // " +
+        "(ma.s_present + (64 - ma.n_regs) * (1::BIGINT << 26)) " +
+        "AS BIGINT) AS merged_est_x1000, " +
+        "CAST((709 * 64 * 64 * (1::BIGINT << 26)) // " +
+        "(da.s_present + (64 - da.n_regs) * (1::BIGINT << 26)) " +
+        "AS BIGINT) AS direct_est_x1000 FROM ma, da"),
     "q_hll_distinct" ->
       (s"WITH h AS (SELECT (${pHash("o_custkey")} * 1103515245 + 12345) " +
         "% 2147483647 AS h FROM orders), " +

@@ -143,6 +143,29 @@ class CorpusOpsSpec extends SparkSpec {
       s"exact=$exact est=$est")
   }
 
+  test("merged per-segment HLL registers equal the direct union sketch") {
+    // key with sketch-scale cardinality at sf0.001 (user_id has only 15
+    // distinct there, below the raw estimator's small-range floor —
+    // documented in hllDistinct) that still overlaps across segments
+    val events = graft.Tables(spark, sf).events
+      .withColumn("k", col("event_id") % 997)
+    val row = Sketches.hllMergeAcross(events, "k", "event_type")
+      .head()
+    val (exact, merged, direct) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    // the reaggregability invariant: merging segment register files IS
+    // the union sketch, bit for bit — NOT the sum of per-segment counts
+    assert(merged == direct, s"merged=$merged direct=$direct")
+    assert(math.abs(merged / 1000.0 - exact) <= 0.30 * exact,
+      s"exact=$exact merged=$merged")
+    // overlap really exists: summing per-segment exact counts overshoots
+    val sumOfSegments = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("k")).as("n")).agg(sum("n"))
+      .head().getLong(0)
+    assert(sumOfSegments > exact,
+      s"segments don't overlap — the merge test is vacuous ($sumOfSegments)")
+  }
+
   test("histogram quantiles bracket the exact quantiles within one bin") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val qh = Sketches.histogramQuantiles(docs, "n_chars", 64L,
