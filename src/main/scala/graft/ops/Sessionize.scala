@@ -110,6 +110,27 @@ object Sessionize {
       .filter(col(tsCol) >= col("session_start") &&
         col(tsCol) <= col("session_end"))
 
+  /** Bounded-interval attribution PAIRS: every (purchase, click) pair of
+    * the same user with the click inside the `lookbackMinutes` window
+    * ending at the purchase — the marketing-attribution / feature-join
+    * shape whose streaming dual is Structured Streaming's watermarked
+    * stream-stream interval join ([[graft.streaming.EventStream
+    * .clickAttribution]] applies the IDENTICAL predicate to two
+    * watermarked streams; the spec asserts pair-set equality). An
+    * equi-join on the user key with the time range as join residual —
+    * never an unkeyed range join — and the interval bound is what keeps
+    * the streaming side's buffered state finite. */
+  def attributionPairs(purchases: DataFrame, clicks: DataFrame,
+      lookbackMinutes: Int = 30): DataFrame =
+    purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .join(clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("c_ts")), Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+
   /** Trailing-window features: for EVERY event, count + integral sum over
     * the same user's events in [ts − window, ts] — the point-in-time
     * rolling feature a training pipeline attaches to each example. A RANGE

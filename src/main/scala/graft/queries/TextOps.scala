@@ -107,6 +107,17 @@ object TextOps {
         col("session_id"), col("session_n_events"))
   }
 
+  /** Bounded-interval click→purchase attribution pairs — the batch form
+    * of the watermarked stream-stream interval join
+    * ([[graft.streaming.EventStream.clickAttribution]], same predicate;
+    * EventStreamSpec pins the pair-set equality). */
+  def clickAttrib(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    graft.ops.Sessionize.attributionPairs(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+  }
+
   /** Two-phase salted aggregation — must equal the plain groupBy (the
     * oracle IS the unsalted SQL), demonstrating the hot-key scale path.
     * value summed is integral (event props k) so the compare stays exact:
@@ -328,6 +339,7 @@ object TextOps {
     "q_redact" -> redact,
     "q_rolling" -> rolling,
     "q_session_attrib" -> sessionAttrib,
+    "q_click_attrib" -> clickAttrib,
   )
 
   /** The per-segment phone cascade — ONE rendering, shared with the OSM
@@ -747,6 +759,12 @@ object TextOps {
     // the same gap-session construction (lag → flag → running sum → group
     // to intervals) then the same containment join; DuckDB's widened
     // window sum casts back to BIGINT
+    "q_click_attrib" ->
+      ("SELECT p.event_id AS purchase_id, p.user_id, " +
+        "c.event_id AS click_id " +
+        "FROM events p JOIN events c ON c.user_id = p.user_id " +
+        "WHERE p.event_type = 'purchase' AND c.event_type = 'click' " +
+        "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE"),
     "q_session_attrib" ->
       ("WITH s0 AS (SELECT event_id, user_id, ts, " +
         "CASE WHEN lag(ts) OVER w IS NULL OR " +

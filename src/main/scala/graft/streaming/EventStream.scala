@@ -211,6 +211,33 @@ object EventStream {
       .dropDuplicates("doc_id", "corpus_id")
   }
 
+  /** Stream-stream event-time INTERVAL join — the join surface beyond
+    * the stream-static joins above: purchase events join click events of
+    * the same user within a bounded lookback, both sides watermarked.
+    * The event-time bound in the join condition is what lets the engine
+    * EVICT buffered rows (state per side ≈ watermark + interval of
+    * events), so the join runs indefinitely on an unbounded stream —
+    * without it a stream-stream join must buffer forever. Identical
+    * predicate to the batch [[graft.ops.Sessionize.attributionPairs]];
+    * the spec asserts pair-set equality. Inner join → append mode. */
+  def clickAttribution(events: DataFrame, lookbackMinutes: Int = 30,
+      lateness: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") -
+            expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+  }
+
   /** Drive a streaming DataFrame to completion against a bounded source
     * and return the in-memory result table (local smoke harness).
     *

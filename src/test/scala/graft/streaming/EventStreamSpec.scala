@@ -125,6 +125,21 @@ class EventStreamSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("stream-stream interval join equals the batch attribution pairs") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val got = EventStream.runToMemory(
+      EventStream.clickAttribution(stream), "attrib_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables(spark, sf).events
+    val batch = graft.ops.Sessionize.attributionPairs(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "no in-window pairs — the equality is vacuous")
+    assert(got == batch)
+  }
+
   test("stream-static anti join drops corpus-known digests") {
     import java.nio.file.Files
     val docs = Tables(spark, sf).documents
