@@ -65,6 +65,15 @@ class R7PlanSpec extends SparkSpec {
         plan.take(600))
   }
 
+  test("click attribution: keyed join with range residual, no range " +
+      "cartesian") {
+    val plan = executed(graft.queries.TextOps.clickAttrib(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the interval predicate escaped the equi-join residual:\n" +
+        plan.take(600))
+  }
+
   test("landing pipeline: every stage keeps its audited join strategy") {
     val plan = executed(graft.queries.DedupSim.landingPipeline(spark, dir))
     assert(!plan.contains("CartesianProduct") &&
