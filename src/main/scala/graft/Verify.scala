@@ -33,7 +33,7 @@ object Verify {
     // On export failure the OSM entries are DROPPED from oracle_sql.json
     // (falling back to the rows-only check) rather than shipping SQL that
     // is guaranteed to error against a missing path.
-    val osmDir = queries.OsmOracleExport.DefaultDir
+    val osmDir = queries.OsmOracleExport.dirFor(outDir)
     val osmExported =
       try { queries.OsmOracleExport.export(spark, osmDir); true }
       catch { case e: Throwable =>

@@ -189,7 +189,11 @@ object CorpusOps {
   private val jsonlCache = new graft.ops.SessionScoped[String]
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = jsonlCache.getOrCompute(s, dir) {
-      val p = s"/tmp/graft_jsonl/${(dir.hashCode.toLong & 0xffffffffL)}"
+      // sanitized dir + hash, collision-free for distinct dirs (see
+      // DedupSim.landingPipeline's landing path)
+      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        f"-${dir.hashCode & 0xffffffffL}%08x"
+      val p = s"/tmp/graft_jsonl/$tag"
       graft.sources.JsonlStore.writeJsonl(
         Tables(s, dir).documents
           .select(col("doc_id"), col("source"), col("text")), p)

@@ -221,7 +221,12 @@ object DedupSim {
   def landingPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
     val path = landingCache.getOrCompute(s, dir) {
-      val p = s"/tmp/graft_landing/${dir.hashCode.toLong & 0xffffffffL}"
+      // sanitized dir + hash: two DISTINCT sf dirs can never share a
+      // landing path (a bare hashCode could collide and silently serve
+      // one dir's published store to the other)
+      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        f"-${dir.hashCode & 0xffffffffL}%08x"
+      val p = s"/tmp/graft_landing/$tag"
       graft.sources.JsonlStore.writeJsonl(landingBatch(docs), p)
       p
     }
@@ -241,9 +246,12 @@ object DedupSim {
     val near = Dedup.incrementalNearDedup(survivors, docs)
     val pubPath = publishCache.getOrCompute(s, dir) {
       val p = s"$path.published"
-      val toPublish = survivors.join(
+      // staged: the near-dup screen (the chain's most expensive stage)
+      // would otherwise run twice — once for the audit expectation and
+      // once inside Publish's write
+      val toPublish = graft.ops.Stage.barrier(survivors.join(
         near.filter(col("kept")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+        Seq("doc_id"), "left_semi"))
       val expected = toPublish.count()
       graft.sources.Publish.parquet(toPublish, p,
         audit = staged => staged.count() == expected)

@@ -24,10 +24,17 @@ object OsmOracleExport {
     * with the actual export directory before writing oracle_sql.json. */
   val Placeholder = "__OSM_ORACLE_DIR__"
 
-  /** Fixed export location. Deliberately NOT inside Verify's outDir: the
+  /** Export location for a given Verify outDir: a SIBLING of outDir
+    * (same writable volume wherever the driver runs the gate — a
+    * hardcoded checkout path would silently degrade every OSM oracle to
+    * rows-only when run from elsewhere), deliberately NOT inside it: the
     * driver treats every outDir subdirectory as a query result, so a
     * side-band export there would surface as a bogus correctness row. */
-  val DefaultDir = "/root/repo/target/osm_oracle"
+  def dirFor(outDir: String): String = {
+    val out = new java.io.File(outDir).getCanonicalFile
+    new java.io.File(out.getParentFile, out.getName + ".osm_oracle")
+      .getAbsolutePath
+  }
 
   /** Write the shaped relations the oracle SQL reads. All derive from the
     * one staged pipeline in [[OsmQueries]], so the export costs no extra

@@ -27,7 +27,13 @@ object EventStream {
     * the next footer flip cannot split batch from stream again. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsDdl = spark.read.parquet(dir).schema("ts").dataType.sql
+    // a landing directory may legitimately be EMPTY at stream start (the
+    // producer hasn't written yet) — the probe then can't see a footer,
+    // and the stream must still construct; default to the micros variant
+    // (current testdata) and let normalizeEventTs keep the branch local
+    val tsDdl = scala.util.Try(
+        spark.read.parquet(dir).schema("ts").dataType.sql)
+      .getOrElse("TIMESTAMP_NTZ")
     val raw = spark.readStream
       .schema(s"event_id LONG, ts $tsDdl, user_id LONG, " +
         "event_type STRING, value DOUBLE, props STRING")

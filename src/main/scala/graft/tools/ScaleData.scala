@@ -31,14 +31,24 @@ import org.apache.spark.sql.functions._
 object ScaleData {
 
   /** Letters absent from the gopher stopwords (`the a of to in`) — the
-    * substitution alphabet each copy rotates within. */
+    * substitution alphabets each copy rotates within. TWO independent
+    * cycles (13 × 5 letters) so the combined transform has period 65:
+    * a single 13-letter rotation repeats at factor > 13 (copy 13 would
+    * be the identity and silently reintroduce the cross-copy duplicate
+    * families this generator exists to prevent). */
   private val Rot = "bcdgjkmpqvwxz"
+  private val Rot2 = "lrsuy"
 
-  private def rotated(i: Int): String = {
-    val n = Rot.length
-    val k = i % n
-    Rot.substring(k) + Rot.substring(0, k)
-  }
+  require(Rot.toSet.intersect(Rot2.toSet).isEmpty)
+
+  private def rotatedBy(alpha: String, k: Int): String =
+    alpha.substring(k % alpha.length) + alpha.substring(0, k % alpha.length)
+
+  /** The combined substitution alphabets for copy `i` (identity only at
+    * i ≡ 0 (mod 65)). */
+  private def substitution(i: Int): (String, String) =
+    (Rot + Rot2, rotatedBy(Rot, i % Rot.length) +
+      rotatedBy(Rot2, (i / Rot.length) % Rot2.length))
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
@@ -113,13 +123,18 @@ object ScaleData {
         .withColumn("user_id", (col("user_id") + lit(userSpan * i))
           .as("user_id"))
     }, "events")
+    require(factor <= 64,
+      "per-copy transforms are injective only up to 64 copies " +
+        "(65 for text, 64 for the embedding dim rotation)")
     write(copies(table("documents")) { (d, i) =>
+      val (from, to) = substitution(i)
       d.withColumn("doc_id", off("doc_id", docSpan, i))
         .withColumn("text",
           if (i == 0) col("text")
-          else translate(col("text"), Rot, rotated(i)))
+          else translate(col("text"), from, to))
     }, "documents")
     write(copies(table("embeddings")) { (d, i) =>
+      // offsets i·7 mod 64 are pairwise distinct for i < 64 (gcd(7,64)=1)
       val offDim = (i * 7) % 64
       d.withColumn("vec_id", off("vec_id", vecSpan, i))
         .withColumn("embedding",
