@@ -12,7 +12,7 @@ object PlanDump {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_join_agg", "q_token_stats", "q_semi_join", "q_sessionize",
         "q_minhash_neardup", "q_knn_brute", "q_filter_in")
-    val spark = SparkSession.builder()
+    val spark = Tables.configure(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

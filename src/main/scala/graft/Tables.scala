@@ -23,10 +23,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     * [[Tables.normalizeEventTs]], the ONE place the footer branch lives
     * (shared with the streaming read path so a testdata flip cannot split
     * batch and stream again, the round-8 failure mode). */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.normalizeEventTs(table("events"))
-  }
+  def events: DataFrame = Tables.normalizeEventTs(table("events"))
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
@@ -43,6 +40,22 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** SQL confs the engine requires at SESSION CONSTRUCTION. Readers never
+    * mutate session state (a reader that flips a session-wide flag is a
+    * trap for co-resident reads) — every `main` and the shared test
+    * session apply these at build time via [[configure]].
+    *
+    * `nanosAsLong` only changes how a TIMESTAMP(NANOS) parquet footer
+    * SURFACES — as a bigint of nanos, which [[normalizeEventTs]] then
+    * converts; without it Spark 4 refuses such footers outright. It is a
+    * no-op for micros-footer data, so setting it unconditionally is safe. */
+  val SessionConfigs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Apply [[SessionConfigs]] to a session builder (chainable). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    SessionConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   /** Normalize `events.ts` to a session-zone (UTC) timestamp with
     * microsecond values, whatever the parquet footer said. Driver testdata
     * generations have alternated between TIMESTAMP(NANOS) footers (which

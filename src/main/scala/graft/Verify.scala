@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = Tables.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -40,6 +40,16 @@ object Verify {
         System.err.println(s"[verify] osm oracle export failed: ${e.getMessage}")
         false
       }
+    // Independent-parser oracle for the raw XML ingest (OsmShred): a
+    // python3/ElementTree subprocess, so its failure likewise degrades the
+    // six ingest rows to rows-only instead of shipping broken SQL.
+    val shredDir = queries.OsmShred.dirFor(outDir)
+    val shredded =
+      try { queries.OsmShred.run(shredDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] osm shred failed: ${e.getMessage}")
+        false
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -52,12 +62,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val ph = queries.OsmOracleExport.Placeholder
+    // Each placeholder rewrites to its export dir when that export
+    // succeeded; an entry referencing a FAILED export is dropped (driver
+    // falls back to the rows-only check for that query).
+    val rewrites = Seq(
+      (queries.OsmOracleExport.Placeholder, osmDir, osmExported),
+      (queries.OsmShred.Placeholder, shredDir, shredded))
     val json = SparkEntry.oracleSql
       .flatMap { case (k, v) =>
-        if (!v.contains(ph)) Some(k -> v)
-        else if (osmExported) Some(k -> v.replace(ph, osmDir))
-        else None
+        val bad = rewrites.exists { case (ph, _, ok) =>
+          v.contains(ph) && !ok }
+        if (bad) None
+        else Some(k -> rewrites.foldLeft(v) { case (s, (ph, dir, _)) =>
+          s.replace(ph, dir) })
       }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

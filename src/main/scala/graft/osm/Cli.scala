@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * 177-179): the K3 console-report sink. */
 private[osm] object Cli {
   def session(app: String): SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.Tables.configure(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName(app)
       .config("spark.sql.shuffle.partitions",

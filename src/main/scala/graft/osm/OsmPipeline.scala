@@ -225,7 +225,7 @@ object ProcessMap {
       case Array(a, b, c) => (a, b, c, None)
       case Array(a, b, c, q) => (a, b, c, Some(q))
     }
-    val spark = SparkSession.builder()
+    val spark = graft.Tables.configure(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-process-map")
       .config("spark.sql.shuffle.partitions",

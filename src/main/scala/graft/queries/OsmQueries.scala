@@ -10,14 +10,17 @@ import graft.osm.{Audits, Explore, OsmPipeline}
   * argument.
   *
   * Correctness evidence is two-layered. The XML INGEST half (raw scans,
-  * tag shaping, relations) has no possible DuckDB oracle — DuckDB cannot
-  * read the XML, and exporting a scan's own output to compare against
-  * itself would verify nothing — so those rows stay rows-only here and
-  * content-pinned by OsmGoldenSpec's reference-derived hashes. Everything
-  * DOWNSTREAM of ingestion (the explore joins/aggregations, update-history
-  * derivation, both audits, the official-list corrections, and the full
-  * phone + street-name tag fixes) IS oracled: [[graft.Verify]] exports the
-  * upstream relations via [[OsmOracleExport]] and the [[oracle]] map below
+  * way-node/member positions, the official-list cleaning) is oracled
+  * against an INDEPENDENT parser: DuckDB cannot read the XML itself, so
+  * [[graft.Verify]] runs `tools/shred_osm.py` (stdlib ElementTree,
+  * mirroring the reference's iterparse semantics — see [[OsmShred]]) and
+  * the six raw queries compare against ITS parquet export, a true
+  * two-implementation check on top of OsmGoldenSpec's reference-derived
+  * hashes. Everything DOWNSTREAM of ingestion (the explore
+  * joins/aggregations, update-history derivation, both audits, the
+  * official-list corrections, and the full phone + street-name tag fixes)
+  * is oracled relationally: [[graft.Verify]] exports the upstream
+  * relations via [[OsmOracleExport]] and the [[oracle]] map below
   * restates each computation in DuckDB SQL over those exports.
   */
 object OsmQueries {
@@ -87,6 +90,13 @@ object OsmQueries {
     * to the actual export directory when writing oracle_sql.json. */
   private def rel(name: String): String =
     s"read_parquet('${OsmOracleExport.Placeholder}/$name/*.parquet')"
+
+  /** A relation written by the INDEPENDENT ElementTree shredder
+    * ([[OsmShred]]). `SELECT *` over these is a real check — the parquet
+    * on the oracle side was produced by a second parser implementation,
+    * never by the engine under test. */
+  private def shredRel(name: String): String =
+    s"SELECT * FROM read_parquet('${OsmShred.Placeholder}/$name/*.parquet')"
 
   /** Single-quoted SQL string literal (DuckDB standard strings treat
     * backslash literally, so Java regexes embed verbatim). */
@@ -194,6 +204,14 @@ object OsmQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // S1/S3/P2 raw ingest vs the independent ElementTree shredder —
+    // closes the last `no_oracle` rows (cross-engine since round 10)
+    "q_osm_nodes" -> shredRel("nodes"),
+    "q_osm_ways" -> shredRel("ways"),
+    "q_osm_way_nodes" -> shredRel("way_nodes"),
+    "q_osm_relations" -> shredRel("relations"),
+    "q_osm_relation_members" -> shredRel("relation_members"),
+    "q_osm_official_raw" -> shredRel("official_raw"),
     // p.8 scalar explore metrics, one row per metric (counts, the
     // distinct-contributors UNION ALL, the IN / NOT IN subqueries)
     "q_osm_explore_summary" ->

@@ -24,13 +24,18 @@ object EventStream {
     * metadata read and declare whatever it actually contains, then apply
     * the SAME shared normalization as the batch accessor
     * ([[graft.Tables.normalizeEventTs]]). One code path for both reads:
-    * the next footer flip cannot split batch from stream again. */
+    * the next footer flip cannot split batch from stream again.
+    *
+    * Session prerequisite: build the session with
+    * [[graft.Tables.SessionConfigs]] (`nanosAsLong`) — the reader itself
+    * never mutates session state. EMPTY-DIR CAVEAT: if the landing dir has
+    * no files at stream construction the probe can't see a footer and the
+    * declared schema defaults to the micros variant (current testdata); a
+    * producer that later writes TIMESTAMP(NANOS) footers into that dir
+    * will fail at micro-batch time with a schema mismatch rather than
+    * misread — construct the stream after the first file lands (or
+    * reconstruct it) for nanos-footer data. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // a landing directory may legitimately be EMPTY at stream start (the
-    // producer hasn't written yet) — the probe then can't see a footer,
-    // and the stream must still construct; default to the micros variant
-    // (current testdata) and let normalizeEventTs keep the branch local
     val tsDdl = scala.util.Try(
         spark.read.parquet(dir).schema("ts").dataType.sql)
       .getOrElse("TIMESTAMP_NTZ")

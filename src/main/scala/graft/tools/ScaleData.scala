@@ -53,16 +53,19 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
     val factor = factorS.toInt
-    val spark = SparkSession.builder()
+    // validate BEFORE any write: an oversized factor must abort up front,
+    // not mid-run with a half-written, inconsistent outDir
+    require(factor <= 64,
+      "per-copy transforms are injective only up to 64 copies " +
+        "(65 for text, 64 for the embedding dim rotation)")
+    val spark = graft.Tables.configure(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts has shipped as TIMESTAMP(NANOS) in some testdata
-      // generations — read it as a long of nanos rather than throwing;
-      // the copied column round-trips bit-identically either way and
-      // Tables.normalizeEventTs handles both output footers
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Tables.configure supplies nanosAsLong: events.ts has shipped as
+      // TIMESTAMP(NANOS) in some generations; the copied column
+      // round-trips bit-identically either way
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -72,8 +75,10 @@ object ScaleData {
       df.write.mode("overwrite").parquet(s"$out/$n.parquet")
 
     // one tiny driver action per key domain — generator setup, not a query
+    // cast inside: a testdata generation that ships a key as INT32 would
+    // otherwise make getLong throw at the first span probe
     def keySpan(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head().getLong(0) + 1L
+      df.agg(max(col(c).cast("long"))).head().getLong(0) + 1L
 
     val custSpan = keySpan(table("customer"), "c_custkey")
     val suppSpan = keySpan(table("supplier"), "s_suppkey")
@@ -123,9 +128,6 @@ object ScaleData {
         .withColumn("user_id", (col("user_id") + lit(userSpan * i))
           .as("user_id"))
     }, "events")
-    require(factor <= 64,
-      "per-copy transforms are injective only up to 64 copies " +
-        "(65 for text, 64 for the embedding dim rotation)")
     write(copies(table("documents")) { (d, i) =>
       val (from, to) = substitution(i)
       d.withColumn("doc_id", off("doc_id", docSpan, i))
