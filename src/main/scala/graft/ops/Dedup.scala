@@ -462,7 +462,19 @@ object Dedup {
     * purely a rail. */
   def hammingNearDupPairs(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000): DataFrame =
+    hammingNearDupPairsWithStats(sigs, maxHamming, idCol, sigCol,
+      maxBucket)._1
+
+  /** [[hammingNearDupPairs]] plus the number of (blk, key) buckets the
+    * `maxBucket` rail dropped — the rail must never fire SILENTLY (a
+    * fired rail is lost recall in a mass-duplicate region; the operator
+    * of a 100 TB run needs the count, not a vibe). The count is also
+    * logged as a warning; the cached blocked relation makes it one cheap
+    * cache-local pass. */
+  def hammingNearDupPairsWithStats(sigs: DataFrame, maxHamming: Int = 6,
+      idCol: String = "doc_id", sigCol: String = "simhash",
+      maxBucket: Int = 100000): (DataFrame, Long) = {
     require(maxHamming <= 6,
       "chunk-pair blocking guarantees recall only for hamming <= 6")
     val hs = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
@@ -475,22 +487,30 @@ object Dedup {
     // staged: self-joined below — without the barrier the 62 sum-aggregates
     // of the simhash computation run once per join side (concurrently);
     // the bucket-size window shares the (blk, key) layout the join
-    // shuffles to anyway
-    val blocked = Stage.barrier(
+    // shuffles to anyway. The PRE-filter frame is what's cached so the
+    // dropped-bucket accounting reads the same blocks the join does.
+    val sized = Stage.barrier(
       hs.select(col("doc_id"), col("simhash"),
           explode(array(pairCols: _*)).as("ck"))
         .select(col("doc_id"), col("simhash"),
           col("ck.blk").as("blk"), col("ck.key").as("key"))
         .withColumn("_bn", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(col("blk"), col("key"))))
-        .filter(col("_bn") <= maxBucket)
-        .drop("_bn"))
+            .partitionBy(col("blk"), col("key")))))
+    val droppedBuckets = sized.filter(col("_bn") > maxBucket)
+      .select(col("blk"), col("key")).distinct().count()
+    if (droppedBuckets > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"hammingNearDupPairs: maxBucket=$maxBucket dropped " +
+          s"$droppedBuckets over-cap (blk, key) buckets — recall is lost " +
+          "in those mass-duplicate regions; raise maxBucket or cluster " +
+          "via simhashCanonical instead of pairing")
+    val blocked = sized.filter(col("_bn") <= maxBucket).drop("_bn")
     val a = blocked.select(col("blk"), col("key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = blocked.select(col("blk"), col("key"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("blk", "key"))
+    val pairs = a.join(b, Seq("blk", "key"))
       .filter(col("doc_a") < col("doc_b"))
       // bit_count is a register op — verify BEFORE the dedup shuffle so
       // only true near-dups (not every bucket collision) get shuffled
@@ -499,6 +519,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+    (pairs, droppedBuckets)
+  }
+
+  /** Cluster-reduce form of SimHash near-dup detection — the DENSE-corpus
+    * posture. [[simhashNearDupPairs]]' deliverable is the PAIR LIST,
+    * which is inherently quadratic in self-similar corpora (measured:
+    * 38.7M verified pairs at sf1 — the cost is the output shape, not the
+    * plan). At 100 TB the right deliverable for dense slices is the
+    * CLUSTER MAP: (doc_id, canonical_id) for every document, O(docs).
+    *
+    * The collapse that makes it cheap is EXACT, not approximate: hamming
+    * distance depends only on the signature, so documents sharing one
+    * 62-bit simhash are interchangeable — group to one representative per
+    * DISTINCT signature first (`min(doc_id)`, the same partial-aggregated
+    * shuffle as exact dedup), run the chunk-pair blocking + connected
+    * components over representatives only, then broadcast the component
+    * label back through the signature. A million identical boilerplate
+    * docs contribute ONE node to the pair graph instead of 5·10¹¹ pairs;
+    * the quadratic pair relation exists only as a transient shuffle
+    * inside the component aggregation, never as a deliverable.
+    *
+    * canonical_id = the smallest doc_id in the transitive near-dup
+    * cluster (singletons label themselves) — identical to running
+    * [[components]] over the full document pair graph, proven in
+    * DedupSpec and cross-engine by q_simhash_canonical's exhaustive
+    * recursive-CTE oracle. */
+  def simhashCanonical(docs: DataFrame, maxHamming: Int = 6,
+      textCol: String = "text", maxBucket: Int = 100000): DataFrame = {
+    val sigs = Stage.barrier(simhashes(docs, textCol))
+    val reps = Stage.barrier(sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep_id")))
+    val pairs = hammingNearDupPairs(reps, maxHamming,
+      idCol = "rep_id", sigCol = "simhash", maxBucket = maxBucket)
+    val labels = components(pairs)
+      .select(col("doc_id").as("rep_id"), col("component"))
+    sigs.join(reps, Seq("simhash"))
+      .join(labels, Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("rep_id")).as("canonical_id"))
   }
 
   /** (doc_id, pos, seg) rows: documents cut into `segTokens`-token

@@ -108,6 +108,12 @@ object DedupSim {
   def simhashNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(docsWithMutants(s, dir))
 
+  /** Dense-corpus cluster map: every doc → smallest doc_id of its
+    * transitive simhash near-dup cluster, O(docs) output (the pair list
+    * stays transient — see Dedup.simhashCanonical). */
+  def simhashCanonical(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCanonical(docsWithMutants(s, dir))
+
   /** SimHash (hamming ≤ 6) evaluated against the MinHash-verified
     * (jaccard ≥ 0.7) pair set on the same mutant corpus — how well the
     * cheap bit signature tracks set-overlap truth. */
@@ -360,6 +366,7 @@ object DedupSim {
     "q_dedup_canonical" -> dedupCanonical,
     "q_simhash" -> simhashes,
     "q_simhash_neardup" -> simhashNearDups,
+    "q_simhash_canonical" -> simhashCanonical,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
@@ -950,6 +957,26 @@ object DedupSim {
     // the chunk-pair blocking's pigeonhole recall guarantee, not replaying
     // the blocked plan
     "q_simhash_neardup" -> duckSimhashNearDupSql,
+    // exhaustive pairs over DISTINCT signatures + recursive-CTE reach —
+    // a different algorithm than the engine's rep-collapse + label
+    // propagation, cross-checking both the signature collapse and the
+    // transitive closure
+    "q_simhash_canonical" ->
+      ("WITH RECURSIVE " +
+        duckSimhashOf(duckDocsWithMutants).stripPrefix("WITH ") +
+        ", rep AS (SELECT sh, min(doc_id) AS rep_id FROM sim GROUP BY sh), " +
+        "edges AS (SELECT a.rep_id AS s, b.rep_id AS d FROM rep a " +
+        "JOIN rep b ON a.rep_id <> b.rep_id " +
+        "AND bit_count(xor(a.sh, b.sh)) <= 6), " +
+        "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+        "SELECT reach.id, edges.d FROM reach JOIN edges " +
+        "ON edges.s = reach.r), " +
+        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id) " +
+        "SELECT sim.doc_id AS doc_id, " +
+        "coalesce(comp.component, rep.rep_id) AS canonical_id " +
+        "FROM sim JOIN rep ON sim.sh = rep.sh " +
+        "LEFT JOIN comp ON rep.rep_id = comp.id"),
     // both pair sets re-derived through their own oracles (exhaustive
     // simhash scan vs the replayed minhash pipeline), then the same
     // integer precision/recall arithmetic

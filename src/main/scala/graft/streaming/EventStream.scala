@@ -99,11 +99,22 @@ object EventStream {
       }
   }
 
-  /** Streaming exact dedup: watermarked dropDuplicates on the event key —
-    * state evicts once the watermark passes, so memory stays bounded on an
-    * unbounded stream (the streaming dual of ops.Dedup.exact). */
+  /** Streaming exact dedup with BOUNDED state: watermarked
+    * dropDuplicatesWithinWatermark on the event key — a key's state row
+    * evicts once the watermark passes its event time + delay, so memory
+    * tracks the watermark horizon, never the stream's history.
+    *
+    * (r10 fix, caught by the state-bounds spec: plain
+    * `dropDuplicates("event_id")` under a watermark looks right but the
+    * key set does NOT include the event-time column, so Spark keeps every
+    * key forever — state grew monotonically with zero evictions across a
+    * 28-hour watermark advance. `dropDuplicatesWithinWatermark` is the
+    * bounded form; its documented tradeoff — a duplicate arriving later
+    * than the watermark delay re-emits — is pinned in EventStreamSpec.
+    * Exact dedup over unbounded time is the batch op's job.) */
   def dedupEvents(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming top-k: the k highest-value events per tumbling window —
     * the native bounded TopKAgg running INSIDE streaming state (its ≤ k

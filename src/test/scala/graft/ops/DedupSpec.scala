@@ -162,11 +162,39 @@ class DedupSpec extends SparkSpec {
     // — the shape that would otherwise go quadratic
     val sigs = (1L to 50L).map(i => (i, 0x0123456789abcdefL))
       .toDF("doc_id", "simhash")
-    val capped = Dedup.hammingNearDupPairs(sigs, maxBucket = 49)
+    val (capped, dropped) =
+      Dedup.hammingNearDupPairsWithStats(sigs, maxBucket = 49)
     assert(capped.count() == 0L)
+    // the rail is not silent: all 28 over-cap chunk-pair buckets counted
+    assert(dropped == 28L)
     // under the default rail the same bucket pairs normally
-    val open = Dedup.hammingNearDupPairs(sigs)
+    val (open, dropped2) = Dedup.hammingNearDupPairsWithStats(sigs)
     assert(open.count() == 50L * 49L / 2L)
+    assert(dropped2 == 0L)
+  }
+
+  test("simhashCanonical ≡ components over the full doc pair graph") {
+    val d = docs.select(col("doc_id"), col("text")).limit(120)
+    val corpus = d
+      .union(d.select(col("doc_id") + 1000000L,
+        regexp_replace(col("text"), "^[^ ]* ", "")))  // near-dup mutants
+      .union(d.limit(30).select(col("doc_id") + 2000000L, col("text")))
+    val viaPairs = {
+      val labels = Dedup.components(
+        Dedup.simhashNearDupPairs(corpus, maxHamming = 6))
+      corpus.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val viaClusters = Dedup.simhashCanonical(corpus, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaClusters == viaPairs)
+    assert(viaClusters.size == 270) // one row per doc: O(docs) output
+    // identical-text copies collapse to the original's id without pairing
+    val copies = viaClusters.filter(_._1 >= 2000000L)
+    assert(copies.nonEmpty && copies.forall { case (id, c) =>
+      c == id - 2000000L || c < 2000000L })
   }
 
   test("pair metrics: precision and recall from known overlap") {

@@ -62,4 +62,47 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(contam(5000001L)._2 == 0L,
       s"gibberish doc must be clean: ${contam(5000001L)}")
   }
+
+  test("landing pipeline re-run republishes identically, never appends") {
+    // a RETRY of the whole landing job — same landing dir and published
+    // store on disk, fresh session-scoped staging (Stage.releaseAll
+    // evicts every SessionScoped memo, the new-session simulation) —
+    // must converge to the same published bytes, not append duplicates
+    def run(): (Set[(Long, String)], Long) = {
+      val r = graft.queries.DedupSim.landingPipeline(spark, sf)
+        .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+      (r, r.size.toLong)
+    }
+    def publishedState(): (Set[String], Long, Set[Long]) = {
+      // the same tag derivation as landingPipeline's landing-path key
+      val tag = sf.replaceAll("[^A-Za-z0-9._-]", "_") +
+        f"-${sf.hashCode & 0xffffffffL}%08x"
+      val pub = new java.io.File(s"/tmp/graft_landing/$tag.published")
+      assert(pub.isDirectory, s"published store missing at $pub")
+      // part-file names carry a fresh UUID per write; the layout identity
+      // that must be stable is the (count, sizes) shape of the data files
+      val files = pub.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length.toString).sorted.mkString(",") match {
+          case s => Set(s)
+        }
+      val rows = spark.read.parquet(pub.toString)
+      (files, rows.count(),
+        rows.select("doc_id").collect().map(_.getLong(0)).toSet)
+    }
+    val (audit1, n1) = run()
+    val (files1, pubN1, pubIds1) = publishedState()
+    assert(pubN1 > 0 && pubIds1.size.toLong == pubN1,
+      "published store must hold unique docs")
+
+    Stage.releaseAll(spark) // evict landing/publish memos: simulate retry
+    val (audit2, n2) = run()
+    val (files2, pubN2, pubIds2) = publishedState()
+
+    assert(audit2 == audit1 && n2 == n1,
+      "re-run must reproduce the audit relation exactly")
+    assert(pubIds2 == pubIds1 && pubN2 == pubN1,
+      s"re-publish must not append: $pubN1 -> $pubN2 rows")
+    assert(files2 == files1,
+      "atomic replace should yield the identical file set (name:size)")
+  }
 }

@@ -269,4 +269,114 @@ class EventStreamSpec extends SparkSpec {
     assert(expected.size < all.count(), "gate rejected nothing — vacuous")
     assert(got == expected)
   }
+
+  // ---- state-bound assertions: the scaladoc claims about watermark
+  // eviction, MEASURED from StateOperatorProgress instead of described ----
+
+  /** One micro-batch per parquet dir, ordered by file mtime (what the
+    * file source sorts on); `at` spaces mtimes a minute apart so the
+    * batch order is deterministic. */
+  private def writeBatch(dir: String, name: String, at: Int,
+      rows: Seq[(Long, Long, Long, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "es", "user_id", "event_type")
+      .select(col("event_id"), timestamp_seconds(col("es")).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/$name")
+    new java.io.File(s"$dir/$name").listFiles()
+      .foreach(_.setLastModified(1700000000000L + at * 60000L))
+  }
+
+  /** Drive to completion and return (result table, per-batch state-rows
+    * totals) for the stateful operator chain. */
+  private def runWithProgress(df: org.apache.spark.sql.DataFrame,
+      name: String): (org.apache.spark.sql.DataFrame, Seq[Long]) = {
+    val q = df.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    val progress = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+    q.stop()
+    (spark.table(name),
+      progress.map(_.stateOperators.map(_.numRowsTotal).sum))
+  }
+
+  private val H = 3600L
+
+  test("interval join: evicted state cannot resurrect pairs, rows bounded") {
+    val dir = Files.createTempDirectory("graft-attrib-late").toString
+    // b1: on-time pair at hour 0; b2: pair at hour 10 (watermark → 8:00
+    // after commit); b3: benign views — the batch where the 8:00
+    // watermark APPLIES and hour-0 state is physically removed; b4: a
+    // LATE click for user 1 at 00:05, inside purchase 201's lookback —
+    // its partner's state is gone, so no pair may appear (within the
+    // eviction batch itself Spark still matches before removing, so the
+    // deterministic guarantee starts one batch later — measured); b5:
+    // on-time pair at hour 30; b6: views at hour 40 → final eviction.
+    writeBatch(dir, "b1", 1, Seq((101L, 600L, 1L, "click"),
+      (201L, 1200L, 1L, "purchase")))
+    writeBatch(dir, "b2", 2, Seq((102L, 10L * H, 2L, "click"),
+      (202L, 10L * H + 600L, 2L, "purchase")))
+    writeBatch(dir, "b3", 3, Seq((901L, 11L * H, 9L, "view")))
+    writeBatch(dir, "b4", 4, Seq((107L, 300L, 1L, "click")))
+    writeBatch(dir, "b5", 5, Seq((104L, 30L * H, 4L, "click"),
+      (204L, 30L * H + 300L, 4L, "purchase")))
+    writeBatch(dir, "b6", 6, Seq((105L, 40L * H, 5L, "view"),
+      (106L, 40L * H + 60L, 5L, "view")))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+    val (table, totals) = runWithProgress(
+      EventStream.clickAttribution(stream), "attrib_state_bounds")
+    val pairs = table.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (a) the late click finds no partner — state eviction is REAL: the
+    // pair (201, 1, 107) the batch predicate would produce is absent
+    assert(pairs == Set((201L, 1L, 101L), (202L, 2L, 102L),
+      (204L, 4L, 104L)), s"got $pairs")
+    // (b) state is BOUNDED: eviction brings the final total below the
+    // peak — the buffer tracks the watermark horizon, it does not
+    // accumulate the stream (totals sum both join sides)
+    assert(totals.size >= 6, s"expected >=6 stateful batches: $totals")
+    assert(totals.last < totals.max,
+      s"no eviction observed across batches: $totals")
+    assert(totals.last <= 4,
+      s"final state should hold only the last horizon's rows: $totals")
+  }
+
+  test("watermarked dedup: duplicates drop, key state evicts, bounded") {
+    val dir = Files.createTempDirectory("graft-dedup-late").toString
+    writeBatch(dir, "b1", 1, Seq((1L, 0L, 1L, "view"),
+      (2L, 300L, 1L, "view")))
+    writeBatch(dir, "b2", 2, Seq((3L, 10L * H, 2L, "view")))
+    // late duplicate of id 1 — its key is still present when the batch
+    // computes (removal runs in the same batch), so it deduplicates
+    writeBatch(dir, "b3", 3, Seq((1L, 600L, 1L, "view")))
+    // id 2 again at hour 20, long after key 2's state evicted: the
+    // documented dropDuplicatesWithinWatermark tradeoff — it RE-EMITS
+    // (bounded state cannot remember evicted keys)
+    writeBatch(dir, "b4", 4, Seq((2L, 20L * H, 4L, "view")))
+    writeBatch(dir, "b5", 5, Seq((6L, 30L * H, 5L, "view")))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/b*")
+    val (table, totals) = runWithProgress(
+      EventStream.dedupEvents(stream).select("event_id"),
+      "dedup_state_bounds")
+    val counts = table.collect().map(_.getLong(0)).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts == Map(1L -> 1, 2L -> 2, 3L -> 1, 6L -> 1),
+      s"got $counts")
+    // key state tracks the watermark horizon: the final total is below
+    // the peak (evictions happened) and small
+    assert(totals.last < totals.max,
+      s"no key-state eviction observed: $totals")
+    assert(totals.last <= 2, s"final key state should be bounded: $totals")
+  }
 }
