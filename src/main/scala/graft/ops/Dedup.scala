@@ -616,6 +616,73 @@ object Dedup {
           s => s.getField("seg"))).as("dedup_text"))
   }
 
+  /** Duplicate-SPAN removal — the ExactSubstr posture (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): remove
+    * every occurrence-but-the-first of any duplicated `windowTokens`-token
+    * window, with overlapping duplicated windows merged into maximal
+    * spans. Unlike [[segmentDedup]] (fixed ⌊pos/8⌋ boundaries — a
+    * duplicate passage straddling a boundary survives both halves), the
+    * sliding window catches duplicated passages at ANY alignment: a
+    * 20-token passage repeated verbatim marks all 13 of its windows and
+    * the union of their token ranges is exactly the passage.
+    *
+    * Keep rule: for each distinct window content, the occurrence with the
+    * smallest (doc_id, pos) is the canonical one and is NOT marked; every
+    * other occurrence marks its token range [pos, pos+W). Self-repetition
+    * inside one document is handled by the same rule (later repeats are
+    * marked). Returns one row per input doc:
+    * (doc_id, n_tokens, n_dup_tokens, clean_text) — clean_text is the
+    * document reassembled from unmarked tokens in order (empty when fully
+    * consumed); docs shorter than the window pass through untouched.
+    *
+    * Scale shape: windows shuffle as 62-bit `polyHash2` keys (8-byte
+    * rows, never the W-token text — at 100 TB the window text is W× the
+    * corpus), first-occurrence via the same partial-aggregated
+    * min(struct) as [[segmentDedup]] (no value-partitioned window, so a
+    * hot boilerplate window arrives pre-reduced); duplicate occurrences
+    * explode ×W into covered token positions (bounded, duplicate side
+    * only), and the final flag join + reassembly are (doc_id, pos)-keyed.
+    * 62-bit keys make a false dup ~2⁻⁶² per pair; both engines use the
+    * identical hash, so the oracle comparison is exact regardless. */
+  def duplicateSpans(docs: DataFrame, windowTokens: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val w = windowTokens
+    // _toks materializes ONCE as a column before any lambda slices it
+    // (interpreted-HOF rule, BENCH_NOTES r6)
+    val toks = Stage.barrier(
+      docs.select(col("doc_id"), split(col(textCol), " ").as("_toks")))
+    // sequence(0, n-w) DESCENDS when n < w (Spark semantics) — guard to
+    // an empty window list so short docs contribute no shingles
+    val occ = toks.select(col("doc_id"), posexplode(
+        when(size(col("_toks")) >= w,
+          transform(sequence(lit(0), size(col("_toks")) - w), i =>
+            graft.functions.GraftFunctions.polyHash2(
+              concat_ws(" ", slice(col("_toks"), i + 1, lit(w))))))
+          .otherwise(array())))
+      .toDF("doc_id", "pos", "h")
+    val firsts = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("h"), col("first.doc_id").as("f_doc"),
+        col("first.pos").as("f_pos"))
+    val covered = occ.join(firsts, Seq("h"))
+      .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + w - 1)).as("pos"))
+      .distinct()
+      .withColumn("_dup", lit(1))
+    toks.select(col("doc_id"), posexplode(col("_toks")))
+      .toDF("doc_id", "pos", "tok")
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_dup").isNull, struct(col("pos"), col("tok"))))),
+          s => s.getField("tok"))).as("clean_text"))
+  }
+
   /** Candidate-vs-gold pair-set metrics — the evaluation harness every
     * near-dup method needs before it gates a corpus: given the pairs a
     * method FOUND and a TRUTH pair set, report sizes, overlap, and

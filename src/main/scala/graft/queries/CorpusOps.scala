@@ -82,6 +82,10 @@ object CorpusOps {
   def segDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.segmentDedup(Tables(s, dir).documents, segTokens = 8)
 
+  /** Sliding-window duplicate-span removal (ExactSubstr posture). */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(Tables(s, dir).documents, windowTokens = 8)
+
   /** Integer unigram-LM score (sum/mean corpus token frequency). */
   def freqScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.freqScore(Tables(s, dir).documents)
@@ -249,6 +253,7 @@ object CorpusOps {
     "q_hll_distinct" -> hllDistinct,
     "q_quantile_hist" -> quantileHist,
     "q_seg_dedup" -> segDedup,
+    "q_dup_spans" -> dupSpans,
     "q_freq_score" -> freqScore,
     "q_decontaminate" -> decontaminate,
     "q_corpus_diff" -> corpusDiff,
@@ -604,6 +609,35 @@ object CorpusOps {
         "list({'pos': pos, 'seg': seg}) FILTER (WHERE rn = 1)), " +
         "x -> x.seg), ' '), '') AS dedup_text " +
         "FROM rk GROUP BY doc_id"),
+    // the sliding-window dual of q_seg_dedup: same first-occurrence keep
+    // rule (row_number replay of Spark's min(struct)), but windows at
+    // every position and duplicate ranges unioned via a ×8 offset
+    // cross-join before the token-level anti-flagging
+    "q_dup_spans" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS l " +
+        "FROM documents), " +
+        "occ AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (" +
+        "SELECT doc_id, unnest(list_transform(" +
+        "range(0, greatest(len(l) - 7, 0)), " +
+        s"i -> {'pos': i, 'h': ${OracleSql.pHash2(
+          "array_to_string(l[(i+1):(i+8)], ' ')")}})) AS u FROM t)), " +
+        "rk AS (SELECT doc_id, pos, row_number() OVER (" +
+        "PARTITION BY h ORDER BY doc_id, pos) AS rn FROM occ), " +
+        "cov AS (SELECT DISTINCT doc_id, pos + off AS tokpos FROM rk " +
+        "CROSS JOIN (SELECT unnest(range(0, 8)) AS off) WHERE rn > 1), " +
+        "tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(0, len(l)), " +
+        "i -> {'pos': i, 'tok': l[i+1]})) AS u FROM t)), " +
+        "f AS (SELECT tok.doc_id AS doc_id, tok.pos AS pos, " +
+        "tok.tok AS tok, cov.tokpos AS tokpos FROM tok LEFT JOIN cov " +
+        "ON tok.doc_id = cov.doc_id AND tok.pos = cov.tokpos) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN tokpos IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_dup_tokens, " +
+        "coalesce(array_to_string(list_transform(list_sort(" +
+        "list({'pos': pos, 'tok': tok}) FILTER (WHERE tokpos IS NULL)), " +
+        "x -> x.tok), ' '), '') AS clean_text " +
+        "FROM f GROUP BY doc_id"),
     "q_freq_score" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) " +
         "AS token FROM documents), " +

@@ -12,6 +12,20 @@ object OracleSql {
       "ch -> CAST(ord(ch) AS BIGINT))), " +
       "(acc, cp) -> (acc * 31 + cp) % 2147483647)"
 
+  /** [[pHash]] generalized to an arbitrary base — building block of the
+    * 62-bit rendering below (and DedupSim's simhash lane hashing). */
+  def pHashBase(e: String, base: Long): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(CAST($e AS VARCHAR), ''), " +
+      "ch -> CAST(ord(ch) AS BIGINT))), " +
+      s"(acc, cp) -> (acc * $base + cp) % 2147483647)"
+
+  /** The 62-bit dual polynomial hash (functions.PolyHash2 =
+    * h₃₇·2³¹ + h₃₁; both halves < 2³¹ so `<< 31 | a` ≡ the product-sum
+    * and the result fits BIGINT). */
+  def pHash2(e: String): String =
+    s"(${pHashBase(e, 37L)} * 2147483648 + ${pHashBase(e, 31L)})"
+
   /** PhoneFix.fixPhoneValue's per-segment cascade over a lambda alias
     * `s` — strip separators (incl. the fullwidth plus), then
     * first-match-wins HK → PRC cell → Shenzhen landline; NULL when no

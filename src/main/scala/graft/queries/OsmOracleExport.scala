@@ -54,6 +54,11 @@ object OsmOracleExport {
     */
   def export(spark: SparkSession, dir: String): Unit = {
     val p = OsmQueries.pipeline(spark)
+    // coalesce(1) is CORRECT ONLY HERE: these are shatin-sized oracle
+    // fixtures (≤17k rows) and DuckDB reads a single file fastest. Do NOT
+    // copy this into a real sink — one output task serializes the whole
+    // write; production paths go through sources.* writers, which keep
+    // the parallel layout.
     def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
     w(p.nodes, "nodes")

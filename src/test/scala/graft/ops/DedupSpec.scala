@@ -276,6 +276,33 @@ class DedupSpec extends SparkSpec {
     assert(r(2L) == ((2L, 0L, "p q r s")))
   }
 
+  test("duplicate spans: misaligned passage cut from later doc only") {
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val df = Seq(
+      (1L, passage),                       // first occurrence: untouched
+      (2L, s"z1 z2 z3 $passage z4"),       // passage at offset 3 (NOT a
+                                           // multiple of the window — the
+                                           // case fixed-boundary segment
+                                           // dedup structurally misses)
+      (3L, passage),                       // whole doc duplicated → empty
+      (4L, "x y")                          // shorter than the window
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(df, windowTokens = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    assert(r(1L) == ((10L, 0L, passage)))
+    assert(r(2L) == ((14L, 10L, "z1 z2 z3 z4")))
+    assert(r(3L) == ((10L, 10L, "")))
+    assert(r(4L) == ((2L, 0L, "x y")))
+  }
+
+  test("duplicate spans: self-repetition keeps the first occurrence") {
+    val df = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(df, windowTokens = 4).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getString(3))).head
+    assert(r == ((8L, 4L, "a b c d")))
+  }
+
   test("corpus diff: added / removed / modified / unchanged statuses") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val curr = Seq((1L, "a"), (2L, "b v2"), (4L, "d")).toDF("doc_id", "text")
