@@ -36,19 +36,31 @@ object SkewBench {
     * max/mean. */
   private final class StageSpread extends org.apache.spark.scheduler.SparkListener {
     import org.apache.spark.scheduler._
-    private val times = new java.util.concurrent.ConcurrentHashMap[Int, java.util.List[Long]]()
+    // per stage: task durations + per-task shuffle read bytes (the
+    // quantity AQE's skew split thresholds on) + total write bytes
+    private final case class T(dur: Long, read: Long, write: Long)
+    private val times = new java.util.concurrent.ConcurrentHashMap[Int, java.util.List[T]]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      val rec =
+        if (m == null) T(t.taskInfo.duration, 0L, 0L)
+        else T(t.taskInfo.duration, m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.bytesWritten)
       times.computeIfAbsent(t.stageId,
-        _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Long]()))
-        .add(t.taskInfo.duration)
+        _ => java.util.Collections.synchronizedList(new java.util.ArrayList[T]()))
+        .add(rec)
     }
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       val ts = Option(times.get(s.stageInfo.stageId))
         .map(l => { import scala.jdk.CollectionConverters._; l.asScala.toSeq })
         .getOrElse(Seq.empty)
       if (ts.nonEmpty) {
-        val mx = ts.max / 1e3; val mean = ts.sum.toDouble / ts.size / 1e3
-        println(f"  stage ${s.stageInfo.stageId}%3d ${s.stageInfo.name.takeWhile(_ != ' ')}%-22s tasks=${ts.size}%3d max=${mx}%6.2fs mean=${mean}%6.2fs skew=${mx / math.max(mean, 1e-9)}%5.1fx")
+        val mx = ts.map(_.dur).max / 1e3
+        val mean = ts.map(_.dur).sum.toDouble / ts.size / 1e3
+        val maxRd = ts.map(_.read).max / 1e6
+        val sumRd = ts.map(_.read).sum / 1e6
+        val sumWr = ts.map(_.write).sum / 1e6
+        println(f"  stage ${s.stageInfo.stageId}%3d ${s.stageInfo.name.takeWhile(_ != ' ')}%-22s tasks=${ts.size}%3d max=${mx}%6.2fs mean=${mean}%6.2fs skew=${mx / math.max(mean, 1e-9)}%5.1fx rdMax=${maxRd}%7.1fMB rdSum=${sumRd}%8.1fMB wrSum=${sumWr}%8.1fMB")
       }
     }
   }
@@ -90,16 +102,35 @@ object SkewBench {
         .otherwise(concat(lit("k"), col("id"))).as("key"),
       (col("id") * 7).as("w")))
 
+    // Execute the COMPILED plan, not a derived count: `df.count()` builds
+    // a NEW query (count over the aggregate) and Catalyst prunes every
+    // column the count doesn't reference — including the aggregate
+    // expressions, and transitively the payload below the join. Measured
+    // before this fix: 20M payload-64 rows "joined" as a 6MB shuffle of
+    // bare keys, because only the group keys survived pruning. toRdd
+    // runs the plan exactly as the query declares it.
+    def force(df: DataFrame): Long = {
+      val n = df.queryExecution.toRdd.count()
+      if (sys.env.contains("SPARK_GRAFT_SKEW_EXPLAIN"))
+        println(df.queryExecution.executedPlan.toString)
+      n
+    }
+
     def aggUnsalted() =
-      big.groupBy(col("key")).agg(count(lit(1)), sum(col("v"))).count()
+      force(big.groupBy(col("key")).agg(count(lit(1)), sum(col("v"))))
     def aggSalted() =
-      graft.ops.Salting.saltedCountSum(big, "key", "v", "v").count()
+      force(graft.ops.Salting.saltedCountSum(big, "key", "v", "v"))
 
     def joinCount(salted: Boolean): Long = {
       val joined =
         if (salted) graft.ops.Salting.saltedJoin(big, dim, "key", "v")
         else big.join(dim, Seq("key"))
-      joined.groupBy(col("key")).agg(sum(col("w"))).count()
+      // payload mode CONSUMES pay after the join so the join shuffle
+      // carries the full row — what a real document join does
+      val aggs =
+        if (payload > 0) Seq(sum(col("w")), sum(length(col("pay"))))
+        else Seq(sum(col("w")))
+      force(joined.groupBy(col("key")).agg(aggs.head, aggs.tail: _*))
     }
     def withConf[T](pairs: (String, String)*)(f: => T): T = {
       val prev = pairs.map { case (k, _) => k -> spark.conf.get(k) }
@@ -117,7 +148,16 @@ object SkewBench {
       "join_salted" ->
         (() => withConf(noBroadcast, skewOff)(timed(joinCount(salted = true)))),
       "join_plain_aqe_skewjoin" ->
-        (() => withConf(noBroadcast)(timed(joinCount(salted = false)))))
+        (() => withConf(noBroadcast)(timed(joinCount(salted = false)))),
+      // OptimizeSkewedJoin declines to split when the join feeds a
+      // same-key aggregate (the split breaks the children's output
+      // partitioning, and honoring the aggregate's distribution would
+      // need an extra shuffle). force=true accepts that extra shuffle —
+      // the AQE knob a real pipeline must flip for join→agg chains.
+      "join_plain_aqe_skewjoin_forced" ->
+        (() => withConf(noBroadcast,
+          "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")(
+          timed(joinCount(salted = false)))))
     val selected =
       if (args.nonEmpty) Seq(args(0)) else cases.keys.toSeq.sorted
     selected.foreach { name =>
