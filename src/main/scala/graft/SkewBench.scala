@@ -121,9 +121,10 @@ object SkewBench {
     def aggSalted() =
       force(graft.ops.Salting.saltedCountSum(big, "key", "v", "v"))
 
+    val nSalts = sys.env.getOrElse("SPARK_GRAFT_SKEW_NSALTS", "16").toInt
     def joinCount(salted: Boolean): Long = {
       val joined =
-        if (salted) graft.ops.Salting.saltedJoin(big, dim, "key", "v")
+        if (salted) graft.ops.Salting.saltedJoin(big, dim, "key", "v", nSalts)
         else big.join(dim, Seq("key"))
       // payload mode CONSUMES pay after the join so the join shuffle
       // carries the full row — what a real document join does
