@@ -144,4 +144,30 @@ object Retrieval {
       .withColumn("oov_x1e6",
         expr("n_oov * 1000000 div n_tokens"))
   }
+
+  /** Hard-negative mining — the contrastive-training data shape (DPR /
+    * RocketQA style): for a query's term bag, the top `k` BM25-ranked
+    * documents EXCLUDING the gold positives. Lexically close but
+    * unlabeled-as-relevant documents are exactly the negatives that
+    * teach a retriever its decision boundary; random negatives are too
+    * easy and in-batch negatives too few.
+    *
+    * Ranking parity: document frequencies and corpus scalars are
+    * computed over the FULL corpus (positives included) — excluding them
+    * first would perturb every score. The exclusion happens on the
+    * ranked list: fetch the top k+|positives| (exclusion can remove at
+    * most |positives| rows from any prefix), drop positives, keep `k`.
+    * Identical to ranking everything and filtering, at shortlist cost.
+    *
+    * Scale shape: [[bm25]]'s one corpus pass; the exclusion set rides
+    * the plan as a literal NOT-IN over ≤ k+|positives| rows (driver-side
+    * gold labels are small by definition — a labeled query has tens of
+    * positives, not millions). */
+  def hardNegatives(docs: DataFrame, terms: Seq[String],
+      positives: Seq[Long], k: Int = 10,
+      textCol: String = "text"): DataFrame =
+    bm25(docs, terms, k + positives.size, textCol = textCol)
+      .filter(!col("doc_id").isin(positives: _*))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
 }

@@ -52,8 +52,17 @@ object OracleSql {
     * are bit-exact across engines (sum(contrib) re-cast: DuckDB widens
     * BIGINT sums to HUGEINT). Shared by q_bm25 and the hybrid-search
     * oracle that shortlists through it. */
-  def duckBm25(terms: Seq[String], k: Int): String = {
+  def duckBm25(terms: Seq[String], k: Int): String =
+    duckBm25(terms, k, Seq.empty)
+
+  /** [[duckBm25]] with a positives exclusion applied AFTER scoring
+    * (df/corpus scalars stay full-corpus — Retrieval.hardNegatives'
+    * ranking-parity rule). */
+  def duckBm25(terms: Seq[String], k: Int, exclude: Seq[Long]): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
+    val excl =
+      if (exclude.isEmpty) ""
+      else s"WHERE doc_id NOT IN (${exclude.mkString(", ")}) "
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) " +
       "AS token FROM documents), " +
       "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
@@ -73,8 +82,10 @@ object OracleSql {
       "750 * dl * n_docs))) AS contrib " +
       "FROM tf JOIN df USING (token) CROSS JOIN stats " +
       "JOIN dl USING (doc_id)) " +
+      "SELECT doc_id, score, n_terms_hit FROM (" +
       "SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score, " +
       "CAST(count(*) AS BIGINT) AS n_terms_hit FROM sc " +
-      s"GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $k"
+      "GROUP BY doc_id) " + excl +
+      s"ORDER BY score DESC, doc_id LIMIT $k"
   }
 }

@@ -290,6 +290,17 @@ object TextOps {
     graft.ops.Retrieval.bm25(Tables(s, dir).documents,
       graft.ops.Retrieval.DefaultTerms, k = 10)
 
+  /** Gold positives for the hard-negative query: the two TOP-ranked
+    * docs of q_bm25 at the oracle sf (so the exclusion provably bites —
+    * the result's head differs from q_bm25's). Fixed literals, shared
+    * with the oracle rendering. */
+  val HardNegPositives: Seq[Long] = Seq(296L, 97L)
+
+  /** Top-10 BM25 hard negatives after excluding the gold positives. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.hardNegatives(Tables(s, dir).documents,
+      graft.ops.Retrieval.DefaultTerms, HardNegPositives, k = 10)
+
   /** OOV rate against the corpus's own top-20 vocabulary (small enough
     * that the synthetic corpus has real OOV mass). */
   def oovRate(s: SparkSession, dir: String): DataFrame =
@@ -301,6 +312,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> bm25,
+    "q_hard_negatives" -> hardNegatives,
     "q_oov_rate" -> oovRate,
     "q_gopher_rules" -> gopherRulesQ,
     "q_skipgram" -> skipgrams,
@@ -701,6 +713,10 @@ object TextOps {
         "x -> length(x))) AS BIGINT) AS total_len FROM documents)"),
     "q_bm25" ->
       OracleSql.duckBm25(graft.ops.Retrieval.DefaultTerms, 10),
+    // same scoring CTEs; positives excluded only on the ranked list
+    "q_hard_negatives" ->
+      OracleSql.duckBm25(graft.ops.Retrieval.DefaultTerms, 10,
+        HardNegPositives),
     // the same top-20 vocabulary rule as q_vocab_topk (n DESC, token),
     // then a left-join OOV count per document
     "q_oov_rate" ->

@@ -36,6 +36,27 @@ class RetrievalSpec extends SparkSpec {
     assert(r(0)._2 > r(1)._2)
   }
 
+  test("hardNegatives: positives drop from the ranking, scores unchanged") {
+    val docs = Seq(
+      (0L, "cat dog aaa bbb"),
+      (1L, "dog dog aaa bbb"),
+      (2L, "dog aaa bbb ccc"),
+      (3L, "aaa bbb ccc ddd")).toDF("doc_id", "text")
+    val full = Retrieval.bm25(docs, Seq("cat", "dog"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // exclude the top doc: the negatives are the remaining ranking, with
+    // the SAME full-corpus scores (df must not be recomputed ex-positives)
+    val negs = Retrieval.hardNegatives(docs, Seq("cat", "dog"),
+      positives = Seq(0L), k = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(negs.map(_._1).toSeq == Seq(1L, 2L))
+    negs.foreach { case (id, score) => assert(score == full(id)) }
+    // k bound honored even when positives sit below the cut
+    val k1 = Retrieval.hardNegatives(docs, Seq("cat", "dog"),
+      positives = Seq(2L), k = 1).collect().map(_.getLong(0)).toSeq
+    assert(k1 == Seq(0L))
+  }
+
   test("oovRate: tokens outside the top-v vocab are counted") {
     // vocab of size 1 = {"aa"} (3 occurrences beats 2)
     val docs = Seq(
