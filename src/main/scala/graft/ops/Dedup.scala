@@ -83,6 +83,45 @@ object Dedup {
       .filter(col("n_inter") * denom >= col("n_union") * numer)
   }
 
+  /** Pairwise n-gram CONTAINMENT within a blocking column — the
+    * asymmetric sibling of [[jaccardPairs]]: C(A→B) = |A∩B| / |A|. A
+    * short document fully quoted inside a long one has C(A→B) ≈ 1 while
+    * its Jaccard ≈ |A|/|B| can be arbitrarily low — symmetric similarity
+    * structurally misses quote/excerpt/aggregator duplication, the
+    * dominant duplication mode in news/forum corpora. One row per
+    * candidate pair that passes the threshold in EITHER direction, with
+    * both direction flags and the raw integer counts, so a caller can
+    * keep "B swallows A" and "A swallows B" separately.
+    *
+    * Threshold in pure integer math: denom·|∩| ≥ numer·|side| — float-
+    * free, oracle-safe. Same staged shingle relation, 8-byte hashed
+    * elements, and block-bounded quadratic shape as [[jaccardPairs]];
+    * the same MinHash-LSH banding is the unblocked scale path (LSH
+    * recall is w.r.t. Jaccard, so for containment screening at scale
+    * band the SHORTER side's signature — noted here, not built). */
+  def containmentPairs(docs: DataFrame, blockCol: String, n: Int,
+      numer: Int, denom: Int, textCol: String = "text"): DataFrame = {
+    val sh = Stage.barrier(
+      docs.select(col("doc_id"), col(blockCol).as("block"),
+        transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh")))
+    val a = sh.select(col("block"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"), size(col("sh")).as("sz_a"))
+    val b = sh.select(col("block"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"), size(col("sh")).as("sz_b"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_inter"),
+        col("sz_a").cast("long").as("sz_a"),
+        col("sz_b").cast("long").as("sz_b"))
+      .withColumn("a_in_b",
+        (col("n_inter") * denom >= col("sz_a") * numer).cast("long"))
+      .withColumn("b_in_a",
+        (col("n_inter") * denom >= col("sz_b") * numer).cast("long"))
+      .filter(col("a_in_b") + col("b_in_a") > 0)
+  }
+
   /** Mersenne prime modulus for the universal hash family. */
   private[graft] val P = 2147483647L
 

@@ -47,6 +47,14 @@ object DedupSim {
         .withColumn("blk", concat_ws("|", col("source"), col("lang"))),
       "blk", n = 1, numer = 3, denom = 4)
 
+  /** Asymmetric containment pairs over the same (source, lang) blocking
+    * — quote/excerpt duplication the symmetric Jaccard baseline misses. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+      Tables(s, dir).documents
+        .withColumn("blk", concat_ws("|", col("source"), col("lang"))),
+      "blk", n = 1, numer = 9, denom = 10)
+
   def minhashSigs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignaturesNative(Tables(s, dir).documents)
       .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_csv"))
@@ -359,6 +367,7 @@ object DedupSim {
     "q_dedup_docs" -> exactDedup,
     "q_dedup_hash" -> exactDedupHash,
     "q_jaccard_pairs" -> jaccardPairs,
+    "q_containment_pairs" -> containmentPairs,
     "q_minhash_sigs" -> minhashSigs,
     "q_minhash_neardup" -> minhashNearDups,
     "q_dedup_components" -> dedupComponents,
@@ -602,6 +611,24 @@ object DedupSim {
     "q_dedup_hash" ->
       ("SELECT sha256(lower(text)) AS digest, min(doc_id) AS keep_id, " +
         "count(*) AS n_copies FROM documents GROUP BY 1"),
+    // same blocked pair space as q_jaccard_pairs; the filter and flags
+    // are per-SIDE thresholds (denom*inter >= numer*|side|), asymmetric
+    "q_containment_pairs" ->
+      ("WITH sh AS (SELECT doc_id, source, lang, " +
+        "list_distinct(string_split(text, ' ')) AS s FROM documents), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "len(list_intersect(a.s, b.s)) AS n_inter, " +
+        "CAST(len(a.s) AS BIGINT) AS sz_a, " +
+        "CAST(len(b.s) AS BIGINT) AS sz_b " +
+        "FROM sh a JOIN sh b ON a.source = b.source AND a.lang = b.lang " +
+        "AND a.doc_id < b.doc_id) " +
+        "SELECT doc_a, doc_b, n_inter, sz_a, sz_b, " +
+        "CAST(CASE WHEN n_inter * 10 >= sz_a * 9 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS a_in_b, " +
+        "CAST(CASE WHEN n_inter * 10 >= sz_b * 9 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS b_in_a " +
+        "FROM p WHERE n_inter * 10 >= sz_a * 9 " +
+        "OR n_inter * 10 >= sz_b * 9"),
     "q_jaccard_pairs" ->
       ("WITH sh AS (SELECT doc_id, source, lang, " +
         "list_distinct(string_split(text, ' ')) AS s FROM documents) " +

@@ -37,6 +37,26 @@ class DedupSpec extends SparkSpec {
     assert(none.count() == 0) // 0.6 < 0.7
   }
 
+  test("containment pairs: quote caught one-way, Jaccard would miss it") {
+    val df = Seq(
+      (1L, "g", "a b c"),                       // fully quoted inside 2
+      (2L, "g", "a b c d e f g h i j k l"),     // the container
+      (3L, "g", "a b c"),                       // exact dup of 1
+      (4L, "g", "x y z w")).toDF("doc_id", "source", "text")
+    val r = Dedup.containmentPairs(df, "source", n = 1,
+      numer = 9, denom = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(5), x.getLong(6)))).toMap
+    // 1 ⊂ 2: containment(1→2) = 3/3 = 1, but jaccard = 3/12 = 0.25 —
+    // the asymmetric op reports it, one-directional
+    assert(r((1L, 2L)) == ((3L, 1L, 0L)))
+    // exact dup: both directions
+    assert(r((1L, 3L)) == ((3L, 1L, 1L)))
+    // 3 ⊂ 2 as well (same tokens as 1); 4 matches nothing
+    assert(r((2L, 3L)) == ((3L, 0L, 1L)))
+    assert(r.size == 3)
+  }
+
   test("minhash signatures are deterministic and equal for equal docs") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
       (3L, "q r s t u v")).toDF("doc_id", "text")
