@@ -683,22 +683,27 @@ object Dedup {
     * only), and the final flag join + reassembly are (doc_id, pos)-keyed.
     * 62-bit keys make a false dup ~2⁻⁶² per pair; both engines use the
     * identical hash, so the oracle comparison is exact regardless. */
-  def duplicateSpans(docs: DataFrame, windowTokens: Int = 8,
-      textCol: String = "text"): DataFrame = {
-    val w = windowTokens
-    // _toks materializes ONCE as a column before any lambda slices it
-    // (interpreted-HOF rule, BENCH_NOTES r6)
-    val toks = Stage.barrier(
-      docs.select(col("doc_id"), split(col(textCol), " ").as("_toks")))
-    // sequence(0, n-w) DESCENDS when n < w (Spark semantics) — guard to
-    // an empty window list so short docs contribute no shingles
-    val occ = toks.select(col("doc_id"), posexplode(
+  /** (doc_id, pos, h) rows of every `w`-token sliding window, hashed
+    * 62-bit. `toks` must carry (doc_id, _toks) with the token array
+    * MATERIALIZED as a column before the lambda slices it
+    * (interpreted-HOF rule, BENCH_NOTES r6). sequence(0, n-w) DESCENDS
+    * when n < w (Spark semantics) — guarded to an empty list so short
+    * docs contribute no windows. */
+  private def windowHashRows(toks: DataFrame, w: Int): DataFrame =
+    toks.select(col("doc_id"), posexplode(
         when(size(col("_toks")) >= w,
           transform(sequence(lit(0), size(col("_toks")) - w), i =>
             graft.functions.GraftFunctions.polyHash2(
               concat_ws(" ", slice(col("_toks"), i + 1, lit(w))))))
           .otherwise(array())))
       .toDF("doc_id", "pos", "h")
+
+  def duplicateSpans(docs: DataFrame, windowTokens: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val w = windowTokens
+    val toks = Stage.barrier(
+      docs.select(col("doc_id"), split(col(textCol), " ").as("_toks")))
+    val occ = windowHashRows(toks, w)
     val firsts = occ.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
       .select(col("h"), col("first.doc_id").as("f_doc"),
@@ -720,6 +725,61 @@ object Dedup {
           array_sort(collect_list(
             when(col("_dup").isNull, struct(col("pos"), col("tok"))))),
           s => s.getField("tok"))).as("clean_text"))
+  }
+
+  /** Distinct window-hash BANK of a corpus — [[duplicateSpans]]' sidecar
+    * for incremental ingestion: one 8-byte row per distinct
+    * `windowTokens`-token window in the published corpus. At 100 TB this
+    * is the span analog of the digest table ([[incrementalDedup]]) —
+    * maintained incrementally (union new batches' hashes), bucketed by
+    * `h` so the screen join below is co-partitioned. */
+  def spanBank(docs: DataFrame, windowTokens: Int = 8,
+      textCol: String = "text"): DataFrame =
+    windowHashRows(
+      docs.select(col("doc_id"), split(col(textCol), " ").as("_toks")),
+      windowTokens)
+      .select(col("h")).distinct()
+
+  /** Incremental duplicate-SPAN screen — [[duplicateSpans]]' batch↔corpus
+    * form, the third rung of the incremental-ingestion ladder after
+    * [[incrementalDedup]] (exact digests) and [[incrementalNearDedup]]
+    * (whole-doc MinHash): a new batch is screened against the published
+    * corpus's window [[spanBank]], and every batch token covered by a
+    * window ALREADY IN THE CORPUS counts as duplicated. Catches the
+    * quote-stitched recrawl — a "new" page assembled from passages of
+    * already-ingested pages — which passes both digest and whole-doc
+    * near-dup screens.
+    *
+    * Per batch doc: (doc_id, n_tokens, n_dup_tokens, dup_x1e6). Gate on
+    * the rate; the span surgery itself (cutting covered spans out) is
+    * [[duplicateSpans]]' reassembly applied with this coverage — kept as
+    * a metric here because a landing screen DROPS or FLAGS, it doesn't
+    * rewrite content it hasn't accepted yet.
+    *
+    * Scale shape: batch windows shuffle as 8-byte hashes into a
+    * LEFT SEMI join against the (bucketed) bank — the corpus side never
+    * rehashes its documents; coverage explodes ×W on MATCHED windows
+    * only; the flag join and final aggregate are (doc_id, pos)-keyed. */
+  def spanScreen(batch: DataFrame, bank: DataFrame, windowTokens: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val w = windowTokens
+    val toks = Stage.barrier(
+      batch.select(col("doc_id"), split(col(textCol), " ").as("_toks")))
+    val covered = windowHashRows(toks, w)
+      .join(bank.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + w - 1)).as("pos"))
+      .distinct()
+      .withColumn("_dup", lit(1))
+    toks.select(col("doc_id"), posexplode(col("_toks")))
+      .toDF("doc_id", "pos", "tok")
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_tokens"))
+      .withColumn("dup_x1e6",
+        expr("n_dup_tokens * 1000000 div n_tokens"))
   }
 
   /** Candidate-vs-gold pair-set metrics — the evaluation harness every

@@ -86,6 +86,16 @@ object CorpusOps {
   def dupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateSpans(Tables(s, dir).documents, windowTokens = 8)
 
+  /** Incremental span screen: every 5th doc plays the incoming batch,
+    * screened against the window bank of the other four fifths. */
+  def spanScreen(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    Dedup.spanScreen(
+      d.filter(col("doc_id") % 5 === 0),
+      Dedup.spanBank(d.filter(col("doc_id") % 5 =!= 0)),
+      windowTokens = 8)
+  }
+
   /** Integer unigram-LM score (sum/mean corpus token frequency). */
   def freqScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.freqScore(Tables(s, dir).documents)
@@ -254,6 +264,7 @@ object CorpusOps {
     "q_quantile_hist" -> quantileHist,
     "q_seg_dedup" -> segDedup,
     "q_dup_spans" -> dupSpans,
+    "q_span_screen" -> spanScreen,
     "q_freq_score" -> freqScore,
     "q_decontaminate" -> decontaminate,
     "q_corpus_diff" -> corpusDiff,
@@ -638,6 +649,38 @@ object CorpusOps {
         "list({'pos': pos, 'tok': tok}) FILTER (WHERE tokpos IS NULL)), " +
         "x -> x.tok), ' '), '') AS clean_text " +
         "FROM f GROUP BY doc_id"),
+    // batch = doc_id % 5 = 0, bank = distinct window hashes of the rest;
+    // coverage = batch windows found in the bank, exploded x8
+    "q_span_screen" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS l " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "bank AS (SELECT DISTINCT u.h AS h FROM (" +
+        "SELECT unnest(list_transform(" +
+        "range(0, greatest(len(l) - 7, 0)), " +
+        s"i -> {'h': ${OracleSql.pHash2(
+          "array_to_string(l[(i+1):(i+8)], ' ')")}})) AS u " +
+        "FROM (SELECT string_split(text, ' ') AS l FROM documents " +
+        "WHERE doc_id % 5 != 0))), " +
+        "occ AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (" +
+        "SELECT doc_id, unnest(list_transform(" +
+        "range(0, greatest(len(l) - 7, 0)), " +
+        s"i -> {'pos': i, 'h': ${OracleSql.pHash2(
+          "array_to_string(l[(i+1):(i+8)], ' ')")}})) AS u FROM t)), " +
+        "cov AS (SELECT DISTINCT doc_id, pos + off AS tokpos FROM occ " +
+        "JOIN bank USING (h) " +
+        "CROSS JOIN (SELECT unnest(range(0, 8)) AS off)), " +
+        "tok AS (SELECT doc_id, u.pos AS pos FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(0, len(l)), " +
+        "i -> {'pos': i})) AS u FROM t)) " +
+        "SELECT tok.doc_id AS doc_id, CAST(count(*) AS BIGINT) " +
+        "AS n_tokens, " +
+        "CAST(sum(CASE WHEN tokpos IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_dup_tokens, " +
+        "CAST(sum(CASE WHEN tokpos IS NOT NULL THEN 1 ELSE 0 END) " +
+        "* 1000000 // count(*) AS BIGINT) AS dup_x1e6 " +
+        "FROM tok LEFT JOIN cov " +
+        "ON tok.doc_id = cov.doc_id AND tok.pos = cov.tokpos " +
+        "GROUP BY tok.doc_id"),
     "q_freq_score" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) " +
         "AS token FROM documents), " +

@@ -233,6 +233,68 @@ object EventStream {
       .dropDuplicates("doc_id", "corpus_id")
   }
 
+  /** Streaming duplicate-SPAN screen against a static corpus — the
+    * streaming dual of [[graft.ops.Dedup.spanScreen]], and the top rung
+    * of the incremental-ingestion ladder ([[dedupAgainstCorpus]] exact →
+    * [[nearDupAgainstCorpus]] whole-doc fuzzy → this, sub-document):
+    * flags the quote-stitched recrawl whose every passage already exists
+    * in the corpus even though no single corpus doc resembles it.
+    *
+    * 100 TB shape: the corpus's window [[graft.ops.Dedup.spanBank]] does
+    * NOT join against the stream — it compacts to ONE bloom bitmap
+    * (BloomAgg, map-side OR-merged; `bits`/8 bytes to the driver, built
+    * once at stream construction like the IVF centroid pull) and every
+    * arriving row tests its own windows against the broadcast bitmap
+    * inside codegen. Fully STATELESS: no stream-side shuffle, no state
+    * store, append mode; per-row cost is O(tokens). Covered-token count
+    * is an in-row interval-union fold over the flagged window positions
+    * (they are generated in ascending order, so one running-end pass is
+    * exact). Blooms have no false negatives, so a zero here is a true
+    * "no corpus content"; false positives (rate set by bits/k vs bank
+    * size) can only OVERCOUNT dup tokens — the safe direction for a
+    * screen that gates ingestion. Same output schema as the batch op;
+    * the spec asserts row-level equality on a fixture where the FPR
+    * contributes nothing. */
+  def spanScreenAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      windowTokens: Int = 8, bits: Int = 1 << 20, k: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.BloomAgg
+    val w = windowTokens
+    val words = graft.ops.Dedup.spanBank(corpus, w, textCol)
+      .select(BloomAgg.bloomAgg(col("h"), bits, k).as("wd"))
+      .head().getSeq[Long](0).toArray
+    val base = docs.select(col("doc_id"),
+      split(col(textCol), " ").as("_toks"))
+    // flagged window START positions, ascending (generation order)
+    val starts = filter(
+      transform(
+        when(size(col("_toks")) >= w,
+          transform(sequence(lit(0), size(col("_toks")) - w), i =>
+            graft.functions.GraftFunctions.polyHash2(
+              concat_ws(" ", slice(col("_toks"), i + 1, lit(w))))))
+          .otherwise(array()),
+        (h, i) => when(BloomAgg.mightContain(h, words, bits, k), i)
+          .otherwise(lit(-1))),
+      p => p >= 0)
+    // interval union of [p, p+w) over ascending starts: running (cnt,
+    // end) — newly covered = (p + w) - max(p, end) when positive
+    val covered = aggregate(starts,
+      struct(lit(0L).as("cnt"), lit(0L).as("end")),
+      (acc, p0) => {
+        val p = p0.cast("long")
+        struct(
+          (acc.getField("cnt") + greatest(lit(0L),
+            p + w - greatest(p, acc.getField("end")))).as("cnt"),
+          greatest(acc.getField("end"), p + w).as("end"))
+      },
+      acc => acc.getField("cnt"))
+    base.select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        covered.as("n_dup_tokens"))
+      .withColumn("dup_x1e6",
+        expr("n_dup_tokens * 1000000 div n_tokens"))
+  }
+
   /** Stream-stream event-time INTERVAL join — the join surface beyond
     * the stream-static joins above: purchase events join click events of
     * the same user within a bounded lookback, both sides watermarked.

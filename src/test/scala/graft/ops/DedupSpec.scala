@@ -323,6 +323,26 @@ class DedupSpec extends SparkSpec {
     assert(r == ((8L, 4L, "a b c d")))
   }
 
+  test("span screen: quote-stitched batch doc flagged against the bank") {
+    val corpus = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      // passages of BOTH corpus docs stitched with fresh glue — passes a
+      // digest screen and scores low on whole-doc similarity, but 10 of
+      // its 13 tokens are corpus content
+      (100L, "a1 a2 a3 a4 a5 x y z b1 b2 b3 b4 b5"),
+      (101L, "entirely fresh content here"),
+      (102L, "p q")).toDF("doc_id", "text")
+    val r = Dedup.spanScreen(batch, Dedup.spanBank(corpus, 4), 4)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(100L) == ((13L, 10L, 769230L)))
+    assert(r(101L) == ((4L, 0L, 0L)))
+    assert(r(102L) == ((2L, 0L, 0L)))
+  }
+
   test("corpus diff: added / removed / modified / unchanged statuses") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val curr = Seq((1L, "a"), (2L, "b v2"), (4L, "d")).toDF("doc_id", "text")

@@ -188,6 +188,31 @@ class EventStreamSpec extends SparkSpec {
     assert(gotCounts == expected.filter(_._2 > 0L))
   }
 
+  test("streaming span screen matches the batch spanScreen exactly") {
+    import java.nio.file.Files
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dir = Files.createTempDirectory("graft-spanscreen-stream").toString
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val got = EventStream.runToMemory(
+      EventStream.spanScreenAgainstCorpus(stream, corpus), "span_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val expected = graft.ops.Dedup
+      .spanScreen(batch, graft.ops.Dedup.spanBank(corpus)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(expected.values.exists(_._2 > 0L), "screen found nothing — vacuous")
+    // bloom FPs could only ADD coverage; on this fixture none fire, so
+    // the stateless bloom screen reproduces the exact screen row-for-row
+    assert(got == expected)
+  }
+
   test("streaming count-min counters equal the batch sketch registers") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToMemory(
