@@ -316,6 +316,35 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == ((2L, 0L, "x y")))
   }
 
+  test("duplicate spans: hot boilerplate window, no window op planned") {
+    // one 4-token passage shared by half the docs — the hot-key shape:
+    // first-occurrence must stay a partial-aggregated min(struct), and
+    // the coverage path must never plan a value-partitioned Window
+    val hot = "h1 h2 h3 h4"
+    val docs = (1L to 40L).map { id =>
+      if (id % 2 == 0) (id, s"$hot u${id}a u${id}b u${id}c u${id}d")
+      else (id, s"v${id}a v${id}b v${id}c v${id}d v${id}e")
+    }.toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, windowTokens = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "duplicate-span coverage must not plan a value-partitioned window")
+    assert(plan.contains("partial_min"), plan)
+    val m = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(m(2L)._3.startsWith(hot))     // first occurrence intact
+    assert(m(4L) == ((8L, 4L, "u4a u4b u4c u4d"))) // later ones cut
+    assert(m(1L)._2 == 0L)               // odd docs untouched
+  }
+
+  test("span screen: empty corpus bank flags nothing") {
+    val batch = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = Dedup.spanScreen(batch, Dedup.spanBank(empty)).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).head
+    assert(r == ((9L, 0L, 0L)))
+  }
+
   test("duplicate spans: self-repetition keeps the first occurrence") {
     val df = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
     val r = Dedup.duplicateSpans(df, windowTokens = 4).collect()
