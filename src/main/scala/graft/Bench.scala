@@ -120,7 +120,13 @@ object Bench {
     // tail, and a 144-query JSON line can exceed it (round 7's BENCH_r07
     // arrived truncated, `parsed: null`, losing ~50 queries' numbers). The
     // file in the repo is the durable copy; stdout stays the contract.
-    try java.nio.file.Files.writeString(
+    // Guard: a SPARK_GRAFT_ONLY subset must not clobber the full-suite
+    // artifact (which is also the contention baseline) unless the caller
+    // explicitly pointed SPARK_GRAFT_BENCH_OUT somewhere.
+    val skipWrite = only.isDefined && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    if (skipWrite)
+      System.err.println("[bench] subset run: not overwriting " + outPath)
+    else try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_results.json: $e") }

@@ -16,8 +16,9 @@ FAMILIES = [
         "q_key_split", "q_phone_canon", "q_capwords")),
     ("dedup", lambda q: q.startswith(("q_dedup", "q_seg_dedup", "q_dup_",
         "q_boilerplate", "q_incremental", "q_corpus_diff", "q_decontaminate",
-        "q_contamination", "q_novelty", "q_jaccard", "q_minhash",
-        "q_simhash", "q_semantic", "q_embed_neardup"))),
+        "q_contamination", "q_containment", "q_span", "q_novelty",
+        "q_jaccard", "q_minhash", "q_simhash", "q_semantic",
+        "q_embed_neardup"))),
     ("ann", lambda q: q.startswith(("q_knn", "q_ann", "q_quantize",
         "q_rand_proj", "q_cluster"))),
     ("text", lambda q: q.startswith(("q_token", "q_langid", "q_quality",
@@ -26,7 +27,7 @@ FAMILIES = [
         "q_domain", "q_bpe", "q_skipgram", "q_hash_features", "q_zscore",
         "q_ntile", "q_oov", "q_doc_gate", "q_nfc"))),
     ("retrieval", lambda q: q.startswith(("q_bm25", "q_hybrid", "q_postings",
-        "q_heavy_hitters"))),
+        "q_hard_negatives", "q_heavy_hitters"))),
     ("mix/sample", lambda q: q.startswith(("q_stratified", "q_source_quota",
         "q_temperature", "q_mix", "q_materialize", "q_training",
         "q_train_split", "q_packing", "q_curation", "q_pipeline",
