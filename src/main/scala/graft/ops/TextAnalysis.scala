@@ -44,6 +44,31 @@ object TextAnalysis {
       concat_ws("|", slice(toks, 1, 5)).as("preview"))
   }
 
+  /** Tokenizer fertility audit by language — the multilingual budgeting
+    * metric: fertility = subword tokens per whitespace word (×1000) and
+    * compression = chars per subword token (×1000), aggregated per
+    * language. A language whose fertility runs 2–3× English (common for
+    * underrepresented scripts under an English-heavy BPE) pays that
+    * multiple in sequence length for the same content — this table is
+    * what a token-budgeted mixing plan ([[graft.ops.Sampling.mixPlan]])
+    * needs to budget in TOKENS rather than documents. Pure-integer
+    * ratios; one narrow projection + a per-language aggregate (map-side
+    * partials, |langs| rows out). */
+  def tokenizerFertility(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("lang"),
+        size(split(col(textCol), " ")).cast("long").as("_w"),
+        size(bpeTokens(col(textCol))).cast("long").as("_t"),
+        length(col(textCol)).cast("long").as("_c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_w")).cast("long").as("n_words"),
+        sum(col("_t")).cast("long").as("n_bpe_tokens"),
+        sum(col("_c")).cast("long").as("n_chars"))
+      .withColumn("fertility_x1000",
+        expr("n_bpe_tokens * 1000 div n_words"))
+      .withColumn("chars_per_tok_x1000",
+        expr("n_chars * 1000 div n_bpe_tokens"))
+
   /** Default stopword list used by quality scoring (function words of the
     * synthetic corpus; swap for a real list on real data). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "in")

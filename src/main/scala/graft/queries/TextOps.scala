@@ -151,6 +151,10 @@ object TextOps {
     TextAnalysis.redactPii(planted)
   }
 
+  /** Per-language tokenizer fertility / compression audit. */
+  def fertility(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizerFertility(Tables(s, dir).documents)
+
   /** BPE-ish token counting (see TextAnalysis.BpeTokenRe). */
   def tokenBpe(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTokenStats(Tables(s, dir).documents)
@@ -338,6 +342,7 @@ object TextOps {
     "q_token_stats" -> tokenStats,
     "q_token_unicode" -> tokenUnicode,
     "q_token_bpe" -> tokenBpe,
+    "q_fertility" -> fertility,
     "q_train_split" -> trainSplit,
     "q_vocab_topk" -> vocabTopK,
     "q_contamination" -> contamination,
@@ -701,6 +706,21 @@ object TextOps {
         "SELECT doc_id, regexp_extract_all(text, " +
         "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]{1,3}" +
         "| ?[^A-Za-z0-9 ]+') AS toks FROM documents)"),
+    // same BPE-ish regex as q_token_bpe, rolled up per language
+    "q_fertility" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(w) AS BIGINT) AS n_words, " +
+        "CAST(sum(t) AS BIGINT) AS n_bpe_tokens, " +
+        "CAST(sum(c) AS BIGINT) AS n_chars, " +
+        "CAST(sum(t) AS BIGINT) * 1000 // CAST(sum(w) AS BIGINT) " +
+        "AS fertility_x1000, " +
+        "CAST(sum(c) AS BIGINT) * 1000 // CAST(sum(t) AS BIGINT) " +
+        "AS chars_per_tok_x1000 FROM (" +
+        "SELECT lang, len(string_split(text, ' ')) AS w, " +
+        "len(regexp_extract_all(text, " +
+        "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]{1,3}" +
+        "| ?[^A-Za-z0-9 ]+')) AS t, " +
+        "length(text) AS c FROM documents) GROUP BY lang"),
     "q_quality" ->
       ("SELECT doc_id, n_tokens, n_stop, total_len * 100 // n_tokens " +
         "AS mean_tok_len_x100, " +

@@ -17,6 +17,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(2L) == ((3L, 0L, 466L, false))) // 14 chars / 3 tokens; too short
   }
 
+  test("tokenizer fertility: contractions and punctuation inflate per-lang") {
+    val df = Seq(
+      // en: "don't stop, won't stop!" → BPE-ish tokens: don|'t|_stop|,
+      // |_won|'t|_stop|! = 8 over 4 whitespace words → fertility 2000
+      (1L, "en", "don't stop, won't stop!"),
+      // xx: plain words, one token per word → fertility 1000
+      (2L, "xx", "alpha beta gamma"),
+      (3L, "xx", "delta epsilon")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.tokenizerFertility(df).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(5)))).toMap
+    assert(r("en") == ((1L, 4L, 8L, 2000L)))
+    assert(r("xx") == ((2L, 5L, 5L, 1000L)))
+  }
+
   test("repetition stats: duplicate bigrams flag boilerplate") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now"),   // 7 dup bigrams of 7
