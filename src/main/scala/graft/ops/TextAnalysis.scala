@@ -69,6 +69,29 @@ object TextAnalysis {
       .withColumn("chars_per_tok_x1000",
         expr("n_chars * 1000 div n_bpe_tokens"))
 
+  /** HTML/markup stripping — the extraction step every web-crawl corpus
+    * runs before any text op sees a document: drop script/style blocks
+    * wholesale (their content is code, not text), strip remaining tags,
+    * decode the six common entities, collapse whitespace. Returns
+    * (doc_id, n_tags_removed, clean_text). Entity decode order matters:
+    * `&amp;` decodes LAST so `&amp;lt;` yields the literal `&lt;` rather
+    * than double-decoding to `<` — the oracle replays the identical
+    * cascade. Per-row regex projection, zero shuffle; at 100 TB this is
+    * scan-bound like the Gopher gate it feeds. */
+  def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val noBlocks = regexp_replace(
+      regexp_replace(col(textCol), "<script[^>]*>.*?</script>", " "),
+      "<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit("<[^>]*>"), lit(0)))
+        .cast("long").as("n_tags_removed"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
+  }
+
   /** Default stopword list used by quality scoring (function words of the
     * synthetic corpus; swap for a real list on real data). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "in")

@@ -151,6 +151,27 @@ object TextOps {
     TextAnalysis.redactPii(planted)
   }
 
+  /** Markup-extraction demo: the synthetic corpus is plain text, so each
+    * doc gets deterministic planted markup (three variants by doc_id mod
+    * 3 — nested tags + a script block / inline tags + entities / a style
+    * block) and the strip cascade must recover exactly the original
+    * content plus the decoded entity text. Injection replayed verbatim
+    * in the DuckDB oracle, like q_redact. */
+  def stripMarkup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val planted = d.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<div class=\"a\"><p>"), col("text"),
+          lit("</p><script>var x=1;</script></div>")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("<b>Title</b> "), col("text"),
+            lit(" &amp; more &lt;tail&gt;")))
+        .otherwise(
+          concat(lit("<style>p{color:red}</style><span>"), col("text"),
+            lit("&nbsp;end</span>"))).as("text"))
+    TextAnalysis.stripMarkup(planted)
+  }
+
   /** Per-language tokenizer fertility / compression audit. */
   def fertility(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenizerFertility(Tables(s, dir).documents)
@@ -343,6 +364,7 @@ object TextOps {
     "q_token_unicode" -> tokenUnicode,
     "q_token_bpe" -> tokenBpe,
     "q_fertility" -> fertility,
+    "q_strip_markup" -> stripMarkup,
     "q_train_split" -> trainSplit,
     "q_vocab_topk" -> vocabTopK,
     "q_contamination" -> contamination,
@@ -706,6 +728,28 @@ object TextOps {
         "SELECT doc_id, regexp_extract_all(text, " +
         "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]{1,3}" +
         "| ?[^A-Za-z0-9 ]+') AS toks FROM documents)"),
+    // the same planted markup, block-drop, tag-strip, entity cascade
+    "q_strip_markup" ->
+      ("WITH planted AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 3 = 0 THEN '<div class=\"a\"><p>' || text || " +
+        "'</p><script>var x=1;</script></div>' " +
+        "WHEN doc_id % 3 = 1 THEN '<b>Title</b> ' || text || " +
+        "' &amp; more &lt;tail&gt;' " +
+        "ELSE '<style>p{color:red}</style><span>' || text || " +
+        "'&nbsp;end</span>' END AS t FROM documents), " +
+        "stripped AS (SELECT doc_id, " +
+        "len(regexp_extract_all(t, '<[^>]*>')) AS n_tags_removed, " +
+        "replace(replace(replace(replace(replace(replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'<script[^>]*>.*?</script>', ' ', 'g'), " +
+        "'<style[^>]*>.*?</style>', ' ', 'g'), " +
+        "'<[^>]*>', ' ', 'g'), " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS c " +
+        "FROM planted) " +
+        "SELECT doc_id, CAST(n_tags_removed AS BIGINT) AS n_tags_removed, " +
+        "trim(regexp_replace(c, '\\s+', ' ', 'g')) AS clean_text " +
+        "FROM stripped"),
     // same BPE-ish regex as q_token_bpe, rolled up per language
     "q_fertility" ->
       ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +

@@ -32,6 +32,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("xx") == ((2L, 5L, 5L, 1000L)))
   }
 
+  test("markup strip: blocks dropped, tags stripped, entities decoded once") {
+    val df = Seq(
+      (1L, "<div><p>hello <b>world</b></p><script>var a=\"<x>\";</script></div>"),
+      // &amp;lt; must decode to the LITERAL "&lt;", not double-decode to <
+      (2L, "a &amp; b &amp;lt; c &#39;d&#39; &nbsp;e"),
+      (3L, "plain text, no markup")).toDF("doc_id", "text")
+    val r = TextAnalysis.stripMarkup(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    // 9 tags in raw doc 1 (div p b /b /p script x /script /div — incl.
+    // <x> inside the script); script CONTENT never reaches clean text
+    assert(r(1L) == ((9L, "hello world")))
+    assert(r(2L) == ((0L, "a & b &lt; c 'd' e")))
+    assert(r(3L) == ((0L, "plain text, no markup")))
+  }
+
   test("repetition stats: duplicate bigrams flag boilerplate") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now"),   // 7 dup bigrams of 7
