@@ -277,6 +277,44 @@ class EventStreamSpec extends SparkSpec {
     assert(exactKept -- nearMatched == ids("published"))
   }
 
+  test("streaming chain screen → dedup → span-screen equals the batch " +
+      "composition") {
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-spanchain-stream").toString
+    graft.queries.DedupSim.landingBatch(docs)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val seen = docs.select(sha2(lower(col("text")), 256).as("digest"))
+    // one streaming DAG: quality screen → corpus exact-dedup → bloom
+    // span screen; all three stages stateless or stream-static
+    val got = EventStream.runToMemory(
+      EventStream.spanScreenAgainstCorpus(
+        EventStream.dedupAgainstCorpus(
+          EventStream.qualityScreen(stream, carry = Seq("text"))
+            .select(col("doc_id"), col("text")),
+          seen, carry = Seq("text"))
+          .select(col("doc_id"), col("text")),
+        docs), "span_chain",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // batch composition over the same frontier
+    val lb = graft.queries.DedupSim.landingBatch(docs)
+    val screened = graft.ops.TextAnalysis
+      .gopherRules(lb, carry = Seq("text")).filter(col("gopher_pass"))
+      .select(col("doc_id"), col("text"))
+    val kept = graft.ops.Dedup.incrementalDedup(screened, seen)
+      .select("doc_id").join(screened, Seq("doc_id"))
+    val expected = graft.ops.Dedup
+      .spanScreen(kept, graft.ops.Dedup.spanBank(docs)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(expected.values.exists(_._2 > 0L), "span stage vacuous")
+    assert(got == expected)
+  }
+
   test("streaming quality screen equals the batch gopher gate") {
     val docs = Tables(spark, sf).documents.select("doc_id", "text")
     val dir = Files.createTempDirectory("graft-quality-stream").toString
