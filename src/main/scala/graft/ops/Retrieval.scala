@@ -163,6 +163,55 @@ object Retrieval {
     * the plan as a literal NOT-IN over ≤ k+|positives| rows (driver-side
     * gold labels are small by definition — a labeled query has tens of
     * positives, not millions). */
+  /** Composed RAG-ingest pipeline — the retrieval-side counterpart of
+    * the curation/landing compositions: overlapping character chunks
+    * ([[TextAnalysis.chunkDocs]]) → hashing-trick feature vectors (no
+    * vocabulary table, zero shuffle) → deterministic linear shard
+    * assignment (argmax of integer dot against an LCG weight matrix,
+    * ties → lowest cell) — the relation an ANN index build or a
+    * cell-bucketed vector store ingests: (doc_id, chunk_id, cell,
+    * chunk_len).
+    *
+    * The shard assignment is pure integer math so the whole chain is
+    * bit-replayable in the oracle; swapping the LCG weights for trained
+    * centroids turns the same plan into real IVF routing
+    * ([[graft.ops.Ivf]] owns that path, with its own oracled queries).
+    * Scale shape: per-row end to end — chunking is a bounded posexplode,
+    * features and the nlist×dim score fan-out are flat codegen over the
+    * row, and the output is ready to `repartition(cell)` for bucketed
+    * writes without ever shuffling the text. */
+  def ragIngest(docs: DataFrame, chunkChars: Int = 96, stride: Int = 64,
+      dim: Int = 32, nlist: Int = 8, textCol: String = "text"): DataFrame = {
+    val chunks = TextAnalysis.chunkDocs(docs, chunkChars, stride, textCol)
+    // slots materialize as a column before the per-slot filter reads
+    // them (interpreted-HOF rule, BENCH_NOTES r6). Chunk boundaries cut
+    // mid-separator, so leading/trailing EMPTY tokens appear — excluded
+    // before hashing (an empty string is not a token, and the engines
+    // disagree on hashing it: DuckDB ord('') = −1 vs a 0-hash here)
+    val slots = transform(
+      filter(TextAnalysis.tokens(col("chunk_text")), t => t =!= ""),
+      t => pmod(graft.functions.GraftFunctions.polyHash(t), lit(dim.toLong)))
+    val feats = transform(sequence(lit(0), lit(dim - 1)),
+      s => size(filter(col("_slots"), x => x === s)).cast("long"))
+    val scored = chunks
+      .select(col("doc_id"), col("chunk_id"), col("chunk_len"),
+        slots.as("_slots"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_len"),
+        feats.as("_f"))
+    val cellScores = (0 until nlist).map { c =>
+      val ws = TextAnalysis.classifierWeights(dim, seed = 100L + c)
+      (0 until dim).map(i => element_at(col("_f"), i + 1) * lit(ws(i)))
+        .reduce(_ + _)
+    }
+    // argmax with ties to the LOWEST cell: lexicographic max over
+    // (score, -cell) structs
+    val best = greatest(cellScores.zipWithIndex.map { case (s, c) =>
+      struct(s.as("s"), lit(-c).as("nc"))
+    }: _*)
+    scored.select(col("doc_id"), col("chunk_id"),
+      (-best.getField("nc")).cast("long").as("cell"), col("chunk_len"))
+  }
+
   def hardNegatives(docs: DataFrame, terms: Seq[String],
       positives: Seq[Long], k: Int = 10,
       textCol: String = "text"): DataFrame =

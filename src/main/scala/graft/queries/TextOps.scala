@@ -172,6 +172,10 @@ object TextOps {
     TextAnalysis.stripMarkup(planted)
   }
 
+  /** Composed RAG ingest: chunk → hash-feature → shard assignment. */
+  def ragIngest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.ragIngest(Tables(s, dir).documents)
+
   /** Per-language tokenizer fertility / compression audit. */
   def fertility(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenizerFertility(Tables(s, dir).documents)
@@ -364,6 +368,7 @@ object TextOps {
     "q_token_unicode" -> tokenUnicode,
     "q_token_bpe" -> tokenBpe,
     "q_fertility" -> fertility,
+    "q_rag_ingest" -> ragIngest,
     "q_strip_markup" -> stripMarkup,
     "q_train_split" -> trainSplit,
     "q_vocab_topk" -> vocabTopK,
@@ -728,6 +733,37 @@ object TextOps {
         "SELECT doc_id, regexp_extract_all(text, " +
         "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]{1,3}" +
         "| ?[^A-Za-z0-9 ]+') AS toks FROM documents)"),
+    // the q_chunk CTE + the q_hash_features vector + a literal integer
+    // weight matrix (same LCG as linearScore, seeds 100..107); argmax
+    // with ties to the lowest cell = list_position of list_max
+    "q_rag_ingest" -> {
+      val dim = 32
+      def weights(seed: Long): Seq[Long] = {
+        var st = seed
+        Seq.fill(dim) {
+          st = st * 6364136223846793005L + 1442695040888963407L
+          (st >>> 33) % 17L - 8L
+        }
+      }
+      val scoreExprs = (0 until 8).map { c =>
+        weights(100L + c).zipWithIndex
+          .map { case (w, i) => s"fv[${i + 1}] * ($w)" }.mkString(" + ")
+      }.mkString("[", ", ", "]")
+      "WITH n AS (SELECT doc_id, text, " +
+        "greatest(length(text) - 33, 0) // 64 + 1 AS nc FROM documents), " +
+        "e AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM n), " +
+        "ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, " +
+        "substring(text, CAST(i * 64 + 1 AS INTEGER), 96) AS ct FROM e), " +
+        "f AS (SELECT doc_id, chunk_id, CAST(length(ct) AS BIGINT) " +
+        "AS chunk_len, list_transform(range(0, 32), " +
+        s"s -> CAST(len(list_filter(list_filter(string_split(ct, ' '), t -> t != ''), " +
+        s"t -> ${pHash("t")} % 32 = s)) AS BIGINT)) AS fv FROM ch), " +
+        s"sc AS (SELECT doc_id, chunk_id, chunk_len, $scoreExprs AS sl " +
+        "FROM f) " +
+        "SELECT doc_id, chunk_id, CAST(list_position(sl, " +
+        "list_aggregate(sl, 'max')) - 1 AS BIGINT) AS cell, chunk_len " +
+        "FROM sc"
+    },
     // the same planted markup, block-drop, tag-strip, entity cascade
     "q_strip_markup" ->
       ("WITH planted AS (SELECT doc_id, CASE " +

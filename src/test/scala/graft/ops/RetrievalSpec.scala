@@ -57,6 +57,27 @@ class RetrievalSpec extends SparkSpec {
     assert(k1 == Seq(0L))
   }
 
+  test("ragIngest: full chunk coverage, deterministic content-keyed cells") {
+    val text = ("spark join window agg " * 12).trim  // 87 chars → 2 chunks
+    val df = Seq((1L, text), (2L, text), (3L, "tiny doc")).toDF("doc_id", "text")
+    val r = Retrieval.ragIngest(df).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(2), x.getLong(3))))
+      .toMap
+    // every chunk of every doc present, cells in range
+    assert(r.keySet.map(_._1) == Set(1L, 2L, 3L))
+    assert(r.values.forall { case (c, _) => c >= 0 && c < 8 })
+    // identical text → identical per-chunk assignment (content-keyed,
+    // independent of doc id or row order)
+    val chunks1 = r.collect { case ((1L, cid), v) => cid -> v }
+    val chunks2 = r.collect { case ((2L, cid), v) => cid -> v }
+    assert(chunks1.nonEmpty && chunks1 == chunks2)
+    // repartitioned input yields the same assignment
+    val r2 = Retrieval.ragIngest(df.repartition(7)).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r2 == r)
+  }
+
   test("oovRate: tokens outside the top-v vocab are counted") {
     // vocab of size 1 = {"aa"} (3 occurrences beats 2)
     val docs = Seq(
