@@ -727,6 +727,44 @@ object Dedup {
           s => s.getField("tok"))).as("clean_text"))
   }
 
+  /** Near-dup incidence profile by a metadata group — the corpus-audit
+    * rollup a dedup run reports to its operators: per group (source,
+    * lang, crawl batch, …), how many documents have at least one
+    * verified near-duplicate, and how many of those duplicate ACROSS
+    * groups (cross-source duplication is the contamination signal that
+    * decides whether dedup may stay group-local or must run global).
+    *
+    * `meta` carries (doc_id, `byCol`); `pairs` is any verified pair
+    * relation (doc_a, doc_b) — MinHash-LSH, SimHash, containment. Scale
+    * shape: pairs symmetrized (2·|pairs| 8-byte-key rows) and joined
+    * twice against the id→group projection (co-keyed equi joins, never
+    * the documents), one per-doc max, one |groups|-row rollup — every
+    * aggregate partial-combines. */
+  def nearDupRateBy(meta: DataFrame, pairs: DataFrame,
+      byCol: String): DataFrame = {
+    val m = meta.select(col("doc_id"), col(byCol).as("_g"))
+    val sym = pairs.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("partner"))
+      .union(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("partner")))
+    val flags = sym
+      .join(m, Seq("doc_id"))
+      .join(m.select(col("doc_id").as("partner"), col("_g").as("_pg")),
+        Seq("partner"))
+      .groupBy(col("doc_id"), col("_g"))
+      .agg(max(when(col("_pg") =!= col("_g"), 1L).otherwise(0L))
+        .as("_cross"))
+    m.join(flags.select(col("doc_id"), lit(1L).as("_dup"), col("_cross")),
+        Seq("doc_id"), "left")
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(coalesce(col("_dup"), lit(0L))).cast("long").as("n_dup_docs"),
+        sum(coalesce(col("_cross"), lit(0L))).cast("long")
+          .as("n_cross_dup_docs"))
+      .withColumn("dup_x1e6", expr("n_dup_docs * 1000000 div n_docs"))
+      .withColumnRenamed("_g", byCol)
+  }
+
   /** Distinct window-hash BANK of a corpus — [[duplicateSpans]]' sidecar
     * for incremental ingestion: one 8-byte row per distinct
     * `windowTokens`-token window in the published corpus. At 100 TB this

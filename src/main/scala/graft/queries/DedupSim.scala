@@ -73,6 +73,24 @@ object DedupSim {
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =
     mutantPairs(s, dir)
 
+  /** Per-source near-dup incidence over the corpus plus the mutant batch
+    * labeled as its own 'recrawl' source: every base↔mutant match is
+    * then CROSS-source, so both audit columns are exercised. Reuses the
+    * session's staged pair relation. */
+  def dupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    // only every third doc was "recrawled": the meta projection admits a
+    // third of the mutant ids, and the inner joins inside nearDupRateBy
+    // drop pair rows whose partner is absent — the staged pair relation
+    // is reused untouched while the profile shows partial duplication
+    // (~1/3 per real source, 100% inside the recrawl batch)
+    val meta = d.select(col("doc_id"), col("source"))
+      .union(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("recrawl").as("source")))
+    Dedup.nearDupRateBy(meta, mutantPairs(s, dir), "source")
+  }
+
   // the clustering result likewise feeds two queries (the component map
   // and the keep-set) — one staged instance per session
   private val componentCache = new graft.ops.SessionScoped[DataFrame]
@@ -370,6 +388,7 @@ object DedupSim {
     "q_containment_pairs" -> containmentPairs,
     "q_minhash_sigs" -> minhashSigs,
     "q_minhash_neardup" -> minhashNearDups,
+    "q_dup_rate_by_source" -> dupRateBySource,
     "q_dedup_components" -> dedupComponents,
     "q_dedup_keep" -> dedupKeep,
     "q_dedup_canonical" -> dedupCanonical,
@@ -658,6 +677,27 @@ object DedupSim {
         s"SELECT doc_id, array_to_string([$duckMinhashMins], ',') " +
         "AS sig_csv FROM h GROUP BY doc_id"),
     "q_minhash_neardup" -> duckMinhashNearDupSql,
+    // pair relation shared with q_minhash_neardup; mutants labeled
+    // 'recrawl' so base<->mutant matches count as cross-source
+    "q_dup_rate_by_source" ->
+      (s"WITH pr AS (SELECT doc_a, doc_b FROM ($duckMinhashNearDupSql)), " +
+        "meta AS (SELECT doc_id, source FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000, 'recrawl' FROM documents " +
+        "WHERE doc_id % 3 = 0), " +
+        "sym AS (SELECT doc_a AS doc_id, doc_b AS partner FROM pr " +
+        "UNION ALL SELECT doc_b, doc_a FROM pr), " +
+        "fl AS (SELECT sym.doc_id AS doc_id, " +
+        "max(CASE WHEN m2.source != m1.source THEN 1 ELSE 0 END) AS cr " +
+        "FROM sym JOIN meta m1 ON sym.doc_id = m1.doc_id " +
+        "JOIN meta m2 ON sym.partner = m2.doc_id GROUP BY sym.doc_id) " +
+        "SELECT m.source AS source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_dup_docs, " +
+        "CAST(sum(coalesce(cr, 0)) AS BIGINT) AS n_cross_dup_docs, " +
+        "CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
+        "* 1000000 // count(*) AS BIGINT) AS dup_x1e6 " +
+        "FROM meta m LEFT JOIN fl ON m.doc_id = fl.doc_id " +
+        "GROUP BY m.source"),
     // CC over the near-dup pairs: min reachable node per node, computed by
     // a recursive CTE — a genuinely different algorithm than the engine's
     // iterative label propagation, so convergence itself is cross-checked

@@ -352,6 +352,19 @@ class DedupSpec extends SparkSpec {
     assert(r == ((8L, 4L, "a b c d")))
   }
 
+  test("near-dup rate profile: per-group incidence and cross-group flags") {
+    val meta = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g2"))
+      .toDF("doc_id", "grp")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val r = Dedup.nearDupRateBy(meta, pairs, "grp").collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // g1: both docs dup'd; only doc 2 has a cross-group partner (3)
+    assert(r("g1") == ((2L, 2L, 1L, 1000000L)))
+    // g2: doc 3 dup'd (cross); doc 4 clean
+    assert(r("g2") == ((2L, 1L, 1L, 500000L)))
+  }
+
   test("span screen: quote-stitched batch doc flagged against the bank") {
     val corpus = Seq(
       (1L, (1 to 10).map(i => s"a$i").mkString(" ")),
