@@ -126,6 +126,75 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), fingerprint(col(textCol)).as("fingerprint"))
 
+  /** Lexical-diversity signals per document: token count, type count
+    * (distinct tokens), hapax count (tokens occurring exactly once), and
+    * the integer-scaled type-token / hapax ratios (×1000 — keeps oracle
+    * comparisons float-free, like [[qualityScore]]). Low TTR flags
+    * template/boilerplate-heavy documents; a collapsed hapax ratio flags
+    * generated or looped text — both standard pretraining-quality gates.
+    *
+    * Per-row only: sort the token array once, then count run starts and
+    * length-1 runs by comparing each position with its neighbours
+    * (`try_element_at` returns null out of bounds, so the boundary
+    * comparisons reduce to the `i===1` / `i===n` guards under three-
+    * valued OR). Zero shuffle — linearly scalable like [[tokenStats]]. */
+  def lexicalDiversity(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val sorted = array_sort(tokens(col(textCol)))
+    val n = size(sorted)
+    val idx = sequence(lit(1), n)
+    def at(i: Column) = try_element_at(sorted, i)
+    val runStart = (i: Column) => i === 1 || at(i) =!= at(i - 1)
+    val isNew = transform(idx,
+      i => when(runStart(i), 1L).otherwise(0L))
+    val isHapax = transform(idx,
+      i => when(runStart(i) && (i === n || at(i) =!= at(i + 1)), 1L)
+        .otherwise(0L))
+    docs.select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        aggregate(isNew, lit(0L), _ + _).as("n_types"),
+        aggregate(isHapax, lit(0L), _ + _).as("n_hapax"))
+      .withColumn("ttr_x1000",
+        floor(col("n_types") * 1000L / col("n_tokens")).cast("long"))
+      .withColumn("hapax_x1000",
+        floor(col("n_hapax") * 1000L / col("n_tokens")).cast("long"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm): hash every k-gram of the document with the same
+    * 31-base polynomial fold as [[fingerprint]], slide a window of `w`
+    * consecutive k-gram hashes, keep each window's minimum, and emit the
+    * document's distinct selected hashes as `(doc_id, fp)` rows. Any
+    * substring match of length ≥ w + k − 1 between two documents is
+    * guaranteed to share a selected fingerprint, so an equality join on
+    * `fp` is a complete candidate generator for local (partial-overlap)
+    * plagiarism/near-dup detection — the sub-document complement to the
+    * whole-document MinHash path.
+    *
+    * The k-gram hash array is materialized ONCE per row before the
+    * window pass (a lambda referencing it would otherwise recompute the
+    * whole array per window). Cost per row: O(len·k) hashing +
+    * O(windows·w) mins — constants, no shuffle; documents shorter than
+    * k have no k-gram and are dropped, documents with fewer than w
+    * k-grams yield the single overall minimum (one clipped window). */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val gramHash = (p: Column) => aggregate(
+      transform(split(text.substr(p, lit(k)), ""),
+        ch => ascii(ch).cast("long")),
+      lit(0L), (acc, cp) => (acc * 31L + cp) % 1000000007L)
+    docs.filter(length(text) >= k)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(text) - (k - 1)), gramHash)
+          .as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+  }
+
   /** Per-language stopword profiles for the n-gram-free language-ID
     * heuristic. Public knowledge (most-frequent function words). */
   val LangProfiles: Map[String, Seq[String]] = Map(

@@ -78,6 +78,14 @@ object TextOps {
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(Tables(s, dir).documents)
 
+  /** Lexical-diversity gates (TTR / hapax ratio, integer-scaled). */
+  def lexicalDiv(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(Tables(s, dir).documents)
+
+  /** Winnowing (MOSS) fingerprint selection, k=4 w=5. */
+  def winnowQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnow(Tables(s, dir).documents)
+
   /** Language ID over the synthetic docs (rows-only: the corpus vocabulary
     * is English-ish regardless of the synthetic lang label; real accuracy
     * is asserted on multilingual vectors in TextAnalysisSpec). */
@@ -375,6 +383,8 @@ object TextOps {
     "q_contamination" -> contamination,
     "q_quality" -> quality,
     "q_fingerprint" -> fingerprint,
+    "q_lexical_div" -> lexicalDiv,
+    "q_winnow" -> winnowQ,
     "q_langid" -> langId,
     "q_sessionize" -> sessionize,
     "q_hourly" -> hourly,
@@ -856,6 +866,33 @@ object TextOps {
         "ch -> CAST(ord(ch) AS BIGINT))), " +
         "(acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint " +
         "FROM documents"),
+    // Semantics-first restatement, not an implementation mirror: the
+    // Spark side counts sorted-run starts per row; the oracle groups
+    // exploded tokens — identical type/hapax multiset by definition.
+    "q_lexical_div" ->
+      ("WITH t AS (SELECT doc_id, tok, count(*) AS c FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents) GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS n_types, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_hapax, " +
+        "CAST(count(*) * 1000 // sum(c) AS BIGINT) AS ttr_x1000, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000 // sum(c) " +
+        "AS BIGINT) AS hapax_x1000 FROM t GROUP BY doc_id"),
+    "q_winnow" ->
+      ("WITH g AS (SELECT doc_id, " +
+        "list_transform(range(1, CAST(len(text) AS BIGINT) - 2), " +
+        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(array_slice(text, p, p + 3), ''), " +
+        "ch -> CAST(ord(ch) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007)) AS hs " +
+        "FROM documents WHERE len(text) >= 4) " +
+        "SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, " +
+        "unnest(list_transform(" +
+        "range(1, greatest(len(hs) - 4, 1) + 1), " +
+        "i -> list_aggregate(array_slice(hs, i, i + 4), 'min'))) AS fp " +
+        "FROM g)"),
     "q_sessionize" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (" +

@@ -311,4 +311,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == ((1L, 333333L, 333333L)))
     assert(r(3L) == ((0L, 0L, 0L))) // no bigrams → zero evidence, kept
   }
+
+  test("lexical diversity: hand-computed types/hapax, boundary runs") {
+    val docs = Seq(
+      (1L, "a b a c"),   // 4 toks, 3 types, hapax {b, c}
+      (2L, "x x x"),     // 3 toks, 1 type, 0 hapax
+      (3L, "only"))      // singleton: 1/1/1, ratios 1000
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.lexicalDiversity(docs).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5))).toMap
+    assert(r(1L) == ((4L, 3L, 2L, 750L, 500L)))
+    assert(r(2L) == ((3L, 1L, 0L, 333L, 0L)))
+    assert(r(3L) == ((1L, 1L, 1L, 1000L, 1000L)))
+  }
+
+  test("winnowing: guarantee — shared substring >= w+k-1 shares a fp") {
+    val shared = "the quick brown fox jumps"   // 25 chars >= 5+4-1
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"zzzz $shared qqqq"),
+      (3L, "completely unrelated text here"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "docs sharing a long substring must share a selected fingerprint")
+    // distinctness inside a doc
+    assert(fps.distinct.length == fps.length)
+  }
+
+  test("winnowing: short docs — below k dropped, below w one window") {
+    val docs = Seq((1L, "abc"), (2L, "abcde")).toDF("doc_id", "text")
+    val r = TextAnalysis.winnow(docs, k = 4, w = 5).collect()
+    assert(!r.exists(_.getLong(0) == 1L), "len<k has no k-gram")
+    // len 5, k 4 → 2 k-grams < w → exactly one clipped window → 1 fp
+    assert(r.count(_.getLong(0) == 2L) == 1)
+  }
 }
