@@ -172,28 +172,21 @@ object TextAnalysis {
     * plagiarism/near-dup detection — the sub-document complement to the
     * whole-document MinHash path.
     *
-    * The k-gram hash array is materialized ONCE per row before the
-    * window pass (a lambda referencing it would otherwise recompute the
-    * whole array per window). Cost per row: O(len·k) hashing +
-    * O(windows·w) mins — constants, no shuffle; documents shorter than
-    * k have no k-gram and are dropped, documents with fewer than w
-    * k-grams yield the single overall minimum (one clipped window). */
+    * The whole selection runs as ONE native expression
+    * ([[graft.functions.WinnowFps]] — O(len) rolling hash + monotonic-
+    * deque window minima, a static call inside the codegen span); the
+    * plan above it is a filter + explode. The first cut composed nested
+    * higher-order built-ins instead, and their interpreted per-element
+    * lambdas made it ~10× slower at bench scale — the textbook case for
+    * the custom-Expression tier. Documents shorter than k have no
+    * k-gram and are dropped; documents with fewer than w k-grams yield
+    * the single overall minimum (one clipped window). */
   def winnow(docs: DataFrame, k: Int = 4, w: Int = 5,
-      textCol: String = "text"): DataFrame = {
-    val text = col(textCol)
-    val gramHash = (p: Column) => aggregate(
-      transform(split(text.substr(p, lit(k)), ""),
-        ch => ascii(ch).cast("long")),
-      lit(0L), (acc, cp) => (acc * 31L + cp) % 1000000007L)
-    docs.filter(length(text) >= k)
+      textCol: String = "text"): DataFrame =
+    docs.filter(length(col(textCol)) >= k)
       .select(col("doc_id"),
-        transform(sequence(lit(1), length(text) - (k - 1)), gramHash)
-          .as("hs"))
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
-          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
-  }
+        explode(graft.functions.GraftFunctions
+          .winnowFps(col(textCol), k, w)).as("fp"))
 
   /** Per-language stopword profiles for the n-gram-free language-ID
     * heuristic. Public knowledge (most-frequent function words). */
