@@ -188,6 +188,36 @@ object TextAnalysis {
         explode(graft.functions.GraftFunctions
           .winnowFps(col(textCol), k, w)).as("fp"))
 
+  /** MOSS pairing step over [[winnow]] fingerprints: candidate document
+    * pairs ranked by shared-fingerprint count. Fingerprints present in
+    * more than `maxDf` documents are dropped FIRST — exactly MOSS's
+    * boilerplate suppression (a fp shared by half the corpus is
+    * template text, not evidence of copying) and simultaneously the
+    * scale rail: after the filter, per-fp join fanout is ≤ maxDf², so
+    * the fp-equality shuffle is bounded the same way the LSH band join
+    * is by `maxBucket`. `minShared` then requires ≥ that many
+    * independent shared regions before a pair is reported.
+    *
+    * 100 TB shape: two 8-byte-key hash shuffles (fp for the df count +
+    * self-join, then the (doc_a, doc_b) pair agg with map-side
+    * combine); no window, no driver collect. */
+  def winnowCandidatePairs(docs: DataFrame, k: Int = 4, w: Int = 5,
+      maxDf: Int = 50, minShared: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val fps = winnow(docs, k, w, textCol)
+    // winnow emits distinct (doc_id, fp), so count(*) per fp IS doc freq
+    val keptFps = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(keptFps, "fp")
+    kept.as("a").join(kept.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-language stopword profiles for the n-gram-free language-ID
     * heuristic. Public knowledge (most-frequent function words). */
   val LangProfiles: Map[String, Seq[String]] = Map(

@@ -86,6 +86,10 @@ object TextOps {
   def winnowQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnow(Tables(s, dir).documents)
 
+  /** MOSS pairing: shared-winnow-fp candidate pairs, df-rail 50. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowCandidatePairs(Tables(s, dir).documents)
+
   /** Language ID over the synthetic docs (rows-only: the corpus vocabulary
     * is English-ish regardless of the synthetic lang label; real accuracy
     * is asserted on multilingual vectors in TextAnalysisSpec). */
@@ -385,6 +389,7 @@ object TextOps {
     "q_fingerprint" -> fingerprint,
     "q_lexical_div" -> lexicalDiv,
     "q_winnow" -> winnowQ,
+    "q_winnow_pairs" -> winnowPairs,
     "q_langid" -> langId,
     "q_sessionize" -> sessionize,
     "q_hourly" -> hourly,
@@ -893,6 +898,27 @@ object TextOps {
         "range(1, greatest(len(hs) - 4, 1) + 1), " +
         "i -> list_aggregate(array_slice(hs, i, i + 4), 'min'))) AS fp " +
         "FROM g)"),
+    "q_winnow_pairs" ->
+      ("WITH g AS (SELECT doc_id, " +
+        "list_transform(range(1, CAST(len(text) AS BIGINT) - 2), " +
+        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(array_slice(text, p, p + 3), ''), " +
+        "ch -> CAST(ord(ch) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007)) AS hs " +
+        "FROM documents WHERE len(text) >= 4), " +
+        "wn AS (SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, " +
+        "unnest(list_transform(" +
+        "range(1, greatest(len(hs) - 4, 1) + 1), " +
+        "i -> list_aggregate(array_slice(hs, i, i + 4), 'min'))) AS fp " +
+        "FROM g)), " +
+        "kept AS (SELECT doc_id, fp FROM wn WHERE fp IN (" +
+        "SELECT fp FROM wn GROUP BY fp " +
+        "HAVING count(*) BETWEEN 2 AND 50)) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM kept a JOIN kept b USING (fp) " +
+        "WHERE a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2"),
     "q_sessionize" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (" +

@@ -343,6 +343,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.distinct.length == fps.length)
   }
 
+  test("winnow pairs: shared chunk pairs up, boilerplate df-rail drops") {
+    val chunk = "a genuinely distinctive shared passage of text"
+    val boiler = "standard footer"   // in EVERY doc → df over the rail
+    val docs = Seq(
+      (1L, s"one $chunk end $boiler"),
+      (2L, s"two start $chunk $boiler"),
+      (3L, s"three unrelated content entirely $boiler"),
+      (4L, s"four other words altogether $boiler"))
+      .toDF("doc_id", "text")
+    // maxDf=3 < 4 docs: every boilerplate-only fp is suppressed, so only
+    // the chunk-sharing pair survives minShared
+    val got = TextAnalysis.winnowCandidatePairs(docs, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "chunk-sharing pair must be reported")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L || p._2 == 4L),
+      s"boilerplate-only overlap must not pair docs: $got")
+  }
+
   test("winnowing: short docs — below k dropped, below w one window") {
     val docs = Seq((1L, "abc"), (2L, "abcde")).toDF("doc_id", "text")
     val r = TextAnalysis.winnow(docs, k = 4, w = 5).collect()
