@@ -18,10 +18,11 @@ FAMILIES = [
         "q_boilerplate", "q_incremental", "q_corpus_diff", "q_decontaminate",
         "q_contamination", "q_containment", "q_span", "q_novelty",
         "q_jaccard", "q_minhash", "q_simhash", "q_semantic",
-        "q_embed_neardup"))),
+        "q_embed_neardup", "q_winnow"))),
     ("ann", lambda q: q.startswith(("q_knn", "q_ann", "q_quantize",
         "q_rand_proj", "q_cluster"))),
     ("text", lambda q: q.startswith(("q_token", "q_langid", "q_quality",
+        "q_lexical", "q_fertility", "q_strip", "q_rag",
         "q_gopher", "q_repetition", "q_redact", "q_fingerprint", "q_keywords",
         "q_pmi", "q_chunk", "q_vocab", "q_freq", "q_lm", "q_linear",
         "q_domain", "q_bpe", "q_skipgram", "q_hash_features", "q_zscore",
