@@ -218,6 +218,42 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Pairwise vocabulary overlap between corpus sources: for every
+    * source pair (a < b), the distinct-token intersection size, each
+    * side's vocabulary size, and integer-scaled Jaccard ×1000 — the
+    * mixture-planning diagnostic that says which sources are lexically
+    * redundant before token budgets are allocated.
+    *
+    * 100 TB shape: one distinct over (source, token) — a map-side-
+    * combining shuffle on the token-hash — then a self-join on token
+    * whose per-token fanout is bounded by |sources|² (each source
+    * contributes a token at most once after the distinct), then a
+    * |sources|²-row aggregate. No window, no collect; output is
+    * O(|sources|²) regardless of corpus size. */
+  def vocabOverlap(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val toks = docs
+      .select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    val sizes = toks.groupBy("source").agg(count(lit(1)).as("n"))
+    toks.as("a").join(toks.as("b"), "tok")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("source_a"),
+        col("n").as("n_vocab_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"),
+        col("n").as("n_vocab_b")), "source_b")
+      .withColumn("jaccard_x1000",
+        floor(col("n_common") * 1000L /
+          (col("n_vocab_a") + col("n_vocab_b") - col("n_common")))
+          .cast("long"))
+      .select("source_a", "source_b", "n_common", "n_vocab_a",
+        "n_vocab_b", "jaccard_x1000")
+  }
+
   /** Per-language stopword profiles for the n-gram-free language-ID
     * heuristic. Public knowledge (most-frequent function words). */
   val LangProfiles: Map[String, Seq[String]] = Map(

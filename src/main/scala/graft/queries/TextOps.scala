@@ -90,6 +90,10 @@ object TextOps {
   def winnowPairs(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowCandidatePairs(Tables(s, dir).documents)
 
+  /** Pairwise source-vocabulary Jaccard (mixture-planning diagnostic). */
+  def vocabOverlapQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabOverlap(Tables(s, dir).documents)
+
   /** Language ID over the synthetic docs (rows-only: the corpus vocabulary
     * is English-ish regardless of the synthetic lang label; real accuracy
     * is asserted on multilingual vectors in TextAnalysisSpec). */
@@ -390,6 +394,7 @@ object TextOps {
     "q_lexical_div" -> lexicalDiv,
     "q_winnow" -> winnowQ,
     "q_winnow_pairs" -> winnowPairs,
+    "q_vocab_overlap" -> vocabOverlapQ,
     "q_langid" -> langId,
     "q_sessionize" -> sessionize,
     "q_hourly" -> hourly,
@@ -919,6 +924,21 @@ object TextOps {
         "FROM kept a JOIN kept b USING (fp) " +
         "WHERE a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    "q_vocab_overlap" ->
+      ("WITH v AS (SELECT DISTINCT source, tok FROM (SELECT source, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+        "s AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v " +
+        "GROUP BY source), " +
+        "p AS (SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(count(*) AS BIGINT) AS n_common " +
+        "FROM v a JOIN v b USING (tok) WHERE a.source < b.source " +
+        "GROUP BY 1, 2) " +
+        "SELECT source_a, source_b, n_common, " +
+        "sa.n AS n_vocab_a, sb.n AS n_vocab_b, " +
+        "CAST(n_common * 1000 // (sa.n + sb.n - n_common) AS BIGINT) " +
+        "AS jaccard_x1000 FROM p " +
+        "JOIN s sa ON sa.source = p.source_a " +
+        "JOIN s sb ON sb.source = p.source_b"),
     "q_sessionize" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (" +

@@ -361,6 +361,21 @@ class TextAnalysisSpec extends SparkSpec {
       s"boilerplate-only overlap must not pair docs: $got")
   }
 
+  test("vocab overlap: hand-computed Jaccard, a<b ordering, no self-pair") {
+    val docs = Seq(
+      ("web", "a b c"), ("web", "c d"),      // vocab {a,b,c,d}
+      ("book", "c d e"),                     // vocab {c,d,e}
+      ("code", "x y"))                       // vocab {x,y} — disjoint
+      .toDF("source", "text")
+    val r = TextAnalysis.vocabOverlap(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // book<web: common {c,d}=2, sizes 3/4, J = 2/5 = 400
+    assert(r(("book", "web")) == ((2L, 3L, 4L, 400L)))
+    // disjoint pairs produce NO row (inner join on tok)
+    assert(r.size == 1 && !r.keySet.exists(p => p._1 == "code" || p._2 == "code"))
+  }
+
   test("winnowing: short docs — below k dropped, below w one window") {
     val docs = Seq((1L, "abc"), (2L, "abcde")).toDF("doc_id", "text")
     val r = TextAnalysis.winnow(docs, k = 4, w = 5).collect()
