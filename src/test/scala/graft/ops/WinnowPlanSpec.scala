@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Plan audit for the winnowing/lexical family added in r10: pins the
+  * physical shapes the scale story claims, so a refactor can't silently
+  * degrade them. Runs on sf0.001 query entries (plan shape, not data). */
+class WinnowPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("winnow: native expression in a scan-project pipeline, no shuffle") {
+    val qe = graft.queries.TextOps.winnowQ(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("winnow_fps"),
+      "native WinnowFps expression missing from the plan:\n" + plan.take(600))
+    assert(!plan.contains("Exchange"),
+      "winnow selection must be shuffle-free:\n" + plan.take(600))
+  }
+
+  test("winnow pairs: df-rail and pairing are equi-joins, never cartesian") {
+    val plan = executed(graft.queries.TextOps.winnowPairs(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "fp self-join degenerated to a cross product:\n" + plan.take(600))
+  }
+
+  test("vocab overlap: token self-join is an equi-join, never cartesian") {
+    val plan = executed(graft.queries.TextOps.vocabOverlapQ(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "token self-join degenerated to a cross product:\n" + plan.take(600))
+  }
+
+  test("lexical diversity: per-row projection, no shuffle") {
+    val plan = executed(graft.queries.TextOps.lexicalDiv(spark, dir))
+    assert(!plan.contains("Exchange"),
+      "lexical diversity must be a narrow projection:\n" + plan.take(600))
+  }
+}
