@@ -87,4 +87,53 @@ object Graph {
     }
     r
   }
+
+  /** Triangle count + local clustering coefficient per vertex over an
+    * UNDIRECTED edge list `(a, b)` with `a < b`, distinct — e.g. the
+    * verified near-dup pair graph, where clustering is the dedup-QA
+    * signal: coefficients near 1000 mean coherent duplicate cliques,
+    * low coefficients mean chain-shaped clusters whose transitive
+    * closure risks gluing non-duplicates.
+    *
+    * Degree-ordered orientation (each edge directed from its lower-
+    * (degree, id) endpoint) is the standard wedge bound: every wedge is
+    * enumerated at its LOWEST-degree vertex, so per-vertex fanout in
+    * the wedge self-join is O(max out-degree) = O(√|E|) on skewed
+    * graphs instead of O(max degree) — the hub that would explode a
+    * naive enumeration generates no wedges at all. Each triangle is
+    * counted exactly once, then exploded to its three corners for the
+    * per-vertex counts. Three equi-join shuffles, no window, no
+    * collect; output is O(|V|). clustering_x1000 =
+    * ⌊2000·n_tri / (deg·(deg−1))⌋, integer for oracle parity (degree-1
+    * vertices report 0). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      when(fwd, col("b")).otherwise(col("a")).as("dst"))
+    // wedges at the low-degree corner; dst order makes the closing edge
+    // the canonical (v1 < v2) form, so one join against `e` closes it
+    val wedges = oriented.select(col("src"), col("dst").as("v1"))
+      .join(oriented.select(col("src"), col("dst").as("v2")), "src")
+      .filter(col("v1") < col("v2"))
+    val tris = wedges.join(
+      e.select(col("a").as("v1"), col("b").as("v2")), Seq("v1", "v2"))
+    val perVertex = tris
+      .select(explode(array(col("src"), col("v1"), col("v2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering_x1000",
+        when(col("deg") >= 2,
+          floor(col("n_tri") * 2000L / (col("deg") * (col("deg") - 1))))
+          .otherwise(lit(0)).cast("long"))
+  }
 }

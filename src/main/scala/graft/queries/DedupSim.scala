@@ -73,6 +73,14 @@ object DedupSim {
   def minhashNearDups(s: SparkSession, dir: String): DataFrame =
     mutantPairs(s, dir)
 
+  /** Triangle / clustering-coefficient audit of the near-dup pair graph
+    * (reuses the session's staged pair relation): coefficients near
+    * 1000 = coherent duplicate cliques; low = chain-shaped clusters
+    * whose transitive closure risks over-merging. */
+  def dedupTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleStats(mutantPairs(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")))
+
   /** Per-source near-dup incidence over the corpus plus the mutant batch
     * labeled as its own 'recrawl' source: every base↔mutant match is
     * then CROSS-source, so both audit columns are exercised. Reuses the
@@ -388,6 +396,7 @@ object DedupSim {
     "q_containment_pairs" -> containmentPairs,
     "q_minhash_sigs" -> minhashSigs,
     "q_minhash_neardup" -> minhashNearDups,
+    "q_dedup_triangles" -> dedupTriangles,
     "q_dup_rate_by_source" -> dupRateBySource,
     "q_dedup_components" -> dedupComponents,
     "q_dedup_keep" -> dedupKeep,
@@ -677,6 +686,25 @@ object DedupSim {
         s"SELECT doc_id, array_to_string([$duckMinhashMins], ',') " +
         "AS sig_csv FROM h GROUP BY doc_id"),
     "q_minhash_neardup" -> duckMinhashNearDupSql,
+    // triangle census of the same pair graph: ordered-triple closure
+    // (each triangle found once at its smallest vertex) — equivalent to
+    // the engine's degree-oriented enumeration by symmetry of the count
+    "q_dedup_triangles" ->
+      (s"WITH e AS (SELECT doc_a AS a, doc_b AS b " +
+        s"FROM ($duckMinhashNearDupSql)), " +
+        "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (" +
+        "SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z " +
+        "FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+        "pv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (" +
+        "SELECT x AS v FROM tri UNION ALL SELECT y FROM tri " +
+        "UNION ALL SELECT z FROM tri) GROUP BY v) " +
+        "SELECT deg.v, deg.deg, coalesce(pv.n_tri, 0) AS n_tri, " +
+        "CAST(CASE WHEN deg.deg >= 2 THEN " +
+        "coalesce(pv.n_tri, 0) * 2000 // (deg.deg * (deg.deg - 1)) " +
+        "ELSE 0 END AS BIGINT) AS clustering_x1000 " +
+        "FROM deg LEFT JOIN pv USING (v)"),
     // pair relation shared with q_minhash_neardup; mutants labeled
     // 'recrawl' so base<->mutant matches count as cross-source
     "q_dup_rate_by_source" ->

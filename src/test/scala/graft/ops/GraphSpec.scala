@@ -65,4 +65,27 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.getLong(1)).sum
     assert(leaky < 2000000L, s"expected dropped dangling mass, got $leaky")
   }
+
+  test("triangles: clique counted once per corner, chain has none") {
+    // K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus the chain
+    // 4-5-6 (vertex 5 has degree 2 but no closing edge)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val r = Graph.triangleStats(edges).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // K4 corners: deg 3 (1,2,3) / deg 4 (4, also on the chain), each in
+    // 3 triangles; cc = 2000·3/(3·2) = 1000 resp. 2000·3/(4·3) = 500
+    assert(r(1L) == ((3L, 3L, 1000L)), r.toString)
+    assert(r(2L) == ((3L, 3L, 1000L)))
+    assert(r(3L) == ((3L, 3L, 1000L)))
+    assert(r(4L) == ((4L, 3L, 500L)))
+    // chain: deg-2 vertex with an open wedge → 0 triangles, cc 0
+    assert(r(5L) == ((2L, 0L, 0L)))
+    assert(r(6L) == ((1L, 0L, 0L)))
+    // global count: 3·n_triangles corner rows = 12
+    assert(r.values.map(_._2).sum == 12L)
+  }
 }
