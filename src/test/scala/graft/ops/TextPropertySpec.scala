@@ -66,4 +66,36 @@ class TextPropertySpec extends SparkSpec {
       assert(last._2 * 64 + last._3.length == text.length.toLong)
     }
   }
+
+  test("winnowFps (rolling hash + deque) == naive window-min reference") {
+    val M = 1000000007L
+    // the naive formulation the native expression replaced: hash every
+    // k-gram independently, min over each clipped window, dedup in
+    // selection order
+    def reference(text: String, k: Int, w: Int): Seq[Long] = {
+      val cps = text.codePoints().toArray
+      if (cps.length < k) return Seq.empty
+      val hs = (0 to cps.length - k).map(p =>
+        (p until p + k).foldLeft(0L)((acc, i) => (acc * 31L + cps(i)) % M))
+      val nw = math.max(hs.length - w + 1, 1)
+      (0 until nw).map(i => hs.slice(i, i + w).min).distinct
+    }
+    // mixed alphabet incl. repeats (hash ties) and a non-ASCII char
+    val gen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 120)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'a', ' ', 'z', 'é'))
+    } yield cs.mkString
+    val texts = samples(gen, 400).distinct
+    for ((k, w) <- Seq((4, 5), (2, 3), (8, 4))) {
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), graft.functions.GraftFunctions
+          .winnowFps(col("text"), k, w).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong).sorted == reference(t, k, w).sorted,
+          s"winnow mismatch k=$k w=$w text='$t'")
+      }
+    }
+  }
 }
