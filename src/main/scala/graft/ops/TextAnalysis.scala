@@ -204,7 +204,10 @@ object TextAnalysis {
   def winnowCandidatePairs(docs: DataFrame, k: Int = 4, w: Int = 5,
       maxDf: Int = 50, minShared: Int = 2,
       textCol: String = "text"): DataFrame = {
-    val fps = winnow(docs, k, w, textCol)
+    // staged: the fp relation feeds the df count AND both self-join
+    // sides — unstaged, the plan evaluates winnow_fps over the corpus
+    // four times (plan-audited in WinnowPlanSpec)
+    val fps = Stage.barrier(winnow(docs, k, w, textCol))
     // winnow emits distinct (doc_id, fp), so count(*) per fp IS doc freq
     val keptFps = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"))
@@ -232,10 +235,12 @@ object TextAnalysis {
     * O(|sources|²) regardless of corpus size. */
   def vocabOverlap(docs: DataFrame, textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
-    val toks = docs
+    // staged: the distinct vocabulary feeds the size count AND both
+    // self-join sides — one tokenize+distinct pass instead of three
+    val toks = Stage.barrier(docs
       .select(col(sourceCol).as("source"),
         explode(tokens(col(textCol))).as("tok"))
-      .distinct()
+      .distinct())
     val sizes = toks.groupBy("source").agg(count(lit(1)).as("n"))
     toks.as("a").join(toks.as("b"), "tok")
       .filter(col("a.source") < col("b.source"))

@@ -26,6 +26,19 @@ class WinnowPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "fp self-join degenerated to a cross product:\n" + plan.take(600))
+    // the fp relation is STAGED: the df count + both self-join sides
+    // read the barriered frame — an unstaged plan re-evaluates the
+    // winnow expression over the corpus once per branch (4× measured).
+    // Node collection stops at InMemoryTableScan leaves, so any
+    // GenerateExec found here is one that would EXECUTE per branch.
+    val exec = graft.queries.TextOps.winnowPairs(spark, dir)
+      .queryExecution.executedPlan
+    val liveGenerates = exec.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(liveGenerates.isEmpty && plan.contains("InMemoryTableScan"),
+      "fp relation not staged — winnow recomputed per branch:\n" +
+        plan.take(600))
+    graft.ops.Stage.releaseAll(spark)
   }
 
   test("vocab overlap: token self-join is an equi-join, never cartesian") {
@@ -33,6 +46,10 @@ class WinnowPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "token self-join degenerated to a cross product:\n" + plan.take(600))
+    assert(plan.contains("InMemoryTableScan"),
+      "distinct vocabulary not staged — tokenized per branch:\n" +
+        plan.take(600))
+    graft.ops.Stage.releaseAll(spark)
   }
 
   test("lexical diversity: per-row projection, no shuffle") {
