@@ -87,6 +87,26 @@ object Relational {
         sum(col("l_quantity")).cast("long").as("qty"))
   }
 
+  /** Blocked fuzzy entity match over part names: probes are the names
+    * with the last character dropped (edit distance 1 from their
+    * source), except every 7th part, which gets an out-of-vocabulary
+    * "zzz "-prefixed name — those land in an empty block and exercise
+    * the unmatched (null) path. Blocking on the FIRST token is complete
+    * here because a trailing-character edit cannot touch it. */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir).part
+    val tok1 = split(col("p_name"), " ").getItem(0)
+    val build = p.select(col("p_partkey").as("b_id"),
+      col("p_name").as("b_text"), tok1.as("block"))
+    val dirty = when(col("p_partkey") % 7 === 0,
+        concat(lit("zzz "), col("p_name")))
+      .otherwise(expr("substring(p_name, 1, length(p_name) - 1)"))
+    val probe = p.select((col("p_partkey") + 10000000L).as("p_id"),
+      dirty.as("p_text"),
+      split(dirty, " ").getItem(0).as("block"))
+    graft.ops.Fuzzy.blockedFuzzyJoin(probe, build, maxDist = 2)
+  }
+
   /** J5 — LEFT JOIN of two aggregated subqueries (ref: per-uid updates LEFT
     * JOIN per-uid contributions, pdf p.10). */
   def leftJoinAggs(s: SparkSession, dir: String): DataFrame = {
@@ -445,6 +465,7 @@ object Relational {
     "q_filter_in" -> filterIn,
     "q_filter_rlike" -> filterRlike,
     "q_join_agg" -> joinAgg,
+    "q_fuzzy_match" -> fuzzyMatch,
     "q_salted_join" -> saltedJoin,
     "q_asof_join" -> asofJoin,
     "q_left_join_aggs" -> leftJoinAggs,
@@ -585,6 +606,32 @@ object Relational {
     "q_join_agg" ->
       ("SELECT p_brand, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS qty " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
+    // semantics-first restatement: the oracle verifies within first-token
+    // blocks like the engine (blocking completeness is the documented
+    // contract, not an approximation to hide)
+    "q_fuzzy_match" ->
+      ("WITH build AS (SELECT p_partkey AS b_id, p_name AS b_text, " +
+        "string_split(p_name, ' ')[1] AS block FROM part), " +
+        "probe AS (SELECT p_partkey + 10000000 AS p_id, " +
+        "CASE WHEN p_partkey % 7 = 0 THEN 'zzz ' || p_name " +
+        "ELSE substring(p_name, 1, length(p_name) - 1) END AS p_text, " +
+        "CASE WHEN p_partkey % 7 = 0 THEN 'zzz' " +
+        "ELSE string_split(p_name, ' ')[1] END AS block FROM part), " +
+        "m AS (SELECT DISTINCT pn.p_text, bn.b_text, " +
+        "levenshtein(pn.p_text, bn.b_text) AS dist " +
+        "FROM (SELECT DISTINCT p_text, block FROM probe) pn " +
+        "JOIN (SELECT DISTINCT b_text, block FROM build) bn " +
+        "USING (block) WHERE levenshtein(pn.p_text, bn.b_text) <= 2), " +
+        "bd AS (SELECT p_text, min(dist) AS d FROM m GROUP BY p_text), " +
+        "best AS (SELECT m.p_text, min(m.b_text) AS match_text, " +
+        "CAST(bd.d AS BIGINT) AS dist FROM m JOIN bd " +
+        "ON m.p_text = bd.p_text AND m.dist = bd.d " +
+        "GROUP BY m.p_text, bd.d), " +
+        "rep AS (SELECT b_text AS match_text, min(b_id) AS match_id " +
+        "FROM build GROUP BY b_text) " +
+        "SELECT p.p_id, rep.match_id, best.match_text, best.dist " +
+        "FROM probe p LEFT JOIN best ON p.p_text = best.p_text " +
+        "LEFT JOIN rep ON best.match_text = rep.match_text"),
     "q_star_join" ->
       ("SELECT r_name, n_name, count(*) AS n_items, " +
         "CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem " +
