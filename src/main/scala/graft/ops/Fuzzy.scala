@@ -30,7 +30,12 @@ object Fuzzy {
     * Returns (p_id, match_id, match_text, dist) for every probe row;
     * null match columns when nothing in the probe's block is within
     * `maxDist`. Ties: smallest (dist, b_text), then smallest b_id of
-    * that text — fully deterministic. */
+    * that text IN THE BLOCK — fully deterministic. The block key is
+    * carried through every stage (best-match grouping, join-back, and
+    * the representative-id lookup): a probe text that recurs under a
+    * different blocking key must not inherit a match found in someone
+    * else's block, and a matched text's id must come from the block
+    * that was actually searched. */
   def blockedFuzzyJoin(probe: DataFrame, build: DataFrame,
       maxDist: Int = 2): DataFrame = {
     val pn = probe.select(col("p_text"), col("block")).distinct()
@@ -38,15 +43,16 @@ object Fuzzy {
     val matched = pn.join(bn, "block")
       .withColumn("dist", levenshtein(col("p_text"), col("b_text")))
       .filter(col("dist") <= maxDist)
-    val best = matched.groupBy("p_text")
+    val best = matched.groupBy("p_text", "block")
       .agg(min(struct(col("dist"), col("b_text"))).as("m"))
-      .select(col("p_text"), col("m.b_text").as("match_text"),
+      .select(col("p_text"), col("block"),
+        col("m.b_text").as("match_text"),
         col("m.dist").cast("long").as("dist"))
-    val rep = build.groupBy(col("b_text").as("match_text"))
+    val rep = build.groupBy(col("b_text").as("match_text"), col("block"))
       .agg(min(col("b_id")).as("match_id"))
-    probe.select(col("p_id"), col("p_text"))
-      .join(best, Seq("p_text"), "left")
-      .join(rep, Seq("match_text"), "left")
+    probe.select(col("p_id"), col("p_text"), col("block"))
+      .join(best, Seq("p_text", "block"), "left")
+      .join(rep, Seq("match_text", "block"), "left")
       .select(col("p_id"), col("match_id"), col("match_text"),
         col("dist"))
   }

@@ -107,17 +107,23 @@ object Graph {
     * ⌊2000·n_tri / (deg·(deg−1))⌋, integer for oracle parity (degree-1
     * vertices report 0). */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
-    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // staged (Stage.barrier): e feeds the degree count, the orientation
+    // join AND the triangle-closing join; deg feeds three branches;
+    // oriented feeds both wedge self-join sides. Unstaged, each branch
+    // re-runs the caller's whole upstream edge pipeline (the measured
+    // 4x-recompute pattern from winnowCandidatePairs).
+    val e = Stage.barrier(edges.select(col("a"), col("b")))
+    val deg = Stage.barrier(
+      e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg")))
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
     val fwd = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = withDeg.select(
+    val oriented = Stage.barrier(withDeg.select(
       when(fwd, col("a")).otherwise(col("b")).as("src"),
-      when(fwd, col("b")).otherwise(col("a")).as("dst"))
+      when(fwd, col("b")).otherwise(col("a")).as("dst")))
     // wedges at the low-degree corner; dst order makes the closing edge
     // the canonical (v1 < v2) form, so one join against `e` closes it
     val wedges = oriented.select(col("src"), col("dst").as("v1"))

@@ -617,21 +617,24 @@ object Relational {
         "ELSE substring(p_name, 1, length(p_name) - 1) END AS p_text, " +
         "CASE WHEN p_partkey % 7 = 0 THEN 'zzz' " +
         "ELSE string_split(p_name, ' ')[1] END AS block FROM part), " +
-        "m AS (SELECT DISTINCT pn.p_text, bn.b_text, " +
+        "m AS (SELECT DISTINCT pn.p_text, block, bn.b_text, " +
         "levenshtein(pn.p_text, bn.b_text) AS dist " +
         "FROM (SELECT DISTINCT p_text, block FROM probe) pn " +
         "JOIN (SELECT DISTINCT b_text, block FROM build) bn " +
         "USING (block) WHERE levenshtein(pn.p_text, bn.b_text) <= 2), " +
-        "bd AS (SELECT p_text, min(dist) AS d FROM m GROUP BY p_text), " +
-        "best AS (SELECT m.p_text, min(m.b_text) AS match_text, " +
+        "bd AS (SELECT p_text, block, min(dist) AS d FROM m " +
+        "GROUP BY p_text, block), " +
+        "best AS (SELECT m.p_text, m.block, min(m.b_text) AS match_text, " +
         "CAST(bd.d AS BIGINT) AS dist FROM m JOIN bd " +
-        "ON m.p_text = bd.p_text AND m.dist = bd.d " +
-        "GROUP BY m.p_text, bd.d), " +
-        "rep AS (SELECT b_text AS match_text, min(b_id) AS match_id " +
-        "FROM build GROUP BY b_text) " +
+        "ON m.p_text = bd.p_text AND m.block = bd.block " +
+        "AND m.dist = bd.d GROUP BY m.p_text, m.block, bd.d), " +
+        "rep AS (SELECT b_text AS match_text, block, min(b_id) " +
+        "AS match_id FROM build GROUP BY b_text, block) " +
         "SELECT p.p_id, rep.match_id, best.match_text, best.dist " +
         "FROM probe p LEFT JOIN best ON p.p_text = best.p_text " +
-        "LEFT JOIN rep ON best.match_text = rep.match_text"),
+        "AND p.block = best.block " +
+        "LEFT JOIN rep ON best.match_text = rep.match_text " +
+        "AND best.block = rep.block"),
     "q_star_join" ->
       ("SELECT r_name, n_name, count(*) AS n_items, " +
         "CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem " +

@@ -38,4 +38,24 @@ class FuzzySpec extends SparkSpec {
     val r = Fuzzy.blockedFuzzyJoin(probe, build).collect()
     assert(r.length == 1 && r.head.isNullAt(1))
   }
+
+  test("duplicate probe text across blocks: each row matched in ITS block") {
+    // same text twice under different blocks; the candidate exists only
+    // in blockA — the blockB row must NOT inherit blockA's match, and
+    // the matched id must come from the searched block (not the lower
+    // id under an unsearched block)
+    val build = Seq(
+      (7L, "anna", "blockA"),
+      (3L, "anna", "blockB"))   // lower id, but in the OTHER block
+      .toDF("b_id", "b_text", "block")
+    val probe = Seq(
+      (1L, "ann", "blockA"),
+      (2L, "ann", "blockC"))    // empty block
+      .toDF("p_id", "p_text", "block")
+    val r = Fuzzy.blockedFuzzyJoin(probe, build).collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(r(1L) == Some(7L), "must take blockA's id, not blockB's lower one")
+    assert(r(2L) == None, "a probe in an empty block must stay unmatched")
+  }
 }

@@ -7,7 +7,7 @@ import graft.SparkSpec
   * degrade them. Runs on sf0.001 query entries (plan shape, not data). */
 class WinnowPlanSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = sf
 
   private def executed(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
@@ -22,7 +22,8 @@ class WinnowPlanSpec extends SparkSpec {
   }
 
   test("winnow pairs: df-rail and pairing are equi-joins, never cartesian") {
-    val plan = executed(graft.queries.TextOps.winnowPairs(spark, dir))
+    val qe = graft.queries.TextOps.winnowPairs(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "fp self-join degenerated to a cross product:\n" + plan.take(600))
@@ -31,9 +32,7 @@ class WinnowPlanSpec extends SparkSpec {
     // winnow expression over the corpus once per branch (4× measured).
     // Node collection stops at InMemoryTableScan leaves, so any
     // GenerateExec found here is one that would EXECUTE per branch.
-    val exec = graft.queries.TextOps.winnowPairs(spark, dir)
-      .queryExecution.executedPlan
-    val liveGenerates = exec.collect {
+    val liveGenerates = qe.executedPlan.collect {
       case g: org.apache.spark.sql.execution.GenerateExec => g }
     assert(liveGenerates.isEmpty && plan.contains("InMemoryTableScan"),
       "fp relation not staged — winnow recomputed per branch:\n" +
