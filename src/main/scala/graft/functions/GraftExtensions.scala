@@ -54,10 +54,41 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     expr1("capwords", Capwords),
     expr1("nfc_normalize", NfcNormalize),
-    expr1("poly_hash", PolyHash(_, 31L, 2147483647L)),
+    // poly_hash(str[, base, mod]) — optional base/mod literals so SQL
+    // users can reproduce any of the engine's hash families
+    ("poly_hash",
+      new ExpressionInfo(classOf[GraftExtensions].getName, "poly_hash"),
+      { args =>
+        require(args.nonEmpty && args.length <= 3,
+          "poly_hash expects 1-3 arguments")
+        PolyHash(args.head,
+          base = longLit(args, 1, "poly_hash").getOrElse(31L),
+          mod = longLit(args, 2, "poly_hash").getOrElse(2147483647L))
+      }),
     expr1("poly_hash2", PolyHash2),
     expr2("vec_dot", DotProduct),
+    // winnow_fps(str[, k, w]) — MOSS winnowing fingerprint selection
+    // (ARRAY<LONG>), defaults k=4 w=5 like ops.TextAnalysis.winnow
+    ("winnow_fps",
+      new ExpressionInfo(classOf[GraftExtensions].getName, "winnow_fps"),
+      { args =>
+        require(args.nonEmpty && args.length <= 3,
+          "winnow_fps expects 1-3 arguments")
+        WinnowFps(args.head,
+          k = longLit(args, 1, "winnow_fps").map(_.toInt).getOrElse(4),
+          w = longLit(args, 2, "winnow_fps").map(_.toInt).getOrElse(5))
+      }),
   )
+
+  /** Fold the i-th optional argument to an integer literal. */
+  private def longLit(args: Seq[Expression], i: Int,
+      fn: String): Option[Long] =
+    args.lift(i).map(_.eval(null) match {
+      case n: Long => n
+      case n: Int => n.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn optional arguments must be integer literals, got $other")
+    })
 
   /** Register on an already-built session (notebook path). Idempotent —
     * re-registration replaces the same names. */

@@ -11,6 +11,18 @@ class GraftExtensionsSpec extends SparkSpec {
         "nfc_normalize('é') AS n, " +
         "poly_hash('abc') AS p, " +
         "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    // winnow_fps: defaults (k=4, w=5) and explicit args agree with the
+    // Column-API path on a doc long enough to select several fps
+    val text = "the quick brown fox jumps over the lazy dog"
+    val sqlFps = spark.sql(
+      s"SELECT winnow_fps('$text') AS f, winnow_fps('$text', 4, 5) AS g")
+      .head()
+    assert(sqlFps.getSeq[Long](0) == sqlFps.getSeq[Long](1))
+    import org.apache.spark.sql.functions.lit
+    val colFps = spark.range(1)
+      .select(GraftFunctions.winnowFps(lit(text), 4, 5))
+      .head().getSeq[Long](0)
+    assert(sqlFps.getSeq[Long](0) == colFps && colFps.nonEmpty)
     assert(r.getString(0) == "Hello Spark World")
     assert(r.getString(1) == "é") // é composed
     // ((0*31+97)%P *31+98)%P *31+99 %P

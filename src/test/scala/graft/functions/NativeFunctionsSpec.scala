@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.functions._
 
-import graft.{GraftExtensions, SparkSpec}
+import graft.SparkSpec
 import graft.ops.Dedup
 
 class NativeFunctionsSpec extends SparkSpec {
@@ -115,7 +115,7 @@ class NativeFunctionsSpec extends SparkSpec {
 
   test("nfc_normalize composes decomposed sequences and is idempotent") {
     import spark.implicits._
-    graft.GraftExtensions.register(spark)
+    graft.functions.GraftExtensions.register(spark)
     // "e"+COMBINING ACUTE, "A"+COMBINING RING, precomposed pair, ASCII
     val rows = Seq("e\u0301", "A\u030A", "\u00E9\u00C5", "plain")
       .toDF("s")

@@ -8,7 +8,7 @@ import graft.SparkSpec
   * cartesian. Runs on sf0.001 query entries (plan shape, not data). */
 class R7PlanSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = sf
 
   private def executed(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
