@@ -214,6 +214,12 @@ case class PolyHash(child: Expression, base: Long, mod: Long)
   * is just explode. */
 case class WinnowFps(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
+  // validated at construction (= SQL analysis / Column build), not in the
+  // kernel: k ≤ 0 would index cps negatively in the rolling-hash drop term
+  // and w ≤ 0 corrupts the monotonic-deque scan — an executor-side crash
+  // from plain SQL literals without this guard (ADVICE r10)
+  require(k >= 1 && w >= 1,
+    s"winnow_fps requires k >= 1 and w >= 1, got k=$k w=$w")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fps"

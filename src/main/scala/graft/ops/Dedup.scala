@@ -524,27 +524,39 @@ object Dedup {
     } yield struct(lit(c1 * 8 + c2).as("blk"),
       (chunk(c1) * 256L + chunk(c2)).as("key"))
     // staged: self-joined below — without the barrier the 62 sum-aggregates
-    // of the simhash computation run once per join side (concurrently);
-    // the bucket-size window shares the (blk, key) layout the join
-    // shuffles to anyway. The PRE-filter frame is what's cached so the
-    // dropped-bucket accounting reads the same blocks the join does.
-    val sized = Stage.barrier(
+    // of the simhash computation run once per join side (concurrently).
+    // The PRE-filter frame is what's cached so the dropped-bucket
+    // accounting reads the same blocks the join does.
+    val blocked0 = Stage.barrier(
       hs.select(col("doc_id"), col("simhash"),
           explode(array(pairCols: _*)).as("ck"))
         .select(col("doc_id"), col("simhash"),
-          col("ck.blk").as("blk"), col("ck.key").as("key"))
-        .withColumn("_bn", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("blk"), col("key")))))
-    val droppedBuckets = sized.filter(col("_bn") > maxBucket)
-      .select(col("blk"), col("key")).distinct().count()
+          col("ck.blk").as("blk"), col("ck.key").as("key")))
+    // Bucket sizes via a partial-aggregated groupBy, NOT a value-
+    // partitioned window: the rail exists for degenerate hot buckets, and
+    // count() OVER (PARTITION BY blk, key) would serialize every row of a
+    // hot bucket into one WindowExec task BEFORE the rail could drop it —
+    // the exact skew shape the rail guards against. The groupBy map-side-
+    // combines a hot key to one row per input partition, and the key
+    // domain is bounded (28 chunk-pair blocks × 2¹⁶ key values), so the
+    // over-cap set is intrinsically broadcastable; when it is empty (the
+    // designed-for case — the cap is a rail, not a filter) the anti join
+    // is skipped entirely.
+    val overCap = Stage.barrier(blocked0
+      .groupBy(col("blk"), col("key"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBucket)
+      .select(col("blk"), col("key")))
+    val droppedBuckets = overCap.count()
     if (droppedBuckets > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"hammingNearDupPairs: maxBucket=$maxBucket dropped " +
           s"$droppedBuckets over-cap (blk, key) buckets — recall is lost " +
           "in those mass-duplicate regions; raise maxBucket or cluster " +
           "via simhashCanonical instead of pairing")
-    val blocked = sized.filter(col("_bn") <= maxBucket).drop("_bn")
+    val blocked =
+      if (droppedBuckets == 0L) blocked0
+      else blocked0.join(broadcast(overCap), Seq("blk", "key"), "left_anti")
     val a = blocked.select(col("blk"), col("key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = blocked.select(col("blk"), col("key"),

@@ -17,12 +17,25 @@ import org.apache.spark.sql.functions._
   * SimHash canonical's signature collapse: entity-name columns have
   * bounded vocabulary, so the verify join runs over |distinct probe| ×
   * |distinct build per block| candidates REGARDLESS of row count; the
-  * corpus-sized frames only ever see hash equi-joins on the text. Best
-  * match per probe string is min(struct(dist, text)) — the map-side-
-  * combining argmin, no window — then a per-text min-id representative
-  * attaches a stable build id. Probes with no candidate within budget
-  * survive with null match columns (left join), so downstream can split
-  * matched/unmatched without a second pass.
+  * corpus-sized frames only ever see hash equi-joins on the text. Two
+  * rails bound the verify stage itself:
+  *
+  *  - the free `abs(len(p) − len(b)) ≤ maxDist` prune runs BEFORE the
+  *    Levenshtein call (length difference is a lower bound on edit
+  *    distance, so the prune is exact), and the Levenshtein itself is
+  *    the thresholded form (O(len·maxDist) banded DP, early exit);
+  *  - a block-population rail like LSH's `maxBucket`: a block whose
+  *    distinct-probe × distinct-build candidate product exceeds
+  *    `maxBlockPairs` is a degenerate blocking key (the caller's
+  *    completeness argument has failed — e.g. blocking on a stopword),
+  *    and is dropped with a logged count rather than silently going
+  *    quadratic. Its probes surface as unmatched, never as a hang.
+  *
+  * Best match per probe string is min(struct(dist, text)) — the
+  * map-side-combining argmin, no window — then a per-text min-id
+  * representative attaches a stable build id. Probes with no candidate
+  * within budget survive with null match columns (left join), so
+  * downstream can split matched/unmatched without a second pass.
   */
 object Fuzzy {
 
@@ -37,12 +50,51 @@ object Fuzzy {
     * else's block, and a matched text's id must come from the block
     * that was actually searched. */
   def blockedFuzzyJoin(probe: DataFrame, build: DataFrame,
-      maxDist: Int = 2): DataFrame = {
-    val pn = probe.select(col("p_text"), col("block")).distinct()
-    val bn = build.select(col("b_text"), col("block")).distinct()
-    val matched = pn.join(bn, "block")
-      .withColumn("dist", levenshtein(col("p_text"), col("b_text")))
-      .filter(col("dist") <= maxDist)
+      maxDist: Int = 2, maxBlockPairs: Long = 10000000L): DataFrame =
+    blockedFuzzyJoinWithStats(probe, build, maxDist, maxBlockPairs)._1
+
+  /** [[blockedFuzzyJoin]] plus the number of blocks the `maxBlockPairs`
+    * rail dropped — like [[Dedup.hammingNearDupPairsWithStats]], the rail
+    * must never fire silently (a fired rail means the caller's blocking
+    * key degenerated and those probes are unmatched by POLICY, which the
+    * operator of a 100 TB run needs to know, not guess). */
+  def blockedFuzzyJoinWithStats(probe: DataFrame, build: DataFrame,
+      maxDist: Int = 2, maxBlockPairs: Long = 10000000L)
+      : (DataFrame, Long) = {
+    // staged: each distinct-collapse feeds the block-census job AND the
+    // verify join — unstaged they recompute once per job
+    val pn = Stage.barrier(
+      probe.select(col("p_text"), col("block")).distinct())
+    val bn = Stage.barrier(
+      build.select(col("b_text"), col("block")).distinct())
+    // block census: partial-aggregated counts per side, joined on the
+    // block key — one row per block, so the over-cap set is bounded by
+    // the block vocabulary and broadcasts into the anti join. No window,
+    // no stage ever gathers a hot block's rows into one task.
+    val overCap = Stage.barrier(
+      pn.groupBy("block").agg(count(lit(1)).as("_np"))
+        .join(bn.groupBy("block").agg(count(lit(1)).as("_nb")), "block")
+        .filter(col("_np") * col("_nb") > maxBlockPairs)
+        .select(col("block")))
+    val droppedBlocks = overCap.count()
+    if (droppedBlocks > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"blockedFuzzyJoin: maxBlockPairs=$maxBlockPairs dropped " +
+          s"$droppedBlocks degenerate blocks — their probes report as " +
+          "unmatched; fix the blocking key or raise the rail")
+    val pnKept =
+      if (droppedBlocks == 0L) pn
+      else pn.join(broadcast(overCap), Seq("block"), "left_anti")
+    val matched = pnKept.join(bn, "block")
+      // exact prune: |len(p) − len(b)| lower-bounds edit distance, and
+      // length() is a register op — candidates outside the budget never
+      // reach the DP. The thresholded levenshtein then early-exits at
+      // maxDist (returns -1 above it) instead of filling the full matrix.
+      .filter(abs(length(col("p_text")) - length(col("b_text")))
+        <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("p_text"), col("b_text"), maxDist))
+      .filter(col("dist") >= 0)
     val best = matched.groupBy("p_text", "block")
       .agg(min(struct(col("dist"), col("b_text"))).as("m"))
       .select(col("p_text"), col("block"),
@@ -50,10 +102,11 @@ object Fuzzy {
         col("m.dist").cast("long").as("dist"))
     val rep = build.groupBy(col("b_text").as("match_text"), col("block"))
       .agg(min(col("b_id")).as("match_id"))
-    probe.select(col("p_id"), col("p_text"), col("block"))
+    val out = probe.select(col("p_id"), col("p_text"), col("block"))
       .join(best, Seq("p_text", "block"), "left")
       .join(rep, Seq("match_text", "block"), "left")
       .select(col("p_id"), col("match_id"), col("match_text"),
         col("dist"))
+    (out, droppedBlocks)
   }
 }

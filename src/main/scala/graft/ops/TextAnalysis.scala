@@ -134,17 +134,24 @@ object TextAnalysis {
     * generated or looped text — both standard pretraining-quality gates.
     *
     * Per-row only: sort the token array once, then count run starts and
-    * length-1 runs by comparing each position with its neighbours
-    * (`try_element_at` returns null out of bounds, so the boundary
-    * comparisons reduce to the `i===1` / `i===n` guards under three-
-    * valued OR). Zero shuffle — linearly scalable like [[tokenStats]]. */
+    * length-1 runs by comparing each position with its neighbours. The
+    * LOW boundary is guarded STRUCTURALLY with a CaseWhen — only the
+    * `i + 1 > n` side is a genuine null-returning out-of-bounds for
+    * `try_element_at` (index 0 THROWS: SQL array indices start at 1), and
+    * a guard that relied on Or/And short-circuit order would break under
+    * operand reordering (ADVICE r10). Zero shuffle — linearly scalable
+    * like [[tokenStats]]. */
   def lexicalDiversity(docs: DataFrame, textCol: String = "text")
       : DataFrame = {
     val sorted = array_sort(tokens(col(textCol)))
     val n = size(sorted)
     val idx = sequence(lit(1), n)
     def at(i: Column) = try_element_at(sorted, i)
-    val runStart = (i: Column) => i === 1 || at(i) =!= at(i - 1)
+    // CaseWhen evaluates the otherwise branch only when i =!= 1, so
+    // at(i - 1) is structurally unreachable at i = 1 regardless of
+    // boolean-operand order or optimizer rewrites
+    val runStart = (i: Column) =>
+      when(i === 1, lit(true)).otherwise(at(i) =!= at(i - 1))
     val isNew = transform(idx,
       i => when(runStart(i), 1L).otherwise(0L))
     val isHapax = transform(idx,

@@ -612,11 +612,16 @@ object Relational {
     "q_fuzzy_match" ->
       ("WITH build AS (SELECT p_partkey AS b_id, p_name AS b_text, " +
         "string_split(p_name, ' ')[1] AS block FROM part), " +
-        "probe AS (SELECT p_partkey + 10000000 AS p_id, " +
-        "CASE WHEN p_partkey % 7 = 0 THEN 'zzz ' || p_name " +
-        "ELSE substring(p_name, 1, length(p_name) - 1) END AS p_text, " +
-        "CASE WHEN p_partkey % 7 = 0 THEN 'zzz' " +
-        "ELSE string_split(p_name, ' ')[1] END AS block FROM part), " +
+        // the block derives from the SAME dirty text as the engine's
+        // (split(dirty)[0]) — not from the original p_name, whose first
+        // token only coincides because TPC-H names are multi-token
+        // (ADVICE r10: a single-token name would diverge engine/oracle)
+        "probe AS (SELECT p_partkey + 10000000 AS p_id, p_text, " +
+        "string_split(p_text, ' ')[1] AS block FROM (" +
+        "SELECT p_partkey, CASE WHEN p_partkey % 7 = 0 " +
+        "THEN 'zzz ' || p_name " +
+        "ELSE substring(p_name, 1, length(p_name) - 1) END AS p_text " +
+        "FROM part)), " +
         "m AS (SELECT DISTINCT pn.p_text, block, bn.b_text, " +
         "levenshtein(pn.p_text, bn.b_text) AS dist " +
         "FROM (SELECT DISTINCT p_text, block FROM probe) pn " +

@@ -193,6 +193,23 @@ class DedupSpec extends SparkSpec {
     assert(dropped2 == 0L)
   }
 
+  test("hamming blocking: bucket accounting has no value-partitioned window") {
+    // the rail exists for degenerate hot buckets — counting bucket sizes
+    // with count() OVER (PARTITION BY blk, key) would serialize a hot
+    // bucket into ONE WindowExec task before the rail drops it. The
+    // accounting must be a partial-aggregated groupBy (r10 verdict #1).
+    val sigs = (1L to 50L).map(i => (i, i * 0x9e3779b97f4a7c15L))
+      .toDF("doc_id", "simhash")
+    val (pairs, _) = Dedup.hammingNearDupPairsWithStats(sigs)
+    // string form: InMemoryTableScan prints its nested cached plan, so a
+    // window hidden behind the staging cache is still caught here
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "bucket-size accounting reintroduced a value-partitioned window:\n" +
+        plan.take(600))
+    graft.ops.Stage.releaseAll(spark)
+  }
+
   test("simhashCanonical ≡ components over the full doc pair graph") {
     val d = docs.select(col("doc_id"), col("text")).limit(120)
     val corpus = d

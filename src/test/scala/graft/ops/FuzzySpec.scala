@@ -58,4 +58,52 @@ class FuzzySpec extends SparkSpec {
     assert(r(1L) == Some(7L), "must take blockA's id, not blockB's lower one")
     assert(r(2L) == None, "a probe in an empty block must stay unmatched")
   }
+
+  test("length prune is exact: matches at every |len delta| ≤ maxDist survive") {
+    // candidates at length deltas −2..+2 with true edit distance ≤ 2 must
+    // all match (the prune is a LOWER bound, never a tighter filter), and
+    // a same-length candidate at dist 3 must still miss
+    val build = Seq(
+      (1L, "abcd", "k"),     // len 4
+      (2L, "abcdef", "k"),   // len 6
+      (3L, "ab", "k"),       // len 2
+      (4L, "wxyz", "k"))     // len 4 but dist 4 from "abcd"? (all 4 differ)
+      .toDF("b_id", "b_text", "block")
+    val probe = Seq(
+      (10L, "abcd", "k"),    // dist 0 to b1
+      (11L, "abcde", "k"),   // dist 1 to b1 (len +1), 1 to b2 (len −1)
+      (12L, "abc", "k"),     // dist 1 to b1, 1 to b3
+      (13L, "qqqq", "k"))    // same length as b1/b4, dist 4 → unmatched
+      .toDF("p_id", "p_text", "block")
+    val r = Fuzzy.blockedFuzzyJoin(probe, build, maxDist = 2).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(2)) None
+        else Some((x.getString(2), x.getLong(3))))).toMap
+    assert(r(10L) == Some(("abcd", 0L)))
+    assert(r(11L) == Some(("abcd", 1L)))
+    // tie at dist 1 between "ab" and "abcd": lexicographically "ab" wins
+    assert(r(12L) == Some(("ab", 1L)))
+    assert(r(13L) == None, "same-length over-budget candidate must miss")
+  }
+
+  test("block-population rail: a degenerate block drops loudly, others match") {
+    // block "hot" has 40×40 distinct candidate pairs; with the rail at
+    // 1000 it is dropped (probes unmatched) and COUNTED, while the sane
+    // block still matches
+    val build = ((1L to 40L).map(i => (i, f"hot text $i%03d", "hot")) :+
+      (100L, "cool text", "cool")).toDF("b_id", "b_text", "block")
+    val probe = ((1L to 40L).map(i => (i + 500L, f"hot text $i%03x", "hot")) :+
+      (600L, "cool texx", "cool")).toDF("p_id", "p_text", "block")
+    val (out, dropped) =
+      Fuzzy.blockedFuzzyJoinWithStats(probe, build, maxDist = 2,
+        maxBlockPairs = 1000L)
+    val r = out.collect().map(x => x.getLong(0) ->
+      (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(dropped == 1L, "exactly the hot block must be dropped, counted")
+    assert(r(600L) == Some(100L), "the sane block must still match")
+    assert((501L to 540L).forall(r(_) == None),
+      "dropped-block probes must surface as unmatched rows, not vanish")
+    // default rail: nothing dropped, hot probes match again
+    val (_, dropped2) = Fuzzy.blockedFuzzyJoinWithStats(probe, build, 2)
+    assert(dropped2 == 0L)
+  }
 }
