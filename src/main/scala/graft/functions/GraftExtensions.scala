@@ -75,10 +75,21 @@ object GraftExtensions {
         require(args.nonEmpty && args.length <= 3,
           "winnow_fps expects 1-3 arguments")
         WinnowFps(args.head,
-          k = longLit(args, 1, "winnow_fps").map(_.toInt).getOrElse(4),
-          w = longLit(args, 2, "winnow_fps").map(_.toInt).getOrElse(5))
+          k = intLit(args, 1, "winnow_fps").getOrElse(4),
+          w = intLit(args, 2, "winnow_fps").getOrElse(5))
       }),
   )
+
+  /** [[longLit]] narrowed to Int range — a bare `.toInt` would TRUNCATE
+    * an over-range long (4294967301 → 5) before any k/w ≥ 1 guard could
+    * see it, silently changing the requested parameter. */
+  private def intLit(args: Seq[Expression], i: Int,
+      fn: String): Option[Int] =
+    longLit(args, i, fn).map { n =>
+      require(n >= 1L && n <= Int.MaxValue.toLong,
+        s"$fn integer arguments must be in [1, ${Int.MaxValue}], got $n")
+      n.toInt
+    }
 
   /** Fold the i-th optional argument to an integer literal. */
   private def longLit(args: Seq[Expression], i: Int,

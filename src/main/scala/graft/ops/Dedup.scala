@@ -308,10 +308,16 @@ object Dedup {
     * partial labels check the flag; [[components]] throws instead. */
   def componentsWithStatus(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 50): (DataFrame, Boolean) = {
+    // the undirected edge set references `pairs` from BOTH union
+    // branches — barrier the one-sided projection first so the caller's
+    // (possibly expensive) pair plan evaluates once, and release it as
+    // soon as the symmetric closure is materialized
+    val p0 = Stage.barrier(
+      pairs.select(col(aCol).as("s"), col(bCol).as("d")))
     val edges = Stage.barrier(
-      pairs.select(col(aCol).as("s"), col(bCol).as("d"))
-        .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+      p0.union(p0.select(col("d").as("s"), col("s").as("d")))
         .distinct())
+    Stage.release(p0)
     var labels = Stage.barrier(
       edges.select(col("s").as("id")).distinct()
         .withColumn("label", col("id")))
@@ -482,8 +488,15 @@ object Dedup {
     * 8-bit chunks). Equality joins only; exact bit_count verification. */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 6,
       textCol: String = "text"): DataFrame =
-    hammingNearDupPairs(simhashes(docs, textCol), maxHamming,
-      idCol = "doc_id", sigCol = "simhash")
+    // The signature relation is STAGED (like [[simhashCanonical]]'s):
+    // [[hammingNearDupPairs]] evaluates its input in both the bucket
+    // census and the blocked join, and re-running the tokenize +
+    // 62-lane aggregation per consumer is exactly the recompute a
+    // 100 TB caller avoids by materializing signatures first. 16 bytes
+    // per doc — 28× smaller than caching the exploded block relation.
+    // Stage LIFECYCLE applies (release via Stage.releaseAll).
+    hammingNearDupPairs(Stage.barrier(simhashes(docs, textCol)),
+      maxHamming, idCol = "doc_id", sigCol = "simhash")
 
   /** Generic near-dup pairing over 64-bit signatures `(id, sig)` — the
     * chunk-pair blocking shared by text SimHash and media perceptual
@@ -502,18 +515,49 @@ object Dedup {
   def hammingNearDupPairs(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
       maxBucket: Int = 100000): DataFrame =
-    hammingNearDupPairsWithStats(sigs, maxHamming, idCol, sigCol,
-      maxBucket)._1
+    hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket)._1
 
   /** [[hammingNearDupPairs]] plus the number of (blk, key) buckets the
-    * `maxBucket` rail dropped — the rail must never fire SILENTLY (a
-    * fired rail is lost recall in a mass-duplicate region; the operator
-    * of a 100 TB run needs the count, not a vibe). The count is also
-    * logged as a warning; the cached blocked relation makes it one cheap
-    * cache-local pass. */
+    * `maxBucket` rail dropped, counted EAGERLY (one census job at call
+    * time) for callers that must branch on the count — the rail must
+    * never fire SILENTLY (a fired rail is lost recall in a mass-duplicate
+    * region; the operator of a 100 TB run needs the count, not a vibe).
+    * Callers that only need the warn-log visibility should use the lazy
+    * [[hammingNearDupPairs]], whose census surfaces through the
+    * `graft.rail` observation metric instead ([[Rail.observed]]). */
   def hammingNearDupPairsWithStats(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
       maxBucket: Int = 100000): (DataFrame, Long) = {
+    val (pairs, overCap) =
+      hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket)
+    val droppedBuckets = overCap.count()
+    if (droppedBuckets > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(hammingRailWarn(maxBucket).format(droppedBuckets))
+    (pairs, droppedBuckets)
+  }
+
+  /** Rail kind for [[Rail.observed]] / observation metrics. */
+  val HammingBucketRail = "hamming.maxBucket"
+
+  private def hammingRailWarn(maxBucket: Int): String =
+    s"hammingNearDupPairs: maxBucket=$maxBucket dropped %d over-cap " +
+      "(blk, key) buckets — recall is lost in those mass-duplicate " +
+      "regions; raise maxBucket or cluster via simhashCanonical " +
+      "instead of pairing"
+
+  /** Shared lazy plan: (pair list, over-cap census). PURE PLAN
+    * CONSTRUCTION — no action, no cache. The blocked relation feeds the
+    * census and both self-join sides, but its expensive upstream (the
+    * signature aggregation) sits under identical exchange subtrees, so
+    * exchange reuse runs each shuffle once per action; only the narrow
+    * post-shuffle explode re-evaluates per consumer (plan-audited in
+    * DedupSpec). The rail's anti join is UNCONDITIONAL — an empty
+    * over-cap set broadcasts for free — with drop counts surfacing via
+    * the observation metric + session warn log. */
+  private def hammingPlan(sigs: DataFrame, maxHamming: Int,
+      idCol: String, sigCol: String, maxBucket: Int)
+      : (DataFrame, DataFrame) = {
     require(maxHamming <= 6,
       "chunk-pair blocking guarantees recall only for hamming <= 6")
     val hs = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
@@ -523,15 +567,14 @@ object Dedup {
       c1 <- 0 until 8; c2 <- (c1 + 1) until 8
     } yield struct(lit(c1 * 8 + c2).as("blk"),
       (chunk(c1) * 256L + chunk(c2)).as("key"))
-    // staged: self-joined below — without the barrier the 62 sum-aggregates
-    // of the simhash computation run once per join side (concurrently).
-    // The PRE-filter frame is what's cached so the dropped-bucket
-    // accounting reads the same blocks the join does.
-    val blocked0 = Stage.barrier(
+    // The PRE-filter relation — both join sides and the census read the
+    // same blocks; no barrier (see [[hammingPlan]] scaladoc on exchange
+    // reuse).
+    val blocked0 =
       hs.select(col("doc_id"), col("simhash"),
           explode(array(pairCols: _*)).as("ck"))
         .select(col("doc_id"), col("simhash"),
-          col("ck.blk").as("blk"), col("ck.key").as("key")))
+          col("ck.blk").as("blk"), col("ck.key").as("key"))
     // Bucket sizes via a partial-aggregated groupBy, NOT a value-
     // partitioned window: the rail exists for degenerate hot buckets, and
     // count() OVER (PARTITION BY blk, key) would serialize every row of a
@@ -539,24 +582,26 @@ object Dedup {
     // the exact skew shape the rail guards against. The groupBy map-side-
     // combines a hot key to one row per input partition, and the key
     // domain is bounded (28 chunk-pair blocks × 2¹⁶ key values), so the
-    // over-cap set is intrinsically broadcastable; when it is empty (the
-    // designed-for case — the cap is a rail, not a filter) the anti join
-    // is skipped entirely.
-    val overCap = Stage.barrier(blocked0
+    // over-cap set is intrinsically broadcastable.
+    val overCap = blocked0
       .groupBy(col("blk"), col("key"))
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") > maxBucket)
-      .select(col("blk"), col("key")))
-    val droppedBuckets = overCap.count()
-    if (droppedBuckets > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"hammingNearDupPairs: maxBucket=$maxBucket dropped " +
-          s"$droppedBuckets over-cap (blk, key) buckets — recall is lost " +
-          "in those mass-duplicate regions; raise maxBucket or cluster " +
-          "via simhashCanonical instead of pairing")
-    val blocked =
-      if (droppedBuckets == 0L) blocked0
-      else blocked0.join(broadcast(overCap), Seq("blk", "key"), "left_anti")
+      .select(col("blk"), col("key"))
+    // Anti join FIRST (map-side: the census set broadcasts), so an
+    // over-cap bucket's rows never enter the shuffle — then ONE explicit
+    // co-partitioning on (blk, key) that BOTH self-join sides read
+    // through exchange reuse. Without it the planner sees two
+    // independent stat-less subtrees: it either duplicates the whole
+    // signature pipeline per side or broadcast-builds the corpus-sized
+    // blocked relation (measured 17× slower at sf0.1, and a
+    // driver-killer at real scale). With it, the expensive upstream is
+    // the map stage of a single shuffle, and the join adds only sorts.
+    val blocked = blocked0.join(
+      broadcast(Rail.observed(overCap, HammingBucketRail,
+        hammingRailWarn(maxBucket))),
+      Seq("blk", "key"), "left_anti")
+      .repartition(col("blk"), col("key"))
     val a = blocked.select(col("blk"), col("key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = blocked.select(col("blk"), col("key"),
@@ -570,7 +615,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-    (pairs, droppedBuckets)
+    (pairs, overCap)
   }
 
   /** Cluster-reduce form of SimHash near-dup detection — the DENSE-corpus
@@ -601,8 +646,12 @@ object Dedup {
     val sigs = Stage.barrier(simhashes(docs, textCol))
     val reps = Stage.barrier(sigs.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("rep_id")))
-    val pairs = hammingNearDupPairs(reps, maxHamming,
-      idCol = "rep_id", sigCol = "simhash", maxBucket = maxBucket)
+    // staged: the rep pair list is the quadratic-output stage (dense
+    // corpora put many representatives in one bucket), and components'
+    // edge closure would otherwise re-run it — materialize once; it is
+    // O(rep clusters), far smaller than the corpus
+    val pairs = Stage.barrier(hammingNearDupPairs(reps, maxHamming,
+      idCol = "rep_id", sigCol = "simhash", maxBucket = maxBucket))
     val labels = components(pairs)
       .select(col("doc_id").as("rep_id"), col("component"))
     sigs.join(reps, Seq("simhash"))

@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
   *    and is dropped with a logged count rather than silently going
   *    quadratic. Its probes surface as unmatched, never as a hang.
   *
+  * Laziness contract: [[blockedFuzzyJoin]] is PURE PLAN CONSTRUCTION —
+  * no job, no cache. The rail census runs inside the caller's own
+  * action (it is the broadcast build side of an UNCONDITIONAL anti
+  * join; an empty over-cap set broadcasts for free), and its count
+  * surfaces through a `graft.rail` observation metric + session warn
+  * log ([[Rail.observed]]) instead of an eager `count()`. The distinct
+  * collapses feed both the census and the verify join, but their
+  * shuffles are identical subtrees, so Spark's exchange reuse runs each
+  * once per action — no staging cache to pin or release (plan-audited
+  * in FuzzySpec).
+  *
   * Best match per probe string is min(struct(dist, text)) — the
   * map-side-combining argmin, no window — then a per-text min-id
   * representative attaches a stable build id. Probes with no candidate
@@ -38,6 +49,14 @@ import org.apache.spark.sql.functions._
   * downstream can split matched/unmatched without a second pass.
   */
 object Fuzzy {
+
+  /** Rail kind for [[Rail.observed]] / observation metrics. */
+  val BlockPairsRail = "fuzzy.maxBlockPairs"
+
+  private def railWarn(maxBlockPairs: Long): String =
+    s"blockedFuzzyJoin: maxBlockPairs=$maxBlockPairs dropped %d " +
+      "degenerate blocks — their probes report as unmatched; fix the " +
+      "blocking key or raise the rail"
 
   /** probe: (p_id, p_text, block); build: (b_id, b_text, block).
     * Returns (p_id, match_id, match_text, dist) for every probe row;
@@ -51,40 +70,44 @@ object Fuzzy {
     * that was actually searched. */
   def blockedFuzzyJoin(probe: DataFrame, build: DataFrame,
       maxDist: Int = 2, maxBlockPairs: Long = 10000000L): DataFrame =
-    blockedFuzzyJoinWithStats(probe, build, maxDist, maxBlockPairs)._1
+    plan(probe, build, maxDist, maxBlockPairs)._1
 
   /** [[blockedFuzzyJoin]] plus the number of blocks the `maxBlockPairs`
-    * rail dropped — like [[Dedup.hammingNearDupPairsWithStats]], the rail
-    * must never fire silently (a fired rail means the caller's blocking
-    * key degenerated and those probes are unmatched by POLICY, which the
-    * operator of a 100 TB run needs to know, not guess). */
+    * rail dropped, counted EAGERLY (one census job at call time) for
+    * callers that must branch on the count — like
+    * [[Dedup.hammingNearDupPairsWithStats]], the rail must never fire
+    * silently (a fired rail means the caller's blocking key degenerated
+    * and those probes are unmatched by POLICY, which the operator of a
+    * 100 TB run needs to know, not guess). Callers that only need the
+    * warn-log visibility should use the lazy [[blockedFuzzyJoin]]. */
   def blockedFuzzyJoinWithStats(probe: DataFrame, build: DataFrame,
       maxDist: Int = 2, maxBlockPairs: Long = 10000000L)
       : (DataFrame, Long) = {
-    // staged: each distinct-collapse feeds the block-census job AND the
-    // verify join — unstaged they recompute once per job
-    val pn = Stage.barrier(
-      probe.select(col("p_text"), col("block")).distinct())
-    val bn = Stage.barrier(
-      build.select(col("b_text"), col("block")).distinct())
+    val (out, overCap) = plan(probe, build, maxDist, maxBlockPairs)
+    val droppedBlocks = overCap.count()
+    if (droppedBlocks > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(railWarn(maxBlockPairs).format(droppedBlocks))
+    (out, droppedBlocks)
+  }
+
+  /** Shared lazy plan: (output, over-cap census). No action, no cache. */
+  private def plan(probe: DataFrame, build: DataFrame,
+      maxDist: Int, maxBlockPairs: Long): (DataFrame, DataFrame) = {
+    val pn = probe.select(col("p_text"), col("block")).distinct()
+    val bn = build.select(col("b_text"), col("block")).distinct()
     // block census: partial-aggregated counts per side, joined on the
     // block key — one row per block, so the over-cap set is bounded by
     // the block vocabulary and broadcasts into the anti join. No window,
     // no stage ever gathers a hot block's rows into one task.
-    val overCap = Stage.barrier(
-      pn.groupBy("block").agg(count(lit(1)).as("_np"))
-        .join(bn.groupBy("block").agg(count(lit(1)).as("_nb")), "block")
-        .filter(col("_np") * col("_nb") > maxBlockPairs)
-        .select(col("block")))
-    val droppedBlocks = overCap.count()
-    if (droppedBlocks > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"blockedFuzzyJoin: maxBlockPairs=$maxBlockPairs dropped " +
-          s"$droppedBlocks degenerate blocks — their probes report as " +
-          "unmatched; fix the blocking key or raise the rail")
-    val pnKept =
-      if (droppedBlocks == 0L) pn
-      else pn.join(broadcast(overCap), Seq("block"), "left_anti")
+    val overCap = pn.groupBy("block").agg(count(lit(1)).as("_np"))
+      .join(bn.groupBy("block").agg(count(lit(1)).as("_nb")), "block")
+      .filter(col("_np") * col("_nb") > maxBlockPairs)
+      .select(col("block"))
+    val pnKept = pn.join(
+      broadcast(Rail.observed(overCap, BlockPairsRail,
+        railWarn(maxBlockPairs))),
+      Seq("block"), "left_anti")
     val matched = pnKept.join(bn, "block")
       // exact prune: |len(p) − len(b)| lower-bounds edit distance, and
       // length() is a register op — candidates outside the budget never
@@ -107,6 +130,6 @@ object Fuzzy {
       .join(rep, Seq("match_text", "block"), "left")
       .select(col("p_id"), col("match_id"), col("match_text"),
         col("dist"))
-    (out, droppedBlocks)
+    (out, overCap)
   }
 }

@@ -228,6 +228,41 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** MOSS-family canonical map — the O(docs) cluster deliverable that
+    * completes winnowing the way [[Dedup.simhashCanonical]] completes
+    * SimHash. [[winnowCandidatePairs]] is already the verify step
+    * (`n_shared` counts INDEPENDENT shared fingerprint regions after the
+    * boilerplate df-rail), so the pipeline is: verified pairs →
+    * connected components → `(doc_id, canonical_id)` for EVERY document,
+    * where canonical_id is the smallest doc_id in the transitive
+    * shared-fingerprint cluster; singletons — including documents too
+    * short to fingerprint — label themselves.
+    *
+    * Because winnowing is LOCAL (any shared substring of length ≥
+    * w + k − 1 shares a fingerprint), the clusters capture partial-
+    * overlap plagiarism chains whole-document signatures miss: a doc
+    * whose chunks were reordered still shares its region fingerprints
+    * with the original and lands in the same cluster (spec-pinned).
+    *
+    * 100 TB shape: the pair relation is never a deliverable — it exists
+    * only as input to the label propagation ([[Dedup.components]],
+    * O(cluster eccentricity) rounds of 8-byte-key joins with checkpoint
+    * truncation); the label attach is one final left join against the
+    * corpus keyed on doc_id. Output is O(docs) regardless of cluster
+    * density — the dense-corpus posture where the quadratic pair list
+    * would explode. */
+  def winnowCanonical(docs: DataFrame, k: Int = 4, w: Int = 5,
+      maxDf: Int = 50, minShared: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val pairs = winnowCandidatePairs(docs, k, w, maxDf, minShared, textCol)
+    val labels = Dedup.components(pairs)
+      .select(col("doc_id"), col("component"))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+  }
+
   /** Pairwise vocabulary overlap between corpus sources: for every
     * source pair (a < b), the distinct-token intersection size, each
     * side's vocabulary size, and integer-scaled Jaccard ×1000 — the

@@ -90,6 +90,10 @@ object TextOps {
   def winnowPairs(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowCandidatePairs(Tables(s, dir).documents)
 
+  /** MOSS canonical clusters: verified pairs → components → label map. */
+  def winnowCanonicalQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowCanonical(Tables(s, dir).documents)
+
   /** Pairwise source-vocabulary Jaccard (mixture-planning diagnostic). */
   def vocabOverlapQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabOverlap(Tables(s, dir).documents)
@@ -394,6 +398,7 @@ object TextOps {
     "q_lexical_div" -> lexicalDiv,
     "q_winnow" -> winnowQ,
     "q_winnow_pairs" -> winnowPairs,
+    "q_winnow_canonical" -> winnowCanonicalQ,
     "q_vocab_overlap" -> vocabOverlapQ,
     "q_langid" -> langId,
     "q_sessionize" -> sessionize,
@@ -447,6 +452,32 @@ object TextOps {
       (1 to nMerges).map(k =>
         s"SELECT CAST($k AS BIGINT) AS rank, l, r, cnt AS pair_count " +
           s"FROM m$k").mkString(" UNION ALL ")
+
+  /** Shared winnow CTE chain (k=4, w=5, df-rail [2,50], minShared 2):
+    * k-gram rolling hashes → per-window minima (distinct fps per doc) →
+    * df-railed fps → verified candidate pairs — the body both
+    * q_winnow_pairs and q_winnow_canonical's reachability build on. */
+  private val duckWinnowPairsCtes: String =
+    "g AS (SELECT doc_id, " +
+      "list_transform(range(1, CAST(len(text) AS BIGINT) - 2), " +
+      "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(array_slice(text, p, p + 3), ''), " +
+      "ch -> CAST(ord(ch) AS BIGINT))), " +
+      "(acc, x) -> (acc * 31 + x) % 1000000007)) AS hs " +
+      "FROM documents WHERE len(text) >= 4), " +
+      "wn AS (SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, " +
+      "unnest(list_transform(" +
+      "range(1, greatest(len(hs) - 4, 1) + 1), " +
+      "i -> list_aggregate(array_slice(hs, i, i + 4), 'min'))) AS fp " +
+      "FROM g)), " +
+      "kept AS (SELECT doc_id, fp FROM wn WHERE fp IN (" +
+      "SELECT fp FROM wn GROUP BY fp " +
+      "HAVING count(*) BETWEEN 2 AND 50)), " +
+      "wpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(count(*) AS BIGINT) AS n_shared " +
+      "FROM kept a JOIN kept b USING (fp) " +
+      "WHERE a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2)"
 
   val oracle: Map[String, String] = Map(
     // same bounded forward-offset pair generation (i ≤ n−1,
@@ -904,26 +935,23 @@ object TextOps {
         "i -> list_aggregate(array_slice(hs, i, i + 4), 'min'))) AS fp " +
         "FROM g)"),
     "q_winnow_pairs" ->
-      ("WITH g AS (SELECT doc_id, " +
-        "list_transform(range(1, CAST(len(text) AS BIGINT) - 2), " +
-        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(string_split(array_slice(text, p, p + 3), ''), " +
-        "ch -> CAST(ord(ch) AS BIGINT))), " +
-        "(acc, x) -> (acc * 31 + x) % 1000000007)) AS hs " +
-        "FROM documents WHERE len(text) >= 4), " +
-        "wn AS (SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, " +
-        "unnest(list_transform(" +
-        "range(1, greatest(len(hs) - 4, 1) + 1), " +
-        "i -> list_aggregate(array_slice(hs, i, i + 4), 'min'))) AS fp " +
-        "FROM g)), " +
-        "kept AS (SELECT doc_id, fp FROM wn WHERE fp IN (" +
-        "SELECT fp FROM wn GROUP BY fp " +
-        "HAVING count(*) BETWEEN 2 AND 50)) " +
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "CAST(count(*) AS BIGINT) AS n_shared " +
-        "FROM kept a JOIN kept b USING (fp) " +
-        "WHERE a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2 HAVING count(*) >= 2"),
+      ("WITH " + duckWinnowPairsCtes +
+        " SELECT doc_a, doc_b, n_shared FROM wpairs"),
+    // same verified-pair CTE, then recursive-CTE reachability — an
+    // independent transitive closure cross-checking the engine's label
+    // propagation (the same oracle shape as q_simhash_canonical)
+    "q_winnow_canonical" ->
+      ("WITH RECURSIVE " + duckWinnowPairsCtes + ", " +
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM wpairs " +
+        "UNION SELECT doc_b, doc_a FROM wpairs), " +
+        "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+        "SELECT reach.id, edges.d FROM reach JOIN edges " +
+        "ON edges.s = reach.r), " +
+        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id) " +
+        "SELECT d.doc_id AS doc_id, " +
+        "coalesce(comp.component, d.doc_id) AS canonical_id " +
+        "FROM documents d LEFT JOIN comp ON comp.id = d.doc_id"),
     "q_vocab_overlap" ->
       ("WITH v AS (SELECT DISTINCT source, tok FROM (SELECT source, " +
         "unnest(string_split(text, ' ')) AS tok FROM documents)), " +

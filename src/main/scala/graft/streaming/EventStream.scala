@@ -28,17 +28,24 @@ object EventStream {
     *
     * Session prerequisite: build the session with
     * [[graft.Tables.SessionConfigs]] (`nanosAsLong`) — the reader itself
-    * never mutates session state. EMPTY-DIR CAVEAT: if the landing dir has
-    * no files at stream construction the probe can't see a footer and the
-    * declared schema defaults to the micros variant (current testdata); a
-    * producer that later writes TIMESTAMP(NANOS) footers into that dir
-    * will fail at micro-batch time with a schema mismatch rather than
-    * misread — construct the stream after the first file lands (or
-    * reconstruct it) for nanos-footer data. */
+    * never mutates session state. EMPTY-DIR CONTRACT: the declared schema
+    * must match the producer's PHYSICAL timestamp type (nanos footers
+    * surface as BIGINT under `nanosAsLong`; micros as TIMESTAMP_NTZ), and
+    * that is only knowable from a real footer — so an empty landing dir
+    * FAILS FAST here at construction instead of guessing a variant that
+    * would then fail (or worse, misread) at micro-batch time once the
+    * first file lands. Construct the stream after the first file lands;
+    * the probe is one footer read, not a data scan. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val tsDdl = scala.util.Try(
         spark.read.parquet(dir).schema("ts").dataType.sql)
-      .getOrElse("TIMESTAMP_NTZ")
+      .getOrElse(throw new IllegalStateException(
+        s"readEvents: cannot probe the event timestamp type — '$dir' " +
+          "has no readable parquet footer with a ts column (empty " +
+          "landing dir?). The declared stream schema must match the " +
+          "producer's physical timestamp variant (nanos vs micros), so " +
+          "construct the stream AFTER the first file lands instead of " +
+          "guessing a default that breaks at micro-batch time."))
     val raw = spark.readStream
       .schema(s"event_id LONG, ts $tsDdl, user_id LONG, " +
         "event_type STRING, value DOUBLE, props STRING")

@@ -56,6 +56,26 @@ class GraftExtensionsSpec extends SparkSpec {
     } finally ()
   }
 
+  test("winnow_fps k/w literals: over-Int-range longs error instead of " +
+      "silently truncating") {
+    GraftExtensions.register(spark)
+    // 4294967301 = 2^32 + 5: a bare .toInt would truncate it to 5 and
+    // sail past the k >= 1 guard with a silently-changed parameter
+    val over = intercept[Exception] {
+      spark.sql("SELECT winnow_fps('abcdefgh', 4294967301)").collect()
+    }
+    assert(over.getMessage.contains("[1, 2147483647]"),
+      s"over-range literal must name the accepted range: ${over.getMessage}")
+    val zero = intercept[Exception] {
+      spark.sql("SELECT winnow_fps('abcdefgh', 0)").collect()
+    }
+    assert(zero.getMessage.contains("[1, 2147483647]"),
+      s"non-positive literal must be rejected: ${zero.getMessage}")
+    // in-range literals still work
+    assert(spark.sql("SELECT winnow_fps('abcdefgh', 4, 5) AS f")
+      .head().getSeq[Long](0).nonEmpty)
+  }
+
   test("no registered name shadows a Spark built-in") {
     GraftExtensions.names.foreach { n =>
       assert(!GraftExtensions.shadowsBuiltin(n),

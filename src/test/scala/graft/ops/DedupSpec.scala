@@ -201,13 +201,35 @@ class DedupSpec extends SparkSpec {
     val sigs = (1L to 50L).map(i => (i, i * 0x9e3779b97f4a7c15L))
       .toDF("doc_id", "simhash")
     val (pairs, _) = Dedup.hammingNearDupPairsWithStats(sigs)
-    // string form: InMemoryTableScan prints its nested cached plan, so a
-    // window hidden behind the staging cache is still caught here
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       "bucket-size accounting reintroduced a value-partitioned window:\n" +
         plan.take(600))
     graft.ops.Stage.releaseAll(spark)
+  }
+
+  test("plain hammingNearDupPairs is pure plan construction: no jobs, " +
+      "no pinned caches") {
+    val sigs = (1L to 20L).map(i => (i, i * 0x9e3779b97f4a7c15L))
+      .toDF("doc_id", "simhash")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val stagedBefore = graft.ops.Stage.stagedCount(spark)
+      val pairs = Dedup.hammingNearDupPairs(sigs)
+      Thread.sleep(500) // job-start events are async; let any drain
+      assert(jobs.get() == 0,
+        "operator construction must not launch Spark jobs (the r11 rail " +
+          "census ran eager barrier+count jobs per call)")
+      assert(graft.ops.Stage.stagedCount(spark) == stagedBefore,
+        "operator construction must not pin staging caches")
+      pairs.count() // the plan still executes end-to-end
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("simhashCanonical ≡ components over the full doc pair graph") {

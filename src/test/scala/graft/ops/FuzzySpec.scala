@@ -106,4 +106,52 @@ class FuzzySpec extends SparkSpec {
     val (_, dropped2) = Fuzzy.blockedFuzzyJoinWithStats(probe, build, 2)
     assert(dropped2 == 0L)
   }
+
+  test("plain blockedFuzzyJoin is pure plan construction: no jobs, " +
+      "no pinned caches") {
+    val build = Seq((1L, "aaaa", "k")).toDF("b_id", "b_text", "block")
+    val probe = Seq((2L, "aaab", "k")).toDF("p_id", "p_text", "block")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val stagedBefore = Stage.stagedCount(spark)
+      val out = Fuzzy.blockedFuzzyJoin(probe, build)
+      Thread.sleep(500) // job-start events are async; let any drain
+      assert(jobs.get() == 0,
+        "operator construction must not launch Spark jobs (r11 rail " +
+          "censuses ran 3 eager jobs per call)")
+      assert(Stage.stagedCount(spark) == stagedBefore,
+        "operator construction must not pin staging caches")
+      assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("lazy rail: dropped blocks surface via the graft.rail observation") {
+    Rail.clearObservation(Fuzzy.BlockPairsRail)
+    val build = ((1L to 40L).map(i => (i, f"hot text $i%03d", "hot")) :+
+      (100L, "cool text", "cool")).toDF("b_id", "b_text", "block")
+    val probe = ((1L to 40L).map(i => (i + 500L, f"hot text $i%03x", "hot")) :+
+      (600L, "cool texx", "cool")).toDF("p_id", "p_text", "block")
+    val out = Fuzzy.blockedFuzzyJoin(probe, build, maxDist = 2,
+      maxBlockPairs = 1000L)
+    val r = out.collect().map(x => x.getLong(0) ->
+      (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(r(600L) == Some(100L) && r(501L) == None,
+      "rail semantics must match the eager WithStats path")
+    // the census count rides the caller's action as an observation and
+    // arrives via the (async) listener bus — poll briefly
+    var seen: Option[Long] = None
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (seen.isEmpty && System.nanoTime() < deadline) {
+      seen = Rail.observationSeen(Fuzzy.BlockPairsRail)
+      if (seen.isEmpty) Thread.sleep(50)
+    }
+    assert(seen.contains(1L),
+      s"rail census must surface as an observed metric, got $seen")
+  }
 }

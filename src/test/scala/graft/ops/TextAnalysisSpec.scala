@@ -361,6 +361,41 @@ class TextAnalysisSpec extends SparkSpec {
       s"boilerplate-only overlap must not pair docs: $got")
   }
 
+  test("winnow canonical: chunk-reordered near-dup lands in the right " +
+      "cluster, transitivity holds, non-fingerprintable docs self-label") {
+    // winnowing pairs on shared 4-GRAMS, so anything meant to stay
+    // unpaired must be alphabet-disjoint, not just "different words" —
+    // ordinary English fragments (ent-, ing-) pair everything up
+    val s1 = "alpha whale jumping across frozen rivers quickly"
+    val s2 = "beta melon garden behind bright summer skyline"
+    val s3 = "gamma violet thunder rolls over distant canyons"
+    val s4 = "xqxq wvwv kzkz xwxw vkvk zxzx qwqw"
+    val docs = Seq(
+      (1L, s"$s1 $s2 $s3"),
+      (2L, s"$s3 $s2 $s1"),          // chunk-REORDERED copy of doc 1
+      (3L, s"$s3 $s4"),              // shares s3 with 1/2, s4 with 4
+      (4L, s"$s4 jjuu ujju juju uujj"),
+      (5L, "mgmg gmmg ggmm mmgg gmgm"),
+      (6L, "ab"))                    // below k=4: no fingerprints at all
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.winnowCanonical(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1↔2 share every chunk (order-independent — winnowing is LOCAL);
+    // 3 reaches the cluster via s3; 4 only via 3 (no substring shared
+    // with 1/2) — pure transitivity
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L && got(4L) == 1L,
+      s"chunk-overlap chain must collapse to canonical 1: $got")
+    assert(got(5L) == 5L, "singletons label themselves")
+    assert(got(6L) == 6L, "too-short docs still appear, self-labeled")
+    assert(got.size == 6, "canonical map must cover every document")
+    // sanity: 1-4 is genuinely transitive, not a direct 1-4 pair
+    val pairs = TextAnalysis.winnowCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)),
+      s"fixture broken: 4 must only connect through 3, got $pairs")
+    graft.ops.Stage.releaseAll(spark)
+  }
+
   test("vocab overlap: hand-computed Jaccard, a<b ordering, no self-pair") {
     val docs = Seq(
       ("web", "a b c"), ("web", "c d"),      // vocab {a,b,c,d}

@@ -97,6 +97,39 @@ class EventStreamSpec extends SparkSpec {
     * the same final state as the batch operator. Splitting on event time
     * keeps later-half events in the later batch, so per-user state really
     * evolves across batches. */
+  test("readEvents fails fast on an empty landing dir, then reads the " +
+      "nanos variant once a file lands") {
+    val dir = Files.createTempDirectory("graft-stream-empty").toString
+    val ex = intercept[IllegalStateException] {
+      EventStream.readEvents(spark, dir)
+    }
+    assert(ex.getMessage.contains("landing dir") &&
+      ex.getMessage.contains("AFTER the first file lands"),
+      s"failure must explain the construct-after-landing contract: $ex")
+    // the nanos footer variant surfaces as a BIGINT of nanos under
+    // `nanosAsLong` — write that physical shape into the same dir,
+    // reconstruct, and the shared normalization must line the stream up
+    // with the batch histogram
+    val events = Tables(spark, sf).events
+    events
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = EventStream.readEvents(spark, dir)
+    assert(stream.schema("ts").dataType.typeName === "timestamp",
+      "nanos-long input must normalize to the session timestamp type")
+    val got = EventStream.runToMemory(
+      EventStream.hourlyCounts(stream), "hourly_nanos_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update,
+      lastPerKey = Seq("hour", "event_type"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Sessionize.hourlyHistogram(events)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == batch)
+  }
+
   test("multi-batch sessionization reduces to the batch result") {
     val dir = Files.createTempDirectory("graft-stream-2f").toString
     val events = Tables(spark, sf).events
