@@ -17,7 +17,10 @@ object OsmProfile {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // session warmup
 
-    val p = OsmPipeline(spark, OsmQueriesPaths.OsmPath, OsmQueriesPaths.PsiPath)
+    // optional [osm.xml] [official.xml] args (e.g. a scale_osm.py tile)
+    val p = OsmPipeline(spark,
+      args.lift(0).getOrElse(OsmQueriesPaths.OsmPath),
+      args.lift(1).getOrElse(OsmQueriesPaths.PsiPath))
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Replicate an OSM extract N times with disjoint id/user spaces.
+
+The reference's published workload is the 306 MB Hong_Kong.osm
+(case_study_osm.pdf p.7); the bundled extract is the 3.9 MB shatin.osm.
+This tool tiles the bundled extract into a reference-scale file so the
+full pipeline can be measured at the published size with EXACTLY known
+expected counts (N x the golden counts of the base extract).
+
+Per copy k (copy 0 is byte-identical to the original body):
+  - node/way/relation ids, <nd ref>, <member ref>:  +k * 10**10
+    (uniform offset keeps every intra-copy reference resolvable and the
+    copies' id spaces disjoint -- way_nodes joins land in-copy)
+  - uid: +k * 10**7; user: suffix "_c<k>"  (contributor census scales N x)
+  - tags, timestamps, changesets, lat/lon: byte-identical
+    (audit/tag-family row counts scale exactly N x)
+
+Usage: python3 tools/scale_osm.py <in.osm> <out.osm> [copies=80]
+
+Streaming line transform (the element-start lines of OSM XML carry all
+id-bearing attributes; <tag>/<nd>/<member> children sit on their own
+lines), so memory stays O(1) regardless of output size.
+"""
+import re
+import sys
+
+ID_OFF = 10 ** 10
+UID_OFF = 10 ** 7
+
+ELEM_ID = re.compile(r'(<(?:node|way|relation)\b[^>]*?\bid=")(\d+)(")')
+ND_REF = re.compile(r'(<nd\b[^>]*?\bref=")(\d+)(")')
+MEMBER_REF = re.compile(r'(<member\b[^>]*?\bref=")(\d+)(")')
+UID = re.compile(r'(\buid=")(\d+)(")')
+USER = re.compile(r'(\buser=")([^"]*)(")')
+
+
+def shift(rx, line, off):
+    return rx.sub(lambda m: m.group(1) + str(int(m.group(2)) + off) +
+                  m.group(3), line)
+
+
+def transform(line: str, k: int) -> str:
+    if k == 0:
+        return line
+    out = line
+    if "<node" in out or "<way" in out or "<relation" in out:
+        out = shift(ELEM_ID, out, k * ID_OFF)
+        out = shift(UID, out, k * UID_OFF)
+        out = USER.sub(lambda m: m.group(1) + m.group(2) + f"_c{k}" +
+                       m.group(3), out)
+    if "<nd" in out:
+        out = shift(ND_REF, out, k * ID_OFF)
+    if "<member" in out:
+        out = shift(MEMBER_REF, out, k * ID_OFF)
+    return out
+
+
+def main(src: str, dst: str, copies: int) -> None:
+    lines = open(src, encoding="utf-8").read().splitlines(keepends=True)
+    # header: everything up to and including <bounds .../> (or the <osm>
+    # open tag if no bounds); footer: the closing </osm>
+    body_start = next(i for i, l in enumerate(lines) if "<bounds" in l
+                      or ("<osm" in l and "/>" not in l)) + 1
+    body_end = next(i for i in range(len(lines) - 1, -1, -1)
+                    if "</osm>" in lines[i])
+    with open(dst, "w", encoding="utf-8") as f:
+        f.writelines(lines[:body_start])
+        for k in range(copies):
+            for line in lines[body_start:body_end]:
+                f.write(transform(line, k))
+        f.writelines(lines[body_end:])
+    print(f"wrote {dst}: {copies} copies of {src}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 80)
