@@ -31,6 +31,10 @@ object SkewBench {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
+  /** [[StageSpread]] factory for sibling diagnostics ([[QueryStages]]). */
+  private[graft] def stageSpread(): org.apache.spark.scheduler.SparkListener =
+    new StageSpread
+
   /** SPARK_GRAFT_SKEW_STAGES=1 → per-stage task-time spread, the direct
     * evidence for (or against) a straggler: wall ≈ max task, skew ≈
     * max/mean. */
@@ -164,6 +168,44 @@ object SkewBench {
     selected.foreach { name =>
       val (sec, n) = cases(name)()
       println(f"""{"case":"$name","sec":$sec%.2f,"rows":$n}""")
+    }
+    spark.stop()
+  }
+}
+
+/** Isolated per-query stage attribution — the adjudication tool for bench
+  * variance watch items ("which stage moved?"): run ONE SparkEntry query
+  * in its own JVM, reps times, optionally under the [[SkewBench]]
+  * stage-spread listener (SPARK_GRAFT_SKEW_STAGES=1) so each completed
+  * stage prints its task-time max/mean/skew and shuffle bytes.
+  *
+  * Usage: `sbt "runMain graft.QueryStages <q_name> [sfDir]"` with
+  * SPARK_GRAFT_REPS (default 3). Staged caches are released between reps
+  * so every rep pays the query's true first-touch cost, like the suite.
+  */
+object QueryStages {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // session warmup
+    if (sys.env.contains("SPARK_GRAFT_SKEW_STAGES"))
+      spark.sparkContext.addSparkListener(SkewBench.stageSpread())
+    val fn = SparkEntry.queries(name)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"REP $r $name: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      graft.ops.Stage.releaseAll(spark)
     }
     spark.stop()
   }
