@@ -511,11 +511,25 @@ object Dedup {
     * self-join (losing only recall in pathological mass-duplicate
     * regions — at real scale, drop + log, never explode). The default
     * is far above any bucket the tested scale factors produce, so it is
-    * purely a rail. */
+    * purely a rail.
+    *
+    * `saltThreshold`/`pairSalts` spread DENSE-but-under-cap buckets: a
+    * bucket of B rows generates B²/2 pairs INSIDE one reduce task, a
+    * compute/output straggler no input-byte skew handling can split
+    * (measured at sf1: one 44-49 s max task against an 11-13 s mean,
+    * reading 3.5 MB, writing its share of a 1 GB pair shuffle). Buckets
+    * the census sizes above `saltThreshold` have their pair space tiled
+    * G×G: the a-side partitions by hash(id)%G, the b-side replicates
+    * G×, the join key gains the salt — every pair still meets exactly
+    * once, but a hot bucket's pair generation lands on G tasks instead
+    * of one. Cold buckets (the overwhelming majority) pay nothing; the
+    * replication is bounded to the broadcastable hot-bucket set. */
   def hammingNearDupPairs(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
-      maxBucket: Int = 100000): DataFrame =
-    hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket)._1
+      maxBucket: Int = 100000, saltThreshold: Int = 1024,
+      pairSalts: Int = 8): DataFrame =
+    hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket,
+      saltThreshold, pairSalts)._1
 
   /** [[hammingNearDupPairs]] plus the number of (blk, key) buckets the
     * `maxBucket` rail dropped, counted EAGERLY (one census job at call
@@ -527,9 +541,11 @@ object Dedup {
     * `graft.rail` observation metric instead ([[Rail.observed]]). */
   def hammingNearDupPairsWithStats(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
-      maxBucket: Int = 100000): (DataFrame, Long) = {
+      maxBucket: Int = 100000, saltThreshold: Int = 1024,
+      pairSalts: Int = 8): (DataFrame, Long) = {
     val (pairs, overCap) =
-      hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket)
+      hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket,
+        saltThreshold, pairSalts)
     val droppedBuckets = overCap.count()
     if (droppedBuckets > 0)
       org.slf4j.LoggerFactory.getLogger(getClass)
@@ -547,16 +563,16 @@ object Dedup {
       "instead of pairing"
 
   /** Shared lazy plan: (pair list, over-cap census). PURE PLAN
-    * CONSTRUCTION — no action, no cache. The blocked relation feeds the
-    * census and both self-join sides, but its expensive upstream (the
-    * signature aggregation) sits under identical exchange subtrees, so
-    * exchange reuse runs each shuffle once per action; only the narrow
-    * post-shuffle explode re-evaluates per consumer (plan-audited in
-    * DedupSpec). The rail's anti join is UNCONDITIONAL — an empty
-    * over-cap set broadcasts for free — with drop counts surfacing via
-    * the observation metric + session warn log. */
+    * CONSTRUCTION — no action, no cache; the blocked relation's narrow
+    * upstream re-evaluates per consumer (callers with an expensive
+    * signature plan stage it first — [[simhashNearDupPairs]] /
+    * [[simhashCanonical]] do; the input's own shuffles dedupe via
+    * exchange reuse either way). The rail's anti join is UNCONDITIONAL
+    * — an empty over-cap set broadcasts for free — with drop counts
+    * surfacing via the observation metric + session warn log. */
   private def hammingPlan(sigs: DataFrame, maxHamming: Int,
-      idCol: String, sigCol: String, maxBucket: Int)
+      idCol: String, sigCol: String, maxBucket: Int,
+      saltThreshold: Int, pairSalts: Int)
       : (DataFrame, DataFrame) = {
     require(maxHamming <= 6,
       "chunk-pair blocking guarantees recall only for hamming <= 6")
@@ -583,30 +599,47 @@ object Dedup {
     // combines a hot key to one row per input partition, and the key
     // domain is bounded (28 chunk-pair blocks × 2¹⁶ key values), so the
     // over-cap set is intrinsically broadcastable.
-    val overCap = blocked0
+    val sizes = blocked0
       .groupBy(col("blk"), col("key"))
       .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") > maxBucket)
+    val overCap = sizes.filter(col("_bn") > maxBucket)
       .select(col("blk"), col("key"))
+    // dense-but-under-cap buckets: the pair-salting set. Bounded above
+    // by |blocked| / saltThreshold rows, so always broadcastable.
+    val hotSet = sizes
+      .filter(col("_bn") > saltThreshold && col("_bn") <= maxBucket)
+      .select(col("blk"), col("key"), lit(true).as("_salt"))
     // Anti join FIRST (map-side: the census set broadcasts), so an
-    // over-cap bucket's rows never enter the shuffle — then ONE explicit
-    // co-partitioning on (blk, key) that BOTH self-join sides read
-    // through exchange reuse. Without it the planner sees two
-    // independent stat-less subtrees: it either duplicates the whole
-    // signature pipeline per side or broadcast-builds the corpus-sized
-    // blocked relation (measured 17× slower at sf0.1, and a
-    // driver-killer at real scale). With it, the expensive upstream is
-    // the map stage of a single shuffle, and the join adds only sorts.
+    // over-cap bucket's rows never enter the shuffle; then the salt
+    // flag attaches the same way.
     val blocked = blocked0.join(
       broadcast(Rail.observed(overCap, HammingBucketRail,
         hammingRailWarn(maxBucket))),
       Seq("blk", "key"), "left_anti")
-      .repartition(col("blk"), col("key"))
+      .join(broadcast(hotSet), Seq("blk", "key"), "left")
+    // per-row pair-salt fanout: G for hot buckets, 1 for the rest
+    val g = when(coalesce(col("_salt"), lit(false)), lit(pairSalts))
+      .otherwise(lit(1))
+    // Tile a hot bucket's pair space G×G: the a-side lands in pair-salt
+    // group hash(id)%G, the b-side replicates into ALL G groups, and the
+    // join key gains the group — each (a, b) combination still meets
+    // exactly once, but on G tasks instead of one. This is the fix for
+    // the straggler input-byte skew handling cannot touch: a dense
+    // bucket's B rows are a few MB in, B²/2 pairs out (measured at sf1:
+    // one 44-49 s max task vs an 11-13 s mean, rdMax 3.5 MB, 1 GB of
+    // pair shuffle written — AQE's skew split never fires because the
+    // INPUT partitions are tiny). Cold buckets keep g=1 and pay nothing.
     val a = blocked.select(col("blk"), col("key"),
+      pmod(xxhash64(col("doc_id")), g).cast("int").as("slt"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = blocked.select(col("blk"), col("key"),
+      explode(sequence(lit(0), (g - 1).cast("int"))).as("slt"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    val pairs = a.join(b, Seq("blk", "key"))
+    // FORCED sort-merge: left to statistics the planner broadcast-builds
+    // the corpus-sized blocked relation (a driver-killer at scale;
+    // measured 17× slower at sf0.1 when the r11 staging cache was
+    // removed) or duplicates the signature pipeline per side.
+    val pairs = a.hint("merge").join(b, Seq("blk", "key", "slt"))
       .filter(col("doc_a") < col("doc_b"))
       // bit_count is a register op — verify BEFORE the dedup shuffle so
       // only true near-dups (not every bucket collision) get shuffled

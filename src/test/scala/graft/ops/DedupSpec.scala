@@ -208,6 +208,33 @@ class DedupSpec extends SparkSpec {
     graft.ops.Stage.releaseAll(spark)
   }
 
+  test("pair-salting is exact: hot-bucket tiling emits every pair once") {
+    // signatures engineered so several buckets cross a tiny salt
+    // threshold (identical sigs share every bucket) while others stay
+    // cold; the salted plan must emit EXACTLY the brute-force pair set
+    val sigs = ((1L to 12L).map(i => (i, 0x0123456789abcdefL)) ++ // hot
+      (21L to 24L).map(i => (i, 0x0123456789abcd00L + i)) ++     // warm
+      Seq((31L, 0x7777777777777777L))).toDF("doc_id", "simhash")
+    val rows = ((1L to 12L).map(i => (i, 0x0123456789abcdefL)) ++
+      (21L to 24L).map(i => (i, 0x0123456789abcd00L + i)) ++
+      Seq((31L, 0x7777777777777777L)))
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    val got = Dedup.hammingNearDupPairs(sigs,
+        saltThreshold = 4, pairSalts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"salted pair set diverged: missing=${expected -- got} " +
+        s"extra=${got -- expected}")
+    // degenerate salt counts behave: G=1 is the unsalted plan
+    val got1 = Dedup.hammingNearDupPairs(sigs,
+        saltThreshold = 4, pairSalts = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got1 == expected)
+  }
+
   test("plain hammingNearDupPairs is pure plan construction: no jobs, " +
       "no pinned caches") {
     val sigs = (1L to 20L).map(i => (i, i * 0x9e3779b97f4a7c15L))
