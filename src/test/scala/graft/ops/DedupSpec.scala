@@ -208,6 +208,27 @@ class DedupSpec extends SparkSpec {
     graft.ops.Stage.releaseAll(spark)
   }
 
+  test("hamming pair plan shape: forced sort-merge, lazy rail metric, " +
+      "no corpus-sized broadcast build") {
+    val sigs = (1L to 200L).map(i => (i, i * 0x9e3779b97f4a7c15L))
+      .toDF("doc_id", "simhash")
+    val plan = Dedup.hammingNearDupPairs(sigs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      "the (blk,key,slt) self-join must be hint-forced to sort-merge — " +
+        "statistics-driven planning broadcast-builds the corpus-sized " +
+        "blocked relation:\n" + plan.take(600))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pair generation degenerated to a cross product:\n" + plan.take(600))
+    assert(plan.contains("CollectMetrics"),
+      "the lazy rail census observation is missing from the plan:\n" +
+        plan.take(600))
+    assert(!plan.contains("Window"),
+      "bucket accounting must stay a partial-aggregated groupBy:\n" +
+        plan.take(600))
+  }
+
   test("pair-salting is exact: hot-bucket tiling emits every pair once") {
     // signatures engineered so several buckets cross a tiny salt
     // threshold (identical sigs share every bucket) while others stay
