@@ -74,18 +74,26 @@ object Bench {
     // steady state; min-of-2 can't recover when BOTH reps are contended).
     val prior = priorMins(outPath, sfDir)
 
+    // queries with at least one failed rep this run — surfaced in the
+    // artifact so a failure can never masquerade as a timing (a thrown
+    // rep returns in milliseconds; recording that as a rep time let a
+    // failed sf2 run publish a 0.03 s "min" for a 40 s query)
+    val failedReps = scala.collection.mutable.Set[String]()
     def timeQuery(name: String,
                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                   n: Int): Seq[Double] = {
       val dir = if (quadFamily(name)) quadSampleDir.getOrElse(sfDir)
                 else sfDir
-      val times = (1 to n).map { _ =>
+      val times = (1 to n).flatMap { i =>
         val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch {
+        val ok = try { fn(spark, dir).count(); true } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            System.err.println(s"[bench] $name rep $i FAILED after " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2fs: $e")
+            failedReps += name
+            false
         }
-        (System.nanoTime() - t0) / 1e9
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       // per Stage's lifecycle: caches pinned by this query's staging
       // must not accumulate across the suite (144 queries' worth of
@@ -105,15 +113,23 @@ object Bench {
     // any query whose min still sits 3× above its committed baseline, and
     // keep the best of all reps. A genuine regression survives the re-run;
     // a contended artifact doesn't get committed as the headline.
-    val results = firstPass.map { case (name, fn, times) =>
+    val results0 = firstPass.map { case (name, fn, times) =>
       val rerun =
-        if (prior.get(name).exists(p => contended(times.min, p))) {
-          System.err.println(
+        if (times.isEmpty ||
+            prior.get(name).exists(p => contended(times.min, p))) {
+          System.err.println(if (times.isEmpty)
+            s"[bench] $name: every rep failed — re-running"
+          else
             s"[bench] $name min ${times.min} vs prior ${prior(name)} — re-running")
           timeQuery(name, fn, math.max(reps, 3))
         } else Nil
       name -> (times ++ rerun)
     }
+    // a query whose every rep (incl. re-runs) threw has NO timing — it is
+    // excluded from queries/total and listed in failed_queries instead of
+    // publishing a time-to-exception as a min
+    val failedOut = results0.collect { case (n, ts) if ts.isEmpty => n }
+    val results = results0.filter(_._2.nonEmpty)
     // steady_state=false marks a headline that STILL exceeds its baseline
     // 3× after re-runs — i.e. either a real regression or a fully-contended
     // box; either way the artifact says "don't trust this as the trend".
@@ -129,12 +145,16 @@ object Bench {
       s"\"" + k + "\":[" + v.mkString(",") + "]" }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val unsteadyJson = unsteady.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // any failed rep (even when another rep succeeded) is flagged: the
+    // surviving min is trustworthy, but the run was not clean
+    val failedJson = (failedOut ++ failedReps.toSeq.sorted).distinct
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val quadJson = quadSampleDir.map { d =>
       val sampled = results.map(_._1).filter(quadFamily)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","quad_sample_dir":"$d","quad_sampled":$sampled"""
     }.getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repJson,"sf":"$sfDir","reps":$reps,"steady_state":${unsteady.isEmpty},"unsteady_queries":$unsteadyJson$quadJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repJson,"sf":"$sfDir","reps":$reps,"steady_state":${unsteady.isEmpty && failedReps.isEmpty},"unsteady_queries":$unsteadyJson,"failed_queries":$failedJson$quadJson}"""
     println(line)
     // Self-contained record: the driver captures stdout with a bounded
     // tail, and a 144-query JSON line can exceed it (round 7's BENCH_r07

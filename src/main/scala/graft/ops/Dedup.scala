@@ -179,19 +179,27 @@ object Dedup {
       .agg(graft.functions.MinHashAgg
         .minhash(phash(col("shingle")), k, seed = 7L).as("sig"))
 
+  /** One key Column per band of a `sig` signature column — the single
+    * definition of the LSH band key, shared by [[bandRows]] (string keys
+    * for cross-relation band joins) and [[lshCandidatePairs]]' hashed
+    * band-key vector. */
+  private def bandKeyCols(bands: Int, k: Int): Seq[Column] = {
+    require(k % bands == 0, s"signature width $k must divide into $bands bands")
+    val rowsPerBand = k / bands
+    (0 until bands).map { j =>
+      concat_ws("_", (0 until rowsPerBand).map(r =>
+        col("sig").getItem(j * rowsPerBand + r).cast("string")): _*)
+    }
+  }
+
   /** The banded bucket relation (doc_id, band, key) of a signature frame —
     * the LSH join key shared by the self-join candidate generator below
     * and the batch-vs-corpus incremental variant (which band-joins two
     * DIFFERENT relations, so the keys must come from one definition). */
   private[graft] def bandRows(sigs: DataFrame, bands: Int,
       k: Int, carry: Seq[String] = Nil): DataFrame = {
-    require(k % bands == 0, s"signature width $k must divide into $bands bands")
-    val rowsPerBand = k / bands
-    val bandCols = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r =>
-          col("sig").getItem(j * rowsPerBand + r).cast("string")): _*)
-          .as("key"))
+    val bandCols = bandKeyCols(bands, k).zipWithIndex.map { case (key, j) =>
+      struct(lit(j).as("band"), key.as("key"))
     }
     val lead = col("doc_id") +: carry.map(col)
     sigs.select(lead :+ explode(array(bandCols: _*)).as("bk"): _*)
@@ -199,27 +207,79 @@ object Dedup {
         col("bk.key").as("key")): _*)
   }
 
+  /** Rail kind for [[Rail.observed]] / observation metrics. */
+  val LshBucketRail = "lsh.maxBucket"
+
   /** LSH banding: split the k-long signature into `bands` bands of k/bands
     * values; docs sharing any band's exact sub-signature are candidate
-    * pairs. Shuffle key = (band, sub-signature) — the standard scale-out
-    * near-dup plan. `maxBucket` guards quadratic blowup in degenerate
-    * buckets (drop + log them at real scale rather than exploding). */
+    * pairs. Shuffle key = (band, sub-signature hash) — the standard
+    * scale-out near-dup plan, with the same three scale guards as the
+    * simhash path ([[hammingNearDupPairs]]):
+    *
+    *  - `maxBucket` rail: degenerate buckets are dropped by a broadcast
+    *    anti join (census = partial-aggregated groupBy, never a
+    *    value-partitioned window that would serialize the hot bucket into
+    *    one task first), with drop counts surfacing lazily via
+    *    [[Rail.observed]].
+    *  - pair salting: dense-but-under-cap buckets (> `saltThreshold`
+    *    rows) tile their pair space `pairSalts`× so a 10k-row bucket's
+    *    50M candidate rows stream out of `pairSalts` tasks instead of
+    *    one straggler — the output-quadratic skew AQE cannot split
+    *    (input partitions are tiny; the blowup is in the join OUTPUT).
+    *  - structural dedup, NO pair shuffle: a pair is emitted once per
+    *    matching band; each side carries its hashed band-key vector
+    *    (8 bytes/band), so "keep only the emission whose band is the
+    *    FIRST matching band" is a register-op filter that replaces the
+    *    `.distinct()` exchange over the full candidate relation.
+    *
+    * Band keys are compared by xxhash64 (collision odds ~2⁻⁶⁴ per
+    * band-pair — immaterial to candidate recall, and candidates are
+    * verified by exact overlap downstream anyway). */
   def lshCandidatePairs(sigs: DataFrame, bands: Int = 16, k: Int = 64,
-      maxBucket: Int = 10000): DataFrame = {
-    val buckets = bandRows(sigs, bands, k)
-    // staged: both sides of the self-join read this — without the barrier
-    // the whole signature computation runs once PER SIDE (concurrently)
-    val sized = Stage.barrier(buckets
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_n") <= maxBucket))
-    val a = sized.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-    val b = sized.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
+      maxBucket: Int = 10000, saltThreshold: Int = 1024,
+      pairSalts: Int = 16): DataFrame = {
+    // staged: one compact row per doc (id + bands longs); both join
+    // sides and the census explode from it, so the upstream signature
+    // aggregation runs once, not per side
+    val compact = Stage.barrier(sigs.select(col("doc_id"),
+      array(bandKeyCols(bands, k).map(key => xxhash64(key)): _*).as("bkv")))
+    val blocked0 = compact.select(col("doc_id"), col("bkv"),
+      posexplode(col("bkv")).as(Seq("band", "key")))
+    val sizes = blocked0.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("_bn"))
+    val overCap = sizes.filter(col("_bn") > maxBucket)
+      .select(col("band"), col("key"))
+    val hotSet = sizes
+      .filter(col("_bn") > saltThreshold && col("_bn") <= maxBucket)
+      .select(col("band"), col("key"), lit(true).as("_salt"))
+    val blocked = blocked0.join(
+      broadcast(Rail.observed(overCap, LshBucketRail,
+        s"lshCandidatePairs: maxBucket=$maxBucket dropped %d over-cap " +
+          "(band, key) buckets — recall is lost in those mass-duplicate " +
+          "regions; raise maxBucket or exact-dedup first")),
+      Seq("band", "key"), "left_anti")
+      .join(broadcast(hotSet), Seq("band", "key"), "left")
+    val g = when(coalesce(col("_salt"), lit(false)), lit(pairSalts))
+      .otherwise(lit(1))
+    val a = blocked.select(col("band"), col("key"),
+      pmod(xxhash64(col("doc_id")), g).cast("int").as("slt"),
+      col("doc_id").as("doc_a"), col("bkv").as("bkv_a"))
+    val b = blocked.select(col("band"), col("key"),
+      explode(sequence(lit(0), (g - 1).cast("int"))).as("slt"),
+      col("doc_id").as("doc_b"), col("bkv").as("bkv_b"))
+    // first matching band as a codegen'd when-chain over the two hashed
+    // band-key vectors — the joined rows matched on (band, key), so a
+    // first matching band ≤ band always exists and exactly one of the
+    // pair's emissions survives the filter
+    val firstBand = (0 until bands).foldRight(lit(-1)) { (j, rest) =>
+      when(col("bkv_a").getItem(j) === col("bkv_b").getItem(j), lit(j))
+        .otherwise(rest)
+    }
+    // FORCED sort-merge, as in the simhash path: statistics-driven
+    // planning would broadcast-build the corpus-sized blocked relation
+    a.hint("merge").join(b, Seq("band", "key", "slt"))
+      .filter(col("doc_a") < col("doc_b") && col("band") === firstBand)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
   }
 
   /** MinHash near-dup pipeline: signatures → banded candidates → exact
@@ -643,14 +703,36 @@ object Dedup {
     // the corpus-sized blocked relation (a driver-killer at scale;
     // measured 17× slower at sf0.1 when the r11 staging cache was
     // removed) or duplicates the signature pipeline per side.
+    // Structural dedup — NO pair shuffle. A pair meets in block (c1,c2)
+    // iff bytes c1 and c2 of sh_a XOR sh_b are zero ("clean"); hamming
+    // ≤ 6 over 8 byte-chunks leaves ≥ 2 clean chunks by pigeonhole, so
+    // the lexicographically FIRST clean chunk-pair always exists and is
+    // computable from the XOR alone with register ops: cleanMask bit i =
+    // (byte i == 0), c1/c2 = positions of its two lowest set bits via
+    // ctz(x) = bit_count((x & -x) - 1). Keeping only the emission whose
+    // blk equals that first clean pair makes each verified pair appear
+    // EXACTLY once across all 28 blocks and all salt tiles — the
+    // dropDuplicates exchange this replaces was the plan's largest
+    // shuffle (1.78 GB of verified pairs written at sf2, and the page-
+    // allocation pressure behind the run-to-run spread); the pair list
+    // now streams out of the join with no further exchange.
+    val xorSig = col("sh_a").bitwiseXOR(col("sh_b"))
+    val cleanMask = (0 until 8).map { i =>
+      when(shiftright(xorSig, i * 8).bitwiseAND(255L) === 0L, 1L << i)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val mask2 = cleanMask.bitwiseAND(cleanMask - 1)
+    val firstCleanBlk =
+      bit_count(cleanMask.bitwiseAND(-cleanMask) - 1) * 8 +
+        bit_count(mask2.bitwiseAND(-mask2) - 1)
     val pairs = a.hint("merge").join(b, Seq("blk", "key", "slt"))
       .filter(col("doc_a") < col("doc_b"))
-      // bit_count is a register op — verify BEFORE the dedup shuffle so
-      // only true near-dups (not every bucket collision) get shuffled
+      // bit_count is a register op — verify in the join stage so only
+      // true near-dups (not every bucket collision) reach the output
       .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("doc_a", "doc_b")
+        bit_count(xorSig).cast("long"))
+      .filter(col("hamming") <= maxHamming &&
+        col("blk") === firstCleanBlk)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     (pairs, overCap)
   }

@@ -141,25 +141,32 @@ object Similarity {
       bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
     val sigs = (0 until nTables).map { t =>
       val planes = hyperplanes(bitsPerTable, dim, seed = 1000L + t)
-      struct(lit(t).as("table"),
-        lshSignature(toDouble(col("embedding")), planes).as("bucket"))
+      lshSignature(toDouble(col("embedding")), planes)
     }
-    // bucket join and pair-dedup carry BARE IDS — the 64-dim vectors join
-    // back only after the candidate set is distinct, so the wide rows never
-    // ride through the dedup shuffle
+    // bucket join carries BARE IDS plus each side's nTables-long bucket
+    // vector — the 64-dim vectors join back only after the candidate set
+    // is final, and the dedup is STRUCTURAL: a (query, neighbor) meeting
+    // in several tables keeps only the emission whose table is the FIRST
+    // matching one (a register-op when-chain over the two bucket
+    // vectors), so no distinct() exchange runs over the candidate set
     // staged: self-joined — the barrier keeps the signature dot products
     // from running once per join side (see Stage.barrier)
     val buckets = Stage.barrier(embs.select(col("vec_id"),
-        explode(array(sigs: _*)).as("tb"))
-      .select(col("vec_id"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket")))
-    val qb = buckets.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+        array(sigs: _*).as("bv"))
+      .select(col("vec_id"), col("bv"),
+        posexplode(col("bv")).as(Seq("table", "bucket"))))
+    val qb = buckets.select(col("vec_id").as("query_id"),
+        col("bv").as("bv_q"), col("table"), col("bucket"))
+      .filter(col("query_id") < nQueries)
+    val firstTable = (0 until nTables).foldRight(lit(-1)) { (t, rest) =>
+      when(col("bv").getItem(t) === col("bv_q").getItem(t), lit(t))
+        .otherwise(rest)
+    }
     val candidateIds = buckets
       .join(qb, Seq("table", "bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("table") === firstTable)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
     val vecs = embs.select(col("vec_id"),
         toDouble(col("embedding")).as("vec"))
       .select(col("vec_id"), col("vec"), norm(col("vec")).as("nrm"))
@@ -183,25 +190,29 @@ object Similarity {
       bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
     val sigs = (0 until nTables).map { t =>
       val planes = hyperplanes(bitsPerTable, dim, seed = 1000L + t)
-      struct(lit(t).as("table"),
-        lshSignature(toDouble(col("embedding")), planes).as("bucket"))
+      lshSignature(toDouble(col("embedding")), planes)
     }
-    // same bare-ID candidate plan as knnLsh: dedup (long, long) pairs, then
-    // join the vectors back for exact verification
+    // same bare-ID candidate plan as knnLsh, with the same STRUCTURAL
+    // dedup: each side carries its nTables-long bucket vector and a pair
+    // keeps only its first-matching-table emission — exactly-once with
+    // no distinct() exchange over the (long, long) pair relation
     // staged: self-joined — the barrier keeps the signature dot products
     // from running once per join side (see Stage.barrier)
     val buckets = Stage.barrier(embs.select(col("vec_id"),
-        explode(array(sigs: _*)).as("tb"))
-      .select(col("vec_id"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket")))
+        array(sigs: _*).as("bv"))
+      .select(col("vec_id"), col("bv"),
+        posexplode(col("bv")).as(Seq("table", "bucket"))))
     val a = buckets.select(col("table"), col("bucket"),
-      col("vec_id").as("id_a"))
+      col("vec_id").as("id_a"), col("bv").as("bv_a"))
     val b = buckets.select(col("table"), col("bucket"),
-      col("vec_id").as("id_b"))
+      col("vec_id").as("id_b"), col("bv").as("bv_b"))
+    val firstTable = (0 until nTables).foldRight(lit(-1)) { (t, rest) =>
+      when(col("bv_a").getItem(t) === col("bv_b").getItem(t), lit(t))
+        .otherwise(rest)
+    }
     val pairs = a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") && col("table") === firstTable)
       .select(col("id_a"), col("id_b"))
-      .distinct()
     val vecs = embs.select(col("vec_id"),
         toDouble(col("embedding")).as("vec"))
       .select(col("vec_id"), col("vec"), norm(col("vec")).as("nrm"))

@@ -81,6 +81,58 @@ class DedupSpec extends SparkSpec {
       s"missing ${(expected -- cands).take(5)} of $nDocs")
   }
 
+  test("LSH pair-salting is exact: candidates = brute force, each once") {
+    // identical docs share every band (hot buckets crossing a tiny salt
+    // threshold); near-dups share some bands; one loner shares none
+    val rows = (1L to 9L).map(i => (i, "a b c d e f g h i j")) ++
+      (21L to 24L).map(i => (i, s"a b c d e f g h i x$i")) ++
+      Seq((31L, "z y x w v u t s r q"))
+    val df = rows.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df)
+    val sigMap = sigs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def shareBand(a: Seq[Long], b: Seq[Long]): Boolean =
+      (0 until 16).exists(j => a.slice(j * 4, j * 4 + 4) ==
+        b.slice(j * 4, j * 4 + 4))
+    val ids = rows.map(_._1)
+    val expected = (for {
+      ia <- ids; ib <- ids
+      if ia < ib && shareBand(sigMap(ia), sigMap(ib))
+    } yield (ia, ib)).toSet
+    val gotRows = Dedup.lshCandidatePairs(sigs,
+        saltThreshold = 3, pairSalts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotRows.size == gotRows.toSet.size,
+      "structural first-matching-band dedup emitted a pair twice")
+    assert(gotRows.toSet == expected,
+      s"salted LSH candidate set diverged: missing=" +
+        s"${expected -- gotRows.toSet} extra=${gotRows.toSet -- expected}")
+    graft.ops.Stage.releaseAll(spark)
+  }
+
+  test("LSH candidate plan shape: sort-merge, lazy rail, no window, " +
+      "no pair-keyed dedup exchange") {
+    val sigs = Dedup.minhashSignatures(
+      (1L to 50L).map(i => (i, s"w$i x$i y$i z$i a b")).toDF("doc_id", "text"))
+    val plan = Dedup.lshCandidatePairs(sigs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      "the (band,key,slt) self-join must be hint-forced to sort-merge:\n" +
+        plan.take(600))
+    assert(plan.contains("CollectMetrics"),
+      "the lazy rail census observation is missing:\n" + plan.take(600))
+    assert(!plan.contains("Window"),
+      "bucket accounting must stay a partial-aggregated groupBy:\n" +
+        plan.take(600))
+    // the candidate relation must stream out of the join: the old
+    // `.distinct()` planned an Exchange hashpartitioning(doc_a, doc_b)
+    // over the FULL candidate set — the plan's largest shuffle
+    assert(!plan.contains("hashpartitioning(doc_a"),
+      "a pair-keyed exchange reappeared above the candidate join:\n" +
+        plan.take(900))
+    graft.ops.Stage.releaseAll(spark)
+  }
+
   test("minhash dedup pipeline verifies candidates with exact jaccard") {
     val d = docs.select(col("doc_id"), col("text"))
     val mutated = d.union(d.select(col("doc_id") + 1000000L,
@@ -227,6 +279,13 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "bucket accounting must stay a partial-aggregated groupBy:\n" +
         plan.take(600))
+    // the pair list must stream out of the join: the old
+    // dropDuplicates(doc_a, doc_b) planned an exchange over every
+    // verified pair (1.78 GB written at sf2) — the structural
+    // first-clean-block filter replaced it
+    assert(!plan.contains("hashpartitioning(doc_a"),
+      "a pair-keyed dedup exchange reappeared above the pair join:\n" +
+        plan.take(900))
   }
 
   test("pair-salting is exact: hot-bucket tiling emits every pair once") {
