@@ -154,7 +154,12 @@ object DedupSim {
   def dedupEval(s: SparkSession, dir: String): DataFrame =
     Dedup.pairMetrics(
       found = Dedup.simhashNearDupPairs(docsWithMutants(s, dir)),
-      truth = mutantPairs(s, dir))
+      truth = mutantPairs(s, dir),
+      // both producers emit (doc_a < doc_b) exactly once (structural
+      // first-clean-block / first-matching-band dedup, spec-pinned) —
+      // skip pairMetrics' contract-enforcing distinct over the two
+      // multi-million-row pair relations
+      assumeCanonical = true)
 
   def knnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.knnBrute(Tables(s, dir).embeddings, nQueries = 10, k = 5)

@@ -388,6 +388,26 @@ class DedupSpec extends SparkSpec {
     assert(m.getLong(3) == 1000L && m.getLong(4) == 1000L)
   }
 
+  test("pair metrics canonical fast path: same numbers, shared exchange") {
+    val found = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val truth = Seq((1L, 2L), (3L, 4L), (9L, 10L))
+      .toDF("doc_a", "doc_b")
+    val fast = Dedup.pairMetrics(found, truth, assumeCanonical = true)
+    assert(fast.collect().head ==
+      Dedup.pairMetrics(found, truth).collect().head)
+    val plan = fast.queryExecution.executedPlan.toString
+    // the fast path must not rebuild the dedup hash tables...
+    assert(!plan.contains("HashAggregate(keys=[doc_a"),
+      "assumeCanonical still planned a pair-keyed dedup aggregate:\n" +
+        plan.take(900))
+    // ...but must still share ONE pair-keyed exchange per side, so the
+    // (expensive) pair-producing pipeline runs once for join + count
+    assert(plan.contains("ReusedExchange"),
+      "the overlap join and the count no longer share the pair " +
+        "exchange — pair generation would run twice:\n" + plan.take(900))
+  }
+
   test("components() fails loudly when maxRounds is too small") {
     val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
