@@ -1048,15 +1048,23 @@ object Dedup {
   }
 
   /** Lowest-id winners of a frame carrying `(_dig, doc_id, …)` — the ONE
-    * exact-dedup window shared by [[incrementalDedup]], Curation.curate,
+    * exact-dedup keep rule shared by [[incrementalDedup]], Curation.curate,
     * and the composed pipeline (so the keep rule cannot drift between
     * them or their oracles). Callers project before calling, so the
     * digest shuffle carries only what they need downstream. */
   def firstPerDigest(digested: DataFrame): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_dig"))
-    digested
-      .withColumn("_keep", min(col("doc_id")).over(win))
+    // Partial-aggregated min + equi join, NOT min() OVER (PARTITION BY
+    // _dig): a mass-duplicated content digest — the COMMON case in web
+    // corpora, and exactly what this dedup exists to remove — would
+    // serialize its every row into one WindowExec task buffer. The
+    // groupBy map-side-combines the hot digest to one row per input
+    // partition, the join probe STREAMS the hot key's rows instead of
+    // buffering them, both consumers share the one _dig exchange
+    // (ReuseExchange), and a skewed join partition is AQE-splittable
+    // where a window partition never is.
+    val keep = digested.groupBy(col("_dig"))
+      .agg(min(col("doc_id")).as("_keep"))
+    digested.join(keep, Seq("_dig"))
       .filter(col("doc_id") === col("_keep"))
       .drop("_keep")
   }

@@ -251,22 +251,31 @@ object Similarity {
     * `raise_error` fused into the cluster column (same trick as Dedup's
     * `maxBucket`, but failing instead of dropping — dropping here would
     * silently change keep decisions, not just lose candidates). It
-    * evaluates lazily per row at staging time and adds no job; the
-    * window's cluster partitioning is the same layout the self-join
-    * shuffles to anyway. The kept set comes back via one distinct on
-    * bare ids + an 8-byte left join, never carrying vectors past the
-    * verification. */
+    * evaluates lazily per row at staging time and adds no job; the cell
+    * census is a partial-aggregated groupBy joined back by broadcast
+    * (≤ nlist rows), never a value-partitioned window. The kept set
+    * comes back via one distinct on bare ids + an 8-byte left join,
+    * never carrying vectors past the verification. */
   def semanticDedup(embs: DataFrame,
       centroids: Seq[(Int, Seq[Double])], minCosine: Double,
       maxCell: Int = 100000): DataFrame = {
-    val cellN = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("cluster")))
+    val assignedRaw = Ivf.assign(embs, centroids)
+      .select(col("vec_id"), col("cluster"), col("vec"),
+        norm(col("vec")).as("nrm"))
+    // Cell census via a partial-aggregated groupBy + broadcast join, NOT
+    // count() OVER (PARTITION BY cluster): the guard exists for the
+    // degenerate hot cell, and the window form would serialize that
+    // cell's every row into one WindowExec task BEFORE raise_error could
+    // fire — the exact skew it guards against. The census map-side-
+    // combines a hot cell to one row per partition, and its output is
+    // bounded by nlist rows, so the join side is intrinsically
+    // broadcastable.
+    val cellCounts = assignedRaw.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cell_n"))
     // staged: both sides of the within-cluster self-join read it
     val assigned = Stage.barrier(
-      Ivf.assign(embs, centroids)
-        .select(col("vec_id"), col("cluster"), col("vec"),
-          norm(col("vec")).as("nrm"))
-        .withColumn("cell_n", cellN)
+      assignedRaw
+        .join(broadcast(cellCounts), Seq("cluster"))
         .withColumn("cluster",
           when(col("cell_n") > maxCell, raise_error(concat(
             lit("semanticDedup: cluster "), col("cluster").cast("string"),

@@ -188,13 +188,25 @@ object Relational {
       .filter(col("f_click") === 1 && col("f_buy") === 1 && col("f_err") === 1)
       .select(col("user_id"))
 
-  /** J3 — uniqueness via window counts instead of the reference's O(n²)
-    * XOR-conflict self-scan (parse_clean_and_csv.py:331-339). */
-  def windowUnique(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("n_chars"))))
+  /** J3 — uniqueness via per-value counts instead of the reference's
+    * O(n²) XOR-conflict self-scan (parse_clean_and_csv.py:331-339).
+    * Shape: partial-aggregated groupBy census + broadcast semi join on
+    * the unique values — NOT count() OVER (PARTITION BY n_chars), whose
+    * WindowExec would serialize every row of a hot value into one task
+    * (n_chars has a bounded domain, so at corpus scale every value is
+    * hot). The census output is bounded by the value domain, hence
+    * broadcastable; the analytic-window surface stays demonstrated by
+    * the ORDERED windows (q_sessionize / q_rolling / q_event_deltas),
+    * which is the shape that genuinely needs WindowExec. */
+  def windowUnique(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val unique = docs.groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("c"))
       .filter(col("c") === 1)
+      .select(col("n_chars"))
+    docs.join(broadcast(unique), Seq("n_chars"), "left_semi")
       .select(col("doc_id"), col("n_chars"))
+  }
 
   /** P3 — tag-key split at the first colon, default type 'regular'
     * (ref: FIRST_COLON_RE, parse_clean_and_csv.py:135-141). The key column

@@ -238,7 +238,16 @@ object TextOps {
   /** Quartile gate: keep each language's longest quarter of documents.
     * `ntile` is rank-based — no float statistics — so the gate is exact
     * and engine-portable; the (n_chars, doc_id) order is a total order,
-    * which makes bucket edges deterministic. */
+    * which makes bucket edges deterministic.
+    *
+    * Scale posture: exact ntile requires a per-language total order, so
+    * each language sorts in one WindowExec task — fine for bounded
+    * per-group sizes, wrong when one group is the whole corpus. The
+    * 100 TB form of this GATE is a quantile THRESHOLD: compute each
+    * language's 75th-percentile length with the distributed quantile
+    * sketch (ops.Sketches, `q_quantiles`) and filter `n_chars >= t` —
+    * one partial-aggregated pass, no per-group sort, at the cost of
+    * sketch-precision tile edges. */
   def ntileGate(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
       .withColumn("tile", ntile(4).over(

@@ -433,6 +433,14 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.incrementalDedup(batch, seen).collect()
       .map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(11L, 14L))
+    // the digest keep rule must plan as partial-agg min + join, never
+    // min() OVER (PARTITION BY _dig): a mass-duplicated digest — the
+    // case dedup exists for — would serialize into one WindowExec task
+    val plan = Dedup.incrementalDedup(batch, seen)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "firstPerDigest planned a value-partitioned window:\n" +
+        plan.take(600))
   }
 
   test("boilerplate removal: df threshold drops shared segments everywhere") {

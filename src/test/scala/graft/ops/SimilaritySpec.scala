@@ -160,5 +160,24 @@ class SimilaritySpec extends SparkSpec {
     val ok = Similarity.semanticDedup(corpus, one, minCosine = 0.9,
       maxCell = 60).collect()
     assert(ok.length == 60)
+    graft.ops.Stage.releaseAll(spark)
+  }
+
+  test("semantic dedup cell census plans no value-partitioned window") {
+    // the guard exists for the degenerate hot cell — a count() OVER
+    // (PARTITION BY cluster) would serialize that cell into one
+    // WindowExec task BEFORE raise_error fires; the census must stay a
+    // partial-aggregated groupBy joined back by broadcast
+    val corpus = embs.limit(40).select("vec_id", "embedding")
+    val cents = Ivf.staticCentroids(nlist = 4, dim = 64)
+    val plan = Similarity.semanticDedup(corpus, cents, minCosine = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "cell accounting must stay a partial-aggregated groupBy:\n" +
+        plan.take(600))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the cell census must attach via a broadcast join:\n" +
+        plan.take(600))
+    graft.ops.Stage.releaseAll(spark)
   }
 }
