@@ -237,7 +237,7 @@ object Dedup {
     * verified by exact overlap downstream anyway). */
   def lshCandidatePairs(sigs: DataFrame, bands: Int = 16, k: Int = 64,
       maxBucket: Int = 10000, saltThreshold: Int = 1024,
-      pairSalts: Int = 16): DataFrame = {
+      pairSalts: Int = 64): DataFrame = {
     // staged: one compact row per doc (id + bands longs); both join
     // sides and the census explode from it, so the upstream signature
     // aggregation runs once, not per side
@@ -249,9 +249,14 @@ object Dedup {
       .agg(count(lit(1)).as("_bn"))
     val overCap = sizes.filter(col("_bn") > maxBucket)
       .select(col("band"), col("key"))
+    // per-bucket tile count g = ceil(4·bn/T) capped — see hammingPlan's
+    // hotSet for the sizing rationale (fixed fanout under-splits monster
+    // buckets; a quadratic pairs-per-tile rule starves mid buckets)
     val hotSet = sizes
       .filter(col("_bn") > saltThreshold && col("_bn") <= maxBucket)
-      .select(col("band"), col("key"), lit(true).as("_salt"))
+      .select(col("band"), col("key"),
+        least(greatest(ceil(col("_bn") * 4.0d / saltThreshold), lit(1L)),
+          lit(pairSalts.toLong)).cast("int").as("_g"))
     val blocked = blocked0.join(
       broadcast(Rail.observed(overCap, LshBucketRail,
         s"lshCandidatePairs: maxBucket=$maxBucket dropped %d over-cap " +
@@ -259,8 +264,7 @@ object Dedup {
           "regions; raise maxBucket or exact-dedup first")),
       Seq("band", "key"), "left_anti")
       .join(broadcast(hotSet), Seq("band", "key"), "left")
-    val g = when(coalesce(col("_salt"), lit(false)), lit(pairSalts))
-      .otherwise(lit(1))
+    val g = coalesce(col("_g"), lit(1))
     val a = blocked.select(col("band"), col("key"),
       pmod(xxhash64(col("doc_id")), g).cast("int").as("slt"),
       col("doc_id").as("doc_a"), col("bkv").as("bkv_a"))
@@ -583,15 +587,18 @@ object Dedup {
     * G×, the join key gains the salt — every pair still meets exactly
     * once, but a hot bucket's pair generation lands on G tasks instead
     * of one. Cold buckets (the overwhelming majority) pay nothing; the
-    * replication is bounded to the broadcastable hot-bucket set. The
-    * default G=16 is measured: on the sf2 dense corpus the pair stage's
-    * steady state went 58 s (G=8) → 38 s (G=16), with G=32 flat — past
-    * 16 the stage is mean-bound (total pair output), not straggler-
-    * bound. */
+    * replication is bounded to the broadcastable hot-bucket set. G is
+    * PER BUCKET, sized for constant pairs per tile (≈ 2·saltThreshold²,
+    * so a 1.5k-row bucket gets 1-2 tiles and a 48k-row monster fans out
+    * to `pairSalts`): a fixed fanout was measured flat past 16 at sf2
+    * because the monster buckets — 36% of the corpus's pair mass in 4
+    * buckets — still landed few tiles on many tasks (balls-in-bins
+    * straggler) while mild buckets paid 16× replication for nothing.
+    * `pairSalts` is the per-bucket CAP on g. */
   def hammingNearDupPairs(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
       maxBucket: Int = 100000, saltThreshold: Int = 1024,
-      pairSalts: Int = 16): DataFrame =
+      pairSalts: Int = 64): DataFrame =
     hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket,
       saltThreshold, pairSalts)._1
 
@@ -606,7 +613,7 @@ object Dedup {
   def hammingNearDupPairsWithStats(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
       maxBucket: Int = 100000, saltThreshold: Int = 1024,
-      pairSalts: Int = 16): (DataFrame, Long) = {
+      pairSalts: Int = 64): (DataFrame, Long) = {
     val (pairs, overCap) =
       hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket,
         saltThreshold, pairSalts)
@@ -669,10 +676,23 @@ object Dedup {
     val overCap = sizes.filter(col("_bn") > maxBucket)
       .select(col("blk"), col("key"))
     // dense-but-under-cap buckets: the pair-salting set. Bounded above
-    // by |blocked| / saltThreshold rows, so always broadcastable.
+    // by |blocked| / saltThreshold rows, so always broadcastable. Each
+    // carries its own tile count g = ceil(4·bn/T) (T = saltThreshold),
+    // capped at pairSalts, rather than a fixed fanout: the sf2 census
+    // showed 4 monster buckets holding 36% of the whole corpus's pair
+    // mass next to 1,200 mild ones — a fixed G under-splits the
+    // monsters (few tiles into many tasks = balls-in-bins straggler).
+    // Linear-in-bn beats a constant-pairs-per-tile g ∝ bn² rule
+    // empirically: the quadratic rule starves MID buckets (2-4·T rows)
+    // of tiles and their balls-in-bins imbalance returns (measured +39%
+    // on the LSH-heavy q_dedup_eval), while linear keeps mid buckets at
+    // g≈8-16 and still fans the 48k-row monster to the cap; b-side
+    // replication stays ≤ 4·bn²/T ≪ the bn²/2 pair output it spreads.
     val hotSet = sizes
       .filter(col("_bn") > saltThreshold && col("_bn") <= maxBucket)
-      .select(col("blk"), col("key"), lit(true).as("_salt"))
+      .select(col("blk"), col("key"),
+        least(greatest(ceil(col("_bn") * 4.0d / saltThreshold), lit(1L)),
+          lit(pairSalts.toLong)).cast("int").as("_g"))
     // Anti join FIRST (map-side: the census set broadcasts), so an
     // over-cap bucket's rows never enter the shuffle; then the salt
     // flag attaches the same way.
@@ -681,9 +701,9 @@ object Dedup {
         hammingRailWarn(maxBucket))),
       Seq("blk", "key"), "left_anti")
       .join(broadcast(hotSet), Seq("blk", "key"), "left")
-    // per-row pair-salt fanout: G for hot buckets, 1 for the rest
-    val g = when(coalesce(col("_salt"), lit(false)), lit(pairSalts))
-      .otherwise(lit(1))
+    // per-row pair-salt fanout: the bucket's own g for hot buckets,
+    // 1 for the rest
+    val g = coalesce(col("_g"), lit(1))
     // Tile a hot bucket's pair space G×G: the a-side lands in pair-salt
     // group hash(id)%G, the b-side replicates into ALL G groups, and the
     // join key gains the group — each (a, b) combination still meets
