@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, types}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines: exact, n-gram
@@ -577,30 +577,24 @@ object Dedup {
     * is far above any bucket the tested scale factors produce, so it is
     * purely a rail.
     *
-    * `saltThreshold`/`pairSalts` spread DENSE-but-under-cap buckets: a
-    * bucket of B rows generates B²/2 pairs INSIDE one reduce task, a
-    * compute/output straggler no input-byte skew handling can split
-    * (measured at sf1: one 44-49 s max task against an 11-13 s mean,
-    * reading 3.5 MB, writing its share of a 1 GB pair shuffle). Buckets
-    * the census sizes above `saltThreshold` have their pair space tiled
-    * G×G: the a-side partitions by hash(id)%G, the b-side replicates
-    * G×, the join key gains the salt — every pair still meets exactly
-    * once, but a hot bucket's pair generation lands on G tasks instead
-    * of one. Cold buckets (the overwhelming majority) pay nothing; the
-    * replication is bounded to the broadcastable hot-bucket set. G is
-    * PER BUCKET, sized for constant pairs per tile (≈ 2·saltThreshold²,
-    * so a 1.5k-row bucket gets 1-2 tiles and a 48k-row monster fans out
-    * to `pairSalts`): a fixed fanout was measured flat past 16 at sf2
-    * because the monster buckets — 36% of the corpus's pair mass in 4
-    * buckets — still landed few tiles on many tasks (balls-in-bins
-    * straggler) while mild buckets paid 16× replication for nothing.
-    * `pairSalts` is the per-bucket CAP on g. */
+    * In-bucket pairing runs as a per-partition primitive microkernel
+    * ([[HammingPairKernel]]), not a self-join: a signature-bucket census
+    * at sf2 put 3.8e9 candidate pairs through the former sort-merge
+    * self-join at ~150 ns each (576 CPU-seconds of row-iterator
+    * machinery) when the work per candidate is one XOR + popcount —
+    * ~2-3 ns in a primitive-array loop. The kernel makes the per-bucket
+    * quadratic scan ~50× cheaper, which also retires the SMJ-era
+    * pair-salt tiling (its adaptive b-side ×G replication existed only
+    * to spread candidate mass the row machinery made expensive): a
+    * rail-capped worst bucket is now bn²/2 ≈ 5e9 register ops ≈ seconds
+    * on ONE task, cheaper than the replication shuffle that used to
+    * spread it. One exchange total — the blocked relation hash-
+    * partitioned by (blk, key) — and `maxBucket` doubles as the
+    * kernel's group-memory bound (≤ 100k rows ≈ a few MB). */
   def hammingNearDupPairs(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
-      maxBucket: Int = 100000, saltThreshold: Int = 1024,
-      pairSalts: Int = 64): DataFrame =
-    hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket,
-      saltThreshold, pairSalts)._1
+      maxBucket: Int = 100000): DataFrame =
+    hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket)._1
 
   /** [[hammingNearDupPairs]] plus the number of (blk, key) buckets the
     * `maxBucket` rail dropped, counted EAGERLY (one census job at call
@@ -612,11 +606,9 @@ object Dedup {
     * `graft.rail` observation metric instead ([[Rail.observed]]). */
   def hammingNearDupPairsWithStats(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
-      maxBucket: Int = 100000, saltThreshold: Int = 1024,
-      pairSalts: Int = 64): (DataFrame, Long) = {
+      maxBucket: Int = 100000): (DataFrame, Long) = {
     val (pairs, overCap) =
-      hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket,
-        saltThreshold, pairSalts)
+      hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket)
     val droppedBuckets = overCap.count()
     if (droppedBuckets > 0)
       org.slf4j.LoggerFactory.getLogger(getClass)
@@ -642,21 +634,24 @@ object Dedup {
     * — an empty over-cap set broadcasts for free — with drop counts
     * surfacing via the observation metric + session warn log. */
   private def hammingPlan(sigs: DataFrame, maxHamming: Int,
-      idCol: String, sigCol: String, maxBucket: Int,
-      saltThreshold: Int, pairSalts: Int)
+      idCol: String, sigCol: String, maxBucket: Int)
       : (DataFrame, DataFrame) = {
     require(maxHamming <= 6,
       "chunk-pair blocking guarantees recall only for hamming <= 6")
     val hs = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
+    val idType = hs.schema("doc_id").dataType
+    // resolved at plan-construction time so an unsupported id type fails
+    // the caller immediately, not inside a task
+    val idLess = HammingPairKernel.idComparator(idType)
     def chunk(c: Int): Column =
       shiftright(col("simhash"), c * 8).bitwiseAND(255L)
     val pairCols = for {
       c1 <- 0 until 8; c2 <- (c1 + 1) until 8
     } yield struct(lit(c1 * 8 + c2).as("blk"),
       (chunk(c1) * 256L + chunk(c2)).as("key"))
-    // The PRE-filter relation — both join sides and the census read the
-    // same blocks; no barrier (see [[hammingPlan]] scaladoc on exchange
-    // reuse).
+    // The PRE-filter relation — the kernel exchange and the census read
+    // the same blocks; no barrier (see [[hammingPlan]] scaladoc on
+    // exchange reuse).
     val blocked0 =
       hs.select(col("doc_id"), col("simhash"),
           explode(array(pairCols: _*)).as("ck"))
@@ -675,85 +670,42 @@ object Dedup {
       .agg(count(lit(1)).as("_bn"))
     val overCap = sizes.filter(col("_bn") > maxBucket)
       .select(col("blk"), col("key"))
-    // dense-but-under-cap buckets: the pair-salting set. Bounded above
-    // by |blocked| / saltThreshold rows, so always broadcastable. Each
-    // carries its own tile count g = ceil(4·bn/T) (T = saltThreshold),
-    // capped at pairSalts, rather than a fixed fanout: the sf2 census
-    // showed 4 monster buckets holding 36% of the whole corpus's pair
-    // mass next to 1,200 mild ones — a fixed G under-splits the
-    // monsters (few tiles into many tasks = balls-in-bins straggler).
-    // Linear-in-bn beats a constant-pairs-per-tile g ∝ bn² rule
-    // empirically: the quadratic rule starves MID buckets (2-4·T rows)
-    // of tiles and their balls-in-bins imbalance returns (measured +39%
-    // on the LSH-heavy q_dedup_eval), while linear keeps mid buckets at
-    // g≈8-16 and still fans the 48k-row monster to the cap; b-side
-    // replication stays ≤ 4·bn²/T ≪ the bn²/2 pair output it spreads.
-    val hotSet = sizes
-      .filter(col("_bn") > saltThreshold && col("_bn") <= maxBucket)
-      .select(col("blk"), col("key"),
-        least(greatest(ceil(col("_bn") * 4.0d / saltThreshold), lit(1L)),
-          lit(pairSalts.toLong)).cast("int").as("_g"))
     // Anti join FIRST (map-side: the census set broadcasts), so an
-    // over-cap bucket's rows never enter the shuffle; then the salt
-    // flag attaches the same way.
+    // over-cap bucket's rows never enter the shuffle.
     val blocked = blocked0.join(
       broadcast(Rail.observed(overCap, HammingBucketRail,
         hammingRailWarn(maxBucket))),
       Seq("blk", "key"), "left_anti")
-      .join(broadcast(hotSet), Seq("blk", "key"), "left")
-    // per-row pair-salt fanout: the bucket's own g for hot buckets,
-    // 1 for the rest
-    val g = coalesce(col("_g"), lit(1))
-    // Tile a hot bucket's pair space G×G: the a-side lands in pair-salt
-    // group hash(id)%G, the b-side replicates into ALL G groups, and the
-    // join key gains the group — each (a, b) combination still meets
-    // exactly once, but on G tasks instead of one. This is the fix for
-    // the straggler input-byte skew handling cannot touch: a dense
-    // bucket's B rows are a few MB in, B²/2 pairs out (measured at sf1:
-    // one 44-49 s max task vs an 11-13 s mean, rdMax 3.5 MB, 1 GB of
-    // pair shuffle written — AQE's skew split never fires because the
-    // INPUT partitions are tiny). Cold buckets keep g=1 and pay nothing.
-    val a = blocked.select(col("blk"), col("key"),
-      pmod(xxhash64(col("doc_id")), g).cast("int").as("slt"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = blocked.select(col("blk"), col("key"),
-      explode(sequence(lit(0), (g - 1).cast("int"))).as("slt"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    // FORCED sort-merge: left to statistics the planner broadcast-builds
-    // the corpus-sized blocked relation (a driver-killer at scale;
-    // measured 17× slower at sf0.1 when the r11 staging cache was
-    // removed) or duplicates the signature pipeline per side.
-    // Structural dedup — NO pair shuffle. A pair meets in block (c1,c2)
-    // iff bytes c1 and c2 of sh_a XOR sh_b are zero ("clean"); hamming
-    // ≤ 6 over 8 byte-chunks leaves ≥ 2 clean chunks by pigeonhole, so
-    // the lexicographically FIRST clean chunk-pair always exists and is
-    // computable from the XOR alone with register ops: cleanMask bit i =
-    // (byte i == 0), c1/c2 = positions of its two lowest set bits via
-    // ctz(x) = bit_count((x & -x) - 1). Keeping only the emission whose
-    // blk equals that first clean pair makes each verified pair appear
-    // EXACTLY once across all 28 blocks and all salt tiles — the
-    // dropDuplicates exchange this replaces was the plan's largest
-    // shuffle (1.78 GB of verified pairs written at sf2, and the page-
-    // allocation pressure behind the run-to-run spread); the pair list
-    // now streams out of the join with no further exchange.
-    val xorSig = col("sh_a").bitwiseXOR(col("sh_b"))
-    val cleanMask = (0 until 8).map { i =>
-      when(shiftright(xorSig, i * 8).bitwiseAND(255L) === 0L, 1L << i)
-        .otherwise(0L)
-    }.reduce(_ + _)
-    val mask2 = cleanMask.bitwiseAND(cleanMask - 1)
-    val firstCleanBlk =
-      bit_count(cleanMask.bitwiseAND(-cleanMask) - 1) * 8 +
-        bit_count(mask2.bitwiseAND(-mask2) - 1)
-    val pairs = a.hint("merge").join(b, Seq("blk", "key", "slt"))
-      .filter(col("doc_a") < col("doc_b"))
-      // bit_count is a register op — verify in the join stage so only
-      // true near-dups (not every bucket collision) reach the output
-      .withColumn("hamming",
-        bit_count(xorSig).cast("long"))
-      .filter(col("hamming") <= maxHamming &&
-        col("blk") === firstCleanBlk)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    // ONE exchange — the blocked relation hash-partitioned by (blk, key)
+    // — then the per-partition microkernel scans each bucket's pair
+    // space in a primitive-array loop. This replaced a hint-forced
+    // sort-merge self-join plus adaptive per-bucket pair-salt tiling:
+    // the row-at-a-time join machinery cost ~150 ns per candidate pair
+    // (sf2: 3.8e9 candidates ≈ 576 CPU-seconds) against ~2-3 ns for the
+    // XOR + popcount the candidate actually needs, and the tiling's
+    // b-side ×G replication existed only to spread that overhead. A
+    // user-specified repartition is never split by AQE, so a (blk, key)
+    // group always arrives complete and contiguous after the
+    // partition-local sort — the kernel's grouping contract.
+    //
+    // Structural dedup (unchanged semantics): a pair meets in block
+    // (c1,c2) iff bytes c1 and c2 of sh_a XOR sh_b are zero ("clean");
+    // hamming ≤ 6 over 8 byte-chunks leaves ≥ 2 clean chunks by
+    // pigeonhole, so the lexicographically FIRST clean chunk-pair
+    // always exists — the kernel emits a verified pair only in that
+    // block, so each pair appears exactly once across all 28 blocks
+    // with no pair-keyed dedup exchange.
+    val outSchema = types.StructType(Seq(
+      types.StructField("doc_a", idType),
+      types.StructField("doc_b", idType),
+      types.StructField("hamming", types.LongType, nullable = false)))
+    val pairs = blocked
+      .select(col("blk"), col("key"), col("doc_id"), col("simhash"))
+      .repartition(col("blk"), col("key"))
+      .sortWithinPartitions(col("blk"), col("key"))
+      .mapPartitions(rows =>
+        new HammingPairKernel(rows, maxHamming, idLess))(
+        org.apache.spark.sql.Encoders.row(outSchema))
     (pairs, overCap)
   }
 
@@ -1262,4 +1214,148 @@ object Dedup {
             when(col("_ban").isNull, struct(col("pos"), col("seg"))))),
           s => s.getField("seg"))).as("clean_text"))
   }
+}
+
+/** Per-partition microkernel behind [[Dedup.hammingNearDupPairs]]: scans
+  * each (blk, key) signature bucket's pair space with a primitive-array
+  * loop — XOR, popcount, first-clean-block check — instead of a
+  * row-at-a-time self-join. The declarative alternatives were measured
+  * (BENCH_NOTES r12): a hint-forced sort-merge self-join spends ~150 ns
+  * of iterator/UnsafeRow machinery per candidate pair when the work is
+  * ~2-3 ns of register ops; Catalyst has no way to express an O(B²)
+  * sub-row-granularity scan inside one operator, which makes this the
+  * rare genuinely-imperative per-partition loop `mapPartitions` exists
+  * for.
+  *
+  * Contract: `rows` are (blk: int, key: long, id: any, sig: long),
+  * partition-locally SORTED by (blk, key) so each bucket arrives
+  * contiguous and complete (the caller's `repartition(blk, key)` +
+  * `sortWithinPartitions` — never split by AQE for a user repartition).
+  * Group size is bounded by the caller's `maxBucket` rail (over-cap
+  * buckets are anti-joined away BEFORE the exchange), which therefore
+  * also bounds kernel memory: ≤ maxBucket ids + sigs ≈ a few MB. Output
+  * is lazy — one (doc_a, doc_b, hamming) row per verified pair, emitted
+  * as the (i, j) cursors advance, so a mass-duplicate bucket's
+  * quadratic PAIR LIST streams out without materializing in the task.
+  *
+  * Exactly-once emission and orientation replicate the former SQL plan:
+  * a verified pair (hamming ≤ maxHamming, always ≤ 6) has ≥ 2 clean
+  * XOR byte-chunks by pigeonhole and is emitted only in the block of
+  * its lexicographically first clean chunk-pair; `doc_a < doc_b` under
+  * the id column's own ordering ([[HammingPairKernel.idComparator]] —
+  * UTF8 binary for strings, matching Spark's `<` on StringType). */
+private[ops] final class HammingPairKernel(
+    rows: Iterator[Row], maxHamming: Int,
+    idLess: (Any, Any) => Boolean) extends Iterator[Row] {
+  private val buf = rows.buffered
+  private var ids: Array[Any] = _
+  private var sg: Array[Long] = _
+  private var n = 0
+  private var blk = -1
+  private var i = 0
+  private var j = 1
+  private var out: Row = _
+
+  /** Reads the next contiguous (blk, key) group into primitive arrays;
+    * false when the partition is exhausted. */
+  private def loadGroup(): Boolean = {
+    if (!buf.hasNext) { ids = null; return false }
+    val head = buf.head
+    blk = head.getInt(0)
+    val key = head.getLong(1)
+    val ib = Array.newBuilder[Any]
+    val sb = Array.newBuilder[Long]
+    var m = 0
+    while (buf.hasNext &&
+        buf.head.getInt(0) == blk && buf.head.getLong(1) == key) {
+      val r = buf.next()
+      ib += r.get(2)
+      sb += r.getLong(3)
+      m += 1
+    }
+    ids = ib.result(); sg = sb.result(); n = m; i = 0; j = 1
+    true
+  }
+
+  private def advance(): Unit = {
+    while (true) {
+      if (ids == null || i >= n - 1) {
+        if (!loadGroup()) return
+      }
+      while (i < n - 1) {
+        val si = sg(i)
+        while (j < n) {
+          val x = si ^ sg(j)
+          // popcount first (the overwhelming reject path); the
+          // first-clean-block check runs on survivors only
+          if (java.lang.Long.bitCount(x) <= maxHamming &&
+              HammingPairKernel.firstCleanBlk(x) == blk) {
+            val h = java.lang.Long.bitCount(x).toLong
+            out = if (idLess(ids(i), ids(j))) Row(ids(i), ids(j), h)
+            else Row(ids(j), ids(i), h)
+            j += 1
+            if (j >= n) { i += 1; j = i + 1 }
+            return
+          }
+          j += 1
+        }
+        i += 1; j = i + 1
+      }
+      ids = null // group exhausted — fall through to the next one
+    }
+  }
+
+  override def hasNext: Boolean = {
+    if (out == null) advance()
+    out != null
+  }
+
+  override def next(): Row = {
+    if (!hasNext) throw new NoSuchElementException("kernel exhausted")
+    val r = out
+    out = null
+    r
+  }
+}
+
+private[ops] object HammingPairKernel {
+  /** Block id of the lexicographically first clean chunk-pair of a
+    * signature XOR — the same `c1 * 8 + c2` encoding the blocking
+    * explode uses, and the same two-lowest-set-bits formula the SQL
+    * plan computed with bit_count((m & -m) - 1). Callers guarantee
+    * ≥ 2 clean chunks (hamming ≤ 6 over 8 chunks). */
+  def firstCleanBlk(x: Long): Int = {
+    var m = 0
+    var c = 0
+    while (c < 8) {
+      if (((x >>> (c * 8)) & 0xffL) == 0L) m |= 1 << c
+      c += 1
+    }
+    val c1 = java.lang.Integer.numberOfTrailingZeros(m)
+    val c2 = java.lang.Integer.numberOfTrailingZeros(m & (m - 1))
+    c1 * 8 + c2
+  }
+
+  /** Strict `a < b` matching Spark's `<` on the id column's type —
+    * resolved once at plan construction so unsupported types fail the
+    * caller, not a task. Strings compare in UTF8 binary order
+    * (UTF8String), which differs from java.lang.String order for
+    * supplementary characters. */
+  def idComparator(
+      dt: org.apache.spark.sql.types.DataType): (Any, Any) => Boolean =
+    dt match {
+      case types.LongType =>
+        (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case types.IntegerType =>
+        (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case types.StringType =>
+        (a, b) =>
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String])) < 0
+      case other => throw new IllegalArgumentException(
+        s"hammingNearDupPairs: unsupported id column type $other " +
+          "(supported: long, int, string)")
+    }
 }

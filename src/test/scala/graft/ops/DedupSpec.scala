@@ -260,59 +260,60 @@ class DedupSpec extends SparkSpec {
     graft.ops.Stage.releaseAll(spark)
   }
 
-  test("hamming pair plan shape: forced sort-merge, lazy rail metric, " +
-      "no corpus-sized broadcast build") {
+  test("hamming pair plan shape: one (blk,key) exchange into the " +
+      "kernel, lazy rail metric, no join, no pair-keyed exchange") {
     val sigs = (1L to 200L).map(i => (i, i * 0x9e3779b97f4a7c15L))
       .toDF("doc_id", "simhash")
     val plan = Dedup.hammingNearDupPairs(sigs)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"),
-      "the (blk,key,slt) self-join must be hint-forced to sort-merge — " +
-        "statistics-driven planning broadcast-builds the corpus-sized " +
-        "blocked relation:\n" + plan.take(600))
-    assert(!plan.contains("CartesianProduct") &&
+    assert(plan.contains("MapPartitions"),
+      "in-bucket pairing must run in the per-partition microkernel:\n" +
+        plan.take(600))
+    assert(plan.contains("hashpartitioning(blk"),
+      "the kernel's (blk, key) exchange is missing:\n" + plan.take(600))
+    // the pair relation is produced by the kernel, not a join: the
+    // former sort-merge self-join paid ~150 ns of row machinery per
+    // candidate pair and needed b-side ×G salt replication to spread it
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
-      "pair generation degenerated to a cross product:\n" + plan.take(600))
+      "pair generation regressed to a row-at-a-time join:\n" +
+        plan.take(600))
     assert(plan.contains("CollectMetrics"),
       "the lazy rail census observation is missing from the plan:\n" +
         plan.take(600))
     assert(!plan.contains("Window"),
       "bucket accounting must stay a partial-aggregated groupBy:\n" +
         plan.take(600))
-    // the pair list must stream out of the join: the old
+    // the pair list must stream out of the kernel: the old
     // dropDuplicates(doc_a, doc_b) planned an exchange over every
     // verified pair (1.78 GB written at sf2) — the structural
-    // first-clean-block filter replaced it
+    // first-clean-block emission rule replaced it
     assert(!plan.contains("hashpartitioning(doc_a"),
-      "a pair-keyed dedup exchange reappeared above the pair join:\n" +
+      "a pair-keyed dedup exchange reappeared above the kernel:\n" +
         plan.take(900))
   }
 
-  test("pair-salting is exact: hot-bucket tiling emits every pair once") {
-    // signatures engineered so several buckets cross a tiny salt
-    // threshold (identical sigs share every bucket) while others stay
-    // cold; the salted plan must emit EXACTLY the brute-force pair set
-    val sigs = ((1L to 12L).map(i => (i, 0x0123456789abcdefL)) ++ // hot
-      (21L to 24L).map(i => (i, 0x0123456789abcd00L + i)) ++     // warm
-      Seq((31L, 0x7777777777777777L))).toDF("doc_id", "simhash")
-    val rows = ((1L to 12L).map(i => (i, 0x0123456789abcdefL)) ++
+  test("bucket kernel is exact: every brute-force pair exactly once") {
+    // identical signatures share every bucket (mass-duplicate group
+    // spanning all 28 blocks), near-identical ones share most, one
+    // loner shares none — the kernel must emit EXACTLY the brute-force
+    // pair set, each pair once across all blocks
+    val rows = (1L to 12L).map(i => (i, 0x0123456789abcdefL)) ++
       (21L to 24L).map(i => (i, 0x0123456789abcd00L + i)) ++
-      Seq((31L, 0x7777777777777777L)))
+      Seq((31L, 0x7777777777777777L))
+    val sigs = rows.toDF("doc_id", "simhash")
     val expected = (for {
       (ia, sa) <- rows; (ib, sb) <- rows
       if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 6
     } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
-    val got = Dedup.hammingNearDupPairs(sigs,
-        saltThreshold = 4, pairSalts = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == expected,
-      s"salted pair set diverged: missing=${expected -- got} " +
-        s"extra=${got -- expected}")
-    // degenerate salt counts behave: G=1 is the unsalted plan
-    val got1 = Dedup.hammingNearDupPairs(sigs,
-        saltThreshold = 4, pairSalts = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got1 == expected)
+    val gotRows = Dedup.hammingNearDupPairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotRows.size == gotRows.toSet.size,
+      "first-clean-block emission produced a duplicate pair")
+    assert(gotRows.toSet == expected,
+      s"kernel pair set diverged: missing=${expected -- gotRows.toSet} " +
+        s"extra=${gotRows.toSet -- expected}")
   }
 
   test("plain hammingNearDupPairs is pure plan construction: no jobs, " +
