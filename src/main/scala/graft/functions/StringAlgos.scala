@@ -153,6 +153,65 @@ object StringAlgos {
     }
     (b << 31) | a
   }
+
+  /** 62-bit SimHash of a space-tokenized document in ONE pass over the
+    * text: per token (exact `split(text, " ")` segment semantics —
+    * empty segments from consecutive / trailing spaces included, the
+    * empty string is one empty token) the [[polyHash2]] bits each add
+    * ±1 to their counter lane; the sign of each lane becomes the output
+    * bit (> 0 → 1, ties → 0 — the declarative `when(c > 0, 1)` rule).
+    *
+    * This is the row-local form of the explode + SimHashAgg pipeline
+    * ([[graft.ops.Dedup.simhashes]]): a document's text is ONE row, so
+    * nothing about the signature is distributed — the aggregate shape
+    * shuffled a 62-lane partial buffer per document (~500 B each;
+    * 319 MB and ~160 CPU-seconds of sort-aggregate machinery at sf1)
+    * to merge buffers that were already complete. The single-pass
+    * scan never materializes the token array and resets the rolling
+    * hash at each separator, so the per-token hashes are byte-identical
+    * to hashing the split segments. */
+  def simHash62(s: UTF8String): Long = {
+    val P = 2147483647L
+    val str = s.toString
+    val counters = new Array[Int](62)
+    var a = 0L
+    var b = 0L
+    var i = 0
+    while (i < str.length) {
+      val ch = str.charAt(i)
+      if (ch == ' ') { // token boundary: fold the finished token's bits
+        val h = (b << 31) | a
+        var j = 0
+        while (j < 62) {
+          counters(j) += (((h >>> j) & 1L).toInt << 1) - 1
+          j += 1
+        }
+        a = 0L; b = 0L
+        i += 1
+      } else {
+        val cp = str.codePointAt(i)
+        a = (a * 31L + cp) % P
+        b = (b * 37L + cp) % P
+        i += Character.charCount(cp)
+      }
+    }
+    // the final segment — also the trailing empty token after a trailing
+    // space, and the single empty token of the empty string, matching
+    // split()'s limit=-1 semantics
+    val h = (b << 31) | a
+    var j = 0
+    while (j < 62) {
+      counters(j) += (((h >>> j) & 1L).toInt << 1) - 1
+      j += 1
+    }
+    var out = 0L
+    j = 0
+    while (j < 62) {
+      if (counters(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
 }
 
 /** Native Catalyst expression for [[StringAlgos.capwords]]: null-safe,
@@ -235,6 +294,23 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression for [[StringAlgos.simHash62]]: the whole
+  * document signature as one codegen'd static call — no explode, no
+  * aggregate, no shuffle. */
+case class SimHash62(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash62"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StringAlgos.simHash62(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringAlgos.simHash62($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash62 =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression for [[StringAlgos.polyHash2]]. */
 case class PolyHash2(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -270,6 +346,10 @@ object GraftFunctions {
 
   /** Column-level 62-bit dual polynomial hash. */
   def polyHash2(c: Column): Column = asColumn(PolyHash2(toExpr(c)))
+
+  /** Column-level one-pass 62-bit document SimHash
+    * (see [[StringAlgos.simHash62]]). */
+  def simHash62(c: Column): Column = asColumn(SimHash62(toExpr(c)))
 
   /** Column-level winnowing fingerprint selection → ARRAY<LONG>. */
   def winnowFps(c: Column, k: Int, w: Int): Column =

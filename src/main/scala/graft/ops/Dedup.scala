@@ -346,15 +346,30 @@ object Dedup {
     * per component). Iterative min-label propagation: each round every
     * node adopts the minimum label in its closed neighborhood; converges
     * in O(component eccentricity) rounds — near-dup clusters are shallow,
-    * so a handful of shuffles. Each round is one join + one aggregation,
-    * staged (Stage.barrier) so the convergence check and the next round
-    * share the frontier instead of recomputing the whole chain — the
+    * so a handful of rounds. Each round is one join + one aggregation
+    * over the cached edge relation; with the label frontier broadcast
+    * (the default while nodes ≤ maxBroadcastNodes) and the edges cached
+    * hash-partitioned by s, a round moves ZERO edge bytes — the only
+    * per-round traffic is the node-sized frontier. Checkpointed each
+    * round (see componentsWithStatus) so plans stay O(1) deep — the
     * standard iterative-algorithm shape on Spark (label propagation /
-    * large-star contraction family). */
+    * large-star contraction family).
+    *
+    * `assumeCanonical` — pass true when the pair relation is known to
+    * hold each unordered pair EXACTLY ONCE with aCol < bCol (every
+    * in-repo producer does, structurally, spec-pinned): the symmetric
+    * closure then has no duplicates and the edge-dedup `distinct()` —
+    * a full extra exchange plus a pair-keyed hash-aggregate build over
+    * the whole edge relation, the single heaviest stage of
+    * q_simhash_canonical at sf1 — is skipped. Correctness never
+    * depends on it (min-label propagation is idempotent under
+    * duplicate edges and self-loops); with arbitrary input the dedup
+    * only bounds the cached edge size, so the default keeps it. */
   def components(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
+      bCol: String = "doc_b", maxRounds: Int = 50,
+      assumeCanonical: Boolean = false): DataFrame = {
     val (labels, converged) = componentsWithStatus(pairs, aCol, bCol,
-      maxRounds)
+      maxRounds, assumeCanonical = assumeCanonical)
     // the library default FAILS LOUDLY: unconverged labels are silently
     // wrong (a too-small drop set downstream of a dedup). Callers that
     // want to inspect partial labels use componentsWithStatus.
@@ -371,20 +386,39 @@ object Dedup {
     * labels (and a too-small drop set downstream) — callers that need the
     * partial labels check the flag; [[components]] throws instead. */
   def componentsWithStatus(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxRounds: Int = 50): (DataFrame, Boolean) = {
+      bCol: String = "doc_b", maxRounds: Int = 50,
+      maxBroadcastNodes: Long = 10000000L,
+      assumeCanonical: Boolean = false): (DataFrame, Boolean) = {
     // the undirected edge set references `pairs` from BOTH union
     // branches — barrier the one-sided projection first so the caller's
     // (possibly expensive) pair plan evaluates once, and release it as
     // soon as the symmetric closure is materialized
     val p0 = Stage.barrier(
       pairs.select(col(aCol).as("s"), col(bCol).as("d")))
-    val edges = Stage.barrier(
+    // cached HASH-PARTITIONED BY s: the per-round neighborhood
+    // aggregation groups by s, and InMemoryRelation preserves its
+    // child's outputPartitioning — so when the label lookup joins by
+    // broadcast (below), groupBy(s) is partition-local and a round
+    // shuffles NO edge bytes at all. Without this the edge relation
+    // (orders of magnitude bigger than the label frontier) re-shuffled
+    // EVERY round: measured 301 MB/round at sf1 on the
+    // q_simhash_canonical graph, ~10 rounds deep.
+    val closure =
       p0.union(p0.select(col("d").as("s"), col("s").as("d")))
-        .distinct())
+    val edges = Stage.barrier(
+      (if (assumeCanonical) closure else closure.distinct())
+        .repartition(col("s")))
     Stage.release(p0)
     var labels = Stage.barrier(
       edges.select(col("s").as("id")).distinct()
         .withColumn("label", col("id")))
+    // One row per GRAPH NODE (docs in ≥1 pair), typically ≪ corpus.
+    // Checkpoint-backed label frames are LogicalRDD leaves with unknown
+    // stats, so the planner NEVER auto-broadcasts them — hint
+    // explicitly while the node count is broadcastable, else keep the
+    // shuffle join (the label side is then the smaller shuffle anyway).
+    val nodes = labels.count() // cached — metadata-cheap
+    val bcastLabels = nodes <= maxBroadcastNodes
     // Every round ends in an EAGER localCheckpoint: round r's result joins
     // itself into round r+1, so without truncation the plan embeds the
     // previous round TWICE and doubles every round — analysis and even the
@@ -398,9 +432,9 @@ object Dedup {
     var changed = 1L
     var releasePrev: () => Unit = { val init = labels; () => Stage.release(init) }
     while (changed > 0 && round < maxRounds) {
+      val lbl = labels.select(col("id").as("d"), col("label").as("nl"))
       val neighborMin = edges
-        .join(labels.select(col("id").as("d"), col("label").as("nl")),
-          Seq("d"))
+        .join(if (bcastLabels) broadcast(lbl) else lbl, Seq("d"))
         .groupBy(col("s").as("id"))
         .agg(min(col("nl")).as("nmin"))
       val next = labels.join(neighborMin, Seq("id"), "left")
@@ -513,13 +547,31 @@ object Dedup {
     * the sign of each lane becomes the output bit. Word-order independent,
     * cheap, and hamming-comparable.
     *
-    * Execution shape: explode to (doc, token) rows, hash once per row, then
-    * ONE native aggregate (functions.SimHashAgg) folding each hash into a
-    * primitive 62-lane counter buffer. Map-side partial aggregation carries
-    * one lane vector per doc per partition through the shuffle — the same
-    * scale shape as the MinHash signatures. [[simhashesDeclarative]] is the
-    * 62-sum-column equivalent it replaced (DedupSpec pins equality). */
+    * Execution shape: ONE codegen'd per-row expression
+    * (functions.SimHash62) — a document's text is a single row, so the
+    * signature is row-local and needs no explode, no aggregate, and no
+    * shuffle. The previous explode + SimHashAgg pipeline shuffled a
+    * 62-lane partial buffer per document (~500 B each: 319 MB and
+    * ~160 CPU-seconds of sort-aggregate machinery at sf1) to merge
+    * buffers that were already complete per input partition.
+    * [[simhashesAgg]] keeps the distributed-accumulation form for
+    * token-stream inputs; [[simhashesDeclarative]] is the 62-sum-column
+    * cross-check (DedupSpec pins three-way equality). One edge differs
+    * by construction: a NULL text yields a (doc_id, NULL) row here,
+    * where the explode-based forms dropped the doc entirely — the
+    * row-local shape is the more honest one (the doc is visible to a
+    * downstream null screen instead of silently vanishing). */
   def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simHash62(col(textCol)).as("simhash"))
+
+  /** The aggregate form of [[simhashes]] — explode to (doc, token) rows,
+    * hash once per row, then ONE native aggregate (functions.SimHashAgg)
+    * folding each hash into a primitive 62-lane counter buffer with
+    * map-side partial aggregation. Identical output; the shape to reach
+    * for when tokens arrive as ROWS (a stream, a pre-exploded relation)
+    * rather than inside one document row. */
+  def simhashesAgg(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), explode(split(col(textCol), " ")).as("t"))
       .withColumn("h", graft.functions.GraftFunctions.polyHash2(col("t")))
       .groupBy(col("doc_id"))
@@ -743,7 +795,9 @@ object Dedup {
     // O(rep clusters), far smaller than the corpus
     val pairs = Stage.barrier(hammingNearDupPairs(reps, maxHamming,
       idCol = "rep_id", sigCol = "simhash", maxBucket = maxBucket))
-    val labels = components(pairs)
+    // the kernel emits each pair once, doc_a < doc_b (structural
+    // first-clean-block dedup) — skip components' edge-dedup exchange
+    val labels = components(pairs, assumeCanonical = true)
       .select(col("doc_id").as("rep_id"), col("component"))
     sigs.join(reps, Seq("simhash"))
       .join(labels, Seq("rep_id"), "left")

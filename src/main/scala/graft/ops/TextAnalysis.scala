@@ -255,7 +255,9 @@ object TextAnalysis {
       maxDf: Int = 50, minShared: Int = 2,
       textCol: String = "text"): DataFrame = {
     val pairs = winnowCandidatePairs(docs, k, w, maxDf, minShared, textCol)
-    val labels = Dedup.components(pairs)
+    // candidate pairs come out of a groupBy(doc_a, doc_b) with a < b —
+    // one row per unordered pair, so components' edge dedup is skippable
+    val labels = Dedup.components(pairs, assumeCanonical = true)
       .select(col("doc_id"), col("component"))
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

@@ -106,7 +106,10 @@ object DedupSim {
   /** Near-dup pairs → canonical clusters (keep min doc per component). */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
     componentCache.getOrCompute(s, dir, discard = graft.ops.Stage.release)(
-      graft.ops.Stage.barrier(Dedup.components(mutantPairs(s, dir))))
+      graft.ops.Stage.barrier(Dedup.components(mutantPairs(s, dir),
+        // minhashDedupPairs emits each pair once, doc_a < doc_b
+        // (first-matching-band structural dedup, spec-pinned)
+        assumeCanonical = true)))
 
   /** The cleaned corpus: drop every non-canonical cluster member (keep a
     * doc iff it is its component's min — untouched docs have no component

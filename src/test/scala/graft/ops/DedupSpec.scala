@@ -177,6 +177,26 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("components: assumeCanonical path ≡ default, and duplicate " +
+      "edges stay correct (label propagation is idempotent)") {
+    val canonical = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val want = Dedup.components(canonical).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.components(canonical, assumeCanonical = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == want)
+    // a LYING caller (duplicates, reversed orientation, a self-loop)
+    // still gets correct labels on the fast path — the skipped distinct
+    // was never a correctness dependency, only an edge-size bound
+    val dirty = canonical
+      .union(Seq((1L, 0L), (2L, 3L), (22L, 22L)).toDF("doc_a", "doc_b"))
+    val dirtyFast = Dedup.components(dirty, assumeCanonical = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dirtyFast == want)
+  }
+
   test("connected components: deep chain converges with bounded lineage") {
     // a 26-node path needs ~25 label-propagation rounds — crosses the
     // every-10-rounds localCheckpoint twice, proving deep graphs converge
@@ -198,13 +218,23 @@ class DedupSpec extends SparkSpec {
     assert(labels.filter(col("component") =!= 0L).count() > 0)
   }
 
-  test("native SimHashAgg equals the declarative 62-column form") {
-    val d = docs.select(col("doc_id"), col("text"))
-    val native = Dedup.simhashes(d).collect()
+  test("simhash: per-row expression ≡ SimHashAgg ≡ declarative form") {
+    // corpus docs plus the split()-semantics edge cases the one-pass
+    // expression must reproduce exactly: consecutive spaces (empty
+    // token), trailing space (trailing empty token), the empty string
+    // (one empty token), and a supplementary-plane codepoint
+    val edges = Seq((9000001L, "a  b"), (9000002L, "a b "),
+      (9000003L, ""), (9000004L, " "), (9000005L, "a 😀 b"))
+      .toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), col("text")).union(edges)
+    val rowLocal = Dedup.simhashes(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashesAgg(d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val declarative = Dedup.simhashesDeclarative(d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(native == declarative)
+    assert(rowLocal == agg)
+    assert(rowLocal == declarative)
   }
 
   test("simhash: order-independent, near-dup blocking finds mutants") {
