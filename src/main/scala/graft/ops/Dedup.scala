@@ -343,10 +343,11 @@ object Dedup {
 
   /** Connected components over an undirected pair relation — the cluster
     * step that turns near-dup PAIRS into canonical groups (keep one doc
-    * per component). Iterative min-label propagation: each round every
-    * node adopts the minimum label in its closed neighborhood; converges
-    * in O(component eccentricity) rounds — near-dup clusters are shallow,
-    * so a handful of rounds. Each round is one join + one aggregation
+    * per component). Iterative min-label propagation with pointer
+    * jumping: each round every node adopts the minimum label in its
+    * closed neighborhood (hook), then compresses via label ← label(label)
+    * (jump) — O(log diameter) rounds instead of the hook-only
+    * O(diameter). Each round is one join + one aggregation
     * over the cached edge relation; with the label frontier broadcast
     * (the default while nodes ≤ maxBroadcastNodes) and the edges cached
     * hash-partitioned by s, a round moves ZERO edge bytes — the only
@@ -392,9 +393,13 @@ object Dedup {
     // the undirected edge set references `pairs` from BOTH union
     // branches — barrier the one-sided projection first so the caller's
     // (possibly expensive) pair plan evaluates once, and release it as
-    // soon as the symmetric closure is materialized
-    val p0 = Stage.barrier(
-      pairs.select(col(aCol).as("s"), col(bCol).as("d")))
+    // soon as the symmetric closure is materialized. When the caller
+    // already staged the pair frame (simhashCanonical does), reading
+    // that cache twice is free — skip the redundant copy + count job.
+    val inputCached =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val proj = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+    val p0 = if (inputCached) proj else Stage.barrier(proj)
     // cached HASH-PARTITIONED BY s: the per-round neighborhood
     // aggregation groups by s, and InMemoryRelation preserves its
     // child's outputPartitioning — so when the label lookup joins by
@@ -408,7 +413,7 @@ object Dedup {
     val edges = Stage.barrier(
       (if (assumeCanonical) closure else closure.distinct())
         .repartition(col("s")))
-    Stage.release(p0)
+    if (!inputCached) Stage.release(p0)
     var labels = Stage.barrier(
       edges.select(col("s").as("id")).distinct()
         .withColumn("label", col("id")))
@@ -437,11 +442,31 @@ object Dedup {
         .join(if (bcastLabels) broadcast(lbl) else lbl, Seq("d"))
         .groupBy(col("s").as("id"))
         .agg(min(col("nl")).as("nmin"))
+      // POINTER JUMP (path compression): after the hook, compress via
+      // label ← labels(label) — the lookup deliberately reads the
+      // PREVIOUS round's label map (a checkpoint leaf), not the hooked
+      // frame: the hook's plan contains the full edge scan, so a lookup
+      // derived from it would evaluate that scan a second time for the
+      // broadcast build. The stale lookup is the classic synchronous
+      // jump (both steps read round r−1's state) and still shrinks a
+      // chain ~3× per round — hook alone needs O(diameter) rounds
+      // (measured ~11 at sf1/sf2 on the mutant graph, each paying a
+      // full cached-edge scan); hook + jump needs O(log diameter).
+      // Labels only decrease and every label value is itself a node id,
+      // so the lookup always hits and jl ≤ hl by the monotone invariant.
+      // Termination stays sound on the hook fixpoint alone: hook-stable
+      // forces labels constant along every edge (= the component min),
+      // and at that point the jump is the identity.
+      val lut = labels.select(col("id").as("_l"), col("label").as("jl"))
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"),
-          (col("nmin") < col("label")).as("chg"))
+            .as("hl"))
+        .join(if (bcastLabels) broadcast(lut) else lut,
+          col("hl") === col("_l"), "left")
+        .select(col("id"),
+          coalesce(col("jl"), col("hl")).as("label"),
+          (col("hl") < col("label") || col("jl") < col("hl")).as("chg"))
         .localCheckpoint() // eager: materializes + truncates lineage
       // the convergence check reads the checkpoint blocks, nothing upstream
       changed = next.filter(col("chg")).count()
@@ -645,8 +670,9 @@ object Dedup {
     * kernel's group-memory bound (≤ 100k rows ≈ a few MB). */
   def hammingNearDupPairs(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
-      maxBucket: Int = 100000): DataFrame =
-    hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket)._1
+      maxBucket: Int = 100000,
+      tileRows: Int = HammingPairKernel.TileRows): DataFrame =
+    hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket, tileRows)._1
 
   /** [[hammingNearDupPairs]] plus the number of (blk, key) buckets the
     * `maxBucket` rail dropped, counted EAGERLY (one census job at call
@@ -686,8 +712,10 @@ object Dedup {
     * — an empty over-cap set broadcasts for free — with drop counts
     * surfacing via the observation metric + session warn log. */
   private def hammingPlan(sigs: DataFrame, maxHamming: Int,
-      idCol: String, sigCol: String, maxBucket: Int)
+      idCol: String, sigCol: String, maxBucket: Int,
+      tileRows: Int = HammingPairKernel.TileRows)
       : (DataFrame, DataFrame) = {
+    require(tileRows >= 1, s"tileRows must be >= 1, got $tileRows")
     require(maxHamming <= 6,
       "chunk-pair blocking guarantees recall only for hamming <= 6")
     val hs = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
@@ -728,17 +756,31 @@ object Dedup {
       broadcast(Rail.observed(overCap, HammingBucketRail,
         hammingRailWarn(maxBucket))),
       Seq("blk", "key"), "left_anti")
-    // ONE exchange — the blocked relation hash-partitioned by (blk, key)
-    // — then the per-partition microkernel scans each bucket's pair
-    // space in a primitive-array loop. This replaced a hint-forced
-    // sort-merge self-join plus adaptive per-bucket pair-salt tiling:
-    // the row-at-a-time join machinery cost ~150 ns per candidate pair
-    // (sf2: 3.8e9 candidates ≈ 576 CPU-seconds) against ~2-3 ns for the
-    // XOR + popcount the candidate actually needs, and the tiling's
-    // b-side ×G replication existed only to spread that overhead. A
-    // user-specified repartition is never split by AQE, so a (blk, key)
-    // group always arrives complete and contiguous after the
-    // partition-local sort — the kernel's grouping contract.
+    // ONE exchange — the blocked relation hash-partitioned by
+    // (blk, key, tile) — then the per-partition microkernel scans each
+    // bucket tile's pair space in a primitive-array loop. This replaced
+    // a hint-forced sort-merge self-join: the row-at-a-time join
+    // machinery cost ~150 ns per candidate pair (sf2: 3.8e9 candidates
+    // ≈ 576 CPU-seconds) against ~2-3 ns for the XOR + popcount the
+    // candidate actually needs. A user-specified repartition is never
+    // split by AQE, so a (blk, key, tile) group always arrives complete
+    // and contiguous after the partition-local sort — the kernel's
+    // grouping contract.
+    //
+    // MONSTER-BUCKET TILING: a bucket under the rail cap can still own
+    // bn²/2 ≈ 5e9 XOR+popcounts — several seconds on ONE task while 31
+    // idle (the r12e census: 4 buckets held 36% of the sf2 pair mass;
+    // measured max-task 6.3 s vs mean 2.3 s). For buckets over
+    // `tileRows`, rows are assigned a block index b = hash(id) mod g
+    // (g = ⌈bn/tileRows⌉, capped) and replicated to the g tile-pairs
+    // containing their block: tile (t1,t1) pairs its rows triangularly,
+    // tile (t1<t2) pairs t1-side rows against t2-side rows only — every
+    // unordered candidate pair lands in EXACTLY the tile of its two
+    // block indices, so exactly-once emission is preserved with zero
+    // pair-keyed dedup. Work per tile ≤ tileRows², and the replication
+    // (×g on hot rows only) is bounded by cap·hotRows — mild buckets
+    // (g = 1, the overwhelming majority) pay one int column and nothing
+    // else.
     //
     // Structural dedup (unchanged semantics): a pair meets in block
     // (c1,c2) iff bytes c1 and c2 of sh_a XOR sh_b are zero ("clean");
@@ -747,14 +789,32 @@ object Dedup {
     // always exists — the kernel emits a verified pair only in that
     // block, so each pair appears exactly once across all 28 blocks
     // with no pair-keyed dedup exchange.
+    val hot = sizes
+      .filter(col("_bn") > tileRows && col("_bn") <= maxBucket)
+      .select(col("blk"), col("key"),
+        least(ceil(col("_bn") / lit(tileRows.toDouble)),
+          lit(HammingPairKernel.MaxTilesPerBucket.toLong))
+          .cast("int").as("_g"))
+    val tiled = blocked
+      .select(col("blk"), col("key"), col("doc_id"), col("simhash"))
+      .join(broadcast(hot), Seq("blk", "key"), "left")
+      .withColumn("_g", coalesce(col("_g"), lit(1)))
+      .withColumn("_b",
+        pmod(xxhash64(col("doc_id")), col("_g").cast("long")).cast("int"))
+      .select(col("blk"), col("key"), col("doc_id"), col("simhash"),
+        col("_b"),
+        explode(transform(sequence(lit(0), col("_g") - 1),
+          t => least(col("_b"), t) * HammingPairKernel.TileBase +
+            greatest(col("_b"), t))).as("tile"))
     val outSchema = types.StructType(Seq(
       types.StructField("doc_a", idType),
       types.StructField("doc_b", idType),
       types.StructField("hamming", types.LongType, nullable = false)))
-    val pairs = blocked
-      .select(col("blk"), col("key"), col("doc_id"), col("simhash"))
-      .repartition(col("blk"), col("key"))
-      .sortWithinPartitions(col("blk"), col("key"))
+    val pairs = tiled
+      .select(col("blk"), col("key"), col("tile"), col("_b"),
+        col("doc_id"), col("simhash"))
+      .repartition(col("blk"), col("key"), col("tile"))
+      .sortWithinPartitions(col("blk"), col("key"), col("tile"), col("_b"))
       .mapPartitions(rows =>
         new HammingPairKernel(rows, maxHamming, idLess))(
         org.apache.spark.sql.Encoders.row(outSchema))
@@ -1281,12 +1341,20 @@ object Dedup {
   * rare genuinely-imperative per-partition loop `mapPartitions` exists
   * for.
   *
-  * Contract: `rows` are (blk: int, key: long, id: any, sig: long),
-  * partition-locally SORTED by (blk, key) so each bucket arrives
-  * contiguous and complete (the caller's `repartition(blk, key)` +
-  * `sortWithinPartitions` — never split by AQE for a user repartition).
-  * Group size is bounded by the caller's `maxBucket` rail (over-cap
-  * buckets are anti-joined away BEFORE the exchange), which therefore
+  * Contract: `rows` are (blk: int, key: long, tile: int, b: int,
+  * id: any, sig: long), partition-locally SORTED by (blk, key, tile, b)
+  * so each bucket tile arrives contiguous and complete (the caller's
+  * `repartition(blk, key, tile)` + `sortWithinPartitions` — never split
+  * by AQE for a user repartition). `tile` encodes a block-index pair
+  * (t1 * TileBase + t2, t1 ≤ t2) from the caller's monster-bucket
+  * split: a (t, t) tile holds one block of the bucket and is paired
+  * triangularly; a (t1 < t2) tile holds two blocks (the b = t1 rows
+  * sorted first) and pairs ONLY across the split — each unordered
+  * candidate pair belongs to exactly the tile of its two block
+  * indices. Untiled buckets arrive as the single tile (0, 0) = the
+  * plain triangular scan. Group size is bounded by the caller's
+  * `maxBucket` rail (over-cap buckets are anti-joined away BEFORE the
+  * exchange) and, for tiled buckets, by ~2·TileRows, which therefore
   * also bounds kernel memory: ≤ maxBucket ids + sigs ≈ a few MB. Output
   * is lazy — one (doc_a, doc_b, hamming) row per verified pair, emitted
   * as the (i, j) cursors advance, so a mass-duplicate bucket's
@@ -1305,55 +1373,91 @@ private[ops] final class HammingPairKernel(
   private var ids: Array[Any] = _
   private var sg: Array[Long] = _
   private var n = 0
+  private var nA = 0 // cross tiles: first index of the t2 side
+  private var cross = false
   private var blk = -1
   private var i = 0
   private var j = 1
   private var out: Row = _
 
-  /** Reads the next contiguous (blk, key) group into primitive arrays;
-    * false when the partition is exhausted. */
+  /** Reads the next contiguous (blk, key, tile) group into primitive
+    * arrays; false when the partition is exhausted. */
   private def loadGroup(): Boolean = {
     if (!buf.hasNext) { ids = null; return false }
     val head = buf.head
     blk = head.getInt(0)
     val key = head.getLong(1)
+    val tile = head.getInt(2)
+    val t1 = tile / HammingPairKernel.TileBase
+    cross = t1 != tile % HammingPairKernel.TileBase
     val ib = Array.newBuilder[Any]
     val sb = Array.newBuilder[Long]
     var m = 0
-    while (buf.hasNext &&
-        buf.head.getInt(0) == blk && buf.head.getLong(1) == key) {
+    var a = 0
+    while (buf.hasNext && buf.head.getInt(0) == blk &&
+        buf.head.getLong(1) == key && buf.head.getInt(2) == tile) {
       val r = buf.next()
-      ib += r.get(2)
-      sb += r.getLong(3)
+      if (r.getInt(3) == t1) a += 1 // sorted by b, so the t1 side is [0, a)
+      ib += r.get(4)
+      sb += r.getLong(5)
       m += 1
     }
-    ids = ib.result(); sg = sb.result(); n = m; i = 0; j = 1
+    ids = ib.result(); sg = sb.result(); n = m
+    nA = if (cross) a else n
+    i = 0
+    j = if (cross) nA else 1
     true
   }
 
+  /** True when the current group has no (i, j) cursor positions left. */
+  private def groupDone: Boolean =
+    if (cross) i >= nA || nA >= n else i >= n - 1
+
   private def advance(): Unit = {
     while (true) {
-      if (ids == null || i >= n - 1) {
+      if (ids == null || groupDone) {
         if (!loadGroup()) return
       }
-      while (i < n - 1) {
-        val si = sg(i)
-        while (j < n) {
-          val x = si ^ sg(j)
-          // popcount first (the overwhelming reject path); the
-          // first-clean-block check runs on survivors only
-          if (java.lang.Long.bitCount(x) <= maxHamming &&
-              HammingPairKernel.firstCleanBlk(x) == blk) {
-            val h = java.lang.Long.bitCount(x).toLong
-            out = if (idLess(ids(i), ids(j))) Row(ids(i), ids(j), h)
-            else Row(ids(j), ids(i), h)
+      if (cross) {
+        // two-block tile: pair the t1 prefix against the t2 suffix only
+        // (same-block pairs belong to that block's (t, t) tile)
+        while (i < nA && nA < n) {
+          val si = sg(i)
+          while (j < n) {
+            val x = si ^ sg(j)
+            if (java.lang.Long.bitCount(x) <= maxHamming &&
+                HammingPairKernel.firstCleanBlk(x) == blk) {
+              val h = java.lang.Long.bitCount(x).toLong
+              out = if (idLess(ids(i), ids(j))) Row(ids(i), ids(j), h)
+              else Row(ids(j), ids(i), h)
+              j += 1
+              if (j >= n) { i += 1; j = nA }
+              return
+            }
             j += 1
-            if (j >= n) { i += 1; j = i + 1 }
-            return
           }
-          j += 1
+          i += 1; j = nA
         }
-        i += 1; j = i + 1
+      } else {
+        while (i < n - 1) {
+          val si = sg(i)
+          while (j < n) {
+            val x = si ^ sg(j)
+            // popcount first (the overwhelming reject path); the
+            // first-clean-block check runs on survivors only
+            if (java.lang.Long.bitCount(x) <= maxHamming &&
+                HammingPairKernel.firstCleanBlk(x) == blk) {
+              val h = java.lang.Long.bitCount(x).toLong
+              out = if (idLess(ids(i), ids(j))) Row(ids(i), ids(j), h)
+              else Row(ids(j), ids(i), h)
+              j += 1
+              if (j >= n) { i += 1; j = i + 1 }
+              return
+            }
+            j += 1
+          }
+          i += 1; j = i + 1
+        }
       }
       ids = null // group exhausted — fall through to the next one
     }
@@ -1373,6 +1477,24 @@ private[ops] final class HammingPairKernel(
 }
 
 private[ops] object HammingPairKernel {
+  /** Bucket size above which the pair scan is split into block-pair
+    * tiles: cross-tile work ≤ TileRows² ≈ 2.7e8 XOR+popcounts ≈ 0.3 s —
+    * the granularity at which a rail-capped monster bucket (up to
+    * maxBucket²/2 ≈ 5e9 candidates on ONE task otherwise) spreads
+    * across the stage instead of straggling it. */
+  val TileRows = 16384
+
+  /** Cap on tiles per bucket: replication is ×g on hot rows, so the cap
+    * bounds the worst hot-bucket shuffle inflation at ×32 of rows that
+    * are by definition ≤ maxBucket each. maxBucket/cap ≈ 3k-row blocks
+    * keep cross tiles ≥ 1e7 candidates — still seconds of useful work,
+    * never confetti. */
+  val MaxTilesPerBucket = 32
+
+  /** Tile ids encode (t1, t2) as t1 * TileBase + t2; must exceed
+    * MaxTilesPerBucket. */
+  val TileBase = 64
+
   /** Block id of the lexicographically first clean chunk-pair of a
     * signature XOR — the same `c1 * 8 + c2` encoding the blocking
     * explode uses, and the same two-lowest-set-bits formula the SQL

@@ -209,12 +209,14 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connected components: maxRounds cutoff reports non-convergence") {
-    val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // hook + pointer-jump shrinks a chain ~3x per round, so a cutoff
+    // demo needs a path long enough that 2 rounds can't flatten it
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (labels, converged) =
-      Dedup.componentsWithStatus(pairs, maxRounds = 3)
+      Dedup.componentsWithStatus(pairs, maxRounds = 2)
     assert(!converged)
     // truncated labels are still returned (documented), just not a fixpoint
-    assert(labels.count() == 11L)
+    assert(labels.count() == 41L)
     assert(labels.filter(col("component") =!= 0L).count() > 0)
   }
 
@@ -344,6 +346,33 @@ class DedupSpec extends SparkSpec {
     assert(gotRows.toSet == expected,
       s"kernel pair set diverged: missing=${expected -- gotRows.toSet} " +
         s"extra=${gotRows.toSet -- expected}")
+  }
+
+  test("monster-bucket tiling is exact: tiled pair set ≡ untiled, " +
+      "each pair exactly once") {
+    // force tiling on small buckets (tileRows = 3 → a 12-row bucket
+    // splits into g = 4 blocks = 10 tiles, mixing triangle (t,t) and
+    // cross (t1<t2) kernel modes): the pair set must be IDENTICAL to
+    // the untiled scan — tiling is physical spreading, never semantics
+    val rows = (1L to 12L).map(i => (i, 0x0123456789abcdefL)) ++
+      (21L to 24L).map(i => (i, 0x0123456789abcd00L + i)) ++
+      Seq((31L, 0x7777777777777777L))
+    val sigs = rows.toDF("doc_id", "simhash")
+    val untiled = Dedup.hammingNearDupPairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val tiled = Dedup.hammingNearDupPairs(sigs, tileRows = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tiled.size == tiled.toSet.size,
+      "tiling produced a duplicate pair")
+    assert(tiled.toSet == untiled.toSet,
+      s"tiled pair set diverged: missing=${untiled.toSet -- tiled.toSet} " +
+        s"extra=${tiled.toSet -- untiled.toSet}")
+    // mass-duplicate bucket through the cap-interaction path: 50
+    // identical sigs, g = ceil(50/5) = 10 tiles per block bucket
+    val dup = (1L to 50L).map(i => (i, 0x0123456789abcdefL))
+      .toDF("doc_id", "simhash")
+    assert(Dedup.hammingNearDupPairs(dup, tileRows = 5).count()
+      == 50L * 49L / 2L)
   }
 
   test("plain hammingNearDupPairs is pure plan construction: no jobs, " +
