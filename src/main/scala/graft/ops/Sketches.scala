@@ -203,6 +203,31 @@ object Sketches {
       .filter(col("bin").isNotNull)
   }
 
+  /** Per-group quantile-threshold GATE — the 100 TB form of "keep each
+    * language's top quartile by length" (the exact-ntile q_ntile_gate
+    * keeps the WindowExec form for bounded groups; its scaladoc names
+    * this one as the scale path). Exact ntile needs a per-group total
+    * order — one sort task per group, wrong when one group is the whole
+    * corpus. Here the per-group threshold comes from the
+    * [[histogramQuantilesBy]] sketch (one partially-combined histogram
+    * aggregation, ≤ #groups × #bins shuffle rows regardless of input
+    * size or group skew), broadcasts back onto the stream (#groups
+    * rows), and the gate is a map-side `value ≥ threshold` filter — no
+    * window, no per-group sort, skew-immune. The trade is edge
+    * precision: the threshold snaps DOWN to its bin's lower edge, so
+    * the kept set is the exact ≥-threshold set for a threshold within
+    * `binWidth` below the true quantile — a gate contract (deterministic,
+    * engine-reproducible in exact int64), not a rank contract. */
+  def quantileThresholdGate(df: DataFrame, groupCol: String,
+      valueCol: String, binWidth: Long, q: Int): DataFrame = {
+    require(q >= 1 && q <= 100, s"q must be a percentage in [1,100], got $q")
+    val th = histogramQuantilesBy(df, groupCol, valueCol, binWidth, Seq(q))
+      .select(col(groupCol), col("value_lo").as("_th"))
+    df.join(broadcast(th), Seq(groupCol))
+      .filter(col(valueCol) >= col("_th"))
+      .drop("_th")
+  }
+
   /** Count-min sketch dimensions: 4 hash rows × 512 counters. Error bound
     * e·N/512 per row, min over 4 independent rows — heavy-hitter (≥ ~2%)
     * resolution with a 2 KB register file. */

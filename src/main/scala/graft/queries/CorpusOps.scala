@@ -78,6 +78,15 @@ object CorpusOps {
       groupCol = "lang", valueCol = "n_chars", binWidth = 64L,
       qs = Seq(50, 90, 99))
 
+  /** Keep each language's ≥-p75-length documents via the sketch
+    * threshold — the 100 TB form of q_ntile_gate's exact-ntile top
+    * quartile (see [[graft.ops.Sketches.quantileThresholdGate]]: no
+    * per-group sort, no window; threshold precision = one 64-char bin). */
+  def ntileGateSketch(s: SparkSession, dir: String): DataFrame =
+    Sketches.quantileThresholdGate(Tables(s, dir).documents,
+      groupCol = "lang", valueCol = "n_chars", binWidth = 64L, q = 75)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   /** Corpus-wide 8-token segment dedup with document reassembly. */
   def segDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.segmentDedup(Tables(s, dir).documents, segTokens = 8)
@@ -250,6 +259,7 @@ object CorpusOps {
     "q_boilerplate" -> boilerplate,
     "q_heavy_hitters" -> heavyHitters,
     "q_quantile_by_lang" -> quantileByLang,
+    "q_ntile_gate_sketch" -> ntileGateSketch,
     "q_hll_by_segment" -> hllBySegment,
     "q_hll_merge" -> hllMerge,
     "q_curation" -> curation,
@@ -470,6 +480,17 @@ object CorpusOps {
         "min(bin) * 64 AS value_lo " +
         "FROM c, (VALUES (50), (90), (99)) AS qs(q) " +
         "WHERE cum * 100 >= n_total * q GROUP BY lang, q"),
+    "q_ntile_gate_sketch" ->
+      ("WITH hist AS (SELECT lang, n_chars // 64 AS bin, count(*) AS cnt " +
+        "FROM documents GROUP BY 1, 2), " +
+        "c AS (SELECT lang, bin, CAST(sum(cnt) OVER (PARTITION BY lang " +
+        "ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS cum, CAST(sum(cnt) OVER (PARTITION BY lang) " +
+        "AS BIGINT) AS n_total FROM hist), " +
+        "th AS (SELECT lang, min(bin) * 64 AS th FROM c " +
+        "WHERE cum * 100 >= n_total * 75 GROUP BY lang) " +
+        "SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
+        "JOIN th ON d.lang = th.lang WHERE d.n_chars >= th.th"),
     // every stage restated: BETWEEN gate, sha256 window-min dedup,
     // polynomial-hash split, rollup — one recipe, two engines
     "q_curation" ->

@@ -278,6 +278,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(global == grouped)
   }
 
+  test("quantile-threshold gate: kept set ≡ value ≥ per-group sketch " +
+      "threshold; no window, threshold broadcast") {
+    import spark.implicits._
+    // group a: values 0..99, binWidth 10 → p75 answers bin 7 (cum hits
+    // 75% at values 70-79), threshold 70 → keeps 70..99 (30 rows);
+    // group b: constant 7 → threshold 0 → keeps all 10
+    val df = ((0 until 100).map(i => ("a", i.toLong, i.toLong)) ++
+      (100 until 110).map(i => ("b", i.toLong, 7L)))
+      .toDF("g", "id", "v")
+    val gate = Sketches.quantileThresholdGate(df, "g", "v", 10L, 75)
+    val kept = gate.collect().map(r => r.getLong(1)).toSet
+    assert(kept == ((70L until 100L) ++ (100L until 110L)).toSet)
+    // the gate's plan is the scale contract: per-group thresholds
+    // broadcast onto the stream, no WindowExec, no per-group sort
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "the sketch gate reintroduced a window:\n" + plan.take(600))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the threshold side must broadcast:\n" + plan.take(600))
+    // q out of range fails at construction
+    intercept[IllegalArgumentException] {
+      Sketches.quantileThresholdGate(df, "g", "v", 10L, 0)
+    }
+  }
+
   test("manifest: order-independent checksum detects any content change") {
     import spark.implicits._
     val a = Seq((1L, "abc", "s1"), (2L, "def", "s1"), (3L, "ghi", "s2"))
