@@ -750,12 +750,6 @@ object Dedup {
       .agg(count(lit(1)).as("_bn"))
     val overCap = sizes.filter(col("_bn") > maxBucket)
       .select(col("blk"), col("key"))
-    // Anti join FIRST (map-side: the census set broadcasts), so an
-    // over-cap bucket's rows never enter the shuffle.
-    val blocked = blocked0.join(
-      broadcast(Rail.observed(overCap, HammingBucketRail,
-        hammingRailWarn(maxBucket))),
-      Seq("blk", "key"), "left_anti")
     // ONE exchange — the blocked relation hash-partitioned by
     // (blk, key, tile) — then the per-partition microkernel scans each
     // bucket tile's pair space in a primitive-array loop. This replaced
@@ -789,15 +783,27 @@ object Dedup {
     // always exists — the kernel emits a verified pair only in that
     // block, so each pair appears exactly once across all 28 blocks
     // with no pair-keyed dedup exchange.
-    val hot = sizes
-      .filter(col("_bn") > tileRows && col("_bn") <= maxBucket)
-      .select(col("blk"), col("key"),
-        least(ceil(col("_bn") / lit(tileRows.toDouble)),
-          lit(HammingPairKernel.MaxTilesPerBucket.toLong))
-          .cast("int").as("_g"))
-    val tiled = blocked
+    // ONE annotated census broadcast serves BOTH rails: over-cap buckets
+    // carry the −1 sentinel (flowing through the Rail drop metric on the
+    // way), merely-hot buckets carry their tile count g, and everything
+    // under tileRows is simply absent (null → g = 1). The stream pays a
+    // single broadcast hash probe before its only exchange — over-cap
+    // rows are dropped map-side exactly like the former anti join — and
+    // the census aggregation under the two union branches dedupes via
+    // exchange reuse.
+    val annotated =
+      Rail.observed(overCap, HammingBucketRail, hammingRailWarn(maxBucket))
+        .withColumn("_g", lit(-1))
+        .union(sizes
+          .filter(col("_bn") > tileRows && col("_bn") <= maxBucket)
+          .select(col("blk"), col("key"),
+            least(ceil(col("_bn") / lit(tileRows.toDouble)),
+              lit(HammingPairKernel.MaxTilesPerBucket.toLong))
+              .cast("int").as("_g")))
+    val tiled = blocked0
       .select(col("blk"), col("key"), col("doc_id"), col("simhash"))
-      .join(broadcast(hot), Seq("blk", "key"), "left")
+      .join(broadcast(annotated), Seq("blk", "key"), "left")
+      .filter(col("_g").isNull || col("_g") =!= -1)
       .withColumn("_g", coalesce(col("_g"), lit(1)))
       .withColumn("_b",
         pmod(xxhash64(col("doc_id")), col("_g").cast("long")).cast("int"))
