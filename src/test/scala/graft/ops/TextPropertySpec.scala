@@ -98,4 +98,43 @@ class TextPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("simHash62 (one-pass) == naive split+polyHash reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.StringAlgos
+    // the naive reference tokenizes the DECLARED way — split(' ', -1)
+    // keeping empty segments — and folds each token's polyHash2 bits
+    // into the 62 counter lanes; the one-pass kernel must agree on
+    // every string, including runs of spaces, leading/trailing spaces,
+    // and supplementary-plane codepoints split across char pairs
+    def reference(text: String): Long = {
+      val counters = new Array[Int](62)
+      text.split(" ", -1).foreach { tok =>
+        val h = StringAlgos.polyHash2(UTF8String.fromString(tok))
+        var j = 0
+        while (j < 62) {
+          counters(j) += (((h >>> j) & 1L).toInt << 1) - 1
+          j += 1
+        }
+      }
+      var out = 0L
+      var j = 0
+      while (j < 62) {
+        if (counters(j) > 0) out |= 1L << j
+        j += 1
+      }
+      out
+    }
+    val gen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 40)
+      cs <- Gen.listOfN(n,
+        Gen.oneOf("a", "b", " ", "  ", "é", "😀", "中", "z "))
+    } yield cs.mkString
+    val texts = samples(gen, 500).distinct ++
+      Seq("", " ", "  ", "a", " a", "a ", "a  b", "😀 😀😀 ")
+    texts.foreach { t =>
+      assert(StringAlgos.simHash62(UTF8String.fromString(t)) ==
+        reference(t), s"simHash62 mismatch for '$t'")
+    }
+  }
 }
