@@ -208,9 +208,21 @@ class DedupSpec extends SparkSpec {
     assert(got == (0L to 25L).map(_ -> 0L).toMap)
   }
 
+  test("pointer jump engages past the broadcast threshold: a 26-node " +
+      "path converges within 10 rounds (hook alone needs 25)") {
+    val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // maxBroadcastNodes = 0 forces the shuffle regime — the one where
+    // the jump is active; maxRounds = 10 < the 25-round hook-only
+    // requirement, so convergence PROVES the compress ran
+    val (labels, converged) = Dedup.componentsWithStatus(pairs,
+      maxRounds = 10, maxBroadcastNodes = 0L)
+    assert(converged, "jump-regime propagation did not converge in 10 " +
+      "rounds — pointer jumping is not engaging")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 25L).map(_ -> 0L).toMap)
+  }
+
   test("connected components: maxRounds cutoff reports non-convergence") {
-    // hook + pointer-jump shrinks a chain ~3x per round, so a cutoff
-    // demo needs a path long enough that 2 rounds can't flatten it
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (labels, converged) =
       Dedup.componentsWithStatus(pairs, maxRounds = 2)
