@@ -232,6 +232,22 @@ object Dedup {
     *    FIRST matching band" is a register-op filter that replaces the
     *    `.distinct()` exchange over the full candidate relation.
     *
+    * RAIL × FIRST-MATCH INTERACTION (semantics under a FIRED rail): the
+    * first-match rule is computed from the band-key vectors alone, over
+    * ALL bands — so when a pair's first matching band sits in an
+    * over-cap bucket, the pair is lost even if it also co-occurs in a
+    * surviving bucket (the surviving emission fails `band === firstBand`).
+    * A fired rail therefore loses strictly more recall than "pairs whose
+    * every matching bucket is over-cap": restoring the distinct-over-
+    * surviving-buckets base would take either a per-doc over-cap mask
+    * (an extra corpus-keyed exchange) or a pair-keyed dedup (the exact
+    * exchange this rule removed) — not worth it for a rail designed
+    * never to fire. The drop count still surfaces via [[Rail.observed]];
+    * mass-duplicate corpora should exact-dedup first or raise the cap.
+    * The same rule and trade applies to [[hammingNearDupPairs]]' first-
+    * clean-block emission; pinned in DedupSpec ("fired rail drops
+    * cross-bucket pairs").
+    *
     * Band keys are compared by xxhash64 (collision odds ~2⁻⁶⁴ per
     * band-pair — immaterial to candidate recall, and candidates are
     * verified by exact overlap downstream anyway). */
@@ -652,7 +668,12 @@ object Dedup {
     * self-join (losing only recall in pathological mass-duplicate
     * regions — at real scale, drop + log, never explode). The default
     * is far above any bucket the tested scale factors produce, so it is
-    * purely a rail.
+    * purely a rail. NOTE the recall semantics under a FIRED rail: the
+    * kernel emits a pair only in the first clean chunk-pair block of the
+    * pair's XOR, computed from the signatures alone — if THAT bucket is
+    * over-cap, the pair is dropped even when it co-occurs in a surviving
+    * bucket (same trade as [[lshCandidatePairs]]' first-match rule; see
+    * its scaladoc for why the alternatives cost an extra exchange).
     *
     * In-bucket pairing runs as a per-partition primitive microkernel
     * ([[HammingPairKernel]]), not a self-join: a signature-bucket census
@@ -697,6 +718,20 @@ object Dedup {
   /** Rail kind for [[Rail.observed]] / observation metrics. */
   val HammingBucketRail = "hamming.maxBucket"
 
+  /** Rail kind for the NULL-signature screen in [[hammingNearDupPairs]]:
+    * [[simhashes]] emits (doc_id, NULL) for NULL text (the row-local
+    * expression keeps the doc visible instead of silently dropping it),
+    * and a NULL signature has no hamming distance to anything — the
+    * blocking screens those rows out BEFORE the kernel (whose primitive
+    * getLong reads would otherwise NPE inside a task) and counts them
+    * through this observation metric. */
+  val HammingNullSigRail = "hamming.nullSig"
+
+  private val hammingNullSigWarn: String =
+    "hammingNearDupPairs: screened %d NULL-signature rows before " +
+      "blocking — NULL text/signature docs participate in no near-dup " +
+      "pair (they surface as singletons in simhashCanonical)"
+
   private def hammingRailWarn(maxBucket: Int): String =
     s"hammingNearDupPairs: maxBucket=$maxBucket dropped %d over-cap " +
       "(blk, key) buckets — recall is lost in those mass-duplicate " +
@@ -718,7 +753,13 @@ object Dedup {
     require(tileRows >= 1, s"tileRows must be >= 1, got $tileRows")
     require(maxHamming <= 6,
       "chunk-pair blocking guarantees recall only for hamming <= 6")
-    val hs = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
+    // NULL-signature screen (see [[HammingNullSigRail]]): filtered here —
+    // once, before the 28-way explode — with the screened count surfacing
+    // lazily through the observation metric, like the bucket rail's.
+    val hs = Rail.observedScreen(
+        sigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash")),
+        col("simhash").isNull, HammingNullSigRail, hammingNullSigWarn)
+      .filter(col("simhash").isNotNull)
     val idType = hs.schema("doc_id").dataType
     // resolved at plan-construction time so an unsupported id type fails
     // the caller immediately, not inside a task
@@ -852,7 +893,14 @@ object Dedup {
     * recursive-CTE oracle. */
   def simhashCanonical(docs: DataFrame, maxHamming: Int = 6,
       textCol: String = "text", maxBucket: Int = 100000): DataFrame = {
-    val sigs = Stage.barrier(simhashes(docs, textCol))
+    val allSigs = Stage.barrier(simhashes(docs, textCol))
+    // NULL-text docs carry a NULL signature ([[simhashes]]); similarity
+    // to unknown content is unknown, so they are NOT mutual duplicates —
+    // each labels itself (the same posture as [[firstPerDigest]]'s
+    // NULL-digest pass-through). Splitting here keeps the NULL group out
+    // of `reps` (a groupBy would fold all NULLs into one rep) and keeps
+    // the final rejoin an equi-join that every sig can actually match.
+    val sigs = allSigs.filter(col("simhash").isNotNull)
     val reps = Stage.barrier(sigs.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("rep_id")))
     // staged: the rep pair list is the quadratic-output stage (dense
@@ -869,6 +917,8 @@ object Dedup {
       .join(labels, Seq("rep_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("rep_id")).as("canonical_id"))
+      .unionByName(allSigs.filter(col("simhash").isNull)
+        .select(col("doc_id"), col("doc_id").as("canonical_id")))
   }
 
   /** (doc_id, pos, seg) rows: documents cut into `segTokens`-token
@@ -1154,10 +1204,19 @@ object Dedup {
     // buffering them, both consumers share the one _dig exchange
     // (ReuseExchange), and a skewed join partition is AQE-splittable
     // where a window partition never is.
-    val keep = digested.groupBy(col("_dig"))
+    // NULL digests (sha2 of NULL text) pass through untouched: unknown
+    // content is trivially unique, not a duplicate of other unknown
+    // content — folding the NULL group through the groupBy would keep
+    // ONE of them and an inner join on _dig would keep NONE (NULL never
+    // equi-matches). The keep set is built from non-null digests only
+    // and probed with a LEFT join, so a NULL-digest row gets _keep =
+    // NULL and survives the filter; every non-null digest matches a
+    // keep row by construction. Same shuffle shape as the inner form.
+    val keep = digested.filter(col("_dig").isNotNull)
+      .groupBy(col("_dig"))
       .agg(min(col("doc_id")).as("_keep"))
-    digested.join(keep, Seq("_dig"))
-      .filter(col("doc_id") === col("_keep"))
+    digested.join(keep, Seq("_dig"), "left")
+      .filter(col("_keep").isNull || col("doc_id") === col("_keep"))
       .drop("_keep")
   }
 

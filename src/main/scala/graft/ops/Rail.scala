@@ -58,6 +58,22 @@ object Rail {
       count(lit(1)).as("dropped"))
   }
 
+  /** Row-screen variant of [[observed]]: attach the drop accounting to
+    * the SURVIVING stream itself, counting rows matching `dropCond` —
+    * for screens where the dropped rows have no census frame of their
+    * own (e.g. NULL-signature rows filtered before blocking). The
+    * observation sits ABOVE the screen's filter in the plan, so the
+    * count executes with whatever action first runs the consumer.
+    * Returns the observed frame; the caller applies its filter on top.
+    * Pure plan construction — no job runs here. */
+  def observedScreen(df: DataFrame, dropCond: org.apache.spark.sql.Column,
+      kind: String, warnTemplate: String): DataFrame = {
+    ensureListener(df.sparkSession)
+    warnTemplates.put(kind, warnTemplate)
+    df.observe(Prefix + kind + "#" + seq.incrementAndGet(),
+      count(when(dropCond, lit(1))).as("dropped"))
+  }
+
   /** The most recent observed drop count for a rail kind, if any action
     * over an [[observed]] plan has completed in this JVM — a spec hook
     * (observations arrive asynchronously; poll). */

@@ -689,4 +689,83 @@ class DedupSpec extends SparkSpec {
     // is score-driven
     assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 9L -> 9L))
   }
+
+  test("NULL text: near-dup path screens, canonical labels the doc itself") {
+    // simhashes keeps a (doc_id, NULL) row for NULL text — the blocking
+    // must screen it BEFORE the kernel (whose primitive getLong reads
+    // would NPE inside a task) and simhashCanonical must still deliver
+    // one row per doc, NULL-text docs labeling themselves (NOT one
+    // cluster of all NULLs: similarity of unknown content is unknown).
+    Rail.clearObservation(Dedup.HammingNullSigRail)
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, null: String), (4L, null: String)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"null docs must pair with nothing: $pairs")
+    var seen: Option[Long] = None
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (seen.isEmpty && System.nanoTime() < deadline) {
+      seen = Rail.observationSeen(Dedup.HammingNullSigRail)
+      if (seen.isEmpty) Thread.sleep(50)
+    }
+    assert(seen.contains(2L),
+      s"screened NULL-signature rows must surface as an observation: $seen")
+    val canon = Dedup.simhashCanonical(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L),
+      s"NULL-text docs must label themselves: $canon")
+    graft.ops.Stage.releaseAll(spark)
+  }
+
+  test("firstPerDigest: NULL digests pass through as trivially unique") {
+    // sha2 of NULL text is NULL; unknown content is not a duplicate of
+    // other unknown content — every NULL-digest row survives, while the
+    // groupBy-only form would keep one and the old inner join kept NONE
+    // (NULL never equi-matches). Non-null groups keep the lowest id.
+    val digested = Seq(
+      (10L, "d1"), (11L, "d1"), (12L, null: String), (13L, null: String))
+      .toDF("doc_id", "_dig").select(col("_dig"), col("doc_id"))
+    val kept = Dedup.firstPerDigest(digested).collect()
+      .map(_.getLong(1)).sorted.toSeq
+    assert(kept == Seq(10L, 12L, 13L))
+    // same posture end-to-end: a NULL-text batch row is kept (with a
+    // NULL digest) by incrementalDedup
+    val batch = Seq((20L, "fresh"), (21L, null: String))
+      .toDF("doc_id", "text")
+    val seenD = Seq("other").toDF("text")
+      .select(sha2(lower(col("text")), 256).as("digest"))
+    val inc = Dedup.incrementalDedup(batch, seenD).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(inc == Map(20L -> false, 21L -> true))
+  }
+
+  test("fired rail drops cross-bucket pairs whose first clean block is railed") {
+    // Documented recall semantics (see hammingNearDupPairs scaladoc):
+    // the kernel emits a pair only in the FIRST clean chunk-pair block
+    // of its XOR — if that bucket is over-cap the pair is lost even
+    // though it co-occurs in a surviving bucket. Pin the trade so a
+    // change to the emission rule is a conscious decision.
+    //
+    // a and b differ only in byte 7 → every block not touching chunk 7
+    // is clean; the first clean block is (0,1). 50 fillers share bytes
+    // 0-1 = 0 (inflating ONLY bucket blk=(0,1), key=0 — their other
+    // chunks are golden-ratio spread) so maxBucket = 51 rails exactly
+    // the bucket carrying (a, b)'s designated emission.
+    val a = 0L
+    val b = 1L << 56
+    val fillers = (1L to 50L)
+      .map(i => (100L + i, (i * 0x9e3779b97f4a7c15L) & ~0xffffL))
+    val sigs = ((1L, a) +: (2L, b) +: fillers).toDF("doc_id", "simhash")
+    def pairSet(cap: Int) =
+      Dedup.hammingNearDupPairs(sigs, maxBucket = cap)
+        .filter(col("doc_a") <= 2L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucket (blk 0*8+1, key 0) holds 52 rows > 51 → railed; (a, b)
+    // still co-occur in surviving buckets like (0,2) but are NOT emitted
+    assert(pairSet(51) == Set.empty,
+      "a fired rail also drops cross-bucket pairs whose first clean " +
+        "block is the railed bucket (documented recall trade)")
+    // raising the cap past the degenerate bucket recovers the pair
+    assert(pairSet(100) == Set((1L, 2L)))
+  }
 }

@@ -17,15 +17,18 @@ Per copy k (copy 0 is byte-identical to the original body):
 
 Usage: python3 tools/scale_osm.py <in.osm> <out.osm> [copies=80]
 
-Streaming line transform (the element-start lines of OSM XML carry all
+Line-oriented transform (the element-start lines of OSM XML carry all
 id-bearing attributes; <tag>/<nd>/<member> children sit on their own
-lines), so memory stays O(1) regardless of output size.
+lines). The INPUT is held in memory once (the base extract is a few MB)
+and the output streams, so memory is O(input size), independent of the
+copy count. The tool asserts every input uid < UID_OFF so uid spaces
+stay disjoint across copies (real OSM uids are < 10**9 today).
 """
 import re
 import sys
 
 ID_OFF = 10 ** 10
-UID_OFF = 10 ** 7
+UID_OFF = 10 ** 9
 
 ELEM_ID = re.compile(r'(<(?:node|way|relation)\b[^>]*?\bid=")(\d+)(")')
 ND_REF = re.compile(r'(<nd\b[^>]*?\bref=")(\d+)(")')
@@ -58,11 +61,25 @@ def transform(line: str, k: int) -> str:
 def main(src: str, dst: str, copies: int) -> None:
     lines = open(src, encoding="utf-8").read().splitlines(keepends=True)
     # header: everything up to and including <bounds .../> (or the <osm>
-    # open tag if no bounds); footer: the closing </osm>
-    body_start = next(i for i, l in enumerate(lines) if "<bounds" in l
-                      or ("<osm" in l and "/>" not in l)) + 1
+    # open tag if no bounds line follows it); the <osm ...> line always
+    # precedes <bounds>, so find the open tag FIRST, then advance past a
+    # bounds line if one is present — otherwise the bounds line would
+    # land inside the replicated body and be duplicated N times.
+    # footer: the closing </osm>.
+    osm_open = next(i for i, l in enumerate(lines)
+                    if "<osm" in l and "/>" not in l)
+    body_start = osm_open + 1
+    bounds = next((i for i, l in enumerate(lines[body_start:], body_start)
+                   if "<bounds" in l), None)
+    if bounds is not None:
+        body_start = bounds + 1
     body_end = next(i for i in range(len(lines) - 1, -1, -1)
                     if "</osm>" in lines[i])
+    max_uid = max((int(m.group(2)) for l in lines[body_start:body_end]
+                   for m in UID.finditer(l)), default=0)
+    assert max_uid < UID_OFF, (
+        f"input uid {max_uid} >= UID_OFF {UID_OFF}: copies' uid spaces "
+        "would collide — raise UID_OFF")
     with open(dst, "w", encoding="utf-8") as f:
         f.writelines(lines[:body_start])
         for k in range(copies):
