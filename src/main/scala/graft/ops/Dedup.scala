@@ -233,20 +233,21 @@ object Dedup {
     *    `.distinct()` exchange over the full candidate relation.
     *
     * RAIL × FIRST-MATCH INTERACTION (semantics under a FIRED rail): the
-    * first-match rule is computed from the band-key vectors alone, over
-    * ALL bands — so when a pair's first matching band sits in an
-    * over-cap bucket, the pair is lost even if it also co-occurs in a
-    * surviving bucket (the surviving emission fails `band === firstBand`).
-    * A fired rail therefore loses strictly more recall than "pairs whose
-    * every matching bucket is over-cap": restoring the distinct-over-
-    * surviving-buckets base would take either a per-doc over-cap mask
-    * (an extra corpus-keyed exchange) or a pair-keyed dedup (the exact
-    * exchange this rule removed) — not worth it for a rail designed
-    * never to fire. The drop count still surfaces via [[Rail.observed]];
-    * mass-duplicate corpora should exact-dedup first or raise the cap.
-    * The same rule and trade applies to [[hammingNearDupPairs]]' first-
-    * clean-block emission; pinned in DedupSpec ("fired rail drops
-    * cross-bucket pairs").
+    * first-match rule is evaluated over SURVIVING bands only — the
+    * over-cap census rides into the post-join filter as a single
+    * collected row (broadcast cross join, no exchange), and the
+    * when-chain skips bands whose (band, key) bucket is over-cap. A
+    * pair whose first matching band was railed is therefore still
+    * emitted, once, in its first surviving matching band — exactly the
+    * distinct-over-surviving-buckets base semantics (pinned in
+    * DedupSpec). Recall loss under a fired rail is only the pairs whose
+    * EVERY matching bucket is over-cap, with the drop count surfacing
+    * via [[Rail.observed]]. [[hammingNearDupPairs]] keeps the
+    * all-blocks first-match rule instead (documented there): its
+    * emission decision runs inside the kernel AFTER the exchange, so
+    * the equivalent fix would carry a per-row over-cap mask through the
+    * hot (blk, key, tile) shuffle — real bytes on every row for a rail
+    * designed never to fire.
     *
     * Band keys are compared by xxhash64 (collision odds ~2⁻⁶⁴ per
     * band-pair — immaterial to candidate recall, and candidates are
@@ -287,17 +288,45 @@ object Dedup {
     val b = blocked.select(col("band"), col("key"),
       explode(sequence(lit(0), (g - 1).cast("int"))).as("slt"),
       col("doc_id").as("doc_b"), col("bkv").as("bkv_b"))
-    // first matching band as a codegen'd when-chain over the two hashed
-    // band-key vectors — the joined rows matched on (band, key), so a
-    // first matching band ≤ band always exists and exactly one of the
-    // pair's emissions survives the filter
-    val firstBand = (0 until bands).foldRight(lit(-1)) { (j, rest) =>
-      when(col("bkv_a").getItem(j) === col("bkv_b").getItem(j), lit(j))
-        .otherwise(rest)
+    // The over-cap census as ONE row — collect_set is bounded by the
+    // same argument that lets the rail's anti join broadcast (every
+    // over-cap bucket holds > maxBucket rows, so the census has at most
+    // corpus/maxBucket entries). Always exactly one row (a global agg),
+    // with an empty array when the rail never fired — the designed case.
+    val ocRow = overCap
+      .agg(collect_set(struct(col("band"), col("key"))).as("_oc"))
+    // first matching SURVIVING band as a codegen'd when-chain over the
+    // two hashed band-key vectors — the joined rows matched on a
+    // surviving (band, key), so a first matching surviving band ≤ band
+    // always exists and exactly one of the pair's emissions survives the
+    // filter. Skipping over-cap bands here is what keeps a FIRED rail's
+    // recall at the distinct-over-surviving-buckets base: a pair whose
+    // first matching band was railed is still emitted in its first
+    // SURVIVING matching band (pinned in DedupSpec), instead of being
+    // lost because its designated emission row was dropped. For a
+    // matching band j the two docs share the bucket, so membership is
+    // checked against side a's key only. The size()==0 fast path keeps
+    // the never-fired case at one int comparison per candidate instead
+    // of `bands` scans of the (empty) set.
+    def matchAt(j: Int): Column =
+      col("bkv_a").getItem(j) === col("bkv_b").getItem(j)
+    val firstBandAll = (0 until bands).foldRight(lit(-1)) { (j, rest) =>
+      when(matchAt(j), lit(j)).otherwise(rest)
     }
+    val firstSurvivingBand = (0 until bands).foldRight(lit(-1)) { (j, rest) =>
+      when(matchAt(j) && !array_contains(col("_oc"),
+          struct(lit(j).as("band"), col("bkv_a").getItem(j).as("key"))),
+        lit(j)).otherwise(rest)
+    }
+    val firstBand =
+      when(size(col("_oc")) === 0, firstBandAll)
+        .otherwise(firstSurvivingBand)
     // FORCED sort-merge, as in the simhash path: statistics-driven
-    // planning would broadcast-build the corpus-sized blocked relation
+    // planning would broadcast-build the corpus-sized blocked relation.
+    // The single-row census rides in as a broadcast cross join AFTER the
+    // join (the filter consumes it row-locally) — no exchange added.
     a.hint("merge").join(b, Seq("band", "key", "slt"))
+      .crossJoin(broadcast(ocRow))
       .filter(col("doc_a") < col("doc_b") && col("band") === firstBand)
       .select(col("doc_a"), col("doc_b"))
   }
@@ -672,8 +701,13 @@ object Dedup {
     * kernel emits a pair only in the first clean chunk-pair block of the
     * pair's XOR, computed from the signatures alone — if THAT bucket is
     * over-cap, the pair is dropped even when it co-occurs in a surviving
-    * bucket (same trade as [[lshCandidatePairs]]' first-match rule; see
-    * its scaladoc for why the alternatives cost an extra exchange).
+    * bucket (pinned in DedupSpec). [[lshCandidatePairs]] restores the
+    * surviving-bucket base semantics because its first-match filter runs
+    * BEFORE any exchange touches it; here the decision sits inside the
+    * kernel past the (blk, key, tile) shuffle, and carrying a per-row
+    * over-cap mask through that hot exchange costs 8 bytes on every row
+    * for a rail designed never to fire — mass-duplicate corpora should
+    * exact-dedup first, raise the cap, or use [[simhashCanonical]].
     *
     * In-bucket pairing runs as a per-partition primitive microkernel
     * ([[HammingPairKernel]]), not a self-join: a signature-bucket census

@@ -739,6 +739,37 @@ class DedupSpec extends SparkSpec {
     assert(inc == Map(20L -> false, 21L -> true))
   }
 
+  test("LSH fired rail: pair recovered in its first SURVIVING matching band") {
+    // bands=4, k=8 → 2 sig values per band. Docs 1 and 2 share band 0
+    // AND band 3; ten fillers share band 0's sub-signature (inflating
+    // ONLY that bucket) with unique values elsewhere. maxBucket = 11
+    // rails bucket (0, key0) — 12 rows — so the pair's FIRST matching
+    // band is dropped; the surviving-band rule must emit it in band 3
+    // instead of losing it (the pre-r13 all-bands rule computed
+    // firstBand = 0 and the band-3 emission failed the filter).
+    val sigs = (
+      Seq((1L, Seq(7L, 7L, 10L, 11L, 12L, 13L, 9L, 9L)),
+          (2L, Seq(7L, 7L, 20L, 21L, 22L, 23L, 9L, 9L))) ++
+      (1L to 10L).map(i => (100L + i,
+        Seq(7L, 7L, 1000L + i, 2000L + i, 3000L + i, 4000L + i,
+          5000L + i, 6000L + i))))
+      .toDF("doc_id", "sig")
+    def pairs(cap: Int) =
+      Dedup.lshCandidatePairs(sigs, bands = 4, k = 8, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val railed = pairs(11)
+    assert(railed == Seq((1L, 2L)),
+      s"pair must survive via band 3 when band 0 is railed: $railed")
+    // unfired rail: every band-0 co-occupant pairs (C(12,2) = 66 — the
+    // quadratic bucket the rail exists to cap), each exactly once, and
+    // (1, 2) is among them (emitted in band 0 now)
+    val open = pairs(100)
+    assert(open.size == 66 && open.toSet.size == 66,
+      s"unfired-rail candidate set changed: ${open.size}")
+    assert(open.count(_ == ((1L, 2L))) == 1)
+    graft.ops.Stage.releaseAll(spark)
+  }
+
   test("fired rail drops cross-bucket pairs whose first clean block is railed") {
     // Documented recall semantics (see hammingNearDupPairs scaladoc):
     // the kernel emits a pair only in the FIRST clean chunk-pair block
