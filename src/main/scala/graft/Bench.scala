@@ -58,8 +58,11 @@ object Bench {
     // numbers belong in a separate SPARK_GRAFT_ONLY artifact. The
     // artifact records the substitution (`quad_sample_dir`/`quad_sampled`)
     // so a sampled total is never mistaken for a full-size one.
+    // q_split_leakage aggregates to ONE row but is pair-list-bound (it
+    // joins the full verified near-dup pair relation twice) — cost-wise
+    // it is q_dedup_eval's class, so it samples with the family.
     val quadFamily = Set("q_dedup_eval", "q_simhash_neardup",
-      "q_jaccard_pairs", "q_containment_pairs")
+      "q_jaccard_pairs", "q_containment_pairs", "q_split_leakage")
     val quadSampleDir = sys.env.get("SPARK_GRAFT_QUAD_SAMPLE_DIR")
     // each query runs SPARK_GRAFT_REPS times (default 2) and reports the
     // MIN: one contended pass on a noisy box can no longer masquerade as a

@@ -198,4 +198,64 @@ object Sampling {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("_h")
   }
+
+  /** Leakage-safe train/valid/test split: assignment keyed on the
+    * near-dup CLUSTER, not the document. A hash split on doc ids puts a
+    * lightly edited duplicate of a training document into the eval split
+    * at the background duplication rate — the classic dedup-leakage
+    * failure that silently inflates every eval metric. Keying the same
+    * deterministic hash on `canonical_id` ([[Dedup.simhashCanonical]]'s
+    * transitive near-dup cluster label, O(docs)) makes a straddling
+    * cluster IMPOSSIBLE by construction: every member hashes the same id.
+    *
+    * Returns (doc_id, canonical_id, split). NULL-text docs label
+    * themselves in the canonical map, so they split like singletons.
+    *
+    * Scale shape: the cluster map is the only addition over the naive
+    * split — one O(docs) frame whose cost is the simhash clustering the
+    * pipeline typically already ran for dedup (pass its output in via
+    * [[leakageSafeSplitsFrom]] to reuse it). */
+  def leakageSafeSplits(docs: DataFrame, maxHamming: Int = 6,
+      textCol: String = "text"): DataFrame =
+    leakageSafeSplitsFrom(Dedup.simhashCanonical(docs, maxHamming, textCol))
+
+  /** [[leakageSafeSplits]] over a PRECOMPUTED (doc_id, canonical_id)
+    * cluster map — the production shape: the dedup stage already built
+    * the map; splitting re-reads it instead of re-clustering. */
+  def leakageSafeSplitsFrom(canonicalMap: DataFrame): DataFrame =
+    canonicalMap.select(col("doc_id"), col("canonical_id"),
+      TextAnalysis.splitAssign(col("canonical_id")).as("split"))
+
+  /** Split-leakage audit: how many VERIFIED near-dup pairs straddle
+    * split boundaries under (a) the naive per-doc hash split and (b) the
+    * cluster-keyed safe split. One row — (n_pairs, naive_leaked,
+    * safe_leaked); safe_leaked is measured through the same join (never
+    * assumed) and must come back 0, since a pair's two sides share a
+    * cluster by definition of the pair graph's transitive closure.
+    *
+    * Scale shape: the split map is a narrow O(docs) projection of the
+    * canonical map; the pair relation (the big side on duplicated
+    * corpora) shuffles once per join key — both joins are plain equi
+    * shuffles AQE can split, and the signature stage under the pair and
+    * cluster plans is shared through the staging cache. */
+  def splitLeakage(docs: DataFrame, maxHamming: Int = 6,
+      textCol: String = "text"): DataFrame = {
+    val spl = leakageSafeSplits(docs, maxHamming, textCol)
+      .select(col("doc_id"),
+        TextAnalysis.splitAssign(col("doc_id")).as("naive_split"),
+        col("split").as("safe_split"))
+    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming, textCol)
+    pairs
+      .join(spl.select(col("doc_id").as("doc_a"),
+        col("naive_split").as("_na"), col("safe_split").as("_sa")),
+        Seq("doc_a"))
+      .join(spl.select(col("doc_id").as("doc_b"),
+        col("naive_split").as("_nb"), col("safe_split").as("_sb")),
+        Seq("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        coalesce(sum(when(col("_na") =!= col("_nb"), 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("naive_leaked"),
+        coalesce(sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("safe_leaked"))
+  }
 }

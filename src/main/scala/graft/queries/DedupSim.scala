@@ -151,6 +151,21 @@ object DedupSim {
   def simhashCanonical(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCanonical(docsWithMutants(s, dir))
 
+  /** Leakage-safe split sizes over the mutant corpus: the cluster-keyed
+    * split ([[graft.ops.Sampling.leakageSafeSplits]]) aggregated per
+    * split — docs and distinct near-dup clusters per bucket. */
+  def splitSafe(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.leakageSafeSplits(docsWithMutants(s, dir))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("canonical_id")).cast("long").as("n_clusters"))
+
+  /** Split-leakage audit on the mutant corpus: verified near-dup pairs
+    * straddling split boundaries under the naive per-doc hash split vs
+    * the cluster-keyed safe split (which must measure 0). */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.splitLeakage(docsWithMutants(s, dir))
+
   /** SimHash (hamming ≤ 6) evaluated against the MinHash-verified
     * (jaccard ≥ 0.7) pair set on the same mutant corpus — how well the
     * cheap bit signature tracks set-overlap truth. */
@@ -412,6 +427,8 @@ object DedupSim {
     "q_simhash" -> simhashes,
     "q_simhash_neardup" -> simhashNearDups,
     "q_simhash_canonical" -> simhashCanonical,
+    "q_split_safe" -> splitSafe,
+    "q_split_leakage" -> splitLeakage,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
@@ -992,6 +1009,44 @@ object DedupSim {
         "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
         "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7")
 
+  /** Recursive-CTE canonical-cluster chain over the mutant corpus —
+    * exhaustive pairs over DISTINCT signatures + transitive reach, a
+    * different algorithm than the engine's rep-collapse + label
+    * propagation. Shared by the cluster-map oracle and the two split
+    * oracles; finish with [[duckCanonSelect]] (or wrap it as a CTE). */
+  private lazy val duckSimhashCanonicalCtes: String =
+    "WITH RECURSIVE " +
+      duckSimhashOf(duckDocsWithMutants).stripPrefix("WITH ") +
+      ", rep AS (SELECT sh, min(doc_id) AS rep_id FROM sim GROUP BY sh), " +
+      "edges AS (SELECT a.rep_id AS s, b.rep_id AS d FROM rep a " +
+      "JOIN rep b ON a.rep_id <> b.rep_id " +
+      "AND bit_count(xor(a.sh, b.sh)) <= 6), " +
+      "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+      "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
+      "SELECT reach.id, edges.d FROM reach JOIN edges " +
+      "ON edges.s = reach.r), " +
+      "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"
+
+  /** (doc_id, canonical_id) off [[duckSimhashCanonicalCtes]]. */
+  private val duckCanonSelect: String =
+    "SELECT sim.doc_id AS doc_id, " +
+      "coalesce(comp.component, rep.rep_id) AS canonical_id " +
+      "FROM sim JOIN rep ON sim.sh = rep.sh " +
+      "LEFT JOIN comp ON rep.rep_id = comp.id"
+
+  /** polyHash(id) % 100 — the q_train_split hash rendering (TextOps),
+    * reproduced here for the cluster-keyed split oracles. */
+  private def duckSplitBucket(idExpr: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(CAST(" + idExpr + " AS VARCHAR), ''), " +
+      "ch -> CAST(ord(ch) AS BIGINT))), " +
+      "(acc, cp) -> (acc * 31 + cp) % 2147483647) % 100"
+
+  /** 80/10/10 bucket boundaries (TextAnalysis.splitAssign). */
+  private def duckSplitCase(bucketExpr: String): String =
+    s"CASE WHEN $bucketExpr < 80 THEN 'train' " +
+      s"WHEN $bucketExpr < 90 THEN 'valid' ELSE 'test' END"
+
   /** Exhaustive all-pairs simhash scan (shared by the near-dup oracle and
     * the pair-metrics oracle). */
   private lazy val duckSimhashNearDupSql: String =
@@ -1065,21 +1120,37 @@ object DedupSim {
     // propagation, cross-checking both the signature collapse and the
     // transitive closure
     "q_simhash_canonical" ->
-      ("WITH RECURSIVE " +
-        duckSimhashOf(duckDocsWithMutants).stripPrefix("WITH ") +
-        ", rep AS (SELECT sh, min(doc_id) AS rep_id FROM sim GROUP BY sh), " +
-        "edges AS (SELECT a.rep_id AS s, b.rep_id AS d FROM rep a " +
-        "JOIN rep b ON a.rep_id <> b.rep_id " +
-        "AND bit_count(xor(a.sh, b.sh)) <= 6), " +
-        "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
-        "reach(id, r) AS (SELECT id, id FROM nodes UNION " +
-        "SELECT reach.id, edges.d FROM reach JOIN edges " +
-        "ON edges.s = reach.r), " +
-        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id) " +
-        "SELECT sim.doc_id AS doc_id, " +
-        "coalesce(comp.component, rep.rep_id) AS canonical_id " +
-        "FROM sim JOIN rep ON sim.sh = rep.sh " +
-        "LEFT JOIN comp ON rep.rep_id = comp.id"),
+      (duckSimhashCanonicalCtes + " " + duckCanonSelect),
+    // cluster-keyed split: the same recursive-CTE cluster map, split by
+    // the q_train_split hash rendering applied to canonical_id
+    "q_split_safe" ->
+      (duckSimhashCanonicalCtes +
+        s", canon AS ($duckCanonSelect), " +
+        "spl AS (SELECT doc_id, canonical_id, " +
+        duckSplitCase(duckSplitBucket("canonical_id")) +
+        " AS split FROM canon) " +
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_clusters " +
+        "FROM spl GROUP BY split"),
+    // leakage audit: exhaustive near-dup pairs (the `sim` CTE is shared
+    // with the cluster chain) joined to both sides' naive and safe splits
+    "q_split_leakage" ->
+      (duckSimhashCanonicalCtes +
+        s", canon AS ($duckCanonSelect), " +
+        "spl AS (SELECT doc_id, " +
+        duckSplitCase(duckSplitBucket("doc_id")) + " AS naive, " +
+        duckSplitCase(duckSplitBucket("canonical_id")) +
+        " AS safe FROM canon), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sh, b.sh)) <= 6) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(coalesce(sum(CASE WHEN pa.naive <> pb.naive " +
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_leaked, " +
+        "CAST(coalesce(sum(CASE WHEN pa.safe <> pb.safe " +
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS safe_leaked " +
+        "FROM pairs JOIN spl pa ON pairs.doc_a = pa.doc_id " +
+        "JOIN spl pb ON pairs.doc_b = pb.doc_id"),
     // both pair sets re-derived through their own oracles (exhaustive
     // simhash scan vs the replayed minhash pipeline), then the same
     // integer precision/recall arithmetic

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class LeakageSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  // naive buckets (polyHash(id) % 100): "1" → 49 (train), "20" → 98
+  // (test), "21" → 99 (test), "4" → 52 (train) — chosen so the dup pair's
+  // two sides straddle the train boundary under the NAIVE split.
+  test("leakage-safe split: a near-dup cluster cannot straddle splits") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (20L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (21L, "completely different content about other things entirely"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val splits = Sampling.leakageSafeSplits(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // docs 1 and 20 share a cluster (identical text) → both hash the
+    // canonical id 1 → SAME split, though their naive buckets sit on
+    // opposite sides of the boundary (49 → train vs 98 → test)
+    assert(splits(1L) == ((1L, "train")) && splits(20L) == ((1L, "train")),
+      s"cluster must split as one unit: $splits")
+    assert(splits(21L) == ((21L, "test")))
+    // NULL text: self-labeled singleton, still receives a split
+    assert(splits(4L) == ((4L, "train")))
+    // the audit measures the same fact: the (1, 20) pair leaks under the
+    // naive per-doc split, and cannot leak under the cluster-keyed one
+    val audit = Sampling.splitLeakage(df).collect().head
+    assert((audit.getLong(0), audit.getLong(1), audit.getLong(2)) ==
+      ((1L, 1L, 0L)),
+      s"expected (n_pairs, naive_leaked, safe_leaked) = (1, 1, 0), got " +
+        s"(${audit.getLong(0)}, ${audit.getLong(1)}, ${audit.getLong(2)})")
+    Stage.releaseAll(spark)
+  }
+
+  test("precomputed cluster map variant matches the composed form") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "unrelated words entirely elsewhere tonight")).toDF(
+      "doc_id", "text")
+    val viaDocs = Sampling.leakageSafeSplits(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val viaMap = Sampling.leakageSafeSplitsFrom(
+        Dedup.simhashCanonical(df)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(viaDocs == viaMap)
+    Stage.releaseAll(spark)
+  }
+}
