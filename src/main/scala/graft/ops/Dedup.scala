@@ -629,8 +629,11 @@ object Dedup {
     * cross-check (DedupSpec pins three-way equality). One edge differs
     * by construction: a NULL text yields a (doc_id, NULL) row here,
     * where the explode-based forms dropped the doc entirely — the
-    * row-local shape is the more honest one (the doc is visible to a
-    * downstream null screen instead of silently vanishing). */
+    * row-local shape is the more honest one: the doc stays visible, and
+    * the consumers screen it explicitly ([[hammingNearDupPairs]] filters
+    * NULL signatures before blocking, counting them through the
+    * [[HammingNullSigRail]] observation; [[simhashCanonical]] self-labels
+    * NULL-text docs as singleton clusters). */
   def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.GraftFunctions.simHash62(col(textCol)).as("simhash"))
