@@ -34,6 +34,20 @@ class LeakageSplitSpec extends SparkSpec {
     Stage.releaseAll(spark)
   }
 
+  test("no near-dups: audit reads all-zero instead of nulling out") {
+    // empty pair relation → sum() is NULL pre-coalesce; the audit must
+    // still deliver one well-typed row of zeros
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val audit = Sampling.splitLeakage(df).collect()
+    assert(audit.length == 1)
+    assert((audit.head.getLong(0), audit.head.getLong(1),
+      audit.head.getLong(2)) == ((0L, 0L, 0L)))
+    Stage.releaseAll(spark)
+  }
+
   test("precomputed cluster map variant matches the composed form") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
