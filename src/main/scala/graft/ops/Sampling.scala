@@ -221,7 +221,11 @@ object Sampling {
 
   /** [[leakageSafeSplits]] over a PRECOMPUTED (doc_id, canonical_id)
     * cluster map — the production shape: the dedup stage already built
-    * the map; splitting re-reads it instead of re-clustering. */
+    * the map; splitting re-reads it instead of re-clustering. At 100 TB
+    * the map lives as a doc_id-bucketed table
+    * ([[graft.sources.PartitionedStore.writeBucketed]]), so joining the
+    * split back onto the corpus reads buckets in place — the
+    * zero-exchange contract PartitionedStoreSpec pins. */
   def leakageSafeSplitsFrom(canonicalMap: DataFrame): DataFrame =
     canonicalMap.select(col("doc_id"), col("canonical_id"),
       TextAnalysis.splitAssign(col("canonical_id")).as("split"))
