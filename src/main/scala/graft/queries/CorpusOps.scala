@@ -399,11 +399,17 @@ object CorpusOps {
         "UNION ALL SELECT doc_id + 2000000, text FROM base " +
         "WHERE doc_id % 7 = 0), " +
         "dig AS (SELECT doc_id, sha256(lower(text)) AS dig FROM batch), " +
+        // NULL digests (sha256 of NULL text) pass through as trivially
+        // unique — the engine's firstPerDigest r13 semantics — and the
+        // seen-set must exclude NULLs (one NULL in a NOT IN list nulls
+        // every verdict; the engine's anti join has no such hazard)
         "firstb AS (SELECT doc_id, dig FROM (SELECT doc_id, dig, " +
         "min(doc_id) OVER (PARTITION BY dig) AS k FROM dig) " +
-        "WHERE doc_id = k) " +
+        "WHERE dig IS NULL OR doc_id = k) " +
         "SELECT doc_id, dig AS digest FROM firstb " +
-        "WHERE dig NOT IN (SELECT sha256(lower(text)) FROM documents)"),
+        "WHERE dig IS NULL OR dig NOT IN (" +
+        "SELECT sha256(lower(text)) FROM documents " +
+        "WHERE text IS NOT NULL)"),
     // the same canonical string renderings, unpivoted via UNION ALL
     "q_profile" ->
       ("WITH p AS (" +
@@ -436,9 +442,11 @@ object CorpusOps {
           .oracle("q_doc_gate")}) WHERE kept), " +
         "s0 AS (SELECT d.doc_id, d.text FROM documents d " +
         "JOIN g USING (doc_id)), " +
-        "k AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (" +
+        // NULL digests pass through (engine firstPerDigest r13 semantics)
+        "k AS (SELECT doc_id FROM (SELECT doc_id, sha256(lower(text)) " +
+        "AS dig, min(doc_id) OVER (" +
         "PARTITION BY sha256(lower(text))) AS keep FROM s0) " +
-        "WHERE doc_id = keep), " +
+        "WHERE dig IS NULL OR doc_id = keep), " +
         "s AS (SELECT d.doc_id, d.text FROM documents d " +
         "JOIN k USING (doc_id)), " +
         "d2 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
@@ -496,9 +504,10 @@ object CorpusOps {
     "q_curation" ->
       ("WITH gated AS (SELECT doc_id, lang, sha256(lower(text)) AS dig " +
         "FROM documents WHERE n_chars BETWEEN 100 AND 400), " +
-        "kept AS (SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+        // NULL digests pass through (engine firstPerDigest r13 semantics)
+        "kept AS (SELECT doc_id, lang FROM (SELECT doc_id, lang, dig, " +
         "min(doc_id) OVER (PARTITION BY dig) AS keep FROM gated) " +
-        "WHERE doc_id = keep) " +
+        "WHERE dig IS NULL OR doc_id = keep) " +
         "SELECT split, lang, count(*) AS n_docs, " +
         "CAST(sum(doc_id) AS BIGINT) AS sum_id FROM (" +
         "SELECT lang, doc_id, CASE WHEN b < 80 THEN 'train' " +

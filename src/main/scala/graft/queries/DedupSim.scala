@@ -1017,7 +1017,8 @@ object DedupSim {
   private lazy val duckSimhashCanonicalCtes: String =
     "WITH RECURSIVE " +
       duckSimhashOf(duckDocsWithMutants).stripPrefix("WITH ") +
-      ", rep AS (SELECT sh, min(doc_id) AS rep_id FROM sim GROUP BY sh), " +
+      ", rep AS (SELECT sh, min(doc_id) AS rep_id FROM sim " +
+      "WHERE sh IS NOT NULL GROUP BY sh), " +
       "edges AS (SELECT a.rep_id AS s, b.rep_id AS d FROM rep a " +
       "JOIN rep b ON a.rep_id <> b.rep_id " +
       "AND bit_count(xor(a.sh, b.sh)) <= 6), " +
@@ -1027,20 +1028,21 @@ object DedupSim {
       "ON edges.s = reach.r), " +
       "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"
 
-  /** (doc_id, canonical_id) off [[duckSimhashCanonicalCtes]]. */
+  /** (doc_id, canonical_id) off [[duckSimhashCanonicalCtes]]. NULL-text
+    * docs carry a NULL sh and self-label — the engine's r13 semantics
+    * (Dedup.simhashCanonical), restated so a NULL-text corpus would
+    * diverge loudly rather than silently drop rows on one side only. */
   private val duckCanonSelect: String =
     "SELECT sim.doc_id AS doc_id, " +
       "coalesce(comp.component, rep.rep_id) AS canonical_id " +
       "FROM sim JOIN rep ON sim.sh = rep.sh " +
-      "LEFT JOIN comp ON rep.rep_id = comp.id"
+      "LEFT JOIN comp ON rep.rep_id = comp.id " +
+      "UNION ALL SELECT doc_id, doc_id FROM sim WHERE sh IS NULL"
 
-  /** polyHash(id) % 100 — the q_train_split hash rendering (TextOps),
-    * reproduced here for the cluster-keyed split oracles. */
+  /** polyHash(id) % 100 — the q_train_split bucket, rendered through the
+    * ONE shared [[OracleSql.pHash]] string (no divergent copies). */
   private def duckSplitBucket(idExpr: String): String =
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(string_split(CAST(" + idExpr + " AS VARCHAR), ''), " +
-      "ch -> CAST(ord(ch) AS BIGINT))), " +
-      "(acc, cp) -> (acc * 31 + cp) % 2147483647) % 100"
+    OracleSql.pHash(idExpr) + " % 100"
 
   /** 80/10/10 bucket boundaries (TextAnalysis.splitAssign). */
   private def duckSplitCase(bucketExpr: String): String =

@@ -11,7 +11,7 @@ Per copy k (copy 0 is byte-identical to the original body):
   - node/way/relation ids, <nd ref>, <member ref>:  +k * 10**10
     (uniform offset keeps every intra-copy reference resolvable and the
     copies' id spaces disjoint -- way_nodes joins land in-copy)
-  - uid: +k * 10**7; user: suffix "_c<k>"  (contributor census scales N x)
+  - uid: +k * 10**9; user: suffix "_c<k>"  (contributor census scales N x)
   - tags, timestamps, changesets, lat/lon: byte-identical
     (audit/tag-family row counts scale exactly N x)
 
@@ -68,11 +68,15 @@ def main(src: str, dst: str, copies: int) -> None:
     # footer: the closing </osm>.
     osm_open = next(i for i, l in enumerate(lines)
                     if "<osm" in l and "/>" not in l)
-    body_start = osm_open + 1
-    bounds = next((i for i, l in enumerate(lines[body_start:], body_start)
-                   if "<bounds" in l), None)
-    if bounds is not None:
-        body_start = bounds + 1
+    # header = everything before the first ELEMENT line: the <osm> open
+    # tag plus any <bounds>/<note>/<meta> lines stay un-replicated, and a
+    # bounds line EMBEDDED in the body (Overpass `out geom` puts one
+    # inside way/relation elements) is body like its siblings — searching
+    # the whole file for '<bounds' would jump body_start into the data
+    # and silently emit everything before it once, unreplicated.
+    body_start = next((i for i, l in enumerate(lines)
+                       if i > osm_open and any(t in l for t in
+                         ("<node", "<way", "<relation"))), len(lines))
     body_end = next(i for i in range(len(lines) - 1, -1, -1)
                     if "</osm>" in lines[i])
     max_uid = max((int(m.group(2)) for l in lines[body_start:body_end]
