@@ -17,14 +17,25 @@ object Dedup {
 
   /** Exact dedup via hash aggregation on (normalized) content: canonical =
     * min doc_id per group (the reference's "keep one copy" A6 semantics,
-    * parse_clean_and_csv.py:321-326, hash-based instead of O(n²)). */
+    * parse_clean_and_csv.py:321-326, hash-based instead of O(n²)).
+    *
+    * NULL-text posture — this is a CENSUS with SQL GROUP BY semantics
+    * (matching its DuckDB oracle): NULL texts form one group, so the
+    * census reports them as one row with their count. Do NOT use the
+    * census's keep_id to DELETE rows on a NULL-bearing corpus — that
+    * would treat unknown content as mutual duplicates. The keep RULE for
+    * actual dedup is [[firstPerDigest]], which passes NULL digests
+    * through as trivially unique (and the ops composing it —
+    * [[incrementalDedup]], Curation.curate — inherit that). */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(lower(col(textCol)).as("text_norm"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** [[exact]] at 100 TB: group on the content DIGEST so the shuffle
     * carries 64-char keys instead of whole documents (collision odds
-    * 2⁻²⁵⁶ — the standard exact-dedup key for web-scale corpora). */
+    * 2⁻²⁵⁶ — the standard exact-dedup key for web-scale corpora). Same
+    * census NULL posture as [[exact]] (NULL digests group together in
+    * the report; the keep rule lives in [[firstPerDigest]]). */
   def exactByDigest(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(sha2(lower(col(textCol)), 256).as("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -50,18 +61,16 @@ object Dedup {
       greatest(size(toks) - (n - 1), lit(1))))
   }
 
-  /** Pairwise n-gram Jaccard within a blocking column: emits pairs with
-    * intersection/union counts and keeps jaccard ≥ numer/denom using pure
-    * integer math (denom·|∩| ≥ numer·|∪|) — float-free, oracle-safe.
-    * Blocking bounds the quadratic pair count; at scale use MinHash-LSH
-    * banding below instead. */
-  def jaccardPairs(docs: DataFrame, blockCol: String, n: Int,
-      numer: Int, denom: Int, textCol: String = "text"): DataFrame = {
-    // intersect 64-bit shingle hashes, not strings: ~8-byte fixed-width
-    // elements through the shuffle and the per-pair set probe (collision
-    // odds ~|A∪B|²/2⁶⁵ per pair — immaterial to the counts).
-    // Staged (cache + barrier): both sides of the self-join read the
-    // shingled relation — see Stage.barrier.
+  /** Shared prologue of [[jaccardPairs]] and [[containmentPairs]]: the
+    * staged hashed-shingle relation, self-joined within the block with
+    * per-pair intersection and side sizes — ONE definition so the hash
+    * choice (xxhash64 over 8-byte elements; collision odds ~|A∪B|²/2⁶⁵
+    * per pair, immaterial to the counts), the staging barrier, and the
+    * ordered-pair rule cannot drift between the two metrics. Two calls
+    * over the same corpus also share the staged relation through the
+    * cache. Emits (doc_a, doc_b, n_inter, sz_a, sz_b). */
+  private def blockedShinglePairs(docs: DataFrame, blockCol: String,
+      n: Int, textCol: String): DataFrame = {
     val sh = Stage.barrier(
       docs.select(col("doc_id"), col(blockCol).as("block"),
         transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh")))
@@ -75,6 +84,16 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
           .as("n_inter"),
         col("sz_a"), col("sz_b"))
+  }
+
+  /** Pairwise n-gram Jaccard within a blocking column: emits pairs with
+    * intersection/union counts and keeps jaccard ≥ numer/denom using pure
+    * integer math (denom·|∩| ≥ numer·|∪|) — float-free, oracle-safe.
+    * Blocking bounds the quadratic pair count; at scale use MinHash-LSH
+    * banding below instead. */
+  def jaccardPairs(docs: DataFrame, blockCol: String, n: Int,
+      numer: Int, denom: Int, textCol: String = "text"): DataFrame = {
+    blockedShinglePairs(docs, blockCol, n, textCol)
       // |A∪B| = |A|+|B|−|A∩B| (sets are distinct): skips materializing the
       // union array — halves the per-pair work in the quadratic hot loop
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
@@ -101,18 +120,8 @@ object Dedup {
     * band the SHORTER side's signature — noted here, not built). */
   def containmentPairs(docs: DataFrame, blockCol: String, n: Int,
       numer: Int, denom: Int, textCol: String = "text"): DataFrame = {
-    val sh = Stage.barrier(
-      docs.select(col("doc_id"), col(blockCol).as("block"),
-        transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh")))
-    val a = sh.select(col("block"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"), size(col("sh")).as("sz_a"))
-    val b = sh.select(col("block"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"), size(col("sh")).as("sz_b"))
-    a.join(b, Seq("block"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-          .as("n_inter"),
+    blockedShinglePairs(docs, blockCol, n, textCol)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
         col("sz_a").cast("long").as("sz_a"),
         col("sz_b").cast("long").as("sz_b"))
       .withColumn("a_in_b",
@@ -331,6 +340,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** The ONE hashed-shingle relation recipe — distinct portable-hashed
+    * n-gram shingles per doc — shared by the in-corpus MinHash pipeline
+    * ([[minhashDedupPairs]]) and the batch↔corpus incremental screen
+    * ([[incrementalNearDedup]]), so the hash family and distinctness
+    * step cannot drift between the two and their LSH candidates stay
+    * comparable. */
+  private def hashedShingleRows(docs: DataFrame, n: Int,
+      textCol: String): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(transform(shingles(col(textCol), n), s => phash(s)))
+        .as("sh"))
+
+  /** MinHash signatures off a hashed-shingle relation: explode + ONE
+    * native aggregate (fixed seed 7 — the family the DuckDB oracles
+    * render as literals). Shared by the same two pipelines as
+    * [[hashedShingleRows]]. */
+  private def minhashSigsOf(sh: DataFrame, k: Int): DataFrame =
+    sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash(col("h"), k, seed = 7L)
+        .as("sig"))
+
   /** MinHash near-dup pipeline: signatures → banded candidates → exact
     * n-gram Jaccard verification (integer threshold as in jaccardPairs).
     *
@@ -343,14 +374,8 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     // portable hash: the DuckDB oracle replays the same hashed
     // intersection, so even collision effects cancel out exactly
-    val sh = Stage.barrier(docs.select(col("doc_id"),
-      array_distinct(transform(shingles(col(textCol), n), s => phash(s)))
-        .as("sh")))
-    val sigs = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.MinHashAgg
-        .minhash(col("h"), k, seed = 7L).as("sig"))
-    val cands = lshCandidatePairs(sigs, bands, k)
+    val sh = Stage.barrier(hashedShingleRows(docs, n, textCol))
+    val cands = lshCandidatePairs(minhashSigsOf(sh, k), bands, k)
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
@@ -541,19 +566,35 @@ object Dedup {
     * component = max score, ties to the smallest doc_id (deterministic,
     * engine-portable: integer struct max, no floats).
     *
-    * Scale shape: one partial-aggregated `max(struct(score, −id))` per
-    * component — no window, no sort, skew-immune (a hot cluster combines
-    * map-side) — and the winners frame (one row per cluster) broadcasts
-    * back onto the members. */
+    * Scale shape: for numeric ids, one partial-aggregated
+    * `max(struct(score, −id))` per component — no window, no sort,
+    * skew-immune (a hot cluster combines map-side). Non-numeric ids
+    * (URLs, hashes) cannot ride the negation trick — unary minus on a
+    * string is NULL, which would silently null every canonical_id — so
+    * they take a two-step max-score → min-id path (same label-keyed
+    * exchange, reused). The winners frame is one row per CLUSTER —
+    * unbounded at corpus scale — so the rejoin is left to the planner
+    * (AQE broadcasts it when it is actually small) rather than
+    * force-broadcast through the driver. */
   def canonicalByScore(labels: DataFrame, scores: DataFrame,
       idCol: String = "doc_id", labelCol: String = "component",
       scoreCol: String = "score"): DataFrame = {
     val member = labels.join(scores, Seq(idCol))
-    val best = member.groupBy(col(labelCol))
-      .agg(max(struct(col(scoreCol).as("s"),
-        (-col(idCol)).as("nid"))).as("b"))
-      .select(col(labelCol), (-col("b.nid")).as("canonical_id"))
-    member.join(broadcast(best), Seq(labelCol))
+    val best = labels.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        member.groupBy(col(labelCol))
+          .agg(max(struct(col(scoreCol).as("s"),
+            (-col(idCol)).as("nid"))).as("b"))
+          .select(col(labelCol), (-col("b.nid")).as("canonical_id"))
+      case _ =>
+        member.select(col(labelCol), col(scoreCol), col(idCol))
+          .join(member.groupBy(col(labelCol))
+            .agg(max(col(scoreCol)).as("_top")), Seq(labelCol))
+          .filter(col(scoreCol) === col("_top"))
+          .groupBy(col(labelCol))
+          .agg(min(col(idCol)).as("canonical_id"))
+    }
+    member.join(best, Seq(labelCol))
       .select(col(idCol), col("canonical_id"))
   }
 
@@ -980,9 +1021,12 @@ object Dedup {
     * corpus-wide (first = smallest (doc_id, position)), and reassemble
     * every document from its surviving segments in order.
     *
-    * Returns (doc_id, n_segs, n_kept, dedup_text) for every input doc —
-    * n_kept = 0 yields an empty dedup_text, the "document fully consumed
-    * by boilerplate" signal a filtering stage cuts on.
+    * Returns (doc_id, n_segs, n_kept, dedup_text) for every input doc
+    * WITH NON-NULL text — n_kept = 0 yields an empty dedup_text, the
+    * "document fully consumed by boilerplate" signal a filtering stage
+    * cuts on. NULL-text docs define no segments and are ABSENT from the
+    * output (split(NULL) explodes to nothing) — screen or count them
+    * upstream, as the near-dup path does ([[HammingNullSigRail]]).
     *
     * Scale shape: one explode (bounded ×⌈tokens/segTokens⌉), a PARTIAL-
     * AGGREGATED groupBy on the segment text for the first occurrence
@@ -1028,7 +1072,8 @@ object Dedup {
     * smallest (doc_id, pos) is the canonical one and is NOT marked; every
     * other occurrence marks its token range [pos, pos+W). Self-repetition
     * inside one document is handled by the same rule (later repeats are
-    * marked). Returns one row per input doc:
+    * marked). Returns one row per input doc with non-NULL text (a NULL
+    * text defines no windows and is absent from the output):
     * (doc_id, n_tokens, n_dup_tokens, clean_text) — clean_text is the
     * document reassembled from unmarked tokens in order (empty when fully
     * consumed); docs shorter than the window pass through untouched.
@@ -1094,7 +1139,13 @@ object Dedup {
     * decides whether dedup may stay group-local or must run global).
     *
     * `meta` carries (doc_id, `byCol`); `pairs` is any verified pair
-    * relation (doc_a, doc_b) — MinHash-LSH, SimHash, containment. Scale
+    * relation (doc_a, doc_b) — MinHash-LSH, SimHash, containment. Every
+    * pair id must appear in `meta` (pairs derive from the corpus the
+    * meta describes) — a partner absent from meta drops its pair from
+    * the inner joins by that contract. The cross-group test is
+    * NULL-SAFE: a NULL group value is its own group (`<=> `), so a
+    * 'cc'↔NULL duplicate counts as cross-group instead of evaluating to
+    * unknown and silently reading group-local. Scale
     * shape: pairs symmetrized (2·|pairs| 8-byte-key rows) and joined
     * twice against the id→group projection (co-keyed equi joins, never
     * the documents), one per-doc max, one |groups|-row rollup — every
@@ -1111,7 +1162,7 @@ object Dedup {
       .join(m.select(col("doc_id").as("partner"), col("_g").as("_pg")),
         Seq("partner"))
       .groupBy(col("doc_id"), col("_g"))
-      .agg(max(when(col("_pg") =!= col("_g"), 1L).otherwise(0L))
+      .agg(max(when(!(col("_pg") <=> col("_g")), 1L).otherwise(0L))
         .as("_cross"))
     m.join(flags.select(col("doc_id"), lit(1L).as("_dup"), col("_cross")),
         Seq("doc_id"), "left")
@@ -1301,21 +1352,12 @@ object Dedup {
   def incrementalNearDedup(batch: DataFrame, corpus: DataFrame, n: Int = 2,
       k: Int = 64, bands: Int = 16, numer: Int = 7, denom: Int = 10,
       textCol: String = "text"): DataFrame = {
-    def hashedShingles(df: DataFrame): DataFrame =
-      df.select(col("doc_id"),
-        array_distinct(transform(shingles(col(textCol), n), s => phash(s)))
-          .as("sh"))
-    def sigsOf(sh: DataFrame): DataFrame =
-      sh.select(col("doc_id"), explode(col("sh")).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(graft.functions.MinHashAgg.minhash(col("h"), k, seed = 7L)
-          .as("sig"))
     // staged: each side's shingle relation feeds its signatures AND the
     // verification probes
-    val bsh = Stage.barrier(hashedShingles(batch))
-    val csh = Stage.barrier(hashedShingles(corpus))
-    val cand = bandRows(sigsOf(bsh), bands, k)
-      .join(bandRows(sigsOf(csh), bands, k)
+    val bsh = Stage.barrier(hashedShingleRows(batch, n, textCol))
+    val csh = Stage.barrier(hashedShingleRows(corpus, n, textCol))
+    val cand = bandRows(minhashSigsOf(bsh, k), bands, k)
+      .join(bandRows(minhashSigsOf(csh, k), bands, k)
         .withColumnRenamed("doc_id", "corpus_id"), Seq("band", "key"))
       .select(col("doc_id"), col("corpus_id")).distinct()
     val verified = cand
@@ -1347,15 +1389,22 @@ object Dedup {
     * 100 TB corpus auditable without re-reading it. */
   def corpusDiff(prev: DataFrame, curr: DataFrame,
       textCol: String = "text"): DataFrame = {
+    // presence is tested by a MARKER column, never by digest nullity — a
+    // NULL-text doc (sha2 of NULL is NULL) is still PRESENT in its
+    // snapshot, and digest comparison is null-safe so NULL→NULL reads
+    // "unchanged" (nothing we know about changed) while NULL→text reads
+    // "modified", not "added"
     val a = prev.select(col("doc_id"),
-      sha2(lower(col(textCol)), 256).as("dig_prev"))
+      sha2(lower(col(textCol)), 256).as("dig_prev"),
+      lit(true).as("_in_prev"))
     val b = curr.select(col("doc_id"),
-      sha2(lower(col(textCol)), 256).as("dig_curr"))
+      sha2(lower(col(textCol)), 256).as("dig_curr"),
+      lit(true).as("_in_curr"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("dig_prev").isNull, "added")
-          .when(col("dig_curr").isNull, "removed")
-          .when(col("dig_prev") === col("dig_curr"), "unchanged")
+        when(col("_in_prev").isNull, "added")
+          .when(col("_in_curr").isNull, "removed")
+          .when(col("dig_prev") <=> col("dig_curr"), "unchanged")
           .otherwise("modified").as("status"))
   }
 
@@ -1368,7 +1417,9 @@ object Dedup {
     * first-occurrence dedup, a boilerplate segment vanishes from all
     * documents, including the first one that carried it.
     *
-    * Returns (doc_id, n_segs, n_dropped, clean_text) for every input doc.
+    * Returns (doc_id, n_segs, n_dropped, clean_text) for every input
+    * doc with non-NULL text (NULL-text docs define no segments and are
+    * absent, as in [[segmentDedup]]).
     *
     * Scale shape: one bounded explode (×⌈tokens/segTokens⌉), a
     * distinct-projection + partial-aggregated groupBy on the segment value
@@ -1404,8 +1455,9 @@ object Dedup {
     * passage loses that span and keeps the rest.
     *
     * Returns (doc_id, n_segs, n_dropped, clean_text) for every training
-    * doc — n_dropped = 0 means untouched; clean_text = "" means fully
-    * consumed (the doc IS benchmark text).
+    * doc with non-NULL text (NULL-text docs are absent, as in
+    * [[segmentDedup]]) — n_dropped = 0 means untouched; clean_text = ""
+    * means fully consumed (the doc IS benchmark text).
     *
     * Scale shape: the banned-segment set is tiny (benchmarks are MBs
     * against a 100 TB corpus) — distinct-aggregated once and BROADCAST,

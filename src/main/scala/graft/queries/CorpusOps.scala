@@ -377,10 +377,13 @@ object CorpusOps {
         "WHERE doc_id % 5 != 3 " +
         "UNION ALL SELECT doc_id + 1000000, sha256(lower(text)) " +
         "FROM documents WHERE doc_id % 5 = 0) " +
+        // presence via the join keys, digest comparison null-safe — the
+        // engine's marker-column semantics (a NULL-text doc is present)
         "SELECT coalesce(p.doc_id, c.doc_id) AS doc_id, " +
-        "CASE WHEN p.dg IS NULL THEN 'added' " +
-        "WHEN c.dg IS NULL THEN 'removed' " +
-        "WHEN p.dg = c.dg THEN 'unchanged' ELSE 'modified' END AS status " +
+        "CASE WHEN p.doc_id IS NULL THEN 'added' " +
+        "WHEN c.doc_id IS NULL THEN 'removed' " +
+        "WHEN p.dg IS NOT DISTINCT FROM c.dg THEN 'unchanged' " +
+        "ELSE 'modified' END AS status " +
         "FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id"),
     "q_heavy_hitters" -> duckCmSql,
     // the oracle never sees the JSONL — it aggregates the parquet, so a

@@ -739,8 +739,10 @@ object DedupSim {
         "WHERE doc_id % 3 = 0), " +
         "sym AS (SELECT doc_a AS doc_id, doc_b AS partner FROM pr " +
         "UNION ALL SELECT doc_b, doc_a FROM pr), " +
+        // null-safe group comparison, matching the engine's <=> cross test
         "fl AS (SELECT sym.doc_id AS doc_id, " +
-        "max(CASE WHEN m2.source != m1.source THEN 1 ELSE 0 END) AS cr " +
+        "max(CASE WHEN m2.source IS DISTINCT FROM m1.source " +
+        "THEN 1 ELSE 0 END) AS cr " +
         "FROM sym JOIN meta m1 ON sym.doc_id = m1.doc_id " +
         "JOIN meta m2 ON sym.partner = m2.doc_id GROUP BY sym.doc_id) " +
         "SELECT m.source AS source, CAST(count(*) AS BIGINT) AS n_docs, " +

@@ -690,6 +690,57 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 9L -> 9L))
   }
 
+  test("corpus diff: NULL-text docs are PRESENT, not 'added'") {
+    // presence must come from the join, not digest nullity (sha2 of NULL
+    // is NULL): NULL→text is a modification, NULL→NULL is unchanged,
+    // NULL-then-gone is removed
+    val prev = Seq((7L, null: String), (8L, null: String),
+      (9L, null: String), (10L, "stable")).toDF("doc_id", "text")
+    val curr = Seq((7L, "hello"), (8L, null: String),
+      (10L, "stable"), (11L, null: String)).toDF("doc_id", "text")
+    val st = Dedup.corpusDiff(prev, curr).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(7L -> "modified", 8L -> "unchanged", 9L -> "removed",
+      10L -> "unchanged", 11L -> "added"), st.toString)
+  }
+
+  test("canonical by score: string doc_ids take the two-step argmin path") {
+    // unary minus on a string is NULL — the numeric negation trick would
+    // null every canonical_id; string ids must still pick max score with
+    // ties to the LEXICOGRAPHICALLY smallest id
+    val labels = Seq(("u/a", "u/a"), ("u/b", "u/a"), ("u/c", "u/a"),
+      ("u/z", "u/z")).toDF("doc_id", "component")
+    val scores = Seq(("u/a", 5L), ("u/b", 9L), ("u/c", 9L), ("u/z", 1L))
+      .toDF("doc_id", "score")
+    val r = Dedup.canonicalByScore(labels, scores).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r == Map("u/a" -> "u/b", "u/b" -> "u/b", "u/c" -> "u/b",
+      "u/z" -> "u/z"), r.toString)
+  }
+
+  test("near-dup rate: NULL group is its own group (null-safe cross test)") {
+    val meta = Seq((1L, "cc"), (2L, null: String), (3L, "cc"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.nearDupRateBy(meta, pairs, "source").collect()
+      .map(x => Option(x.getString(0)) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // the cc↔NULL duplicate must read CROSS-group on both sides, not
+    // evaluate to unknown and report group-local
+    assert(r(Some("cc")) == ((2L, 1L, 1L)), r.toString)
+    assert(r(None) == ((1L, 1L, 1L)), r.toString)
+  }
+
+  test("decontamination: untouched doc reads n_dropped = 0, never NULL") {
+    val docs = Seq((1L, "clean tokens only here nothing banned at all"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "totally different benchmark prose entirely " +
+      "separate words")).toDF("doc_id", "text")
+    val r = Dedup.decontaminateSegments(docs, eval, segTokens = 4)
+      .collect().head
+    assert(!r.isNullAt(2) && r.getLong(2) == 0L)
+  }
+
   test("NULL text: near-dup path screens, canonical labels the doc itself") {
     // simhashes keeps a (doc_id, NULL) row for NULL text — the blocking
     // must screen it BEFORE the kernel (whose primitive getLong reads
