@@ -572,13 +572,19 @@ object Dedup {
     * (URLs, hashes) cannot ride the negation trick — unary minus on a
     * string is NULL, which would silently null every canonical_id — so
     * they take a two-step max-score → min-id path (same label-keyed
-    * exchange, reused). The winners frame is one row per CLUSTER —
-    * unbounded at corpus scale — so the rejoin is left to the planner
-    * (AQE broadcasts it when it is actually small) rather than
-    * force-broadcast through the driver. */
+    * exchange, reused). The winners rejoin: `broadcastWinners = true`
+    * (default) force-broadcasts the winners frame — one row per cluster,
+    * small in every non-degenerate corpus — which keeps the member side
+    * UNSHUFFLED (measured: leaving it to AQE still materializes the
+    * member exchange before the join strategy revision, ~2× on the
+    * isolated query). A corpus whose cluster COUNT itself is huge
+    * (billions of near-singleton clusters at 100 TB) should pass false
+    * and take the shuffle join — the same caller-owned scale knob as
+    * the `maxBucket` rails. */
   def canonicalByScore(labels: DataFrame, scores: DataFrame,
       idCol: String = "doc_id", labelCol: String = "component",
-      scoreCol: String = "score"): DataFrame = {
+      scoreCol: String = "score",
+      broadcastWinners: Boolean = true): DataFrame = {
     val member = labels.join(scores, Seq(idCol))
     val best = labels.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType =>
@@ -594,7 +600,8 @@ object Dedup {
           .groupBy(col(labelCol))
           .agg(min(col(idCol)).as("canonical_id"))
     }
-    member.join(best, Seq(labelCol))
+    member.join(if (broadcastWinners) broadcast(best) else best,
+        Seq(labelCol))
       .select(col(idCol), col("canonical_id"))
   }
 
