@@ -56,7 +56,7 @@ object TextAnalysis {
     * partials, |langs| rows out). */
   def tokenizerFertility(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("lang"),
-        size(split(col(textCol), " ")).cast("long").as("_w"),
+        size(tokens(col(textCol))).cast("long").as("_w"),
         size(bpeTokens(col(textCol))).cast("long").as("_t"),
         length(col(textCol)).cast("long").as("_c"))
       .groupBy(col("lang"))
@@ -64,10 +64,15 @@ object TextAnalysis {
         sum(col("_w")).cast("long").as("n_words"),
         sum(col("_t")).cast("long").as("n_bpe_tokens"),
         sum(col("_c")).cast("long").as("n_chars"))
+      // ANSI mode (Spark 4 default) turns `div 0` into a job-killing
+      // error: a language whose every doc is empty (markup-only pages
+      // after stripMarkup) has zero words/tokens — report 0, not crash
       .withColumn("fertility_x1000",
-        expr("n_bpe_tokens * 1000 div n_words"))
+        expr("CASE WHEN n_words > 0 " +
+          "THEN n_bpe_tokens * 1000 div n_words ELSE 0 END"))
       .withColumn("chars_per_tok_x1000",
-        expr("n_chars * 1000 div n_bpe_tokens"))
+        expr("CASE WHEN n_bpe_tokens > 0 " +
+          "THEN n_chars * 1000 div n_bpe_tokens ELSE 0 END"))
 
   /** HTML/markup stripping — the extraction step every web-crawl corpus
     * runs before any text op sees a document: drop script/style blocks
@@ -79,9 +84,12 @@ object TextAnalysis {
     * cascade. Per-row regex projection, zero shuffle; at 100 TB this is
     * scan-bound like the Gopher gate it feeds. */
   def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // (?is): real script/style blocks span lines and vary case — without
+    // DOTALL the block regex never matches a multi-line block and its
+    // code content leaks through the tag-strip into clean_text
     val noBlocks = regexp_replace(
-      regexp_replace(col(textCol), "<script[^>]*>.*?</script>", " "),
-      "<style[^>]*>.*?</style>", " ")
+      regexp_replace(col(textCol), "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
@@ -286,15 +294,22 @@ object TextAnalysis {
         explode(tokens(col(textCol))).as("tok"))
       .distinct())
     val sizes = toks.groupBy("source").agg(count(lit(1)).as("n"))
-    toks.as("a").join(toks.as("b"), "tok")
+    val counts = toks.as("a").join(toks.as("b"), "tok")
       .filter(col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"),
         col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("source").as("source_a"),
-        col("n").as("n_vocab_a")), "source_a")
-      .join(sizes.select(col("source").as("source_b"),
-        col("n").as("n_vocab_b")), "source_b")
+    // EVERY pair (a < b) gets a row, including zero-overlap pairs —
+    // disjoint vocabularies are exactly the signal this diagnostic
+    // exists to surface, and a missing row is indistinguishable from
+    // "not computed". The pair skeleton is |sources|² rows off the tiny
+    // sizes frame (broadcast class).
+    sizes.select(col("source").as("source_a"), col("n").as("n_vocab_a"))
+      .crossJoin(sizes.select(col("source").as("source_b"),
+        col("n").as("n_vocab_b")))
+      .filter(col("source_a") < col("source_b"))
+      .join(counts, Seq("source_a", "source_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
       .withColumn("jaccard_x1000",
         floor(col("n_common") * 1000L /
           (col("n_vocab_a") + col("n_vocab_b") - col("n_common")))
@@ -330,7 +345,9 @@ object TextAnalysis {
         when(score > acc.getField("score"),
           struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
     }
-    when(nCjk * 5 >= length(text), lit("zh"))
+    // the CJK-share shortcut must not fire on EMPTY text (0*5 >= 0):
+    // a zero-content doc is 'unknown', not 'zh'
+    when(length(text) > 0 && nCjk * 5 >= length(text), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("unknown"))
   }
@@ -423,17 +440,23 @@ object TextAnalysis {
           col("n_stop") >= 2L)
   }
 
-  /** PII patterns — lookahead-free so Java regex and RE2 (DuckDB) agree. */
-  val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+  /** PII patterns — lookahead-free so Java regex and RE2 (DuckDB) agree.
+    * The email local part includes %+- (plus-addressing, dashed names):
+    * a charset gap redacts only the matching SUFFIX and leaks the rest
+    * ("john-" surviving from john-doe@x.com). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
   val PhoneRe = "\\+[0-9]{2,3} [0-9]{7,11}"
   val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** PII redaction: count then mask emails / intl phone numbers / IPv4
     * addresses (the minimum-viable scrub a public-web training corpus
-    * runs before anything else). Counts are taken on the original text;
-    * masking applies email → phone → ip, whose matches are disjoint by
-    * construction (no pattern matches inside another's replacement
-    * token). Narrow projection — regex state never leaves the row. */
+    * runs before anything else). Counts are pattern counts on the
+    * ORIGINAL text — a substring matching two patterns (an IP inside an
+    * email's domain) counts once per pattern while the mask consumes it
+    * once, in email → phone → ip order (no pattern matches inside
+    * another's replacement token, so masking never cascades). Auditors
+    * reconciling counts against masked tokens must use the original-text
+    * reading. Narrow projection — regex state never leaves the row. */
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs.select(col("doc_id"),
@@ -453,7 +476,7 @@ object TextAnalysis {
     * TakeOrdered, never a global sort of the vocabulary. */
   def vocabulary(docs: DataFrame, limit: Int = 100,
       textCol: String = "text"): DataFrame =
-    docs.select(explode(split(col(textCol), " ")).as("token"))
+    docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("token"))
       .limit(limit)
@@ -474,7 +497,7 @@ object TextAnalysis {
     * count, not the probe multiplicity. */
   def freqScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = docs.select(col("doc_id"),
-      explode(split(col(textCol), " ")).as("token"))
+      explode(tokens(col(textCol))).as("token"))
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
     toks.join(vocab, "token")
       .groupBy(col("doc_id"))
@@ -496,9 +519,14 @@ object TextAnalysis {
     * is the only broadcast-or-shuffle decision — vocabulary row counts are
     * millions, not billions, so it stays cheap relative to the corpus. */
   def keywords(docs: DataFrame, k: Int = 2,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", broadcastVocab: Boolean = true): DataFrame = {
+    // broadcastVocab: the df table is vocabulary-bounded (plateaus in
+    // natural text — the designed build side, see the hint note below),
+    // but a pathological vocabulary (random-token corpora, 1e8+ distinct
+    // tokens) outgrows a broadcast: pass false there and take the
+    // shuffle join — the same caller-owned knob as canonicalByScore's.
     val tf = docs
-      .select(col("doc_id"), explode(split(col(textCol), " ")).as("token"))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token"))
@@ -511,7 +539,7 @@ object TextAnalysis {
     // materialized shuffle happens to sit under the adaptive threshold
     // (measured at sf2: a 3.3 s single-task broadcast build of millions
     // of (doc, token) rows against a 2.5 MB vocabulary)
-    tf.join(broadcast(df), "token")
+    tf.join(if (broadcastVocab) broadcast(df) else df, "token")
       .withColumn("score", expr("tf * 1000000 div df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -523,7 +551,12 @@ object TextAnalysis {
     * statistically weird documents" gate of a corpus pipeline.
     *
     * The group statistics are carried as EXACT integer sums (count, Σx,
-    * Σx²) through the shuffle; the floating-point mean/variance/z are
+    * Σx²) through the shuffle — int64-exact while the group's Σx² and
+    * (Σx)² stay under 2⁶³ (n·maxval² < 9.2·10¹⁸; under ANSI mode an
+    * overflow fails loudly rather than corrupting the variance gate —
+    * rescale the measure or cast the sums to decimal(38,0) past that,
+    * the same documented bound pattern as [[pmiBigrams]]/[[manifest]]);
+    * the floating-point mean/variance/z are
     * derived per row in ONE fixed expression order, so the doubles are
     * bit-reproducible across engines and partitionings (a double `avg`/
     * `stddev` aggregate would be partition-order-dependent). The stats
@@ -775,10 +808,16 @@ object TextAnalysis {
     def unigrams(df: DataFrame, cName: String): DataFrame =
       df.select(explode(tokens(col(textCol))).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).cast("long").as(cName))
-    val rawCounts = unigrams(raw, "c_raw")
+    // staged: the exploded (doc_id, t) relation feeds BOTH the raw
+    // unigram counts and the scoring probe — without the barrier the
+    // raw corpus is tokenized and exploded twice (the lmScore pattern;
+    // the "streams once" contract above is this cache)
+    val tok = Stage.barrier(raw.select(col("doc_id"),
+      explode(tokens(col(textCol))).as("t")))
+    val rawCounts = tok.groupBy(col("t"))
+      .agg(count(lit(1)).cast("long").as("c_raw"))
     val tgtCounts = unigrams(target, "c_tgt")
-    val scored = raw.select(col("doc_id"),
-        explode(tokens(col(textCol))).as("t"))
+    val scored = tok
       .join(rawCounts, Seq("t"))
       .join(broadcast(tgtCounts), Seq("t"), "left")
       .select(col("doc_id"),
@@ -836,7 +875,7 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     var vocab = words.select(col("w"), col("freq"),
       concat_ws(" ", split(col("w"), "")).as("sym")).cache()
@@ -894,7 +933,7 @@ object TextAnalysis {
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text"): DataFrame = {
     val words = docs.select(col("doc_id"),
-      explode(split(col(textCol), " ")).as("w"))
+      explode(tokens(col(textCol))).as("w"))
     val sym0 = concat(lit(" "),
       concat_ws(" ", split(col("w"), "")), lit(" "))
     val symN = merges.foldLeft(sym0) { case (e, (l, r)) =>
@@ -921,7 +960,7 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame =
     docs
       .select(col("doc_id"),
-        explode(array_distinct(split(col(textCol), " "))).as("token"))
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"),
         graft.functions.TopKAgg
@@ -990,14 +1029,20 @@ object TextAnalysis {
       stride: Int = 64, textCol: String = "text"): DataFrame = {
     require(stride > 0 && chunkChars >= stride,
       s"need chunkChars >= stride > 0, got $chunkChars/$stride")
+    // the text column is ALIASED before any expr() references it, so
+    // arbitrary column names (spaces, dots) never reach the SQL parser;
+    // coalesce(length, 0) keeps NULL-text docs in the output as chunk 0
+    // (with NULL chunk_text) — a doc_id-keyed RAG join must not lose the
+    // doc just because its text is missing
     val nChunks =
-      expr(s"greatest(length($textCol) - $chunkChars + $stride - 1, 0) " +
-        s"div $stride + 1").cast("int")
+      expr(s"greatest(coalesce(length(_t), 0) - $chunkChars + " +
+        s"$stride - 1, 0) div $stride + 1").cast("int")
     docs
-      .select(col("doc_id"), col(textCol),
+      .select(col("doc_id"), col(textCol).as("_t"))
+      .select(col("doc_id"), col("_t"),
         posexplode(sequence(lit(0), nChunks - 1)))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
-        expr(s"substring($textCol, pos * $stride + 1, $chunkChars)")
+        expr(s"substring(_t, pos * $stride + 1, $chunkChars)")
           .as("chunk_text"))
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
   }

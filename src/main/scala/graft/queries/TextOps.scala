@@ -618,7 +618,8 @@ object TextOps {
     // identical closed-form chunk count and 1-based substring windows
     "q_chunk" ->
       ("WITH n AS (SELECT doc_id, text, " +
-        "greatest(length(text) - 33, 0) // 64 + 1 AS nc FROM documents), " +
+        "greatest(coalesce(length(text), 0) - 33, 0) // 64 + 1 AS nc " +
+        "FROM documents), " +
         "e AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM n) " +
         "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, " +
         "substring(text, CAST(i * 64 + 1 AS INTEGER), 96) AS chunk_text, " +
@@ -837,8 +838,8 @@ object TextOps {
         "len(regexp_extract_all(t, '<[^>]*>')) AS n_tags_removed, " +
         "replace(replace(replace(replace(replace(replace(" +
         "regexp_replace(regexp_replace(regexp_replace(t, " +
-        "'<script[^>]*>.*?</script>', ' ', 'g'), " +
-        "'<style[^>]*>.*?</style>', ' ', 'g'), " +
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
         "'<[^>]*>', ' ', 'g'), " +
         "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
         "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS c " +
@@ -852,9 +853,10 @@ object TextOps {
         "CAST(sum(w) AS BIGINT) AS n_words, " +
         "CAST(sum(t) AS BIGINT) AS n_bpe_tokens, " +
         "CAST(sum(c) AS BIGINT) AS n_chars, " +
-        "CAST(sum(t) AS BIGINT) * 1000 // CAST(sum(w) AS BIGINT) " +
-        "AS fertility_x1000, " +
-        "CAST(sum(c) AS BIGINT) * 1000 // CAST(sum(t) AS BIGINT) " +
+        "CASE WHEN sum(w) > 0 THEN CAST(sum(t) AS BIGINT) * 1000 " +
+        "// CAST(sum(w) AS BIGINT) ELSE 0 END AS fertility_x1000, " +
+        "CASE WHEN sum(t) > 0 THEN CAST(sum(c) AS BIGINT) * 1000 " +
+        "// CAST(sum(t) AS BIGINT) ELSE 0 END " +
         "AS chars_per_tok_x1000 FROM (" +
         "SELECT lang, len(string_split(text, ' ')) AS w, " +
         "len(regexp_extract_all(text, " +
@@ -970,12 +972,16 @@ object TextOps {
         "CAST(count(*) AS BIGINT) AS n_common " +
         "FROM v a JOIN v b USING (tok) WHERE a.source < b.source " +
         "GROUP BY 1, 2) " +
-        "SELECT source_a, source_b, n_common, " +
+        // every pair (a < b) appears even at zero overlap — the engine
+        // builds the same skeleton off the sizes frame
+        "SELECT sa.source AS source_a, sb.source AS source_b, " +
+        "coalesce(n_common, 0) AS n_common, " +
         "sa.n AS n_vocab_a, sb.n AS n_vocab_b, " +
-        "CAST(n_common * 1000 // (sa.n + sb.n - n_common) AS BIGINT) " +
-        "AS jaccard_x1000 FROM p " +
-        "JOIN s sa ON sa.source = p.source_a " +
-        "JOIN s sb ON sb.source = p.source_b"),
+        "CAST(coalesce(n_common, 0) * 1000 // " +
+        "(sa.n + sb.n - coalesce(n_common, 0)) AS BIGINT) " +
+        "AS jaccard_x1000 FROM s sa JOIN s sb ON sa.source < sb.source " +
+        "LEFT JOIN p ON p.source_a = sa.source " +
+        "AND p.source_b = sb.source"),
     "q_sessionize" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (" +
@@ -1055,21 +1061,22 @@ object TextOps {
         "ELSE '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || " +
         "CAST((doc_id * 7) % 256 AS VARCHAR) END AS text FROM documents) " +
         "SELECT doc_id, " +
-        "len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) " +
+        "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) " +
         "AS n_emails, " +
         "len(regexp_extract_all(text, '\\+[0-9]{2,3} [0-9]{7,11}')) " +
         "AS n_phones, " +
         "len(regexp_extract_all(text, " +
         "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ips, " +
         "regexp_replace(regexp_replace(regexp_replace(text, " +
-        "'[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), " +
         "'\\+[0-9]{2,3} [0-9]{7,11}', '<PHONE>', 'g'), " +
         "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') " +
         "AS redacted FROM p"),
     // the language-ID heuristic restated in DuckDB SQL (fold argmax ==
     // "first language in profile order achieving the max score")
     "q_langid" ->
-      ("SELECT doc_id, CASE WHEN n_cjk * 5 >= length(text) THEN 'zh' " +
+      ("SELECT doc_id, CASE WHEN length(text) > 0 " +
+        "AND n_cjk * 5 >= length(text) THEN 'zh' " +
         "WHEN m > 0 THEN best_lang ELSE 'unknown' END AS lang_pred FROM (" +
         "SELECT doc_id, text, n_cjk, " +
         "greatest(s_en, s_es, s_de, s_fr) AS m, " +

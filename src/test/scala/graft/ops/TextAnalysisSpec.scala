@@ -407,8 +407,74 @@ class TextAnalysisSpec extends SparkSpec {
         (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
     // book<web: common {c,d}=2, sizes 3/4, J = 2/5 = 400
     assert(r(("book", "web")) == ((2L, 3L, 4L, 400L)))
-    // disjoint pairs produce NO row (inner join on tok)
-    assert(r.size == 1 && !r.keySet.exists(p => p._1 == "code" || p._2 == "code"))
+    // disjoint pairs get an EXPLICIT zero row (r13): a missing pair is
+    // indistinguishable from "not computed", and zero-overlap pairs are
+    // the redundancy-free signal mixing planning looks for
+    assert(r.size == 3, r.keySet.toString)
+    assert(r(("book", "code")) == ((0L, 3L, 2L, 0L)))
+    assert(r(("code", "web")) == ((0L, 2L, 4L, 0L)))
+    graft.ops.Stage.releaseAll(spark)
+  }
+
+  test("strip markup: multi-line and uppercase script blocks drop wholesale") {
+    val docs = Seq(
+      (1L, "<script>\nvar x = 1;\nalert(x);\n</script>Hello"),
+      (2L, "<STYLE>\np { color: red }\n</STYLE>World"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.stripMarkup(docs).collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r(1L) == "Hello", s"script code leaked: '${r(1L)}'")
+    assert(r(2L) == "World", s"style rules leaked: '${r(2L)}'")
+  }
+
+  test("langId: empty text is unknown, not zh") {
+    val r = TextAnalysis.langIds(
+        Seq((1L, ""), (2L, "的 是 了 在 中 文")).toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "unknown", r.toString)
+    assert(r(2L) == "zh") // the CJK shortcut still fires on real CJK
+  }
+
+  test("fertility: an all-empty language reports zeros, not a crash") {
+    val docs = Seq(("xx", ""), ("xx", ""), ("en", "the cat sat"))
+      .toDF("lang", "text")
+    val r = TextAnalysis.tokenizerFertility(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(5), x.getLong(6))).toMap
+    // ANSI mode would have thrown DIVIDE_BY_ZERO on the xx group; note
+    // split("") is Array("") so n_words=2 but n_bpe_tokens=0 — the
+    // chars-per-token ratio is the guarded one here
+    assert(r("xx") == ((0L, 0L)), r.toString)
+    assert(r("en")._1 > 0L)
+  }
+
+  test("redact: dashed/plus-addressed emails redact fully") {
+    val r = TextAnalysis.redactPii(
+        Seq((1L, "mail john-doe+spam@x.com now")).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getLong(1) == 1L)
+    assert(r.getString(4) == "mail <EMAIL> now",
+      s"PII fragment leaked: '${r.getString(4)}'")
+  }
+
+  test("chunkDocs: odd column names parse; NULL text keeps chunk 0") {
+    val docs = Seq((1L, "abcdef"), (2L, null: String))
+      .toDF("doc_id", "page text")
+    val r = TextAnalysis.chunkDocs(docs, chunkChars = 4, stride = 2,
+        textCol = "page text").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        Option(x.getString(2))).toMap
+    assert(r((1L, 0L)) == Some("abcd") && r((1L, 1L)) == Some("cdef"))
+    // NULL-text doc stays joinable: one chunk-0 row with NULL text
+    assert(r.contains((2L, 0L)) && r((2L, 0L)).isEmpty, r.toString)
+  }
+
+  test("keywords: shuffle-join path (broadcastVocab=false) is identical") {
+    val docs = Seq((1L, "a a b c"), (2L, "b b c d")).toDF("doc_id", "text")
+    def out(b: Boolean) = TextAnalysis.keywords(docs, k = 2,
+        broadcastVocab = b).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3)))
+      .toSet
+    assert(out(true) == out(false))
   }
 
   test("winnowing: short docs — below k dropped, below w one window") {

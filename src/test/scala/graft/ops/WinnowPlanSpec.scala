@@ -42,9 +42,18 @@ class WinnowPlanSpec extends SparkSpec {
 
   test("vocab overlap: token self-join is an equi-join, never cartesian") {
     val plan = executed(graft.queries.TextOps.vocabOverlapQ(spark, dir))
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      "token self-join degenerated to a cross product:\n" + plan.take(600))
+    assert(!plan.contains("CartesianProduct"),
+      "unbroadcast cross product planned:\n" + plan.take(600))
+    // the corpus-sized TOKEN self-join must stay an equi-join on tok
+    assert(plan.contains("Join [tok"),
+      "token self-join degenerated from an equi-join:\n" + plan.take(600))
+    // the r13 zero-overlap completion builds its pair skeleton as ONE
+    // bounded cross join of the |sources|-row sizes frame (broadcast
+    // nested loop over an aggregate — allowed); anything beyond that
+    // single skeleton join means a corpus-sized relation went nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      "more than the pair-skeleton cross join went nested-loop:\n" +
+        plan.take(600))
     assert(plan.contains("InMemoryTableScan"),
       "distinct vocabulary not staged — tokenized per branch:\n" +
         plan.take(600))
