@@ -346,7 +346,7 @@ object Dedup {
     * ([[incrementalNearDedup]]), so the hash family and distinctness
     * step cannot drift between the two and their LSH candidates stay
     * comparable. */
-  private def hashedShingleRows(docs: DataFrame, n: Int,
+  private[graft] def hashedShingleRows(docs: DataFrame, n: Int,
       textCol: String): DataFrame =
     docs.select(col("doc_id"),
       array_distinct(transform(shingles(col(textCol), n), s => phash(s)))
@@ -1100,13 +1100,21 @@ object Dedup {
     * (interpreted-HOF rule, BENCH_NOTES r6). sequence(0, n-w) DESCENDS
     * when n < w (Spark semantics) — guarded to an empty list so short
     * docs contribute no windows. */
+  /** The per-row array of `w`-token window hashes over a `_toks`-style
+    * token-array column — ONE definition of the rolling window hash,
+    * shared by the exploded batch form below and the streaming span
+    * screen's row-local fold (EventStream.spanScreenAgainstCorpus), so
+    * the hash/window recipe cannot drift between duals. */
+  private[graft] def windowHashes(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w), i =>
+        graft.functions.GraftFunctions.polyHash2(
+          concat_ws(" ", slice(toks, i + 1, lit(w))))))
+      .otherwise(array())
+
   private def windowHashRows(toks: DataFrame, w: Int): DataFrame =
-    toks.select(col("doc_id"), posexplode(
-        when(size(col("_toks")) >= w,
-          transform(sequence(lit(0), size(col("_toks")) - w), i =>
-            graft.functions.GraftFunctions.polyHash2(
-              concat_ws(" ", slice(col("_toks"), i + 1, lit(w))))))
-          .otherwise(array())))
+    toks.select(col("doc_id"),
+        posexplode(windowHashes(col("_toks"), w)))
       .toDF("doc_id", "pos", "h")
 
   def duplicateSpans(docs: DataFrame, windowTokens: Int = 8,

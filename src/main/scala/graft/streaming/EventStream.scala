@@ -37,20 +37,25 @@ object EventStream {
     * first file lands. Construct the stream after the first file lands;
     * the probe is one footer read, not a data scan. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val tsDdl = scala.util.Try(
-        spark.read.parquet(dir).schema("ts").dataType.sql)
-      .getOrElse(throw new IllegalStateException(
-        s"readEvents: cannot probe the event timestamp type — '$dir' " +
-          "has no readable parquet footer with a ts column (empty " +
-          "landing dir?). The declared stream schema must match the " +
-          "producer's physical timestamp variant (nanos vs micros), so " +
-          "construct the stream AFTER the first file lands instead of " +
-          "guessing a default that breaks at micro-batch time."))
-    val raw = spark.readStream
-      .schema(s"event_id LONG, ts $tsDdl, user_id LONG, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-    graft.Tables.normalizeEventTs(raw)
+    // the probe reads the WHOLE footer schema, so a producer-generation
+    // flip in ANY column (ts nanos/micros, event_id int32/int64, ...)
+    // flows into the declared stream schema instead of splitting stream
+    // from batch on the next non-ts flip; the original failure is
+    // chained as the cause so a corrupt footer or permission error stays
+    // diagnosable instead of masquerading as an empty dir
+    val probed = scala.util.Try(spark.read.parquet(dir).schema) match {
+      case scala.util.Success(sc) if sc.fieldNames.contains("ts") => sc
+      case r =>
+        throw new IllegalStateException(
+          s"readEvents: cannot probe the event schema — '$dir' has no " +
+            "readable parquet footer with a ts column (empty landing " +
+            "dir?). The declared stream schema must match the " +
+            "producer's physical types (e.g. nanos vs micros ts), so " +
+            "construct the stream AFTER the first file lands instead " +
+            "of guessing a default that breaks at micro-batch time.",
+          r.failed.toOption.orNull)
+    }
+    graft.Tables.normalizeEventTs(spark.readStream.schema(probed).parquet(dir))
   }
 
   /** Tumbling event-time window counts with a watermark — the streaming
@@ -80,7 +85,19 @@ object EventStream {
 
   /** Gap-based sessionization with explicit state: per user, a new session
     * starts when the gap exceeds `gapMs`. Emits the running per-user
-    * totals each batch (OutputMode.Update downstream). */
+    * totals each batch (OutputMode.Update downstream).
+    *
+    * STATE BOUND: one fixed-size row (3 longs) per DISTINCT user —
+    * O(users), not O(events) — kept under NoTimeout because the state
+    * carries the user's RUNNING totals, which an eviction would zero.
+    * That is the right trade for a bounded user population; unbounded
+    * key churn (bots, anonymous ids) needs the variant that evicts idle
+    * users via EventTimeTimeout and re-aggregates the emitted totals
+    * downstream. LATE DATA: events are sorted within each micro-batch;
+    * a CROSS-batch late event folds into the user's current session
+    * (never opens one) and cannot regress the gap clock (max() below) —
+    * exact batch parity (Sessionize's global sort) holds when delivery
+    * is in order across batches, the file source's usual shape. */
   def sessionize(events: DataFrame, gapMs: Long = 1800000L):
       Dataset[SessionOut] = {
     val spark = events.sparkSession
@@ -98,7 +115,14 @@ object EventStream {
           sorted.foreach { t =>
             val newSession = st.lastTsMs == Long.MinValue ||
               t - st.lastTsMs > gapMs
-            st = SessionState(t, st.nSessions + (if (newSession) 1 else 0),
+            // max(): a CROSS-batch late event (t < lastTsMs — beyond the
+            // within-batch sort above) folds into the current session and
+            // must never regress the gap clock; an unconditional
+            // overwrite would make the NEXT in-window event measure its
+            // gap against the stale late timestamp and open a phantom
+            // session the batch dual (global sort) does not count
+            st = SessionState(math.max(t, st.lastTsMs),
+              st.nSessions + (if (newSession) 1 else 0),
               st.nEvents + 1)
           }
           state.update(st)
@@ -208,12 +232,12 @@ object EventStream {
       n: Int = 2, k: Int = 64, bands: Int = 16, numer: Int = 7,
       denom: Int = 10, textCol: String = "text"): DataFrame = {
     import graft.ops.Dedup
-    val ph = (c: Column) => graft.functions.GraftFunctions.polyHash(c)
     // static index: shingles for verification, native-agg signatures,
-    // band rows — built once per (micro-batch-epoch) plan
-    val csh = corpus.select(col("doc_id").as("corpus_id"),
-      array_distinct(transform(Dedup.shingles(col(textCol), n), ph))
-        .as("sh_c"))
+    // band rows — built once per (micro-batch-epoch) plan; the hashed
+    // shingle relation is Dedup's own recipe on BOTH sides, so the
+    // stream and batch hash families cannot drift
+    val csh = Dedup.hashedShingleRows(corpus, n, textCol)
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
     val cband = Dedup.bandRows(
         Dedup.minhashSignaturesNative(corpus, n, k, textCol), bands, k)
       .withColumnRenamed("doc_id", "corpus_id")
@@ -223,21 +247,27 @@ object EventStream {
         h => pmod(h * a + b, lit(Dedup.P))))
     }: _*)
     val streamBands = Dedup.bandRows(
-      docs.select(col("doc_id"),
-          array_distinct(transform(Dedup.shingles(col(textCol), n), ph))
-            .as("sh"))
-        .withColumn("sig", sigCol),
+      Dedup.hashedShingleRows(docs, n, textCol).withColumn("sig", sigCol),
       bands, k, carry = Seq("sh"))
+    // candidate dedup BEFORE verification (the batch dual's
+    // cand.distinct()): two near-identical docs collide in all `bands`
+    // bands, and verifying each collision would run the O(|sh|)
+    // intersection up to bands× per pair — the state the early
+    // dropDuplicates holds is the same (doc_id, corpus_id) key set the
+    // former post-verify dedup kept, so boundedness is unchanged. The
+    // intersection itself materializes ONCE in a select (FilterExec does
+    // no common-subexpression elimination inside a predicate).
     streamBands
       .join(cband, Seq("band", "key"))
-      .join(csh, Seq("corpus_id"))
-      .filter(size(array_intersect(col("sh"), col("sh_c"))).cast("long")
-        * denom >=
-        (size(col("sh")) + size(col("sh_c")) -
-          size(array_intersect(col("sh"), col("sh_c")))).cast("long")
-        * numer)
-      .select(col("doc_id"), col("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"), col("sh"))
       .dropDuplicates("doc_id", "corpus_id")
+      .join(csh, Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+        size(array_intersect(col("sh"), col("sh_c"))).cast("long")
+          .as("_ni"),
+        (size(col("sh")) + size(col("sh_c"))).cast("long").as("_ss"))
+      .filter(col("_ni") * denom >= (col("_ss") - col("_ni")) * numer)
+      .select(col("doc_id"), col("corpus_id"))
   }
 
   /** Streaming duplicate-SPAN screen against a static corpus — the
@@ -270,16 +300,16 @@ object EventStream {
     val words = graft.ops.Dedup.spanBank(corpus, w, textCol)
       .select(BloomAgg.bloomAgg(col("h"), bits, k).as("wd"))
       .head().getSeq[Long](0).toArray
-    val base = docs.select(col("doc_id"),
-      split(col(textCol), " ").as("_toks"))
+    // NULL-text docs are ABSENT, matching the batch dual exactly (its
+    // posexplode of a NULL token array emits no rows) — without the
+    // screen this op would emit a (doc_id, NULL, 0, NULL) superset row
+    // and break the asserted row-level parity
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), split(col(textCol), " ").as("_toks"))
     // flagged window START positions, ascending (generation order)
     val starts = filter(
       transform(
-        when(size(col("_toks")) >= w,
-          transform(sequence(lit(0), size(col("_toks")) - w), i =>
-            graft.functions.GraftFunctions.polyHash2(
-              concat_ws(" ", slice(col("_toks"), i + 1, lit(w))))))
-          .otherwise(array()),
+        graft.ops.Dedup.windowHashes(col("_toks"), w),
         (h, i) => when(BloomAgg.mightContain(h, words, bits, k), i)
           .otherwise(lit(-1))),
       p => p >= 0)

@@ -221,6 +221,57 @@ class EventStreamSpec extends SparkSpec {
     assert(gotCounts == expected.filter(_._2 > 0L))
   }
 
+  test("cross-batch late event folds into the session, never a phantom") {
+    // delivery: 10:00 (batch 1), 09:00 (batch 2 — LATE), 10:20 (batch 3).
+    // The late event must fold into the open session WITHOUT regressing
+    // the gap clock: pre-fix, lastTs regressed to 09:00 and the 10:20
+    // event measured an 80-min gap → a phantom second session. The
+    // documented streaming semantics count ONE session (batch parity is
+    // scoped to in-order delivery; a late event never opens a session).
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def writeOne(name: String, tsMs: Long, mtime: Long): Unit = {
+      Seq((1L, new java.sql.Timestamp(tsMs)))
+        .toDF("user_id", "ts").coalesce(1)
+        .write.parquet(s"$dir/$name")
+      new java.io.File(s"$dir/$name").listFiles()
+        .foreach(_.setLastModified(mtime))
+    }
+    writeOne("f1", base, 1000000L)                    // 10:00
+    writeOne("f2", base - 3600000L, 2000000L)         // 09:00, late
+    writeOne("f3", base + 1200000L, 3000000L)         // 10:20
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+    val got = EventStream.runToMemory(
+        EventStream.sessionize(stream).toDF(), "sessions_late",
+        lastPerKey = Seq("user_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(got == ((3L, 1L)),
+      s"expected (n_events, n_sessions) = (3, 1), got $got")
+  }
+
+  test("streaming span screen: NULL-text doc absent, like the batch dual") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val corpus = Seq((100L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val dir = s"${Files.createTempDirectory("graft-span-null")}/docs"
+    Seq((1L, "a b c d e f g h i j k l"), (2L, null: String))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val got = EventStream.runToMemory(
+        EventStream.spanScreenAgainstCorpus(stream, corpus), "span_null",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L),
+      s"NULL-text doc must be absent (batch dual drops it): $got")
+  }
+
   test("streaming span screen matches the batch spanScreen exactly") {
     import java.nio.file.Files
     val docs = Tables(spark, sf).documents.select("doc_id", "text")
