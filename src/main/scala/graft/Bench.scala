@@ -84,7 +84,7 @@ object Bench {
     val failedReps = scala.collection.mutable.Set[String]()
     def timeQuery(name: String,
                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                  n: Int): Seq[Double] = {
+                  n: Int, release: Boolean = true): Seq[Double] = {
       val dir = if (quadFamily(name)) quadSampleDir.getOrElse(sfDir)
                 else sfDir
       val times = (1 to n).flatMap { i =>
@@ -102,15 +102,38 @@ object Bench {
       // must not accumulate across the suite (144 queries' worth of
       // pinned blocks would evict each other unpredictably at larger
       // sf). Memoized holders rebuild-on-touch, so the release is safe.
-      graft.ops.Stage.releaseAll(spark)
+      // EXCEPT inside the contiguous q_osm_* block (release=false): a
+      // release invalidates the shared OsmPipeline memos, so every OSM
+      // query's rep 1 would re-pay the whole staging — the attribution
+      // defect that produced five rounds of false "regressions". The OSM
+      // relations are a few MB, so pinning them across the block is free.
+      if (release) graft.ops.Stage.releaseAll(spark)
       times
     }
 
+    def isOsm(name: String): Boolean = name.startsWith("q_osm_")
+    // The shared OSM staging, measured ONCE as its own artifact line
+    // (never charged to a query). Re-run untimed before any OSM re-run,
+    // since intervening releases invalidate the pipeline memos.
+    var osmStagingSec = -1.0d
+    def preStageOsm(): Unit = {
+      val t0 = System.nanoTime()
+      graft.queries.OsmQueries.stageAll(spark)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (osmStagingSec < 0) osmStagingSec = dt
+    }
+
     // sorted for a stable, comparable per-query breakdown across rounds
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }.map {
-        case (name, fn) => (name, fn, timeQuery(name, fn, reps))
-      }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val firstPass = ordered.zipWithIndex.map {
+      case ((name, fn), i) =>
+        val nextOsm = i + 1 < ordered.size && isOsm(ordered(i + 1)._1)
+        if (isOsm(name) && (i == 0 || !isOsm(ordered(i - 1)._1)))
+          preStageOsm()
+        (name, fn, timeQuery(name, fn, reps,
+          release = !(isOsm(name) && nextOsm)))
+    }
     // second chance for contended queries: after the whole suite has run
     // (peak memory pressure and first-touch staging are behind us), re-run
     // any query whose min still sits 3× above its committed baseline, and
@@ -124,6 +147,9 @@ object Bench {
             s"[bench] $name: every rep failed — re-running"
           else
             s"[bench] $name min ${times.min} vs prior ${prior(name)} — re-running")
+          // intervening releases dropped the shared OSM staging — rebuild
+          // it OUTSIDE the timer so the re-run measures the query alone
+          if (isOsm(name)) preStageOsm()
           timeQuery(name, fn, math.max(reps, 3))
         } else Nil
       name -> (times ++ rerun)
@@ -138,6 +164,16 @@ object Bench {
     // box; either way the artifact says "don't trust this as the trend".
     val unsteady = results.collect {
       case (n, ts) if prior.get(n).exists(p => contended(ts.min, p)) => n
+    }
+    // rep-spread flag: the min can look healthy while another rep ran 3×
+    // slower — the r13 artifact carried a 37.3 s rep inside
+    // `steady_state: true`. The flag makes a noisy query diagnosable from
+    // the artifact alone (the min is still the steady-state number; a
+    // flagged query just shouldn't anchor a round-over-round comparison
+    // without looking at rep_times). Same 3×-and->0.5s band as
+    // `contended`, applied across this run's own reps.
+    val spread = results.collect {
+      case (n, ts) if ts.max > 3.0 * ts.min && ts.max - ts.min > 0.5 => n
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
@@ -157,7 +193,12 @@ object Bench {
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","quad_sample_dir":"$d","quad_sampled":$sampled"""
     }.getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repJson,"sf":"$sfDir","reps":$reps,"steady_state":${unsteady.isEmpty && failedReps.isEmpty},"unsteady_queries":$unsteadyJson,"failed_queries":$failedJson$quadJson}"""
+    val spreadJson = spread.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // osm_staging: the shared pipeline materialization, measured once
+    // outside every per-query timer (absent when no q_osm_* query ran)
+    val osmJson = if (osmStagingSec >= 0) s""","osm_staging":$osmStagingSec"""
+                  else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repJson,"sf":"$sfDir","reps":$reps,"steady_state":${unsteady.isEmpty && failedReps.isEmpty},"unsteady_queries":$unsteadyJson,"spread_queries":$spreadJson,"failed_queries":$failedJson$osmJson$quadJson}"""
     println(line)
     // Self-contained record: the driver captures stdout with a bounded
     // tail, and a 144-query JSON line can exceed it (round 7's BENCH_r07

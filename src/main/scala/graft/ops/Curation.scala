@@ -32,4 +32,77 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).cast("long").as("sum_id"))
   }
+
+  /** The FULL training-data curation chain as one DAG — the product
+    * shape of the builder brief, every stage the library's own operator:
+    *
+    *   Gopher quality gate → exact digest dedup → simhash near-dup
+    *   cluster map (docs collapse to their cluster canonical, and the
+    *   SAME map keys the split — built once, used twice) → segment
+    *   decontamination against the eval set → leakage-safe train split →
+    *   temperature-flattened source mix → sequence packing → per-source
+    *   manifest of the packed training mixture.
+    *
+    * Returns one row per source: the manifest columns (docs, chars,
+    * id range, order-independent checksum) plus the packed token count
+    * and bin span — the artifact a training run publishes before it
+    * reads a byte.
+    *
+    * Scale shape: each stage keeps its own audited plan (per-row gate;
+    * digest-keyed shuffles; banded near-dup, never all-pairs; broadcast
+    * banned-segment set; stateless split/mix hashes; prefix-sum packing)
+    * — the composition adds only the narrow id semi-joins that thread
+    * the keep-sets through. The cluster map is staged: it feeds both the
+    * canonical collapse and the split ([[graft.ops.Sampling
+    * .leakageSafeSplitsFrom]]), the reuse the 100 TB pipeline gets by
+    * materializing the dedup stage's map
+    * ([[graft.sources.PartitionedStore.writeBucketed]]). Measured as one
+    * DAG at sf1/sf2 in BENCH_NOTES r14 (tools.CurationChainBench). */
+  def curationChain(docs: DataFrame, evalDocs: DataFrame,
+      targetRows: Long, minTokens: Long = 20L, maxTokens: Long = 100000L,
+      maxHamming: Int = 6, segTokens: Int = 8, alpha: Double = 0.5,
+      capacity: Long = 2048L, nShards: Int = 32): DataFrame = {
+    // 1: quality gate (text + source carried through for the stages
+    // downstream of the screen)
+    val gated = TextAnalysis.gopherRules(docs, minTokens, maxTokens,
+        "text", carry = Seq("source", "text"))
+      .filter(col("gopher_pass"))
+      .select(col("doc_id"), col("source"), col("text"))
+    // 2: exact digest dedup (keep lowest id per content digest)
+    val deduped = Dedup.firstPerDigest(
+        gated.withColumn("_dig", sha2(lower(col("text")), 256)))
+      .select(col("doc_id"), col("source"), col("text"))
+    // 3: near-dup cluster map — STAGED, because it is consumed twice
+    // (canonical collapse here, split keys below); this is the in-DAG
+    // form of the bucketed-table reuse the split scaladoc prescribes
+    val cmap = Stage.barrier(Dedup.simhashCanonical(deduped, maxHamming))
+    val canonical = deduped.join(
+      cmap.filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // 4: segment decontamination against the eval set (scrubbed text
+    // flows on; a fully-banned doc keeps zero segments)
+    val decon = Dedup.decontaminateSegments(canonical, evalDocs, segTokens)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(canonical.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // 5: leakage-safe split from the SAME cluster map; train side feeds
+    // the mixture
+    val train = decon.join(
+      Sampling.leakageSafeSplitsFrom(cmap)
+        .filter(col("split") === "train").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // 6: temperature-flattened source mix at the token budget's row target
+    val mixed = Stage.barrier(
+      Sampling.temperatureMix(train, "source", "doc_id", alpha, targetRows))
+    // 7: sequence packing of the mixture
+    val packed = Packing.packSequences(mixed, capacity, nShards)
+    // 8: per-source manifest of what a training run will actually read
+    TextAnalysis.manifest(mixed, "source")
+      .join(packed.join(mixed.select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).cast("long").as("n_tokens"),
+          countDistinct(col("bin")).cast("long").as("n_bins")),
+        Seq("source"))
+  }
 }

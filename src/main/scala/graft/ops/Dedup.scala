@@ -251,12 +251,19 @@ object Dedup {
     * distinct-over-surviving-buckets base semantics (pinned in
     * DedupSpec). Recall loss under a fired rail is only the pairs whose
     * EVERY matching bucket is over-cap, with the drop count surfacing
-    * via [[Rail.observed]]. [[hammingNearDupPairs]] keeps the
-    * all-blocks first-match rule instead (documented there): its
-    * emission decision runs inside the kernel AFTER the exchange, so
-    * the equivalent fix would carry a per-row over-cap mask through the
-    * hot (blk, key, tile) shuffle — real bytes on every row for a rail
-    * designed never to fire.
+    * via [[Rail.observed]]. FIRED-RAIL COST: the surviving-band
+    * when-chain probes the collected census with `array_contains` —
+    * O(bands × |census|) linear scans per joined candidate row (the
+    * `size == 0` fast path only protects the never-fired case). The
+    * census is bounded by corpus/maxBucket entries, so this is
+    * acceptable for a rail designed never to fire; if fired-rail runs
+    * become routine (small caps on mass-duplicate corpora), a sorted
+    * census + binary probe — or a bloom side-filter — would bound the
+    * scan, at the cost of a custom expression. [[hammingNearDupPairs]]
+    * applies the same surviving-bucket rule since r14 (a per-row
+    * over-cap mask through its kernel shuffle, measured at ~no cost —
+    * see there), so the two candidate generators share one fired-rail
+    * recall semantics.
     *
     * Band keys are compared by xxhash64 (collision odds ~2⁻⁶⁴ per
     * band-pair — immaterial to candidate recall, and candidates are
@@ -748,17 +755,22 @@ object Dedup {
     * self-join (losing only recall in pathological mass-duplicate
     * regions — at real scale, drop + log, never explode). The default
     * is far above any bucket the tested scale factors produce, so it is
-    * purely a rail. NOTE the recall semantics under a FIRED rail: the
-    * kernel emits a pair only in the first clean chunk-pair block of the
-    * pair's XOR, computed from the signatures alone — if THAT bucket is
-    * over-cap, the pair is dropped even when it co-occurs in a surviving
-    * bucket (pinned in DedupSpec). [[lshCandidatePairs]] restores the
-    * surviving-bucket base semantics because its first-match filter runs
-    * BEFORE any exchange touches it; here the decision sits inside the
-    * kernel past the (blk, key, tile) shuffle, and carrying a per-row
-    * over-cap mask through that hot exchange costs 8 bytes on every row
-    * for a rail designed never to fire — mass-duplicate corpora should
-    * exact-dedup first, raise the cap, or use [[simhashCanonical]].
+    * purely a rail. Recall semantics under a FIRED rail
+    * (`survivingBlocks = true`, the default since r14): the kernel emits
+    * a pair in the first clean chunk-pair block whose bucket SURVIVED
+    * the rail — a pair whose designated first block was railed is still
+    * found through any surviving co-occurrence, exactly
+    * [[lshCandidatePairs]]' surviving-band rule (pinned in DedupSpec +
+    * RailPropertySpec's executable model); only pairs ALL of whose clean
+    * blocks are over-cap are lost, with the bucket drop count surfacing
+    * via [[Rail.observed]]. The mask is a per-row long through the hot
+    * (blk, key, tile) exchange, folded doc-side from the broadcast
+    * census BEFORE the explode; the r14 sf1 A/B measured the carry at
+    * ~1% (BENCH_NOTES), retiring the pre-r14 all-blocks rule (available
+    * as `survivingBlocks = false`, which drops such pairs entirely —
+    * only worth it if the 8 bytes/row ever measurably matter). Either
+    * way, mass-duplicate corpora should exact-dedup first, raise the
+    * cap, or use [[simhashCanonical]].
     *
     * In-bucket pairing runs as a per-partition primitive microkernel
     * ([[HammingPairKernel]]), not a self-join: a signature-bucket census
@@ -777,8 +789,10 @@ object Dedup {
   def hammingNearDupPairs(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
       maxBucket: Int = 100000,
-      tileRows: Int = HammingPairKernel.TileRows): DataFrame =
-    hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket, tileRows)._1
+      tileRows: Int = HammingPairKernel.TileRows,
+      survivingBlocks: Boolean = true): DataFrame =
+    hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket, tileRows,
+      survivingBlocks)._1
 
   /** [[hammingNearDupPairs]] plus the number of (blk, key) buckets the
     * `maxBucket` rail dropped, counted EAGERLY (one census job at call
@@ -790,14 +804,30 @@ object Dedup {
     * `graft.rail` observation metric instead ([[Rail.observed]]). */
   def hammingNearDupPairsWithStats(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
-      maxBucket: Int = 100000): (DataFrame, Long) = {
+      maxBucket: Int = 100000,
+      survivingBlocks: Boolean = true): (DataFrame, Long) = {
     val (pairs, overCap) =
-      hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket)
+      hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket,
+        survivingBlocks = survivingBlocks)
     val droppedBuckets = overCap.count()
     if (droppedBuckets > 0)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(hammingRailWarn(maxBucket).format(droppedBuckets))
     (pairs, droppedBuckets)
+  }
+
+  /** The 28 ordered chunk-pair block keys of a 64-bit signature column —
+    * (blk = c1*8+c2, key = chunk(c1)*256 + chunk(c2)) — the ONE blocking
+    * recipe shared by [[hammingNearDupPairs]]' plan and the streaming
+    * split dual's stream-static index
+    * ([[graft.streaming.EventStream.splitAgainstCorpus]]), so the two
+    * sides' bucket keys cannot drift (the same shared-recipe posture as
+    * [[windowHashes]] / [[hashedShingleRows]]). */
+  private[graft] def chunkPairDefs(sig: Column): Seq[(Int, Column)] = {
+    def chunk(c: Int): Column = shiftright(sig, c * 8).bitwiseAND(255L)
+    for {
+      c1 <- 0 until 8; c2 <- (c1 + 1) until 8
+    } yield (c1 * 8 + c2, chunk(c1) * 256L + chunk(c2))
   }
 
   /** Rail kind for [[Rail.observed]] / observation metrics. */
@@ -833,7 +863,8 @@ object Dedup {
     * surfacing via the observation metric + session warn log. */
   private def hammingPlan(sigs: DataFrame, maxHamming: Int,
       idCol: String, sigCol: String, maxBucket: Int,
-      tileRows: Int = HammingPairKernel.TileRows)
+      tileRows: Int = HammingPairKernel.TileRows,
+      survivingBlocks: Boolean = true)
       : (DataFrame, DataFrame) = {
     require(tileRows >= 1, s"tileRows must be >= 1, got $tileRows")
     require(maxHamming <= 6,
@@ -849,12 +880,10 @@ object Dedup {
     // resolved at plan-construction time so an unsupported id type fails
     // the caller immediately, not inside a task
     val idLess = HammingPairKernel.idComparator(idType)
-    def chunk(c: Int): Column =
-      shiftright(col("simhash"), c * 8).bitwiseAND(255L)
-    val pairCols = for {
-      c1 <- 0 until 8; c2 <- (c1 + 1) until 8
-    } yield struct(lit(c1 * 8 + c2).as("blk"),
-      (chunk(c1) * 256L + chunk(c2)).as("key"))
+    val pairDefs = chunkPairDefs(col("simhash"))
+    val pairCols = pairDefs.map { case (b, k) =>
+      struct(lit(b).as("blk"), k.as("key"))
+    }
     // The PRE-filter relation — the kernel exchange and the census read
     // the same blocks; no barrier (see [[hammingPlan]] scaladoc on
     // exchange reuse).
@@ -926,29 +955,72 @@ object Dedup {
             least(ceil(col("_bn") / lit(tileRows.toDouble)),
               lit(HammingPairKernel.MaxTilesPerBucket.toLong))
               .cast("int").as("_g")))
-    val tiled = blocked0
-      .select(col("blk"), col("key"), col("doc_id"), col("simhash"))
+    // SURVIVING-BLOCK MASK (r14, default on): the kernel's emission rule
+    // needs to know, per row, which of the row's 28 (blk, key) buckets
+    // the rail dropped — so a pair whose FIRST clean block is over-cap
+    // still emits, exactly once, in its first SURVIVING clean block
+    // (parity with lshCandidatePairs' surviving-band rule; before r14
+    // the kernel kept the all-blocks rule and a fired rail lost those
+    // pairs). The census rides in as ONE collected row (same bounded
+    // argument as the broadcast: every over-cap bucket holds > maxBucket
+    // rows) cross-joined onto the per-DOC relation BEFORE the 28-way
+    // explode, where a codegen'd fold packs the 28 over-cap bits into
+    // one long. Cost when the rail never fired (the designed case): the
+    // `size == 0` fast path short-circuits the fold to lit(0), and the
+    // hot (blk, key, tile) exchange carries 8 extra bytes per row —
+    // measured at sf1 (BENCH_NOTES r14) at ~1% of the operator, which
+    // retires the "real bytes on every row" objection that justified
+    // the asymmetry. On clean blocks the two sides share the bucket, so
+    // either row's mask bit decides; dirty-block bits are never read.
+    val ocRow = overCap
+      .agg(collect_set(struct(col("blk"), col("key"))).as("_oc"))
+    val maskExpr = when(size(col("_oc")) === 0, lit(0L)).otherwise(
+      pairDefs.foldLeft(lit(0L)) { case (acc, (b, k)) =>
+        acc.bitwiseOR(when(array_contains(col("_oc"),
+          struct(lit(b).as("blk"), k.as("key"))), lit(1L << b))
+          .otherwise(lit(0L)))
+      })
+    // kernel-branch blocked relation: the census above reads the
+    // UNMASKED blocked0 (the mask depends on the census — masking the
+    // census's own input would be circular)
+    // the mask select sits in its OWN projection below the explode:
+    // fused into one select, the analyzer plans the Generate first and
+    // the 28-probe CASE lands ABOVE it — evaluated per exploded row
+    // (28× per doc) instead of once per doc
+    val blockedK =
+      if (!survivingBlocks) blocked0
+      else hs.crossJoin(broadcast(ocRow))
+        .select(col("doc_id"), col("simhash"), maskExpr.as("_mask"))
+        .select(col("doc_id"), col("simhash"), col("_mask"),
+          explode(array(pairCols: _*)).as("ck"))
+        .select(col("doc_id"), col("simhash"), col("_mask"),
+          col("ck.blk").as("blk"), col("ck.key").as("key"))
+    val maskCols = if (survivingBlocks) Seq(col("_mask")) else Nil
+    val tiled = blockedK
+      .select(Seq(col("blk"), col("key"), col("doc_id"),
+        col("simhash")) ++ maskCols: _*)
       .join(broadcast(annotated), Seq("blk", "key"), "left")
       .filter(col("_g").isNull || col("_g") =!= -1)
       .withColumn("_g", coalesce(col("_g"), lit(1)))
       .withColumn("_b",
         pmod(xxhash64(col("doc_id")), col("_g").cast("long")).cast("int"))
-      .select(col("blk"), col("key"), col("doc_id"), col("simhash"),
-        col("_b"),
+      .select(Seq(col("blk"), col("key"), col("doc_id"), col("simhash")) ++
+        maskCols ++ Seq(col("_b"),
         explode(transform(sequence(lit(0), col("_g") - 1),
           t => least(col("_b"), t) * HammingPairKernel.TileBase +
-            greatest(col("_b"), t))).as("tile"))
+            greatest(col("_b"), t))).as("tile")): _*)
     val outSchema = types.StructType(Seq(
       types.StructField("doc_a", idType),
       types.StructField("doc_b", idType),
       types.StructField("hamming", types.LongType, nullable = false)))
     val pairs = tiled
-      .select(col("blk"), col("key"), col("tile"), col("_b"),
-        col("doc_id"), col("simhash"))
+      .select(Seq(col("blk"), col("key"), col("tile"), col("_b"),
+        col("doc_id"), col("simhash")) ++ maskCols: _*)
       .repartition(col("blk"), col("key"), col("tile"))
       .sortWithinPartitions(col("blk"), col("key"), col("tile"), col("_b"))
       .mapPartitions(rows =>
-        new HammingPairKernel(rows, maxHamming, idLess))(
+        new HammingPairKernel(rows, maxHamming, idLess,
+          hasMask = survivingBlocks))(
         org.apache.spark.sql.Encoders.row(outSchema))
     (pairs, overCap)
   }
@@ -1511,7 +1583,9 @@ object Dedup {
   * for.
   *
   * Contract: `rows` are (blk: int, key: long, tile: int, b: int,
-  * id: any, sig: long), partition-locally SORTED by (blk, key, tile, b)
+  * id: any, sig: long[, mask: long when `hasMask` — the per-row
+  * over-cap block bitmask, bit c1*8+c2]), partition-locally SORTED by
+  * (blk, key, tile, b)
   * so each bucket tile arrives contiguous and complete (the caller's
   * `repartition(blk, key, tile)` + `sortWithinPartitions` — never split
   * by AQE for a user repartition). `tile` encodes a block-index pair
@@ -1532,15 +1606,21 @@ object Dedup {
   * Exactly-once emission and orientation replicate the former SQL plan:
   * a verified pair (hamming ≤ maxHamming, always ≤ 6) has ≥ 2 clean
   * XOR byte-chunks by pigeonhole and is emitted only in the block of
-  * its lexicographically first clean chunk-pair; `doc_a < doc_b` under
-  * the id column's own ordering ([[HammingPairKernel.idComparator]] —
-  * UTF8 binary for strings, matching Spark's `<` on StringType). */
+  * its lexicographically first clean chunk-pair — first clean
+  * SURVIVING chunk-pair under `hasMask` (the caller's rail dropped
+  * over-cap buckets, so emission attribution must skip them or railed
+  * first-blocks would silently eat pairs that co-occur elsewhere);
+  * `doc_a < doc_b` under the id column's own ordering
+  * ([[HammingPairKernel.idComparator]] — UTF8 binary for strings,
+  * matching Spark's `<` on StringType). */
 private[ops] final class HammingPairKernel(
     rows: Iterator[Row], maxHamming: Int,
-    idLess: (Any, Any) => Boolean) extends Iterator[Row] {
+    idLess: (Any, Any) => Boolean,
+    hasMask: Boolean = false) extends Iterator[Row] {
   private val buf = rows.buffered
   private var ids: Array[Any] = _
   private var sg: Array[Long] = _
+  private var mk: Array[Long] = _ // per-row over-cap block mask (see plan)
   private var n = 0
   private var nA = 0 // cross tiles: first index of the t2 side
   private var cross = false
@@ -1561,6 +1641,7 @@ private[ops] final class HammingPairKernel(
     cross = t1 != tile % HammingPairKernel.TileBase
     val ib = Array.newBuilder[Any]
     val sb = Array.newBuilder[Long]
+    val mb = if (hasMask) Array.newBuilder[Long] else null
     var m = 0
     var a = 0
     while (buf.hasNext && buf.head.getInt(0) == blk &&
@@ -1569,14 +1650,25 @@ private[ops] final class HammingPairKernel(
       if (r.getInt(3) == t1) a += 1 // sorted by b, so the t1 side is [0, a)
       ib += r.get(4)
       sb += r.getLong(5)
+      if (hasMask) mb += r.getLong(6)
       m += 1
     }
     ids = ib.result(); sg = sb.result(); n = m
+    mk = if (hasMask) mb.result() else null
     nA = if (cross) a else n
     i = 0
     j = if (cross) nA else 1
     true
   }
+
+  /** Emission block for the candidate (i, j): the first clean chunk-pair
+    * block under the row's over-cap mask (all-blocks rule when no mask —
+    * identical, since firstCleanSurvivingBlk(x, 0) == firstCleanBlk(x)).
+    * On clean blocks both rows share the bucket, so either side's mask
+    * bit decides; row i's is used. */
+  @inline private def emitBlk(x: Long, iRow: Int): Int =
+    if (mk == null) HammingPairKernel.firstCleanBlk(x)
+    else HammingPairKernel.firstCleanSurvivingBlk(x, mk(iRow))
 
   /** True when the current group has no (i, j) cursor positions left. */
   private def groupDone: Boolean =
@@ -1595,7 +1687,7 @@ private[ops] final class HammingPairKernel(
           while (j < n) {
             val x = si ^ sg(j)
             if (java.lang.Long.bitCount(x) <= maxHamming &&
-                HammingPairKernel.firstCleanBlk(x) == blk) {
+                emitBlk(x, i) == blk) {
               val h = java.lang.Long.bitCount(x).toLong
               out = if (idLess(ids(i), ids(j))) Row(ids(i), ids(j), h)
               else Row(ids(j), ids(i), h)
@@ -1615,7 +1707,7 @@ private[ops] final class HammingPairKernel(
             // popcount first (the overwhelming reject path); the
             // first-clean-block check runs on survivors only
             if (java.lang.Long.bitCount(x) <= maxHamming &&
-                HammingPairKernel.firstCleanBlk(x) == blk) {
+                emitBlk(x, i) == blk) {
               val h = java.lang.Long.bitCount(x).toLong
               out = if (idLess(ids(i), ids(j))) Row(ids(i), ids(j), h)
               else Row(ids(j), ids(i), h)
@@ -1679,6 +1771,36 @@ private[ops] object HammingPairKernel {
     val c1 = java.lang.Integer.numberOfTrailingZeros(m)
     val c2 = java.lang.Integer.numberOfTrailingZeros(m & (m - 1))
     c1 * 8 + c2
+  }
+
+  /** [[firstCleanBlk]] under a per-row over-cap mask (bit `c1*8+c2` set =
+    * that block's bucket was railed): the lexicographically first clean
+    * chunk-pair whose bucket SURVIVED, or -1 when every clean block is
+    * railed (the pair co-occurs in no surviving bucket — dropped, the
+    * same residual loss as the LSH surviving-band rule). mask == 0 (the
+    * never-fired fast path) delegates to the two-ntz formula. */
+  def firstCleanSurvivingBlk(x: Long, mask: Long): Int = {
+    if (mask == 0L) return firstCleanBlk(x)
+    var m = 0
+    var c = 0
+    while (c < 8) {
+      if (((x >>> (c * 8)) & 0xffL) == 0L) m |= 1 << c
+      c += 1
+    }
+    var c1 = 0
+    while (c1 < 7) {
+      if ((m & (1 << c1)) != 0) {
+        var c2 = c1 + 1
+        while (c2 < 8) {
+          if ((m & (1 << c2)) != 0 &&
+              ((mask >>> (c1 * 8 + c2)) & 1L) == 0L)
+            return c1 * 8 + c2
+          c2 += 1
+        }
+      }
+      c1 += 1
+    }
+    -1
   }
 
   /** Strict `a < b` matching Spark's `<` on the id column's type —

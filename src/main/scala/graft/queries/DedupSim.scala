@@ -15,8 +15,10 @@ import graft.ops.{Dedup, Similarity}
   */
 object DedupSim {
 
-  /** documents ∪ near-dup copies: id + 1_000_000, first token dropped. */
-  private def docsWithMutants(s: SparkSession, dir: String): DataFrame = {
+  /** documents ∪ near-dup copies: id + 1_000_000, first token dropped.
+    * (private[graft]: tools.SplitShapeBench measures the production
+    * split shape over the same corpus q_split_safe benches.) */
+  private[graft] def docsWithMutants(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
     docs.union(docs.select(col("doc_id") + 1000000L,
       regexp_replace(col("text"), "^[^ ]* ", "")))
@@ -165,6 +167,25 @@ object DedupSim {
     * the cluster-keyed safe split (which must measure 0). */
   def splitLeakage(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.splitLeakage(docsWithMutants(s, dir))
+
+  /** The FULL curation chain ([[graft.ops.Curation.curationChain]]) over
+    * the mutant corpus (sources carried through the mutants): gate →
+    * digest dedup → canonical collapse (the cluster map reused for the
+    * split) → segment decontamination against the `doc_id % 20 = 0` eval
+    * slice → leakage-safe train split → temperature mix (α=0.5, target
+    * 300) → packing → per-source manifest. The oracle restates the WHOLE
+    * chain in one DuckDB query, so the COMPOSITION — not just the stages
+    * — is cross-engine verified. */
+  def curationChain(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val docs = d.select(col("doc_id"), col("source"), col("text"))
+      .union(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("source"),
+        regexp_replace(col("text"), "^[^ ]* ", "").as("text")))
+    val evalDocs = d.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"))
+    graft.ops.Curation.curationChain(docs, evalDocs, targetRows = 300L)
+  }
 
   /** SimHash (hamming ≤ 6) evaluated against the MinHash-verified
     * (jaccard ≥ 0.7) pair set on the same mutant corpus — how well the
@@ -429,6 +450,7 @@ object DedupSim {
     "q_simhash_canonical" -> simhashCanonical,
     "q_split_safe" -> splitSafe,
     "q_split_leakage" -> splitLeakage,
+    "q_curation_chain" -> curationChain,
     "q_knn_brute" -> knnBrute,
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
@@ -1011,14 +1033,15 @@ object DedupSim {
         "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
         "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7")
 
-  /** Recursive-CTE canonical-cluster chain over the mutant corpus —
+  /** Recursive-CTE canonical-cluster chain over an arbitrary docs CTE —
     * exhaustive pairs over DISTINCT signatures + transitive reach, a
     * different algorithm than the engine's rep-collapse + label
-    * propagation. Shared by the cluster-map oracle and the two split
-    * oracles; finish with [[duckCanonSelect]] (or wrap it as a CTE). */
-  private lazy val duckSimhashCanonicalCtes: String =
-    "WITH RECURSIVE " +
-      duckSimhashOf(duckDocsWithMutants).stripPrefix("WITH ") +
+    * propagation. Emits the CTE BODY (no WITH prefix — callers embed it
+    * after "WITH RECURSIVE"; `reach` is the recursive member); CTE names
+    * used: docs, tok, h, sim, rep, edges, nodes, reach, comp. Finish
+    * with [[duckCanonSelect]] (or wrap it as a CTE). */
+  private def duckCanonicalCtesBodyOf(docsCte: String): String =
+    duckSimhashOf(docsCte).stripPrefix("WITH ") +
       ", rep AS (SELECT sh, min(doc_id) AS rep_id FROM sim " +
       "WHERE sh IS NOT NULL GROUP BY sh), " +
       "edges AS (SELECT a.rep_id AS s, b.rep_id AS d FROM rep a " +
@@ -1029,6 +1052,12 @@ object DedupSim {
       "SELECT reach.id, edges.d FROM reach JOIN edges " +
       "ON edges.s = reach.r), " +
       "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"
+
+  /** [[duckCanonicalCtesBodyOf]] over the mutant corpus, with the WITH
+    * prefix — shared by the cluster-map oracle and the two split
+    * oracles. */
+  private lazy val duckSimhashCanonicalCtes: String =
+    "WITH RECURSIVE " + duckCanonicalCtesBodyOf(duckDocsWithMutants)
 
   /** (doc_id, canonical_id) off [[duckSimhashCanonicalCtes]]. NULL-text
     * docs carry a NULL sh and self-label — the engine's r13 semantics
@@ -1045,6 +1074,119 @@ object DedupSim {
     * ONE shared [[OracleSql.pHash]] string (no divergent copies). */
   private def duckSplitBucket(idExpr: String): String =
     OracleSql.pHash(idExpr) + " % 100"
+
+  /** q_manifest's rolling-hash checksum with the EMPTY-TEXT guard: the
+    * engine's `ascii('')` is 0 (fingerprint('') = 0) while DuckDB's
+    * `ord('')` is −1 — invisible on corpora with no empty texts, but the
+    * curation chain's fully-decontaminated docs have `clean_text = ''`. */
+  private def duckFingerprint(textExpr: String): String =
+    s"CASE WHEN length($textExpr) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($textExpr, ''), " +
+      "ch -> CAST(ord(ch) AS BIGINT))), " +
+      "(acc, x) -> (acc * 31 + x) % 1000000007) END"
+
+  /** The q_decontaminate segmentation rendering over a (doc_id, l) CTE
+    * (l = the token list): one row per non-overlapping 8-token segment
+    * with its position. */
+  private def duckSegmentsOf(srcCte: String): String =
+    "SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (" +
+      "SELECT doc_id, unnest(list_transform(range(0, (len(l)+7)//8), " +
+      "i -> {'pos': i, 'seg': array_to_string(l[(i*8+1):(i*8+8)], ' ')}" +
+      s")) AS u FROM $srcCte)"
+
+  /** The composed curation-chain oracle — see the q_curation_chain map
+    * entry for the stage list. Parameters mirror
+    * [[graft.ops.Curation.curationChain]]'s defaults exactly (minTokens
+    * 20, maxHamming 6, segTokens 8, α 0.5, target 300, capacity 2048,
+    * 32 shards). */
+  private lazy val duckCurationChainSql: String = {
+    import OracleSql.pHash
+    "WITH RECURSIVE " +
+      // the mutant corpus WITH sources (mutants inherit their base's)
+      "corpus AS (SELECT doc_id, source, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000, source, " +
+      "regexp_replace(text, '^[^ ]* ', '') FROM documents), " +
+      // stage 1: gopher gate (q_gopher_rules' rule rendering)
+      "gt AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+      "FROM corpus), " +
+      "gsig AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) " +
+      "* 100 AS chars100, " +
+      "CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) " +
+      "AS BIGINT) AS n_alpha, " +
+      "CAST(len(list_filter(toks, x -> " +
+      "regexp_matches(x, '^[^A-Za-z0-9]+$'))) AS BIGINT) AS n_sym, " +
+      "CAST(len(list_filter(toks, x -> " +
+      "x IN ('the', 'a', 'of', 'to', 'in'))) AS BIGINT) AS n_stop " +
+      "FROM gt), " +
+      "g AS (SELECT doc_id FROM gsig WHERE n_tokens >= 20 " +
+      "AND n_tokens <= 100000 AND chars100 // n_tokens >= 300 " +
+      "AND chars100 // n_tokens <= 1000 AND n_sym * 10 <= n_tokens " +
+      "AND n_alpha * 5 >= n_tokens * 4 AND n_stop >= 2), " +
+      "s0 AS (SELECT c.* FROM corpus c JOIN g USING (doc_id)), " +
+      // stage 2: digest dedup, NULL digests pass through
+      "kd AS (SELECT doc_id FROM (SELECT doc_id, " +
+      "sha256(lower(text)) AS dig, min(doc_id) OVER (" +
+      "PARTITION BY sha256(lower(text))) AS keep FROM s0) " +
+      "WHERE dig IS NULL OR doc_id = keep), " +
+      "s1 AS (SELECT s0.* FROM s0 JOIN kd USING (doc_id)), " +
+      // stage 3: canonical clusters over the survivors (recursive CTEs)
+      duckCanonicalCtesBodyOf("SELECT doc_id, text FROM s1") + ", " +
+      s"canon AS ($duckCanonSelect), " +
+      "s2 AS (SELECT s1.* FROM s1 JOIN canon ON canon.doc_id = s1.doc_id " +
+      "AND canon.canonical_id = s1.doc_id), " +
+      // stage 4: segment decontamination vs the doc_id % 20 eval slice
+      "t2 AS (SELECT doc_id, string_split(text, ' ') AS l FROM s2), " +
+      s"seg AS (${duckSegmentsOf("t2")}), " +
+      "ev AS (SELECT doc_id, string_split(text, ' ') AS l " +
+      "FROM documents WHERE doc_id % 20 = 0), " +
+      s"ban AS (SELECT DISTINCT seg FROM (${duckSegmentsOf("ev")})), " +
+      "dj AS (SELECT s.doc_id, s.pos, s.seg, b.seg IS NOT NULL AS banned " +
+      "FROM seg s LEFT JOIN ban b ON b.seg = s.seg), " +
+      "dc AS (SELECT doc_id, coalesce(array_to_string(list_transform(" +
+      "list_sort(list({'pos': pos, 'seg': seg}) " +
+      "FILTER (WHERE NOT banned)), x -> x.seg), ' '), '') AS text " +
+      "FROM dj GROUP BY doc_id), " +
+      "s3 AS (SELECT dc.doc_id, s2.source, dc.text FROM dc " +
+      "JOIN s2 ON s2.doc_id = dc.doc_id), " +
+      // stage 5: leakage-safe TRAIN split keyed on the SAME cluster map
+      "s4 AS (SELECT s3.* FROM s3 JOIN canon ON canon.doc_id = s3.doc_id " +
+      s"WHERE ${duckSplitBucket("canonical_id")} < 80), " +
+      // stage 6: temperature mix (q_temperature_mix's rendering, α=0.5,
+      // target 300)
+      "mc AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM s4 " +
+      "GROUP BY source), " +
+      "mw AS (SELECT source, c, pow(CAST(c AS DOUBLE), 0.5) AS w " +
+      "FROM mc), " +
+      "mt AS (SELECT sum(w) AS wsum FROM mw), " +
+      "mr AS (SELECT source, least(CAST(1 AS DOUBLE), " +
+      "CAST(300 AS DOUBLE) * w / (wsum * CAST(c AS DOUBLE))) AS rate " +
+      "FROM mw CROSS JOIN mt), " +
+      "s5 AS (SELECT s4.* FROM s4 JOIN mr USING (source) " +
+      s"WHERE CAST(${pHash("'tmix:' || s4.doc_id")} * 2654435761 " +
+      "% 1000000 AS DOUBLE) < rate * CAST(1000000 AS DOUBLE)), " +
+      // stage 7: packing (q_packing's global-window prefix sum)
+      "pd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+      s"AS BIGINT) AS n_tokens, ${pHash("doc_id")} AS h FROM s5), " +
+      "po AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (" +
+      "ORDER BY h % 32, h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND CURRENT ROW) AS BIGINT) - n_tokens AS gstart FROM pd), " +
+      "pa AS (SELECT s5.source, CAST(sum(po.n_tokens) AS BIGINT) " +
+      "AS n_tokens, CAST(count(DISTINCT po.gstart // 2048) AS BIGINT) " +
+      "AS n_bins FROM po JOIN s5 USING (doc_id) GROUP BY s5.source), " +
+      // stage 8: manifest of the mixture (empty-text checksum guarded)
+      "mf AS (SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(length(text)) AS BIGINT) AS n_chars_total, " +
+      "min(doc_id) AS min_id, max(doc_id) AS max_id, " +
+      s"CAST(sum(${duckFingerprint("text")}) AS BIGINT) " +
+      "AS checksum_sum FROM s5 GROUP BY source) " +
+      "SELECT mf.source AS source, mf.n_docs AS n_docs, " +
+      "mf.n_chars_total AS n_chars_total, mf.min_id AS min_id, " +
+      "mf.max_id AS max_id, mf.checksum_sum AS checksum_sum, " +
+      "pa.n_tokens AS n_tokens, pa.n_bins AS n_bins " +
+      "FROM mf JOIN pa USING (source)"
+  }
 
   /** 80/10/10 bucket boundaries (TextAnalysis.splitAssign). */
   private def duckSplitCase(bucketExpr: String): String =
@@ -1155,6 +1297,13 @@ object DedupSim {
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS safe_leaked " +
         "FROM pairs JOIN spl pa ON pairs.doc_a = pa.doc_id " +
         "JOIN spl pb ON pairs.doc_b = pb.doc_id"),
+    // the WHOLE curation chain restated: every stage's established
+    // rendering (gopher gate, sha-256 window-min dedup, recursive-CTE
+    // canonical clusters, q_decontaminate's segmentation, the split
+    // hash on canonical_id, q_temperature_mix's rates, q_packing's
+    // global-window prefix sum, q_manifest's rolling-hash checksum)
+    // chained through one WITH list — verifying the COMPOSITION
+    "q_curation_chain" -> duckCurationChainSql,
     // both pair sets re-derived through their own oracles (exhaustive
     // simhash scan vs the replayed minhash pipeline), then the same
     // integer precision/recall arithmetic

@@ -40,6 +40,22 @@ object OsmQueries {
     * dump — same staged scans, no extra XML parse. */
   private[queries] def pipeline(s: SparkSession): OsmPipeline = pipe(s)
 
+  /** Force every staged relation of the shared pipeline to materialize —
+    * the bench harness runs this ONCE, timed separately, before the
+    * contiguous `q_osm_*` block, so the shared staging cost (XML parse,
+    * phone/street fixes, audit ordering) is an artifact line of its own
+    * instead of being charged to whichever query touches it first (the
+    * attribution defect adjudicated in rounds 3/6/11/12/13). Touching the
+    * accessors is sufficient: each memo's Stage.barrier materializes on
+    * first access. */
+  def stageAll(s: SparkSession): Unit = {
+    val p = pipe(s)
+    p.officialUncorrected; p.nodes; p.ways
+    p.nodeTagsFixed; p.wayTagsFixed; p.updateHistory; p.phoneAudit
+    rawRelations(s)
+    ()
+  }
+
   // relation ingestion is an extension beyond the reference (its
   // shape_element skips <relation> elements); content pinned by
   // reference-derived hashes in OsmGoldenSpec. The raw parse is staged

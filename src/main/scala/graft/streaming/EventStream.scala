@@ -252,9 +252,16 @@ object EventStream {
     // candidate dedup BEFORE verification (the batch dual's
     // cand.distinct()): two near-identical docs collide in all `bands`
     // bands, and verifying each collision would run the O(|sh|)
-    // intersection up to bands× per pair — the state the early
-    // dropDuplicates holds is the same (doc_id, corpus_id) key set the
-    // former post-verify dedup kept, so boundedness is unchanged. The
+    // intersection up to bands× per pair. The state this early
+    // dropDuplicates holds is a SUPERSET of the former post-verify
+    // dedup's — every LSH candidate (doc_id, corpus_id), verified or
+    // not — still O(candidates), same asymptotic bound, but note the
+    // semantic edge: a doc_id RE-DELIVERED later with changed text is
+    // permanently suppressed for any previously-seen (doc_id, corpus_id)
+    // candidate, even when the earlier text FAILED verification. Streams
+    // whose producers re-deliver updated documents under the same id
+    // should include a content digest in the dedup key (and in the
+    // output) so each content version verifies independently. The
     // intersection itself materializes ONCE in a select (FilterExec does
     // no common-subexpression elimination inside a predicate).
     streamBands
@@ -330,6 +337,76 @@ object EventStream {
         covered.as("n_dup_tokens"))
       .withColumn("dup_x1e6",
         expr("n_dup_tokens * 1000000 div n_tokens"))
+  }
+
+  /** Streaming leakage-safe split assignment against a static corpus —
+    * the streaming dual of [[graft.ops.Sampling.leakageSafeSplitsFrom]]:
+    * an arriving document's train/valid/test split is keyed on its
+    * near-dup CLUSTER, not its own id, so a late-arriving near-dup of a
+    * training document lands in the cluster's split instead of leaking
+    * into eval at its naive hash bucket.
+    *
+    * Shape: the arriving doc's simhash is a row-local codegen expression
+    * (zero state); the corpus side is a STATIC chunk-pair-blocked
+    * signature index annotated with the dedup stage's canonical labels
+    * (both the signature recipe and the 28 block keys are Dedup's own
+    * definitions — [[graft.ops.Dedup.chunkPairDefs]] — so stream and
+    * batch blocking cannot drift). A stream-static left equi-join on
+    * (blk, key) + exact hamming verification finds the doc's cluster;
+    * `min(canonical_id)` over verified matches reduces multi-block /
+    * multi-match rows, and an UNMATCHED doc (including NULL text, whose
+    * signature is NULL and joins nothing) self-labels — the same
+    * singleton posture as the batch operator. Output (doc_id,
+    * canonical_id, split), OutputMode.Update.
+    *
+    * CONTRACT (documented, spec-pinned): arriving doc_ids must be larger
+    * than corpus ids (monotonic ingest ids, the landing-zone invariant).
+    * A smaller arriving id would, in the batch replay, RELABEL the
+    * cluster's canonical to itself and move every member's split — a
+    * retroactive change no stream-static join can express. Likewise a
+    * doc bridging TWO corpus clusters takes the smaller canonical here,
+    * while a batch re-cluster would merge them; bridges are a re-cluster
+    * trigger, not a streaming event. STATE BOUND: one aggregation row
+    * per arriving doc (the per-doc min) — bound it in production with a
+    * watermark on the arrival time like the other keyed duals. */
+  def splitAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      canonicalMap: DataFrame, maxHamming: Int = 6,
+      textCol: String = "text"): DataFrame = {
+    import graft.ops.Dedup
+    // static index: (blk, key, sig_c, canonical_id) — built once per
+    // micro-batch epoch from the dedup stage's own signature recipe and
+    // its canonical-map deliverable
+    val cSigs = Dedup.simhashes(corpus, textCol)
+      .filter(col("simhash").isNotNull)
+      .join(canonicalMap.select(col("doc_id"), col("canonical_id")),
+        Seq("doc_id"))
+    val cIdx = cSigs.select(col("simhash").as("_sig_c"),
+        col("canonical_id"),
+        explode(array(Dedup.chunkPairDefs(col("simhash")).map {
+          case (b, k) => struct(lit(b).as("blk"), k.as("key"))
+        }: _*)).as("ck"))
+      .select(col("ck.blk").as("blk"), col("ck.key").as("key"),
+        col("_sig_c"), col("canonical_id"))
+    // stream side: row-local signature; NULL signatures keep ONE row with
+    // a NULL block key (explode would drop the doc; the left join then
+    // matches nothing and the doc self-labels)
+    val s = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simHash62(col(textCol)).as("_sig"))
+    val sx = s.select(col("doc_id"), col("_sig"),
+        explode_outer(when(col("_sig").isNotNull,
+          array(Dedup.chunkPairDefs(col("_sig")).map { case (b, k) =>
+            struct(lit(b).as("blk"), k.as("key"))
+          }: _*))).as("ck"))
+      .select(col("doc_id"), col("_sig"),
+        col("ck.blk").as("blk"), col("ck.key").as("key"))
+    sx.join(cIdx, Seq("blk", "key"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(when(bit_count(col("_sig").bitwiseXOR(col("_sig_c")))
+          <= maxHamming, col("canonical_id"))).as("_matched"))
+      .select(col("doc_id"),
+        coalesce(col("_matched"), col("doc_id")).as("canonical_id"))
+      .withColumn("split",
+        graft.ops.TextAnalysis.splitAssign(col("canonical_id")))
   }
 
   /** Stream-stream event-time INTERVAL join — the join surface beyond

@@ -317,12 +317,28 @@ class DedupSpec extends SparkSpec {
       "the kernel's (blk, key) exchange is missing:\n" + plan.take(600))
     // the pair relation is produced by the kernel, not a join: the
     // former sort-merge self-join paid ~150 ns of row machinery per
-    // candidate pair and needed b-side ×G salt replication to spread it
+    // candidate pair and needed b-side ×G salt replication to spread it.
+    // (The r14 surviving-block mask rides in as a single-row broadcast
+    // cross join — a BroadcastNestedLoopJoin over ONE census row, same
+    // pattern as the LSH path's ocRow; any OTHER nested-loop join would
+    // be a regression, so pin the build side + type.)
     assert(!plan.contains("SortMergeJoin") &&
-      !plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
+      !plan.contains("CartesianProduct"),
       "pair generation regressed to a row-at-a-time join:\n" +
         plan.take(600))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1 && (bnlj == 0 ||
+        plan.contains("BroadcastNestedLoopJoin BuildRight, Cross")),
+      "unexpected nested-loop join beyond the single-row census " +
+        "broadcast:\n" + plan.take(600))
+    // the mask is computed ONCE PER DOC: its 28-probe CASE must sit
+    // BELOW the chunk-pair Generate, not above it (above = evaluated
+    // per exploded row, 28× per doc — the regression this pins)
+    val genIdx = plan.indexOf("Generate explode(array(struct")
+    val maskIdx = plan.indexOf("AS _mask")
+    assert(genIdx >= 0 && maskIdx > genIdx,
+      "the over-cap mask projection must be evaluated per doc (below " +
+        "the 28-way explode)")
     assert(plan.contains("CollectMetrics"),
       "the lazy rail census observation is missing from the plan:\n" +
         plan.take(600))
@@ -821,12 +837,13 @@ class DedupSpec extends SparkSpec {
     graft.ops.Stage.releaseAll(spark)
   }
 
-  test("fired rail drops cross-bucket pairs whose first clean block is railed") {
-    // Documented recall semantics (see hammingNearDupPairs scaladoc):
-    // the kernel emits a pair only in the FIRST clean chunk-pair block
-    // of its XOR — if that bucket is over-cap the pair is lost even
-    // though it co-occurs in a surviving bucket. Pin the trade so a
-    // change to the emission rule is a conscious decision.
+  test("fired rail: pair recovered in its first SURVIVING clean block") {
+    // r14 recall semantics (see hammingNearDupPairs scaladoc): the
+    // kernel emits a pair in the first clean chunk-pair block whose
+    // bucket SURVIVED the rail — parity with lshCandidatePairs'
+    // surviving-band rule. The legacy all-blocks rule (emit only in the
+    // first clean block, railed or not) stays pinned behind
+    // survivingBlocks = false.
     //
     // a and b differ only in byte 7 → every block not touching chunk 7
     // is clean; the first clean block is (0,1). 50 fillers share bytes
@@ -838,16 +855,21 @@ class DedupSpec extends SparkSpec {
     val fillers = (1L to 50L)
       .map(i => (100L + i, (i * 0x9e3779b97f4a7c15L) & ~0xffffL))
     val sigs = ((1L, a) +: (2L, b) +: fillers).toDF("doc_id", "simhash")
-    def pairSet(cap: Int) =
-      Dedup.hammingNearDupPairs(sigs, maxBucket = cap)
+    def pairSet(cap: Int, surviving: Boolean = true) =
+      Dedup.hammingNearDupPairs(sigs, maxBucket = cap,
+          survivingBlocks = surviving)
         .filter(col("doc_a") <= 2L).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     // bucket (blk 0*8+1, key 0) holds 52 rows > 51 → railed; (a, b)
-    // still co-occur in surviving buckets like (0,2) but are NOT emitted
-    assert(pairSet(51) == Set.empty,
-      "a fired rail also drops cross-bucket pairs whose first clean " +
-        "block is the railed bucket (documented recall trade)")
-    // raising the cap past the degenerate bucket recovers the pair
+    // still co-occur in surviving buckets like (0,2) and MUST be
+    // emitted there — exactly once
+    assert(pairSet(51) == Set((1L, 2L)),
+      "pair must survive via its first surviving clean block")
+    // the legacy rule loses it (the documented pre-r14 trade)
+    assert(pairSet(51, surviving = false) == Set.empty,
+      "survivingBlocks=false must keep the legacy all-blocks drop")
+    // unfired rail: identical output under both rules
     assert(pairSet(100) == Set((1L, 2L)))
+    assert(pairSet(100, surviving = false) == Set((1L, 2L)))
   }
 }

@@ -48,6 +48,59 @@ class LeakageSplitSpec extends SparkSpec {
     Stage.releaseAll(spark)
   }
 
+  // shuffle nodes print as "Exchange hashpartitioning(...)"; broadcast
+  // builds are not shuffles (same string-matched probe as
+  // PartitionedStoreSpec — TreeNode.collect does not descend into
+  // AdaptiveSparkPlanExec)
+  private def nShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    val p = df.queryExecution.executedPlan.toString
+    "Exchange ".r.findAllIn(p).size -
+      "BroadcastExchange ".r.findAllIn(p).size
+  }
+
+  test("production shape: bucketed map joins the corpus with no map-side " +
+      "exchange") {
+    import org.apache.spark.sql.functions.col
+    // a corpus with one duplicated pair, so the split map is non-trivial
+    val docs = (1L to 60L).map(i => (i, s"document number $i with some " +
+        s"agreeable filler content token$i"))
+      .toDF("doc_id", "text")
+      .union(Seq((1060L,
+        "document number 7 with some agreeable filler content token7"))
+        .toDF("doc_id", "text"))
+    // the dedup stage's deliverable, materialized the way the scaladoc
+    // prescribes: a doc_id-bucketed external table
+    val cmap = Dedup.simhashCanonical(docs)
+    graft.sources.PartitionedStore.writeBucketed(cmap, "bkt_split_map",
+      "/tmp/graft_splitmap_spec", "doc_id", 8, Seq("doc_id"))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at scale the corpus cannot broadcast; disable to see that plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val splits = Sampling.leakageSafeSplitsFrom(
+        spark.table("bkt_split_map"))
+      val joined = docs.join(splits, Seq("doc_id"))
+      // ONE exchange: the corpus moving onto the map's bucket layout —
+      // the map side (the O(docs) frame the dedup stage already wrote)
+      // reads its buckets in place, zero exchange
+      assert(nShuffles(joined) == 1,
+        joined.queryExecution.executedPlan.toString)
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"), "map scan must read its buckets")
+      // and the production-shape rows equal the recompute form's
+      val got = joined.select(col("doc_id"), col("canonical_id"),
+        col("split")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = Sampling.leakageSafeSplits(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_split_map")
+    }
+    Stage.releaseAll(spark)
+  }
+
   test("precomputed cluster map variant matches the composed form") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

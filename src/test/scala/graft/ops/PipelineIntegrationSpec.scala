@@ -63,6 +63,66 @@ class PipelineIntegrationSpec extends SparkSpec {
       s"gibberish doc must be clean: ${contam(5000001L)}")
   }
 
+  test("curation chain: one DAG equals the stage-by-stage composition") {
+    // The composed Curation.curationChain must produce EXACTLY what the
+    // stages produce when each intermediate is materialized to parquet
+    // and re-read (true lineage break) — pinning that the composition
+    // adds no coupling (shared staging, barrier reuse, nondeterminism)
+    // beyond the stages themselves.
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    val oneDag = rows(Curation.curationChain(docs, evalDocs,
+      targetRows = 5000L))
+    Stage.releaseAll(spark)
+
+    val base = Files.createTempDirectory("graft_chain").toString
+    def mat(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.mode("overwrite").parquet(s"$base/$name")
+      spark.read.parquet(s"$base/$name")
+    }
+    val gated = mat(TextAnalysis.gopherRules(docs, 20L, 100000L, "text",
+        carry = Seq("source", "text"))
+      .filter(col("gopher_pass"))
+      .select(col("doc_id"), col("source"), col("text")), "gated")
+    val deduped = mat(Dedup.firstPerDigest(
+        gated.withColumn("_dig", sha2(lower(col("text")), 256)))
+      .select(col("doc_id"), col("source"), col("text")), "deduped")
+    val cmap = mat(Dedup.simhashCanonical(deduped), "cmap")
+    Stage.releaseAll(spark)
+    val canonical = mat(deduped.join(
+      cmap.filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi"), "canonical")
+    val decon = mat(Dedup.decontaminateSegments(canonical, evalDocs, 8)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(canonical.select(col("doc_id"), col("source")),
+        Seq("doc_id")), "decon")
+    val train = mat(decon.join(
+      Sampling.leakageSafeSplitsFrom(cmap)
+        .filter(col("split") === "train").select(col("doc_id")),
+      Seq("doc_id"), "left_semi"), "train")
+    val mixed = mat(Sampling.temperatureMix(train, "source", "doc_id",
+      0.5, 5000L), "mixed")
+    val packed = Packing.packSequences(mixed, 2048L, 32)
+    val staged = rows(TextAnalysis.manifest(mixed, "source")
+      .join(packed.join(mixed.select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).cast("long").as("n_tokens"),
+          countDistinct(col("bin")).cast("long").as("n_bins")),
+        Seq("source")))
+    Stage.releaseAll(spark)
+    assert(oneDag == staged,
+      s"composed chain diverged from its stages:\nDAG=$oneDag\nSBS=$staged")
+    assert(oneDag.nonEmpty && oneDag.exists(_._2 > 0L),
+      "chain output must be non-vacuous")
+  }
+
   test("landing pipeline re-run republishes identically, never appends") {
     // a RETRY of the whole landing job — same landing dir and published
     // store on disk, fresh session-scoped staging (Stage.releaseAll

@@ -526,4 +526,66 @@ class EventStreamSpec extends SparkSpec {
       s"no key-state eviction observed: $totals")
     assert(totals.last <= 2, s"final key state should be bounded: $totals")
   }
+
+  test("streaming split dual: late near-dup lands in its cluster's split") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Sampling, TextAnalysis}
+    // corpus: docs 1 and 20 share a near-dup cluster (identical text,
+    // canonical 1 → "train" — same fixture family as LeakageSplitSpec);
+    // doc 21 is an unrelated singleton
+    val longText = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen curious pelicans watch from the harbour wall and the " +
+      "tide slides out past the mooring buoys toward the grey horizon " +
+      "carrying little boats and their patient silent fishermen along"
+    val corpus = Seq(
+      (1L, longText), (20L, longText),
+      (21L, "completely different content about other things entirely " +
+        "with its own vocabulary and rhythm and no overlap at all"))
+      .toDF("doc_id", "text")
+    val cmap = Dedup.simhashCanonical(corpus)
+    // arriving doc_ids (all > corpus ids, the documented contract),
+    // chosen so the near-dup's NAIVE split is NOT train — the leakage
+    // case this operator exists to close
+    val naive = (5000L to 5100L).map(i => (i,
+        spark.range(1).select(
+          TextAnalysis.splitAssign(lit(i)).as("s")).head().getString(0)))
+    val lateId = naive.find(_._2 == "test").get._1
+    val freshId = naive.find(p => p._2 == "test" && p._1 != lateId).get._1
+    val arriving = Seq(
+      // late near-dup of the (1, 20) training cluster: first word dropped
+      (lateId, longText.replaceFirst("^[^ ]* ", "")),
+      // genuinely fresh text: self-labels at its own hash bucket
+      (freshId, "entirely novel prose concerning migratory songbirds " +
+        "and the cartography of small alpine lakes at dawn in autumn"),
+      // NULL text: NULL signature, joins nothing, self-labels
+      (7000L, null: String)).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-split-stream").toString
+    arriving.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val got = EventStream.runToMemory(
+      EventStream.splitAgainstCorpus(stream, corpus, cmap),
+      "split_stream", org.apache.spark.sql.streaming.OutputMode.Update,
+      lastPerKey = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // row-identity with the batch operator replayed over corpus ∪ batch
+    val batch = Sampling.leakageSafeSplitsFrom(
+        Dedup.simhashCanonical(corpus.union(arriving)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    val arrivingIds = Seq(lateId, freshId, 7000L)
+    assert(arrivingIds.forall(id => got(id) == batch(id)),
+      s"stream diverged from batch replay: got=$got batch=" +
+        s"${batch.view.filterKeys(arrivingIds.contains).toMap}")
+    // and the fixture exercises the leakage case: the late near-dup's
+    // cluster split (train, keyed on canonical 1) differs from its naive
+    // per-doc split (test) — it must land in the CLUSTER's split
+    assert(got(lateId) == ((1L, "train")),
+      s"late near-dup must join cluster 1's train split: ${got(lateId)}")
+    // fresh + NULL docs self-label as singletons
+    assert(got(freshId) == ((freshId, "test")))
+    assert(got(7000L)._1 == 7000L)
+    graft.ops.Stage.releaseAll(spark)
+  }
 }

@@ -74,11 +74,14 @@ def main(src: str, dst: str, copies: int) -> None:
     # inside way/relation elements) is body like its siblings — searching
     # the whole file for '<bounds' would jump body_start into the data
     # and silently emit everything before it once, unreplicated.
-    body_start = next((i for i, l in enumerate(lines)
-                       if i > osm_open and any(t in l for t in
-                         ("<node", "<way", "<relation"))), len(lines))
     body_end = next(i for i in range(len(lines) - 1, -1, -1)
                     if "</osm>" in lines[i])
+    # clamp to body_end: with no element line at all, an unclamped default
+    # of len(lines) would write the whole file (incl. </osm>) as "header"
+    # and then append the footer again -- invalid XML with a doubled tail
+    body_start = next((i for i, l in enumerate(lines)
+                       if i > osm_open and any(t in l for t in
+                         ("<node", "<way", "<relation"))), body_end)
     max_uid = max((int(m.group(2)) for l in lines[body_start:body_end]
                    for m in UID.finditer(l)), default=0)
     assert max_uid < UID_OFF, (
