@@ -260,10 +260,11 @@ object Dedup {
     * become routine (small caps on mass-duplicate corpora), a sorted
     * census + binary probe — or a bloom side-filter — would bound the
     * scan, at the cost of a custom expression. [[hammingNearDupPairs]]
-    * applies the same surviving-bucket rule since r14 (a per-row
-    * over-cap mask through its kernel shuffle, measured at ~no cost —
-    * see there), so the two candidate generators share one fired-rail
-    * recall semantics.
+    * offers the same surviving-bucket rule behind its
+    * `survivingBlocks` knob (r14) — not by default, because there the
+    * mask needs an extra census pass measured at ~+50% (see there); the
+    * rule is free HERE only because this path's first-match filter
+    * already consumes the collected census post-join.
     *
     * Band keys are compared by xxhash64 (collision odds ~2⁻⁶⁴ per
     * band-pair — immaterial to candidate recall, and candidates are
@@ -755,22 +756,25 @@ object Dedup {
     * self-join (losing only recall in pathological mass-duplicate
     * regions — at real scale, drop + log, never explode). The default
     * is far above any bucket the tested scale factors produce, so it is
-    * purely a rail. Recall semantics under a FIRED rail
-    * (`survivingBlocks = true`, the default since r14): the kernel emits
-    * a pair in the first clean chunk-pair block whose bucket SURVIVED
-    * the rail — a pair whose designated first block was railed is still
-    * found through any surviving co-occurrence, exactly
-    * [[lshCandidatePairs]]' surviving-band rule (pinned in DedupSpec +
-    * RailPropertySpec's executable model); only pairs ALL of whose clean
-    * blocks are over-cap are lost, with the bucket drop count surfacing
-    * via [[Rail.observed]]. The mask is a per-row long through the hot
-    * (blk, key, tile) exchange, folded doc-side from the broadcast
-    * census BEFORE the explode; the r14 sf1 A/B measured the carry at
-    * ~1% (BENCH_NOTES), retiring the pre-r14 all-blocks rule (available
-    * as `survivingBlocks = false`, which drops such pairs entirely —
-    * only worth it if the 8 bytes/row ever measurably matter). Either
-    * way, mass-duplicate corpora should exact-dedup first, raise the
-    * cap, or use [[simhashCanonical]].
+    * purely a rail. Recall semantics under a FIRED rail: by default the
+    * kernel emits a pair only in the first clean chunk-pair block of
+    * its XOR — if THAT bucket is over-cap the pair is dropped even when
+    * it co-occurs in a surviving bucket. `survivingBlocks = true` buys
+    * exact parity with [[lshCandidatePairs]]' surviving-band rule (the
+    * pair is recovered through its first SURVIVING clean block; both
+    * semantics pinned by RailPropertySpec's executable models). The
+    * knob is not free and not default because of a MEASURED trade
+    * (r14 sf1 A/B, BENCH_NOTES): the per-row mask must be folded
+    * doc-side from the over-cap census, and under the pure-plan
+    * contract that census is an EXTRA full pass of the bucket
+    * aggregation (AQE materializes concurrent broadcast stages without
+    * sharing the sizes exchange) — 2.16 s → 3.26 s at sf1 (+51% on the
+    * whole operator) while the rail never fires, to change behavior
+    * only when it does. The 8 bytes/row carry itself is noise; the
+    * census pass is the cost.
+    * Fired-rail recall loss surfaces via [[Rail.observed]]'s drop
+    * count; mass-duplicate corpora should exact-dedup first, raise the
+    * cap, use [[simhashCanonical]], or flip the knob.
     *
     * In-bucket pairing runs as a per-partition primitive microkernel
     * ([[HammingPairKernel]]), not a self-join: a signature-bucket census
@@ -790,7 +794,7 @@ object Dedup {
       idCol: String = "doc_id", sigCol: String = "simhash",
       maxBucket: Int = 100000,
       tileRows: Int = HammingPairKernel.TileRows,
-      survivingBlocks: Boolean = true): DataFrame =
+      survivingBlocks: Boolean = false): DataFrame =
     hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket, tileRows,
       survivingBlocks)._1
 
@@ -805,7 +809,7 @@ object Dedup {
   def hammingNearDupPairsWithStats(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
       maxBucket: Int = 100000,
-      survivingBlocks: Boolean = true): (DataFrame, Long) = {
+      survivingBlocks: Boolean = false): (DataFrame, Long) = {
     val (pairs, overCap) =
       hammingPlan(sigs, maxHamming, idCol, sigCol, maxBucket,
         survivingBlocks = survivingBlocks)
@@ -864,7 +868,7 @@ object Dedup {
   private def hammingPlan(sigs: DataFrame, maxHamming: Int,
       idCol: String, sigCol: String, maxBucket: Int,
       tileRows: Int = HammingPairKernel.TileRows,
-      survivingBlocks: Boolean = true)
+      survivingBlocks: Boolean = false)
       : (DataFrame, DataFrame) = {
     require(tileRows >= 1, s"tileRows must be >= 1, got $tileRows")
     require(maxHamming <= 6,
@@ -939,39 +943,38 @@ object Dedup {
     // block, so each pair appears exactly once across all 28 blocks
     // with no pair-keyed dedup exchange.
     // ONE annotated census broadcast serves BOTH rails: over-cap buckets
-    // carry the −1 sentinel (flowing through the Rail drop metric on the
-    // way), merely-hot buckets carry their tile count g, and everything
-    // under tileRows is simply absent (null → g = 1). The stream pays a
-    // single broadcast hash probe before its only exchange — over-cap
-    // rows are dropped map-side exactly like the former anti join — and
-    // the census aggregation under the two union branches dedupes via
-    // exchange reuse.
-    val annotated =
-      Rail.observed(overCap, HammingBucketRail, hammingRailWarn(maxBucket))
-        .withColumn("_g", lit(-1))
-        .union(sizes
-          .filter(col("_bn") > tileRows && col("_bn") <= maxBucket)
-          .select(col("blk"), col("key"),
-            least(ceil(col("_bn") / lit(tileRows.toDouble)),
-              lit(HammingPairKernel.MaxTilesPerBucket.toLong))
-              .cast("int").as("_g")))
-    // SURVIVING-BLOCK MASK (r14, default on): the kernel's emission rule
-    // needs to know, per row, which of the row's 28 (blk, key) buckets
-    // the rail dropped — so a pair whose FIRST clean block is over-cap
-    // still emits, exactly once, in its first SURVIVING clean block
-    // (parity with lshCandidatePairs' surviving-band rule; before r14
-    // the kernel kept the all-blocks rule and a fired rail lost those
-    // pairs). The census rides in as ONE collected row (same bounded
+    // carry the −1 sentinel, merely-hot buckets carry their tile count
+    // g, and everything under tileRows is simply absent (null → g = 1).
+    // The stream pays a single broadcast hash probe before its only
+    // exchange — over-cap rows are dropped map-side exactly like the
+    // former anti join. ONE filtered projection, NOT a union of two
+    // branches: the r14 stage audit showed the union's branches did NOT
+    // share the sizes exchange under AQE (concurrent broadcast stages
+    // each materialized their own census pass — 2× the aggregation), so
+    // the merged form halves the census cost; the drop metric rides as
+    // a row screen over the −1 rows (same lazy accounting).
+    val annotated = Rail.observedScreen(
+      sizes
+        .filter(col("_bn") > tileRows || col("_bn") > maxBucket)
+        .select(col("blk"), col("key"),
+          when(col("_bn") > maxBucket, lit(-1))
+            .otherwise(least(ceil(col("_bn") / lit(tileRows.toDouble)),
+              lit(HammingPairKernel.MaxTilesPerBucket.toLong)).cast("int"))
+            .as("_g")),
+      col("_g") === -1, HammingBucketRail, hammingRailWarn(maxBucket))
+    // SURVIVING-BLOCK MASK (r14, opt-in — see the scaladoc's measured
+    // trade): the kernel's emission rule needs to know, per row, which
+    // of the row's 28 (blk, key) buckets the rail dropped — so a pair
+    // whose FIRST clean block is over-cap still emits, exactly once, in
+    // its first SURVIVING clean block (lshCandidatePairs' surviving-band
+    // rule). The census rides in as ONE collected row (same bounded
     // argument as the broadcast: every over-cap bucket holds > maxBucket
-    // rows) cross-joined onto the per-DOC relation BEFORE the 28-way
-    // explode, where a codegen'd fold packs the 28 over-cap bits into
-    // one long. Cost when the rail never fired (the designed case): the
-    // `size == 0` fast path short-circuits the fold to lit(0), and the
-    // hot (blk, key, tile) exchange carries 8 extra bytes per row —
-    // measured at sf1 (BENCH_NOTES r14) at ~1% of the operator, which
-    // retires the "real bytes on every row" objection that justified
-    // the asymmetry. On clean blocks the two sides share the bucket, so
-    // either row's mask bit decides; dirty-block bits are never read.
+    // rows) joined onto the per-DOC relation BEFORE the 28-way explode,
+    // where a codegen'd fold packs the 28 over-cap bits into one long
+    // (`size == 0` fast path when the rail never fired). The dominant
+    // cost is ocRow's own census pass (BENCH_NOTES r14 stage table); on
+    // clean blocks the two sides share the bucket, so either row's mask
+    // bit decides — dirty-block bits are never read.
     val ocRow = overCap
       .agg(collect_set(struct(col("blk"), col("key"))).as("_oc"))
     val maskExpr = when(size(col("_oc")) === 0, lit(0L)).otherwise(
@@ -986,11 +989,27 @@ object Dedup {
     // the mask select sits in its OWN projection below the explode:
     // fused into one select, the analyzer plans the Generate first and
     // the 28-probe CASE lands ABOVE it — evaluated per exploded row
-    // (28× per doc) instead of once per doc
+    // (28× per doc) instead of once per doc. The census row rides in on
+    // a CONSTANT-KEY BroadcastHashJoin, NOT crossJoin: a single-row
+    // cross join plans as BroadcastNestedLoopJoin, which whole-stage
+    // codegen cannot compile, so the entire explode → filter → exchange
+    // pipeline would fall back to interpreted rows; the equivalent BHJ
+    // keeps the stage fused (plan-pinned in DedupSpec).
     val blockedK =
       if (!survivingBlocks) blocked0
-      else hs.crossJoin(broadcast(ocRow))
-        .select(col("doc_id"), col("simhash"), maskExpr.as("_mask"))
+      else hs
+        // BOTH keys must be NON-FOLDABLE (attribute-derived): lit-vs-lit
+        // folds the join condition to `true` (cross-join BNLJ), and a
+        // lit build key folds to a one-sided `_j = 0` condition with no
+        // cross-side equi keys — also BNLJ. Attribute-derived constants
+        // on both sides keep ExtractEquiJoinKeys satisfied → BHJ.
+        .withColumn("_j",
+          pmod(xxhash64(col("simhash")), lit(1L)).cast("int"))
+        .join(broadcast(ocRow.withColumn("_j",
+          pmod(size(col("_oc")).cast("long"), lit(1L)).cast("int"))),
+          Seq("_j"), "left")
+        .select(col("doc_id"), col("simhash"),
+          coalesce(maskExpr, lit(0L)).as("_mask"))
         .select(col("doc_id"), col("simhash"), col("_mask"),
           explode(array(pairCols: _*)).as("ck"))
         .select(col("doc_id"), col("simhash"), col("_mask"),

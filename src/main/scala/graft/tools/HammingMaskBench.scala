@@ -25,6 +25,9 @@ object HammingMaskBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SKEW_STAGES=1 → per-stage task-time table (StageSpread)
+    if (sys.env.contains("SPARK_GRAFT_SKEW_STAGES"))
+      spark.sparkContext.addSparkListener(graft.SkewBench.stageSpread())
 
     val docs = graft.queries.DedupSim.docsWithMutants(spark, sfDir)
     // stage signatures ONCE, outside both timers (simhashNearDupPairs'
@@ -42,7 +45,9 @@ object HammingMaskBench {
     }
     // interleave would be better against drift, but reps=3 min-of each
     // back-to-back matches the BENCH_NOTES protocol for A/B adjudication
+    println("=== PHASE legacy (survivingBlocks=false) ===")
     val (tOff, nOff) = run(surviving = false)
+    println("=== PHASE mask (survivingBlocks=true) ===")
     val (tOn, nOn) = run(surviving = true)
     assert(nOn == nOff, s"pair counts diverged: on=$nOn off=$nOff " +
       "(rail fired on this corpus?)")

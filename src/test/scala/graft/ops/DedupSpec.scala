@@ -317,25 +317,32 @@ class DedupSpec extends SparkSpec {
       "the kernel's (blk, key) exchange is missing:\n" + plan.take(600))
     // the pair relation is produced by the kernel, not a join: the
     // former sort-merge self-join paid ~150 ns of row machinery per
-    // candidate pair and needed b-side ×G salt replication to spread it.
-    // (The r14 surviving-block mask rides in as a single-row broadcast
-    // cross join — a BroadcastNestedLoopJoin over ONE census row, same
-    // pattern as the LSH path's ocRow; any OTHER nested-loop join would
-    // be a regression, so pin the build side + type.)
+    // candidate pair and needed b-side ×G salt replication to spread it
     assert(!plan.contains("SortMergeJoin") &&
-      !plan.contains("CartesianProduct"),
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
       "pair generation regressed to a row-at-a-time join:\n" +
         plan.take(600))
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    assert(bnlj <= 1 && (bnlj == 0 ||
-        plan.contains("BroadcastNestedLoopJoin BuildRight, Cross")),
-      "unexpected nested-loop join beyond the single-row census " +
-        "broadcast:\n" + plan.take(600))
-    // the mask is computed ONCE PER DOC: its 28-probe CASE must sit
-    // BELOW the chunk-pair Generate, not above it (above = evaluated
-    // per exploded row, 28× per doc — the regression this pins)
-    val genIdx = plan.indexOf("Generate explode(array(struct")
-    val maskIdx = plan.indexOf("AS _mask")
+    // the census is ONE filtered projection, not a union of two census
+    // branches (the r14 stage audit: AQE materialized each union branch
+    // as its own full census pass)
+    assert(!plan.contains("Union"),
+      "the bucket census regressed to the two-branch union:\n" +
+        plan.take(900))
+    // knob-on plan: the surviving-block mask is computed ONCE PER DOC
+    // (its 28-probe CASE sits BELOW the chunk-pair Generate — above
+    // would re-evaluate it per exploded row, 28× per doc) and its
+    // census row rides a CONSTANT-KEY BroadcastHashJoin — a
+    // BroadcastNestedLoopJoin means the census regressed to crossJoin,
+    // which breaks whole-stage codegen for the whole kernel-branch
+    // pipeline (measured +33% before the BHJ form)
+    val mplan = Dedup.hammingNearDupPairs(sigs, survivingBlocks = true)
+      .queryExecution.executedPlan.toString
+    assert(!mplan.contains("BroadcastNestedLoopJoin"),
+      "mask census regressed to a codegen-breaking nested-loop join:\n" +
+        mplan.take(600))
+    val genIdx = mplan.indexOf("Generate explode(array(struct")
+    val maskIdx = mplan.indexOf("AS _mask")
     assert(genIdx >= 0 && maskIdx > genIdx,
       "the over-cap mask projection must be evaluated per doc (below " +
         "the 28-way explode)")
@@ -837,13 +844,14 @@ class DedupSpec extends SparkSpec {
     graft.ops.Stage.releaseAll(spark)
   }
 
-  test("fired rail: pair recovered in its first SURVIVING clean block") {
-    // r14 recall semantics (see hammingNearDupPairs scaladoc): the
-    // kernel emits a pair in the first clean chunk-pair block whose
-    // bucket SURVIVED the rail — parity with lshCandidatePairs'
-    // surviving-band rule. The legacy all-blocks rule (emit only in the
-    // first clean block, railed or not) stays pinned behind
-    // survivingBlocks = false.
+  test("fired rail: surviving-block knob recovers the cross-bucket pair") {
+    // Recall semantics (see hammingNearDupPairs scaladoc): the DEFAULT
+    // all-blocks rule emits a pair only in the FIRST clean chunk-pair
+    // block of its XOR — if that bucket is over-cap the pair is lost
+    // even though it co-occurs in a surviving bucket (the measured-fast
+    // path). survivingBlocks = true (r14) recovers it in the first
+    // SURVIVING clean block — lshCandidatePairs parity — at the cost of
+    // an extra census pass. Both pinned here.
     //
     // a and b differ only in byte 7 → every block not touching chunk 7
     // is clean; the first clean block is (0,1). 50 fillers share bytes
@@ -855,21 +863,21 @@ class DedupSpec extends SparkSpec {
     val fillers = (1L to 50L)
       .map(i => (100L + i, (i * 0x9e3779b97f4a7c15L) & ~0xffffL))
     val sigs = ((1L, a) +: (2L, b) +: fillers).toDF("doc_id", "simhash")
-    def pairSet(cap: Int, surviving: Boolean = true) =
+    def pairSet(cap: Int, surviving: Boolean) =
       Dedup.hammingNearDupPairs(sigs, maxBucket = cap,
           survivingBlocks = surviving)
         .filter(col("doc_a") <= 2L).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // bucket (blk 0*8+1, key 0) holds 52 rows > 51 → railed; (a, b)
-    // still co-occur in surviving buckets like (0,2) and MUST be
-    // emitted there — exactly once
-    assert(pairSet(51) == Set((1L, 2L)),
-      "pair must survive via its first surviving clean block")
-    // the legacy rule loses it (the documented pre-r14 trade)
+    // bucket (blk 0*8+1, key 0) holds 52 rows > 51 → railed
+    assert(pairSet(51, surviving = true) == Set((1L, 2L)),
+      "knob on: pair must survive via its first surviving clean block")
     assert(pairSet(51, surviving = false) == Set.empty,
-      "survivingBlocks=false must keep the legacy all-blocks drop")
+      "default all-blocks rule drops the cross-bucket pair")
+    // and the DEFAULT is the all-blocks rule
+    assert(Dedup.hammingNearDupPairs(sigs, maxBucket = 51)
+      .filter(col("doc_a") <= 2L).collect().isEmpty)
     // unfired rail: identical output under both rules
-    assert(pairSet(100) == Set((1L, 2L)))
+    assert(pairSet(100, surviving = true) == Set((1L, 2L)))
     assert(pairSet(100, surviving = false) == Set((1L, 2L)))
   }
 }

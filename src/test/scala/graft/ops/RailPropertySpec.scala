@@ -8,12 +8,13 @@ import graft.SparkSpec
   * executable Scala models over seeded corpora (bases + ≤6-bit mutants +
   * a constant-signature clump that fires the rail):
   *
-  *  - [[Dedup.hammingNearDupPairs]] (default, r14) emits a (hamming ≤ 6)
-  *    pair iff SOME clean chunk-pair block's bucket is within
-  *    `maxBucket`, in the lexicographically first such block — the
-  *    surviving-block rule. `survivingBlocks = false` pins the legacy
-  *    all-blocks rule (emit iff the FIRST clean block's bucket
-  *    survived), including its recall-loss corner under a fired rail.
+  *  - [[Dedup.hammingNearDupPairs]] DEFAULT (all-blocks rule): emit a
+  *    (hamming ≤ 6) pair iff the FIRST clean block's bucket is within
+  *    `maxBucket`, including its recall-loss corner under a fired rail
+  *    (the measured-fast path — see the operator scaladoc).
+  *    `survivingBlocks = true` (r14) emits iff SOME clean block's
+  *    bucket survived, in the lexicographically first such block — LSH
+  *    surviving-band parity.
   *  - [[Dedup.lshCandidatePairs]] emits a pair iff the docs share at
   *    least one SURVIVING band bucket (size ≤ maxBucket), in the first
   *    such band — the r13 surviving-band rule.
@@ -63,7 +64,7 @@ class RailPropertySpec extends SparkSpec {
     if ((x >>> (c1 * 8)) & 0xffL) == 0L && ((x >>> (c2 * 8)) & 0xffL) == 0L
   } yield c1 * 8 + c2
 
-  test("hamming surviving-block semantics == executable model (default)") {
+  test("hamming surviving-block semantics == executable model (knob on)") {
     val sigs = seededSigs
     val df = sigs.toDF("doc_id", "simhash")
     for (cap <- Seq(20, 100000)) {
@@ -78,7 +79,8 @@ class RailPropertySpec extends SparkSpec {
         if cleanBlks(x).exists(blk => census((blk,
           chunk(sa, blk / 8) * 256 + chunk(sa, blk % 8))) <= cap)
       } yield (ia, ib, java.lang.Long.bitCount(x).toLong)).toSet
-      val got = Dedup.hammingNearDupPairs(df, maxBucket = cap)
+      val got = Dedup.hammingNearDupPairs(df, maxBucket = cap,
+          survivingBlocks = true)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(got.length == got.toSet.size,
         s"duplicate emission at cap=$cap")
@@ -107,7 +109,7 @@ class RailPropertySpec extends SparkSpec {
     }
   }
 
-  test("hamming legacy all-blocks rule pinned under survivingBlocks=false") {
+  test("hamming all-blocks rule == executable model (the DEFAULT)") {
     val sigs = seededSigs
     val df = sigs.toDF("doc_id", "simhash")
     val cap = 20
@@ -129,6 +131,12 @@ class RailPropertySpec extends SparkSpec {
     assert(got.length == got.toSet.size, "duplicate emission")
     assert(got.toSet == expected,
       s"missing=${expected -- got.toSet} extra=${got.toSet -- expected}")
+    // the DEFAULT is the all-blocks rule (the surviving mask costs an
+    // extra census pass — measured, see hammingNearDupPairs scaladoc);
+    // pin it so a silent default flip is a conscious decision
+    val gotDefault = Dedup.hammingNearDupPairs(df, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotDefault.toSet == expected, "default must be the all-blocks rule")
   }
 
   test("LSH surviving-band semantics == executable model, seeded corpus") {
