@@ -868,9 +868,24 @@ object TextAnalysis {
     * Scale shape: the corpus is touched ONCE (the word-frequency
     * aggregation — at web scale ~10⁷ rows); every round then runs one
     * partial-aggregated pair count plus a 1-row TakeOrdered over the
-    * vocabulary table, cached and swapped per round. The driver holds
-    * only the argmax row per round — the same bounded-metadata pattern
-    * as IVF centroid training. */
+    * vocabulary table, CHECKPOINTED and swapped per round. The driver
+    * holds only the argmax row per round — the same bounded-metadata
+    * pattern as IVF centroid training.
+    *
+    * Per-round lineage is truncated with `localCheckpoint`, NOT
+    * cache(): a cache leaves the round's logical plan nested inside the
+    * next round's (InMemoryRelation keeps its child plan), and driver
+    * analysis/canonicalization over the deepening tree grows
+    * SUPER-LINEARLY — measured on a 247-word vocabulary, per-round wall
+    * time doubled from round ~10 (0.5 s → 5.3 s by round 14; 16 rounds
+    * cost 65 s, projected ~hours at tokenizer scale) while the
+    * checkpointed form holds a flat per-round floor (BENCH_NOTES r14).
+    * Same fix as the components pointer-jump loop (r12). At a
+    * vocabulary-sized merge count (32k–100k rounds) the binding cost is
+    * rounds × (one aggregation job + one materialization of the ~10⁷-row
+    * vocab) — a driver-iteration shape by construction; batching top-N
+    * non-conflicting merges per round is the known lever if that ever
+    * binds. */
   def bpeTrain(docs: DataFrame, nMerges: Int = 8,
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -878,7 +893,8 @@ object TextAnalysis {
     val words = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     var vocab = words.select(col("w"), col("freq"),
-      concat_ws(" ", split(col("w"), "")).as("sym")).cache()
+      concat_ws(" ", split(col("w"), "")).as("sym"))
+      .localCheckpoint(true)
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var k = 1
@@ -906,10 +922,12 @@ object TextAnalysis {
         merges += ((k.toLong, l, r, cnt))
         val pat = java.util.regex.Pattern.quote(s" $l $r ")
         val rep = java.util.regex.Matcher.quoteReplacement(s" $l$r ")
+        // localCheckpoint truncates the plan to a leaf: round k+1's
+        // analysis cost stays CONSTANT instead of re-walking k nested
+        // rounds (see scaladoc — measured super-linear with cache())
         val next = vocab.withColumn("sym",
           trim(regexp_replace(concat(lit(" "), col("sym"), lit(" ")),
-            pat, rep))).cache()
-        next.count()
+            pat, rep))).localCheckpoint(true)
         vocab.unpersist()
         vocab = next
         k += 1
