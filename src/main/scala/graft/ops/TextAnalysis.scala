@@ -895,6 +895,16 @@ object TextAnalysis {
     var vocab = words.select(col("w"), col("freq"),
       concat_ws(" ", split(col("w"), "")).as("sym"))
       .localCheckpoint(true)
+    // Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (its
+    // blocks are RDD-persisted, not cacheManager entries) — release
+    // each round's blocks through the internal RDD, as the components
+    // pointer-jump loop does, or 32k rounds pin 32k vocab copies until
+    // a driver GC happens to run
+    def releaser(df: DataFrame): () => Unit = {
+      val ck = org.apache.spark.sql.graftbridge.Bridge.internalRdd(df)
+      () => ck.foreach(_.unpersist(blocking = false))
+    }
+    var releasePrev = releaser(vocab)
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var k = 1
@@ -928,12 +938,13 @@ object TextAnalysis {
         val next = vocab.withColumn("sym",
           trim(regexp_replace(concat(lit(" "), col("sym"), lit(" ")),
             pat, rep))).localCheckpoint(true)
-        vocab.unpersist()
+        releasePrev()
+        releasePrev = releaser(next)
         vocab = next
         k += 1
       }
     }
-    vocab.unpersist()
+    releasePrev()
     merges.toSeq.toDF("rank", "l", "r", "pair_count")
   }
 

@@ -366,20 +366,36 @@ object EventStream {
     * retroactive change no stream-static join can express. Likewise a
     * doc bridging TWO corpus clusters takes the smaller canonical here,
     * while a batch re-cluster would merge them; bridges are a re-cluster
-    * trigger, not a streaming event. STATE BOUND: one aggregation row
-    * per arriving doc (the per-doc min) — bound it in production with a
-    * watermark on the arrival time like the other keyed duals. */
+    * trigger, not a streaming event. And arriving docs are compared to
+    * the CORPUS only, never to each other: two streamed near-dups of
+    * one another that match no corpus doc each self-label (possibly
+    * into different splits), where the batch replay would cluster them
+    * — within-stream duplication is the upstream landing screens' job
+    * ([[dedupAgainstCorpus]] / [[nearDupAgainstCorpus]] run BEFORE
+    * split assignment in the landing chain). STATE BOUND: one
+    * aggregation row per arriving doc (the per-doc min) — bound it in
+    * production with a watermark on the arrival time like the other
+    * keyed duals. */
   def splitAgainstCorpus(docs: DataFrame, corpus: DataFrame,
       canonicalMap: DataFrame, maxHamming: Int = 6,
       textCol: String = "text"): DataFrame = {
     import graft.ops.Dedup
+    require(maxHamming <= 6,
+      "chunk-pair blocking guarantees recall only for hamming <= 6")
     // static index: (blk, key, sig_c, canonical_id) — built once per
     // micro-batch epoch from the dedup stage's own signature recipe and
-    // its canonical-map deliverable
+    // its canonical-map deliverable. DISTINCT (signature, canonical)
+    // pairs before the 28-way explode: identical signatures share a
+    // cluster by construction (hamming 0), so a mass-duplicated corpus
+    // document would otherwise fan the stream-static join out ×copies
+    // per arriving doc — the skew the batch operator's maxBucket rail
+    // guards; the collapse removes it for free without changing the
+    // min-canonical reduce.
     val cSigs = Dedup.simhashes(corpus, textCol)
       .filter(col("simhash").isNotNull)
       .join(canonicalMap.select(col("doc_id"), col("canonical_id")),
         Seq("doc_id"))
+      .select(col("simhash"), col("canonical_id")).distinct()
     val cIdx = cSigs.select(col("simhash").as("_sig_c"),
         col("canonical_id"),
         explode(array(Dedup.chunkPairDefs(col("simhash")).map {

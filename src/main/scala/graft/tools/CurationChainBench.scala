@@ -53,9 +53,14 @@ object CurationChainBench {
     // per-stage cumulative table (stage N's count includes upstream)
     val stages = scala.collection.mutable.ArrayBuffer.empty[String]
     def stage(name: String)(df: => DataFrame): DataFrame = {
-      val (t, n) = time(df.count())
+      // bind ONCE, inside the timer: returning the by-name `df` would
+      // re-evaluate it — for Stage.barrier stages that re-runs the
+      // whole eager staging untimed (and binding OUTSIDE the timer
+      // would exclude the eager staging from the timed number)
+      var d: DataFrame = null
+      val (t, n) = time { d = df; d.count() }
       stages += s"""{"stage":"$name","rows":$n,"cum_sec":$t}"""
-      df
+      d
     }
     val gated = stage("gate")(TextAnalysis.gopherRules(docs, 20L, 100000L,
         "text", carry = Seq("source", "text"))
