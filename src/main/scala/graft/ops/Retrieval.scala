@@ -32,13 +32,18 @@ object Retrieval {
     * k1 = k1X1000/1000 (default 1.2), b = bX1000/1000 (default 0.75).
     *
     * Scale shape: the term list is a literal array (a broadcast
-    * dimension in the degenerate); the corpus is touched once — one
-    * explode limited to query terms BEFORE the shuffle (the filter is a
-    * pushed `isin` over the exploded tokens, so non-query tokens never
-    * leave the map side), one (doc, term) partial-aggregated count, one
-    * df aggregation over ≤|terms| rows, and a TakeOrdered top-k — no
-    * global sort, no join bigger than |terms|. The corpus-level (N, tot)
-    * scalars ride a single-row broadcast cross join, not a collect.
+    * dimension in the degenerate); the corpus is touched TWICE — once
+    * for the (N, tot) scalars (a single-row broadcast, not a collect)
+    * and once for the scoring stream, where the document length rides
+    * WITH each term occurrence out of the same tokenization (array
+    * materialized per row, size() + a filtered explode limited to query
+    * terms — non-query tokens never leave the map side), so dl needs NO
+    * corpus-size join back (the r14 review caught the old plan shuffling
+    * a per-document dl relation against the tf stream — a data-scale
+    * exchange — plus a third corpus scan). One (doc, term)
+    * partial-aggregated count, one df aggregation DERIVED from the tf
+    * relation (≤ |terms| rows), and a TakeOrdered top-k — no global
+    * sort, no join bigger than |terms|.
     *
     * Int64 headroom — the honest bound is on the INTERMEDIATES, not the
     * final contribution: `num` = tf·2200·10³·tot·10³ stays exact while
@@ -51,22 +56,27 @@ object Retrieval {
   def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10,
       k1X1000: Long = 1200L, bX1000: Long = 750L,
       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(col(textCol), " ")).as("token"))
     // corpus scalars: N docs, tot tokens (single row, broadcast below)
     val stats = docs.agg(
       count(lit(1)).cast("long").as("n_docs"),
       sum(size(split(col(textCol), " "))).cast("long").as("tot"))
-    val dl = docs.select(col("doc_id"),
-      size(split(col(textCol), " ")).cast("long").as("dl"))
-    val tf = toks.filter(col("token").isin(terms: _*))
+    // ONE tokenization per row feeds BOTH the doc length and the
+    // term-filtered explode (array materialized as a column first — the
+    // HOF re-evaluation rule), so dl rides with every occurrence and the
+    // former corpus-size dl join disappears
+    val toks = docs
+      .select(col("doc_id"), split(col(textCol), " ").as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(filter(col("_toks"),
+          t => t.isin(terms: _*))).as("token"))
+    val tf = toks
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+      .agg(count(lit(1)).cast("long").as("tf"),
+        min(col("dl")).as("dl")) // constant within the doc; min = pick it
     val df = tf.groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df")) // tf rows: distinct pairs
     tf.join(broadcast(df), "token")
       .crossJoin(broadcast(stats))
-      .join(dl, "doc_id")
       // tfc ×1000: numerator and denominator both multiplied by 10⁶·tot
       // so the ONLY division is the final integer one (float-free);
       // df ≤ n_docs always, so the idf numerator is ≥ 10⁶ — no clamp
@@ -134,15 +144,19 @@ object Retrieval {
       textCol: String = "text"): DataFrame = {
     val vocab = TextAnalysis.vocabulary(docs, vocabSize, textCol)
       .select(col("token"), lit(1).as("iv"))
+    // explode_outer: a NULL-text doc keeps ONE row with a NULL token
+    // (plain explode silently dropped the doc — precisely the degenerate
+    // document a coverage QA exists to surface); it reports (0, 0, 0)
     docs.select(col("doc_id"),
-        explode(split(col(textCol), " ")).as("token"))
+        explode_outer(split(col(textCol), " ")).as("token"))
       .join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        sum(when(col("iv").isNull, 1L).otherwise(0L)).cast("long")
-          .as("n_oov"))
+      .agg(count(col("token")).cast("long").as("n_tokens"),
+        sum(when(col("iv").isNull && col("token").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("n_oov"))
       .withColumn("oov_x1e6",
-        expr("n_oov * 1000000 div n_tokens"))
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("n_oov * 1000000 div n_tokens")))
   }
 
   /** Hard-negative mining — the contrastive-training data shape (DPR /

@@ -133,39 +133,52 @@ object Similarity {
       }: _*)
   }
 
-  /** LSH-bucketed ANN: `nTables` independent signature tables of
-    * `bitsPerTable` hyperplane bits; candidates = corpus vectors sharing a
-    * bucket with the query in ANY table; exact cosine re-rank inside the
-    * candidate set. One shuffle on (table, bucket). */
-  def knnLsh(embs: DataFrame, nQueries: Int, k: Int, nTables: Int = 4,
-      bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+  /** The STAGED (vec_id, bv, table, bucket) LSH bucket relation — the
+    * ONE candidate-generation construction shared by [[knnLsh]] and
+    * [[nearDupPairs]] (their exactly-once invariant lives in the
+    * bv-vector + first-matching-table pair; two hand-maintained copies
+    * had drifted-in-waiting). The barrier keeps the signature dot
+    * products from running once per self-join side. Stage LIFECYCLE
+    * applies (release via Stage.releaseAll). */
+  private def lshBuckets(embs: DataFrame, nTables: Int, bitsPerTable: Int,
+      dim: Int): DataFrame = {
     val sigs = (0 until nTables).map { t =>
       val planes = hyperplanes(bitsPerTable, dim, seed = 1000L + t)
       lshSignature(toDouble(col("embedding")), planes)
     }
-    // bucket join carries BARE IDS plus each side's nTables-long bucket
-    // vector — the 64-dim vectors join back only after the candidate set
-    // is final, and the dedup is STRUCTURAL: a (query, neighbor) meeting
-    // in several tables keeps only the emission whose table is the FIRST
-    // matching one (a register-op when-chain over the two bucket
-    // vectors), so no distinct() exchange runs over the candidate set
-    // staged: self-joined — the barrier keeps the signature dot products
-    // from running once per join side (see Stage.barrier)
-    val buckets = Stage.barrier(embs.select(col("vec_id"),
+    Stage.barrier(embs.select(col("vec_id"),
         array(sigs: _*).as("bv"))
       .select(col("vec_id"), col("bv"),
         posexplode(col("bv")).as(Seq("table", "bucket"))))
+  }
+
+  /** First table in which the two sides' bucket vectors agree — the
+    * structural dedup: a pair meeting in several tables keeps only the
+    * emission whose table is the FIRST matching one (a register-op
+    * when-chain), so no distinct() exchange runs over candidates. */
+  private def firstMatchingTable(nTables: Int, bvA: String,
+      bvB: String): Column =
+    (0 until nTables).foldRight(lit(-1)) { (t, rest) =>
+      when(col(bvA).getItem(t) === col(bvB).getItem(t), lit(t))
+        .otherwise(rest)
+    }
+
+  /** LSH-bucketed ANN: `nTables` independent signature tables of
+    * `bitsPerTable` hyperplane bits; candidates = corpus vectors sharing a
+    * bucket with the query in ANY table; exact cosine re-rank inside the
+    * candidate set. One shuffle on (table, bucket). Bucket join carries
+    * BARE IDS plus each side's nTables-long bucket vector — the 64-dim
+    * vectors join back only after the candidate set is final. */
+  def knnLsh(embs: DataFrame, nQueries: Int, k: Int, nTables: Int = 4,
+      bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    val buckets = lshBuckets(embs, nTables, bitsPerTable, dim)
     val qb = buckets.select(col("vec_id").as("query_id"),
         col("bv").as("bv_q"), col("table"), col("bucket"))
       .filter(col("query_id") < nQueries)
-    val firstTable = (0 until nTables).foldRight(lit(-1)) { (t, rest) =>
-      when(col("bv").getItem(t) === col("bv_q").getItem(t), lit(t))
-        .otherwise(rest)
-    }
     val candidateIds = buckets
       .join(qb, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id") &&
-        col("table") === firstTable)
+        col("table") === firstMatchingTable(nTables, "bv", "bv_q"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     val vecs = embs.select(col("vec_id"),
         toDouble(col("embedding")).as("vec"))
@@ -188,30 +201,17 @@ object Similarity {
     * self-join, shuffle only on buckets. */
   def nearDupPairs(embs: DataFrame, minCosine: Double, nTables: Int = 4,
       bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
-    val sigs = (0 until nTables).map { t =>
-      val planes = hyperplanes(bitsPerTable, dim, seed = 1000L + t)
-      lshSignature(toDouble(col("embedding")), planes)
-    }
-    // same bare-ID candidate plan as knnLsh, with the same STRUCTURAL
-    // dedup: each side carries its nTables-long bucket vector and a pair
-    // keeps only its first-matching-table emission — exactly-once with
-    // no distinct() exchange over the (long, long) pair relation
-    // staged: self-joined — the barrier keeps the signature dot products
-    // from running once per join side (see Stage.barrier)
-    val buckets = Stage.barrier(embs.select(col("vec_id"),
-        array(sigs: _*).as("bv"))
-      .select(col("vec_id"), col("bv"),
-        posexplode(col("bv")).as(Seq("table", "bucket"))))
+    // same bare-ID candidate plan as knnLsh — shared via [[lshBuckets]] /
+    // [[firstMatchingTable]], so the exactly-once invariant has ONE
+    // definition
+    val buckets = lshBuckets(embs, nTables, bitsPerTable, dim)
     val a = buckets.select(col("table"), col("bucket"),
       col("vec_id").as("id_a"), col("bv").as("bv_a"))
     val b = buckets.select(col("table"), col("bucket"),
       col("vec_id").as("id_b"), col("bv").as("bv_b"))
-    val firstTable = (0 until nTables).foldRight(lit(-1)) { (t, rest) =>
-      when(col("bv_a").getItem(t) === col("bv_b").getItem(t), lit(t))
-        .otherwise(rest)
-    }
     val pairs = a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b") && col("table") === firstTable)
+      .filter(col("id_a") < col("id_b") &&
+        col("table") === firstMatchingTable(nTables, "bv_a", "bv_b"))
       .select(col("id_a"), col("id_b"))
     val vecs = embs.select(col("vec_id"),
         toDouble(col("embedding")).as("vec"))
@@ -259,9 +259,13 @@ object Similarity {
   def semanticDedup(embs: DataFrame,
       centroids: Seq[(Int, Seq[Double])], minCosine: Double,
       maxCell: Int = 100000): DataFrame = {
-    val assignedRaw = Ivf.assign(embs, centroids)
+    // staged HERE, not after the census join: the census and the main
+    // stream both consume this frame, and an unstaged assignment runs
+    // the nlist-dot argmin — the operator's dominant per-row cost —
+    // once per branch (r14 review)
+    val assignedRaw = Stage.barrier(Ivf.assign(embs, centroids)
       .select(col("vec_id"), col("cluster"), col("vec"),
-        norm(col("vec")).as("nrm"))
+        norm(col("vec")).as("nrm")))
     // Cell census via a partial-aggregated groupBy + broadcast join, NOT
     // count() OVER (PARTITION BY cluster): the guard exists for the
     // degenerate hot cell, and the window form would serialize that
@@ -272,8 +276,9 @@ object Similarity {
     // broadcastable.
     val cellCounts = assignedRaw.groupBy(col("cluster"))
       .agg(count(lit(1)).as("cell_n"))
-    // staged: both sides of the within-cluster self-join read it
-    val assigned = Stage.barrier(
+    // both self-join sides re-derive this from the STAGED leaf above —
+    // a broadcast probe + one when() per row, not worth a second cache
+    val assigned =
       assignedRaw
         .join(broadcast(cellCounts), Seq("cluster"))
         .withColumn("cluster",
@@ -284,7 +289,7 @@ object Similarity {
               " would go quadratic; raise nlist (finer quantizer) or" +
               " maxCell"))))
             .otherwise(col("cluster")))
-        .drop("cell_n"))
+        .drop("cell_n")
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
@@ -355,6 +360,9 @@ object Similarity {
     * bounded by the shortlist factor (shortlist ≫ k). */
   def knnQuantized(embs: DataFrame, nQueries: Int, k: Int,
       shortlist: Int = 32): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k): the re-rank can only " +
+        "return what the shortlist buffer kept")
     // codes ride as ARRAY<DOUBLE>: every value is an integer in [0, 255]
     // and dims ≪ 2⁵³ − so the double representation (and the native fused
     // dot below) is EXACT, bit-identical to the integer fold the DuckDB

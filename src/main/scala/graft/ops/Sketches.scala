@@ -60,19 +60,31 @@ object Sketches {
 
   /** The int64-exact harmonic estimator over a register file (b, r) —
     * est×1000 = 709·m²·2²⁶ div Σ 2^(26−ρ); absent registers contribute
-    * ρ = 0. One row out. */
+    * ρ = 0 (including ALL of them: sum() over an empty register file is
+    * NULL, so both aggregates coalesce to keep the documented convention
+    * — an empty input estimates 709·m²·1000 div 64·2²⁶, never NULL).
+    * One row out. */
   private def hllEstimate(regs: DataFrame): DataFrame =
     regs.agg(
-        sum(expr("shiftleft(1L, cast(26 - r as int))")).as("s_present"),
+        coalesce(sum(expr("shiftleft(1L, cast(26 - r as int))")), lit(0L))
+          .as("s_present"),
         count(lit(1)).as("n_regs"))
       .select((lit(709L) * HllM * HllM * (1L << 26)).as("num"),
         (col("s_present") + (lit(HllM.toLong) - col("n_regs")) * (1L << 26))
           .as("den"))
       .select(expr("num div den").as("hll_est_x1000"))
 
+  /** NULL keys carry no register: polyHash null-propagates, so an
+    * unfiltered NULL key would form a phantom (NULL, NULL) register row —
+    * counted in n_regs, contributing nothing to s_present — biasing the
+    * estimate high, while the paired exact countDistinct ignores NULLs.
+    * One screen, shared by all three variants. */
+  private def nonNullKeys(df: DataFrame, keyCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+
   def hllDistinct(df: DataFrame, keyCol: String): DataFrame = {
     val (bucket, rho) = hllBucketRho(keyCol)
-    val regs = df.select(bucket.as("b"), rho.as("rho"))
+    val regs = nonNullKeys(df, keyCol).select(bucket.as("b"), rho.as("rho"))
       .groupBy(col("b")).agg(max(col("rho")).as("r"))
     val exact = df.agg(countDistinct(col(keyCol)).as("n_exact"))
     exact.crossJoin(hllEstimate(regs)) // two single-row frames
@@ -97,11 +109,12 @@ object Sketches {
   def hllMergeAcross(df: DataFrame, keyCol: String,
       segmentCol: String): DataFrame = {
     val (bucket, rho) = hllBucketRho(keyCol)
-    val perSegment = df
+    val keyed = nonNullKeys(df, keyCol)
+    val perSegment = keyed
       .select(col(segmentCol).as("_g"), bucket.as("b"), rho.as("rho"))
       .groupBy(col("_g"), col("b")).agg(max(col("rho")).as("r"))
     val merged = perSegment.groupBy(col("b")).agg(max(col("r")).as("r"))
-    val direct = df.select(bucket.as("b"), rho.as("rho"))
+    val direct = keyed.select(bucket.as("b"), rho.as("rho"))
       .groupBy(col("b")).agg(max(col("rho")).as("r"))
     df.agg(countDistinct(col(keyCol)).as("n_exact"))
       .crossJoin(hllEstimate(merged)
@@ -119,7 +132,7 @@ object Sketches {
   def hllDistinctBy(df: DataFrame, keyCol: String,
       groupCol: String): DataFrame = {
     val (bucket, rho) = hllBucketRho(keyCol)
-    val est = df
+    val est = nonNullKeys(df, keyCol)
       .select(col(groupCol).as("_g"), bucket.as("b"), rho.as("rho"))
       .groupBy(col("_g"), col("b")).agg(max(col("rho")).as("r"))
       .groupBy(col("_g"))
@@ -129,10 +142,14 @@ object Sketches {
         s"(709L * $HllM * $HllM * shiftleft(1L, 26)) div " +
           s"(s_present + ($HllM - n_regs) * shiftleft(1L, 26))")
         .as("hll_est_x1000"))
+    // null-safe join + left: a NULL group is a group like any other (the
+    // equi form silently dropped it); a group whose every key is NULL has
+    // no register file — its estimate coalesces to 0, matching n_exact
     df.groupBy(col(groupCol))
       .agg(countDistinct(col(keyCol)).as("n_exact"))
-      .join(est, col(groupCol) === col("_g"))
-      .select(col(groupCol), col("n_exact"), col("hll_est_x1000"))
+      .join(est, col(groupCol) <=> col("_g"), "left")
+      .select(col(groupCol), col("n_exact"),
+        coalesce(col("hll_est_x1000"), lit(0L)).as("hll_est_x1000"))
   }
 
   /** Approximate quantiles from an integer histogram: bin = value div
@@ -144,10 +161,27 @@ object Sketches {
     * cumulative scan runs as an array fold, so no global-window shuffle
     * (and no single-partition window) ever touches the plan. Error ≤
     * binWidth by construction; all int64. */
+  /** FLOOR-division bin of a value column — `(v − pmod(v, w)) div w`,
+    * int64-exact. Plain `div` truncates toward zero, which for NEGATIVE
+    * values merges bin 0 into (−w, w) and makes each negative bin's
+    * `value_lo` its UPPER edge — the gate threshold would snap UP
+    * instead of the documented "within binWidth BELOW the true
+    * quantile". The value is aliased to an internal column first, so a
+    * caller-supplied name never splices into raw SQL. Identical to
+    * truncation on the non-negative domain (where the existing oracles
+    * live); the DuckDB renderings floor the same way. */
+  private def binOf(df: DataFrame, valueCol: String, binWidth: Long,
+      carry: Seq[(Column, String)] = Nil): DataFrame =
+    df.select(carry.map { case (c, n) => c.as(n) } :+
+        col(valueCol).as("_v"): _*)
+      .select(carry.map { case (_, n) => col(n) } :+
+        expr(s"(_v - pmod(_v, ${binWidth}L)) div ${binWidth}L")
+          .as("bin"): _*)
+
   def histogramQuantiles(df: DataFrame, valueCol: String, binWidth: Long,
       qs: Seq[Int]): DataFrame = {
     import df.sparkSession.implicits._
-    val hist = df.select(expr(s"$valueCol div $binWidth").as("bin"))
+    val hist = binOf(df, valueCol, binWidth)
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
     val packed = hist
       .agg(array_sort(collect_list(struct(col("bin"), col("cnt"))))
@@ -187,9 +221,8 @@ object Sketches {
   def histogramQuantilesBy(df: DataFrame, groupCol: String,
       valueCol: String, binWidth: Long, qs: Seq[Int]): DataFrame = {
     import df.sparkSession.implicits._
-    val hist = df
-      .select(col(groupCol).as("_g"),
-        expr(s"$valueCol div $binWidth").as("bin"))
+    val hist = binOf(df, valueCol, binWidth,
+        carry = Seq(col(groupCol) -> "_g"))
       .groupBy(col("_g"), col("bin")).agg(count(lit(1)).as("cnt"))
     val packed = hist.groupBy(col("_g"))
       .agg(array_sort(collect_list(struct(col("bin"), col("cnt"))))
@@ -222,10 +255,12 @@ object Sketches {
       valueCol: String, binWidth: Long, q: Int): DataFrame = {
     require(q >= 1 && q <= 100, s"q must be a percentage in [1,100], got $q")
     val th = histogramQuantilesBy(df, groupCol, valueCol, binWidth, Seq(q))
-      .select(col(groupCol), col("value_lo").as("_th"))
-    df.join(broadcast(th), Seq(groupCol))
+      .select(col(groupCol).as("_gth"), col("value_lo").as("_th"))
+    // null-safe group match: a NULL group has its own threshold like any
+    // other — the equi form silently dropped every NULL-group row
+    df.join(broadcast(th), col(groupCol) <=> col("_gth"))
       .filter(col(valueCol) >= col("_th"))
-      .drop("_th")
+      .drop("_gth", "_th")
   }
 
   /** Count-min sketch dimensions: 4 hash rows × 512 counters. Error bound

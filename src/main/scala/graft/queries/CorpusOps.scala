@@ -481,8 +481,9 @@ object CorpusOps {
         "array_to_string(list_sort(list(doc_id) FILTER (WHERE rk <= 20)), " +
         "',') AS postings_csv FROM p GROUP BY token"),
     "q_quantile_by_lang" ->
-      ("WITH hist AS (SELECT lang, n_chars // 64 AS bin, count(*) AS cnt " +
-        "FROM documents GROUP BY 1, 2), " +
+      ("WITH hist AS (SELECT lang, (n_chars - ((n_chars % 64) + 64) " +
+        "% 64) // 64 AS bin, count(*) AS cnt FROM documents " +
+        "GROUP BY 1, 2), " +
         "c AS (SELECT lang, bin, CAST(sum(cnt) OVER (PARTITION BY lang " +
         "ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "AS BIGINT) AS cum, CAST(sum(cnt) OVER (PARTITION BY lang) " +
@@ -492,8 +493,9 @@ object CorpusOps {
         "FROM c, (VALUES (50), (90), (99)) AS qs(q) " +
         "WHERE cum * 100 >= n_total * q GROUP BY lang, q"),
     "q_ntile_gate_sketch" ->
-      ("WITH hist AS (SELECT lang, n_chars // 64 AS bin, count(*) AS cnt " +
-        "FROM documents GROUP BY 1, 2), " +
+      ("WITH hist AS (SELECT lang, (n_chars - ((n_chars % 64) + 64) " +
+        "% 64) // 64 AS bin, count(*) AS cnt FROM documents " +
+        "GROUP BY 1, 2), " +
         "c AS (SELECT lang, bin, CAST(sum(cnt) OVER (PARTITION BY lang " +
         "ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "AS BIGINT) AS cum, CAST(sum(cnt) OVER (PARTITION BY lang) " +
@@ -570,9 +572,13 @@ object CorpusOps {
     // the identical register construction: bucket = h mod 64, ρ from the
     // binary length of the remaining 25 bits, harmonic sum as an exact
     // 2²⁶-scaled integer — estimator drift is impossible by construction
+    // r14 lockstep with the engine's NULL posture: NULL keys carry no
+    // register, NULL groups are groups (null-safe left join), a group
+    // with no register file estimates 0
     "q_hll_by_segment" ->
       (s"WITH h AS (SELECT event_type, (${pHash("user_id")} " +
-        "* 1103515245 + 12345) % 2147483647 AS h FROM events), " +
+        "* 1103515245 + 12345) % 2147483647 AS h FROM events " +
+        "WHERE user_id IS NOT NULL), " +
         "r AS (SELECT event_type, h % 64 AS b, " +
         "CASE WHEN h // 64 = 0 THEN 26 " +
         "ELSE 26 - length(bin(h // 64)) END AS rho FROM h), " +
@@ -584,16 +590,18 @@ object CorpusOps {
         "ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact " +
         "FROM events GROUP BY event_type) " +
         "SELECT ex.event_type, n_exact, " +
-        "CAST((709 * 64 * 64 * (1::BIGINT << 26)) // " +
-        "(s_present + (64 - n_regs) * (1::BIGINT << 26)) AS BIGINT) " +
-        "AS hll_est_x1000 FROM ex JOIN agg USING (event_type)"),
+        "coalesce(CAST((709 * 64 * 64 * (1::BIGINT << 26)) // " +
+        "(s_present + (64 - n_regs) * (1::BIGINT << 26)) AS BIGINT), " +
+        "CAST(0 AS BIGINT)) AS hll_est_x1000 FROM ex LEFT JOIN agg " +
+        "ON ex.event_type IS NOT DISTINCT FROM agg.event_type"),
     // per-segment register files merged by per-bucket max, estimated with
     // the same exact-rational arithmetic — and the direct single-pass
     // sketch alongside; DuckDB re-derives BOTH, so the merge≡direct
     // union property is cross-engine-checked, not just spec-asserted
     "q_hll_merge" ->
       (s"WITH h AS (SELECT event_type, (${pHash("user_id")} " +
-        "* 1103515245 + 12345) % 2147483647 AS h FROM events), " +
+        "* 1103515245 + 12345) % 2147483647 AS h FROM events " +
+        "WHERE user_id IS NOT NULL), " +
         "r AS (SELECT event_type, h % 64 AS b, " +
         "CASE WHEN h // 64 = 0 THEN 26 " +
         "ELSE 26 - length(bin(h // 64)) END AS rho FROM h), " +
@@ -601,10 +609,12 @@ object CorpusOps {
         "GROUP BY event_type, b), " +
         "mreg AS (SELECT b, max(r) AS r FROM seg GROUP BY b), " +
         "dreg AS (SELECT b, max(rho) AS r FROM r GROUP BY b), " +
-        "ma AS (SELECT CAST(sum(1::BIGINT << CAST(26 - r AS INTEGER)) " +
-        "AS BIGINT) AS s_present, count(*) AS n_regs FROM mreg), " +
-        "da AS (SELECT CAST(sum(1::BIGINT << CAST(26 - r AS INTEGER)) " +
-        "AS BIGINT) AS s_present, count(*) AS n_regs FROM dreg) " +
+        "ma AS (SELECT coalesce(CAST(sum(1::BIGINT << " +
+        "CAST(26 - r AS INTEGER)) AS BIGINT), CAST(0 AS BIGINT)) " +
+        "AS s_present, count(*) AS n_regs FROM mreg), " +
+        "da AS (SELECT coalesce(CAST(sum(1::BIGINT << " +
+        "CAST(26 - r AS INTEGER)) AS BIGINT), CAST(0 AS BIGINT)) " +
+        "AS s_present, count(*) AS n_regs FROM dreg) " +
         "SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_exact, " +
         "CAST((709 * 64 * 64 * (1::BIGINT << 26)) // " +
         "(ma.s_present + (64 - ma.n_regs) * (1::BIGINT << 26)) " +
@@ -614,19 +624,20 @@ object CorpusOps {
         "AS BIGINT) AS direct_est_x1000 FROM ma, da"),
     "q_hll_distinct" ->
       (s"WITH h AS (SELECT (${pHash("o_custkey")} * 1103515245 + 12345) " +
-        "% 2147483647 AS h FROM orders), " +
+        "% 2147483647 AS h FROM orders WHERE o_custkey IS NOT NULL), " +
         "r AS (SELECT h % 64 AS b, CASE WHEN h // 64 = 0 THEN 26 " +
         "ELSE 26 - length(bin(h // 64)) END AS rho FROM h), " +
         "regs AS (SELECT b, max(rho) AS r FROM r GROUP BY b), " +
-        "agg AS (SELECT CAST(sum(1::BIGINT << CAST(26 - r AS INTEGER)) " +
-        "AS BIGINT) AS s_present, count(*) AS n_regs FROM regs) " +
+        "agg AS (SELECT coalesce(CAST(sum(1::BIGINT << " +
+        "CAST(26 - r AS INTEGER)) AS BIGINT), CAST(0 AS BIGINT)) " +
+        "AS s_present, count(*) AS n_regs FROM regs) " +
         "SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS n_exact, " +
         "CAST((709 * 64 * 64 * (1::BIGINT << 26)) // " +
         "(s_present + (64 - n_regs) * (1::BIGINT << 26)) AS BIGINT) " +
         "AS hll_est_x1000 FROM agg"),
     "q_quantile_hist" ->
-      ("WITH hist AS (SELECT n_chars // 64 AS bin, count(*) AS cnt " +
-        "FROM documents GROUP BY 1), " +
+      ("WITH hist AS (SELECT (n_chars - ((n_chars % 64) + 64) % 64) " +
+        "// 64 AS bin, count(*) AS cnt FROM documents GROUP BY 1), " +
         "c AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
         "AS cum, CAST(sum(cnt) OVER () AS BIGINT) AS n_total FROM hist) " +

@@ -881,6 +881,9 @@ object TextOps {
         HardNegPositives),
     // the same top-20 vocabulary rule as q_vocab_topk (n DESC, token),
     // then a left-join OOV count per document
+    // LEFT JOIN back onto documents: a NULL-text doc has no token rows
+    // but must still report (0, 0, 0) — the engine's explode_outer
+    // semantics (r14)
     "q_oov_rate" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) " +
         "AS token FROM documents), " +
@@ -888,12 +891,16 @@ object TextOps {
         "FROM toks GROUP BY token) ORDER BY n DESC, token LIMIT 20), " +
         "j AS (SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 " +
         "ELSE 0 END AS oov FROM toks t LEFT JOIN vocab v " +
-        "USING (token)) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "USING (token)), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
         "CAST(sum(oov) AS BIGINT) AS n_oov, " +
         "CAST(sum(oov) AS BIGINT) * 1000000 // " +
         "CAST(count(*) AS BIGINT) AS oov_x1e6 " +
-        "FROM j GROUP BY doc_id"),
+        "FROM j GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.n_tokens, CAST(0 AS BIGINT)) " +
+        "AS n_tokens, coalesce(a.n_oov, CAST(0 AS BIGINT)) AS n_oov, " +
+        "coalesce(a.oov_x1e6, CAST(0 AS BIGINT)) AS oov_x1e6 " +
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"),
     "q_gopher_rules" ->
       ("SELECT doc_id, n_tokens, n_alpha, n_sym, n_stop, " +
         "chars100 // n_tokens AS mean_tok_len_x100, " +

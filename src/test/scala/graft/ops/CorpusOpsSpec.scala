@@ -303,6 +303,61 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogram bins FLOOR negatives; gate threshold snaps DOWN " +
+      "(r14 review)") {
+    import spark.implicits._
+    // truncating div merged bin 0 into (-w, w) and made negative bins'
+    // value_lo their UPPER edge — {-5,-5,-5,5} with w=10, q=25 then
+    // gated on threshold 0 and kept only {5}; flooring answers bin -1,
+    // value_lo -10 ≤ true quantile -5, and the gate keeps all rows
+    val df = Seq(("a", 1L, -5L), ("a", 2L, -5L), ("a", 3L, -5L),
+      ("a", 4L, 5L)).toDF("g", "id", "v")
+    val qh = Sketches.histogramQuantiles(df, "v", 10L, Seq(25))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(qh(25L) == ((-1L, -10L)),
+      s"negative values must land in floored bins: $qh")
+    val kept = Sketches.quantileThresholdGate(df, "g", "v", 10L, 25)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L),
+      "gate threshold must sit BELOW the true quantile, incl. negatives")
+    // NULL group: a group like any other — the equi join dropped it
+    val dfn = Seq((null: String, 1L, 100L), (null: String, 2L, 200L),
+      ("a", 3L, 5L)).toDF("g", "id", "v")
+    val keptN = Sketches.quantileThresholdGate(dfn, "g", "v", 10L, 50)
+      .collect().map(_.getLong(1)).toSet
+    assert(keptN.contains(2L) && keptN.contains(3L),
+      s"NULL group must gate against its own threshold: $keptN")
+  }
+
+  test("HLL: NULL keys carry no register, NULL groups survive, empty " +
+      "input estimates 0 not NULL (r14 review)") {
+    import spark.implicits._
+    // NULL keys: estimate must track the 3 distinct non-null keys (a
+    // phantom (NULL,NULL) register would shrink den and inflate it) and
+    // agree with the all-non-null frame exactly
+    val withNulls = Seq(Some("a"), Some("b"), Some("c"), None, None)
+      .toDF("k")
+    val noNulls = Seq("a", "b", "c").toDF("k")
+    val estN = Sketches.hllDistinct(withNulls, "k").collect().head
+    val est0 = Sketches.hllDistinct(noNulls, "k").collect().head
+    assert(estN.getLong(0) == 3L)
+    assert(estN.getLong(1) == est0.getLong(1),
+      "NULL keys must not perturb the register file")
+    // NULL group row survives the per-group estimate join
+    val grouped = Seq((null: String, "x"), (null: String, "y"),
+      ("g1", "x")).toDF("grp", "k")
+    val byG = Sketches.hllDistinctBy(grouped, "k", "grp").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byG(None) == 2L && byG(Some("g1")) == 1L,
+      s"NULL group must be reported: $byG")
+    // empty input: documented absent-register convention, never NULL
+    val empty = Seq.empty[String].toDF("k")
+    val e = Sketches.hllDistinct(empty, "k").collect().head
+    assert(!e.isNullAt(1) && e.getLong(1) > 0L,
+      "empty input must estimate via the all-absent register file")
+  }
+
   test("manifest: order-independent checksum detects any content change") {
     import spark.implicits._
     val a = Seq((1L, "abc", "s1"), (2L, "def", "s1"), (3L, "ghi", "s2"))

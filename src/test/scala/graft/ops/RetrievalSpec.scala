@@ -26,6 +26,28 @@ class RetrievalSpec extends SparkSpec {
     assert(r.map(_._2).sliding(2).forall(p => p(0) > p(1)))
   }
 
+  test("oovRate: NULL-text doc reports (0, 0, 0), never vanishes " +
+      "(r14 review)") {
+    val docs = Seq((1L, "aaa bbb aaa"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val got = Retrieval.oovRate(docs, vocabSize = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // vocab = {aaa}; doc 1: 3 tokens, 1 oov (bbb)
+    assert(got(1L) == ((3L, 1L, 333333L)))
+    assert(got.contains(2L),
+      "the NULL-text doc must appear in the coverage report")
+    assert(got(2L) == ((0L, 0L, 0L)))
+  }
+
+  test("knnQuantized rejects k > shortlist at construction (r14 review)") {
+    val embs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.knnQuantized(embs, nQueries = 1, k = 50, shortlist = 32)
+    }
+  }
+
   test("bm25: longer doc scores below shorter doc at equal tf") {
     val docs = Seq(
       (0L, "term aaa bbb"),
