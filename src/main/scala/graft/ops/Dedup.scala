@@ -244,7 +244,8 @@ object Dedup {
     * RAIL × FIRST-MATCH INTERACTION (semantics under a FIRED rail): the
     * first-match rule is evaluated over SURVIVING bands only — the
     * over-cap census rides into the post-join filter as a single
-    * collected row (broadcast cross join, no exchange), and the
+    * collected row (constant-key broadcast hash join — codegen-fused,
+    * no exchange), and the
     * when-chain skips bands whose (band, key) bucket is over-cap. A
     * pair whose first matching band was railed is therefore still
     * emitted, once, in its first surviving matching band — exactly the
@@ -340,10 +341,21 @@ object Dedup {
         .otherwise(firstSurvivingBand)
     // FORCED sort-merge, as in the simhash path: statistics-driven
     // planning would broadcast-build the corpus-sized blocked relation.
-    // The single-row census rides in as a broadcast cross join AFTER the
-    // join (the filter consumes it row-locally) — no exchange added.
+    // The single-row census rides in AFTER the join on a CONSTANT-KEY
+    // BroadcastHashJoin, NOT crossJoin (the filter consumes it
+    // row-locally either way; no exchange added): a single-row cross
+    // join plans as BroadcastNestedLoopJoin, which whole-stage codegen
+    // cannot compile, so the first-match filter — `bands` band-vector
+    // probes per candidate row, the hot loop of this operator — would
+    // fall back to interpreted rows (+33% measured on the hamming
+    // path's identical shape, BENCH_NOTES r14). Both `_j` keys must be
+    // attribute-derived, or the condition folds back to a cross/BNLJ
+    // (see hammingPlan). Plan-pinned in DedupSpec.
     a.hint("merge").join(b, Seq("band", "key", "slt"))
-      .crossJoin(broadcast(ocRow))
+      .withColumn("_j", pmod(xxhash64(col("doc_a")), lit(1L)).cast("int"))
+      .join(broadcast(ocRow.withColumn("_j",
+        pmod(size(col("_oc")).cast("long"), lit(1L)).cast("int"))),
+        Seq("_j"), "left")
       .filter(col("doc_a") < col("doc_b") && col("band") === firstBand)
       .select(col("doc_a"), col("doc_b"))
   }

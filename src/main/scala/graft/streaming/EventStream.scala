@@ -214,18 +214,21 @@ object EventStream {
     * fuzziness ladder from [[dedupAgainstCorpus]]: an arriving document
     * is checked for MinHash-LSH band collisions against the corpus index
     * and verified by exact hashed-shingle Jaccard before being reported
-    * as a duplicate. Emits the verified (doc_id, corpus_id) match pairs
-    * (append mode); the ingest decision is then a flag lookup in the
-    * sink (production keeps the band index as a compacted static table,
-    * refreshed between micro-batch epochs).
+    * as a duplicate. Emits the verified (doc_id, corpus_id,
+    * content_digest) match rows (append mode) — the digest identifies
+    * WHICH content version of a re-delivered doc_id matched; the ingest
+    * decision is then a flag lookup in the sink (production keeps the
+    * band index as a compacted static table, refreshed between
+    * micro-batch epochs).
     *
     * The stream side computes its signature STATELESSLY per row (an
     * array fold over the row's own shingles) instead of reusing the
     * batch engine's exploded native aggregate: no streaming-aggregation
     * state, no update-mode output — each arriving row carries everything
     * its screen needs. Both static joins are stream-static inner joins;
-    * the only state is the final pair dropDuplicates (bounded in
-    * production with dropDuplicatesWithinWatermark). Identical hash
+    * the only state is the pre-verification candidate dropDuplicates
+    * (bounded in production with dropDuplicatesWithinWatermark).
+    * Identical hash
     * family, banding, and integer-Jaccard threshold as the batch op —
     * the spec asserts per-doc match parity. */
   def nearDupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
@@ -252,29 +255,31 @@ object EventStream {
     // candidate dedup BEFORE verification (the batch dual's
     // cand.distinct()): two near-identical docs collide in all `bands`
     // bands, and verifying each collision would run the O(|sh|)
-    // intersection up to bands× per pair. The state this early
-    // dropDuplicates holds is a SUPERSET of the former post-verify
-    // dedup's — every LSH candidate (doc_id, corpus_id), verified or
-    // not — still O(candidates), same asymptotic bound, but note the
-    // semantic edge: a doc_id RE-DELIVERED later with changed text is
-    // permanently suppressed for any previously-seen (doc_id, corpus_id)
-    // candidate, even when the earlier text FAILED verification. Streams
-    // whose producers re-deliver updated documents under the same id
-    // should include a content digest in the dedup key (and in the
-    // output) so each content version verifies independently. The
-    // intersection itself materializes ONCE in a select (FilterExec does
-    // no common-subexpression elimination inside a predicate).
+    // intersection up to bands× per pair. The dedup key carries a
+    // CONTENT DIGEST (xxhash64 of the row's own hashed-shingle array —
+    // exactly the content granularity verification reads), so a doc_id
+    // RE-DELIVERED later with CHANGED text verifies independently
+    // instead of being permanently suppressed by a previously-seen
+    // (doc_id, corpus_id) candidate whose earlier text FAILED
+    // verification; an identical re-delivery still deduplicates (same
+    // shingles → same digest). The state is still every distinct LSH
+    // candidate — O(candidates) — plus one long per row; the digest is
+    // emitted so the sink can tell content versions apart (spec-pinned
+    // re-delivery fixture in EventStreamSpec). The intersection itself
+    // materializes ONCE in a select (FilterExec does no common-
+    // subexpression elimination inside a predicate).
     streamBands
       .join(cband, Seq("band", "key"))
-      .select(col("doc_id"), col("corpus_id"), col("sh"))
-      .dropDuplicates("doc_id", "corpus_id")
+      .select(col("doc_id"), col("corpus_id"), col("sh"),
+        xxhash64(col("sh")).as("content_digest"))
+      .dropDuplicates("doc_id", "corpus_id", "content_digest")
       .join(csh, Seq("corpus_id"))
-      .select(col("doc_id"), col("corpus_id"),
+      .select(col("doc_id"), col("corpus_id"), col("content_digest"),
         size(array_intersect(col("sh"), col("sh_c"))).cast("long")
           .as("_ni"),
         (size(col("sh")) + size(col("sh_c"))).cast("long").as("_ss"))
       .filter(col("_ni") * denom >= (col("_ss") - col("_ni")) * numer)
-      .select(col("doc_id"), col("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"), col("content_digest"))
   }
 
   /** Streaming duplicate-SPAN screen against a static corpus — the
@@ -373,12 +378,20 @@ object EventStream {
     * — within-stream duplication is the upstream landing screens' job
     * ([[dedupAgainstCorpus]] / [[nearDupAgainstCorpus]] run BEFORE
     * split assignment in the landing chain). STATE BOUND: one
-    * aggregation row per arriving doc (the per-doc min) — bound it in
-    * production with a watermark on the arrival time like the other
-    * keyed duals. */
+    * aggregation row per arriving doc (the per-doc min). Pass
+    * `eventTimeCol` (the arrival-time column) to bound it: the operator
+    * watermarks the stream and keys the reduce on (doc_id, event time)
+    * — every exploded block row of a doc carries the doc's own single
+    * timestamp, so the extra key changes nothing semantically, while
+    * putting the watermarked column in the aggregation key is what lets
+    * the state store EVICT docs older than the lateness horizon (the
+    * same mechanism as the windowed duals above; without it the per-doc
+    * min rows accumulate forever). Default None preserves the unbounded
+    * exact form for bounded replays. */
   def splitAgainstCorpus(docs: DataFrame, corpus: DataFrame,
       canonicalMap: DataFrame, maxHamming: Int = 6,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", eventTimeCol: Option[String] = None,
+      lateness: String = "2 hours"): DataFrame = {
     import graft.ops.Dedup
     require(maxHamming <= 6,
       "chunk-pair blocking guarantees recall only for hamming <= 6")
@@ -406,17 +419,19 @@ object EventStream {
     // stream side: row-local signature; NULL signatures keep ONE row with
     // a NULL block key (explode would drop the doc; the left join then
     // matches nothing and the doc self-labels)
-    val s = docs.select(col("doc_id"),
-      graft.functions.GraftFunctions.simHash62(col(textCol)).as("_sig"))
-    val sx = s.select(col("doc_id"), col("_sig"),
+    val et = eventTimeCol.map(col).toSeq
+    val docsW = eventTimeCol.fold(docs)(c => docs.withWatermark(c, lateness))
+    val s = docsW.select(col("doc_id") +: et :+
+      graft.functions.GraftFunctions.simHash62(col(textCol)).as("_sig"): _*)
+    val sx = s.select(col("doc_id") +: et ++: Seq(col("_sig"),
         explode_outer(when(col("_sig").isNotNull,
           array(Dedup.chunkPairDefs(col("_sig")).map { case (b, k) =>
             struct(lit(b).as("blk"), k.as("key"))
-          }: _*))).as("ck"))
-      .select(col("doc_id"), col("_sig"),
-        col("ck.blk").as("blk"), col("ck.key").as("key"))
+          }: _*))).as("ck")): _*)
+      .select(col("doc_id") +: et ++: Seq(col("_sig"),
+        col("ck.blk").as("blk"), col("ck.key").as("key")): _*)
     sx.join(cIdx, Seq("blk", "key"), "left")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id") +: et: _*)
       .agg(min(when(bit_count(col("_sig").bitwiseXOR(col("_sig_c")))
           <= maxHamming, col("canonical_id"))).as("_matched"))
       .select(col("doc_id"),

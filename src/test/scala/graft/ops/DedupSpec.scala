@@ -130,6 +130,16 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(doc_a"),
       "a pair-keyed exchange reappeared above the candidate join:\n" +
         plan.take(900))
+    // census residency: the single-row over-cap census must ride in on
+    // a constant-key BroadcastHashJoin, never a BroadcastNestedLoopJoin
+    // — BNLJ cannot whole-stage-compile, so the first-match filter (the
+    // operator's hot loop) would fall back to interpreted rows (+33%
+    // measured on the hamming path's identical shape, BENCH_NOTES r14)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the census join fell back to BNLJ — codegen lost downstream:\n" +
+        plan.take(900))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the constant-key census BHJ is missing:\n" + plan.take(900))
     graft.ops.Stage.releaseAll(spark)
   }
 

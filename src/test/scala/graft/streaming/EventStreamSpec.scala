@@ -438,9 +438,12 @@ class EventStreamSpec extends SparkSpec {
   /** Drive to completion and return (result table, per-batch state-rows
     * totals) for the stateful operator chain. */
   private def runWithProgress(df: org.apache.spark.sql.DataFrame,
-      name: String): (org.apache.spark.sql.DataFrame, Seq[Long]) = {
+      name: String,
+      mode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      : (org.apache.spark.sql.DataFrame, Seq[Long]) = {
     val q = df.writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .outputMode(mode)
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
@@ -586,6 +589,123 @@ class EventStreamSpec extends SparkSpec {
     // fresh + NULL docs self-label as singletons
     assert(got(freshId) == ((freshId, "test")))
     assert(got(7000L)._1 == 7000L)
+    graft.ops.Stage.releaseAll(spark)
+  }
+
+  test("near-dup screen: re-delivered doc with CHANGED text re-verifies") {
+    import spark.implicits._
+    // corpus doc 1; the arriving doc_id 100 is delivered TWICE: first as
+    // a lightly-padded version that LSH-collides but FAILS the cranked
+    // 99/100 Jaccard verification, then re-delivered as the exact corpus
+    // text, which passes. Without the content digest in the stateful
+    // candidate dedup key, the failed first delivery permanently
+    // suppresses the (100, 1) candidate and the second delivery is never
+    // verified — the r14 advice finding this spec pins.
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen curious pelicans watch from the harbour wall and the " +
+      "tide slides out past the mooring buoys toward the grey horizon " +
+      "carrying little boats and their patient silent fishermen along"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-redeliver").toString
+    def writeDoc(name: String, at: Int, text: String): Unit = {
+      Seq((100L, text)).toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/$name")
+      new java.io.File(s"$dir/$name").listFiles()
+        .foreach(_.setLastModified(1700000000000L + at * 60000L))
+    }
+    val padded = base + " coda epilogue"
+    writeDoc("b1", 1, padded)
+    writeDoc("b2", 2, base)
+    def stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")
+    // fixture sanity: the padded version IS an LSH candidate (threshold
+    // 0 verifies any collision) — the suppression path is exercised
+    val collided = EventStream.runToMemory(
+      EventStream.nearDupAgainstCorpus(stream, corpus,
+        numer = 0, denom = 1), "redeliver_sanity",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(collided.length == 2 &&
+      collided.map(c => (c._1, c._2)).distinct.toSeq == Seq((100L, 1L)),
+      s"padded delivery did not collide / digests did not split: " +
+        collided.mkString(","))
+    assert(collided.map(_._3).distinct.length == 2,
+      "content digests of the two deliveries must differ")
+    // cranked verification: only the re-delivered exact text passes
+    val got = EventStream.runToMemory(
+      EventStream.nearDupAgainstCorpus(stream, corpus,
+        numer = 99, denom = 100), "redeliver_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((100L, 1L)),
+      s"changed-text re-delivery must re-verify: got ${got.mkString(",")}")
+  }
+
+  test("streaming split dual: event-time watermark bounds per-doc state") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Sampling}
+    val longText = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen curious pelicans watch from the harbour wall and the " +
+      "tide slides out past the mooring buoys toward the grey horizon " +
+      "carrying little boats and their patient silent fishermen along"
+    val corpus = Seq(
+      (1L, longText), (20L, longText),
+      (21L, "completely different content about other things entirely " +
+        "with its own vocabulary and rhythm and no overlap at all"))
+      .toDF("doc_id", "text")
+    val cmap = Dedup.simhashCanonical(corpus)
+    val dir = Files.createTempDirectory("graft-split-wm").toString
+    def writeDoc(name: String, at: Int, id: Long, es: Long,
+        text: String): Unit = {
+      Seq((id, es, text)).toDF("doc_id", "es", "text")
+        .select(col("doc_id"), timestamp_seconds(col("es")).as("ts"),
+          col("text"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+      new java.io.File(s"$dir/$name").listFiles()
+        .foreach(_.setLastModified(1700000000000L + at * 60000L))
+    }
+    // event times 10 hours apart: each batch's commit advances the
+    // watermark past the previous doc's timestamp, so its aggregation
+    // state row is evicted — per-doc state tracks the lateness horizon
+    // instead of accumulating one row per doc forever. Base epoch well
+    // past 0 (epoch-0 event times sit exactly on the initial watermark).
+    val E = 1700000000L
+    writeDoc("b1", 1, 5000L, E, longText.replaceFirst("^[^ ]* ", ""))
+    writeDoc("b2", 2, 5001L, E + 10L * H, "entirely novel prose " +
+      "concerning migratory songbirds and the cartography of alpine lakes")
+    writeDoc("b3", 3, 5002L, E + 20L * H, "another fresh document about " +
+      "glacier moraines and the slow patience of lichen on granite")
+    writeDoc("b4", 4, 5003L, E + 30L * H, "final fresh text on the " +
+      "acoustics of empty railway stations after the last train has gone")
+    val stream = spark.readStream
+      .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")
+    val (table, totals) = runWithProgress(
+      EventStream.splitAgainstCorpus(stream, corpus, cmap,
+        eventTimeCol = Some("ts")),
+      "split_wm", org.apache.spark.sql.streaming.OutputMode.Update)
+    val got = table.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // row identity with the batch replay — the watermark key must not
+    // change any assignment
+    val batchDocs = Seq(5000L, 5001L, 5002L, 5003L)
+    val arriving = table.sparkSession.read.parquet(s"$dir/b*")
+      .select(col("doc_id"), col("text"))
+    val batch = Sampling.leakageSafeSplitsFrom(
+        Dedup.simhashCanonical(corpus.union(arriving)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(batchDocs.forall(id => got(id) == batch(id)),
+      s"watermarked split diverged from batch replay: got=$got")
+    assert(got(5000L) == ((1L, "train")),
+      "the near-dup must still land in cluster 1's split")
+    // state eviction is REAL: the final per-doc state total sits below
+    // the peak and at the horizon's size, not the stream's
+    assert(totals.size >= 4, s"expected >=4 stateful batches: $totals")
+    assert(totals.last < totals.max,
+      s"no aggregation-state eviction observed: $totals")
+    assert(totals.last <= 2,
+      s"final agg state should hold only the horizon's docs: $totals")
     graft.ops.Stage.releaseAll(spark)
   }
 }
