@@ -68,10 +68,17 @@ object Curation {
         "text", carry = Seq("source", "text"))
       .filter(col("gopher_pass"))
       .select(col("doc_id"), col("source"), col("text"))
-    // 2: exact digest dedup (keep lowest id per content digest)
-    val deduped = Dedup.firstPerDigest(
+    // 2: exact digest dedup (keep lowest id per content digest) —
+    // STAGED: deduped is consumed by BOTH the cluster-map staging below
+    // and the canonical semi-join, so without a barrier the gate →
+    // digest-dedup subtree runs once per consumer (and again per
+    // consumer of `canonical`). Staging HERE beats staging `canonical`
+    // by measurement (r15 A/B at sf1, BENCH_NOTES): canonical's own two
+    // consumers then re-run only a semi-join over this staged leaf,
+    // which is cheaper than a second barrier's materialization pass.
+    val deduped = Stage.barrier(Dedup.firstPerDigest(
         gated.withColumn("_dig", sha2(lower(col("text")), 256)))
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("text")))
     // 3: near-dup cluster map — STAGED, because it is consumed twice
     // (canonical collapse here, split keys below); this is the in-DAG
     // form of the bucketed-table reuse the split scaladoc prescribes

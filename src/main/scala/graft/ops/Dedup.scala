@@ -255,12 +255,17 @@ object Dedup {
     * via [[Rail.observed]]. FIRED-RAIL COST: the surviving-band
     * when-chain probes the collected census with `array_contains` —
     * O(bands × |census|) linear scans per joined candidate row (the
-    * `size == 0` fast path only protects the never-fired case). The
-    * census is bounded by corpus/maxBucket entries, so this is
-    * acceptable for a rail designed never to fire; if fired-rail runs
-    * become routine (small caps on mass-duplicate corpora), a sorted
-    * census + binary probe — or a bloom side-filter — would bound the
-    * scan, at the cost of a custom expression. [[hammingNearDupPairs]]
+    * `size == 0` fast path only protects the never-fired case).
+    * MEASURED (LshRailBench, sf0.1 + an equal-volume mass-dup block,
+    * identical surviving pairs, BENCH_NOTES r15): a ~16-entry census
+    * costs nothing over the clean fast path (3.16 vs 3.37 s), a
+    * ~2400-entry census 3.2×'s the operator (10.9 s) — pure census-size
+    * scaling at equal input volume. The census is bounded by
+    * corpus/maxBucket entries, so this is acceptable for a rail
+    * designed never to fire; if fired-rail runs become routine (small
+    * caps on mass-duplicate corpora), a sorted census + binary probe —
+    * or a bloom side-filter — would bound the scan, at the cost of a
+    * custom expression. [[hammingNearDupPairs]]
     * offers the same surviving-bucket rule behind its
     * `survivingBlocks` knob (r14) — not by default, because there the
     * mask needs an extra census pass measured at ~+50% (see there); the
@@ -817,7 +822,17 @@ object Dedup {
     * region; the operator of a 100 TB run needs the count, not a vibe).
     * Callers that only need the warn-log visibility should use the lazy
     * [[hammingNearDupPairs]], whose census surfaces through the
-    * `graft.rail` observation metric instead ([[Rail.observed]]). */
+    * `graft.rail` observation metric instead ([[Rail.observed]]).
+    *
+    * COST under `survivingBlocks = true`: THREE bucket-census passes —
+    * this eager `count`, the plan's own collected ocRow, and the
+    * annotated screen (the r14 audit showed AQE does not share the
+    * underlying exchange between concurrent broadcast stages), stacking
+    * on the knob's documented +51%. Pair the knob with the lazy form
+    * unless the branch-on-count contract is really needed; sharing the
+    * count with the plan's ocRow would mean collecting the census at
+    * call time and inlining it as a literal — a plan-shape change not
+    * worth it for a diagnostics entry point. */
   def hammingNearDupPairsWithStats(sigs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", sigCol: String = "simhash",
       maxBucket: Int = 100000,

@@ -883,11 +883,32 @@ object TextAnalysis {
     * Same fix as the components pointer-jump loop (r12). At a
     * vocabulary-sized merge count (32k–100k rounds) the binding cost is
     * rounds × (one aggregation job + one materialization of the ~10⁷-row
-    * vocab) — a driver-iteration shape by construction; batching top-N
-    * non-conflicting merges per round is the known lever if that ever
-    * binds. */
+    * vocab) — a driver-iteration shape by construction. `batchSize` is
+    * the lever when that binds: each round takes the top-`batchSize`
+    * pair candidates (cnt desc, l, r — the serial argmax order) and
+    * accepts the PREFIX-DISJOINT subset — candidate i is accepted iff it
+    * shares no symbol with ANY higher-ranked candidate of the round,
+    * accepted or not. The rule is deliberately non-greedy (a rejected
+    * candidate still shadows later ones sharing its symbols): acceptance
+    * is then a pure per-candidate predicate over the ordered top-B list
+    * — one NOT EXISTS in the DuckDB replay — instead of a sequential
+    * fold no plain-SQL oracle could restate. Accepted merges apply
+    * sequentially in rank order within the round; each reported
+    * pair_count is the PRE-batch count (all candidates were counted
+    * before any merge of the round applied). batchSize=1 is EXACTLY the
+    * serial induction; batchSize>1 equals it whenever consecutive
+    * serial winners are symbol-disjoint and merging one does not change
+    * the counts that pick the next (the common case in a large
+    * vocabulary — frequent pairs live in unrelated words), and may
+    * otherwise pick a different (still frequency-ordered) merge table —
+    * the standard batched-BPE trade, taken knowingly via the knob.
+    * Rounds shrink from nMerges to ~nMerges/batchSize (measured in
+    * BENCH_NOTES r15). */
   def bpeTrain(docs: DataFrame, nMerges: Int = 8,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", batchSize: Int = 1,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicLong] = None)
+      : DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs.select(explode(tokens(col(textCol))).as("w"))
@@ -907,9 +928,8 @@ object TextAnalysis {
     var releasePrev = releaser(vocab)
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var k = 1
     var done = false
-    while (k <= nMerges && !done) {
+    while (merges.size < nMerges && !done) {
       // symbol array materialized as a column before the lambda indexes
       // it (the HOF re-evaluation rule; see BENCH_NOTES r6)
       val s = col("_s")
@@ -924,28 +944,45 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).cast("long").as("cnt"))
         .orderBy(desc("cnt"), col("l"), col("r"))
-        .limit(1).collect()
+        .limit(batchSize).collect()
       if (top.isEmpty) done = true
       else {
-        val (l, r, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((k.toLong, l, r, cnt))
-        val pat = java.util.regex.Pattern.quote(s" $l $r ")
-        val rep = java.util.regex.Matcher.quoteReplacement(s" $l$r ")
-        // localCheckpoint truncates the plan to a leaf: round k+1's
-        // analysis cost stays CONSTANT instead of re-walking k nested
-        // rounds (see scaladoc — measured super-linear with cache())
-        val next = vocab.withColumn("sym",
-          trim(regexp_replace(concat(lit(" "), col("sym"), lit(" ")),
-            pat, rep))).localCheckpoint(true)
+        // prefix-disjoint acceptance over the ordered top-B candidates
+        // (driver metadata — B rows; see scaladoc for why the rule is
+        // a per-candidate predicate, not a greedy fold). The FULL batch
+        // is accepted and applied even when it overshoots nMerges — the
+        // per-round acceptance must not depend on how many merges are
+        // still wanted, or the oracle's rank-truncated replay diverges;
+        // the output below truncates to nMerges.
+        val cands = top.toSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2)))
+        val accepted = cands.zipWithIndex.collect {
+          case ((l, r, c), i) if !cands.take(i).exists { case (lj, rj, _) =>
+            l == lj || l == rj || r == lj || r == rj } => (l, r, c)
+        }
+        accepted.foreach { case (l, r, c) =>
+          merges += ((merges.size + 1L, l, r, c))
+        }
+        // the round's merges apply sequentially in rank order, composed
+        // into ONE projection; localCheckpoint truncates the plan to a
+        // leaf so the next round's analysis cost stays CONSTANT instead
+        // of re-walking every prior round (see scaladoc — measured
+        // super-linear with cache())
+        val symN = accepted.foldLeft(
+            concat(lit(" "), col("sym"), lit(" "))) { case (e, (l, r, _)) =>
+          regexp_replace(e,
+            java.util.regex.Pattern.quote(s" $l $r "),
+            java.util.regex.Matcher.quoteReplacement(s" $l$r "))
+        }
+        val next = vocab.withColumn("sym", trim(symN)).localCheckpoint(true)
         releasePrev()
         releasePrev = releaser(next)
         vocab = next
-        k += 1
+        roundsOut.foreach(_.incrementAndGet())
       }
     }
     releasePrev()
-    merges.toSeq.toDF("rank", "l", "r", "pair_count")
+    merges.toSeq.take(nMerges).toDF("rank", "l", "r", "pair_count")
   }
 
   /** The encode side of [[bpeTrain]]: apply a trained merge table to the

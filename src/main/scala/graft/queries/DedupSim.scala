@@ -168,6 +168,33 @@ object DedupSim {
   def splitLeakage(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.splitLeakage(docsWithMutants(s, dir))
 
+  /** The PRODUCTION split shape in the suite: the dedup stage's cluster
+    * map is materialized ONCE per (session, dir) as a doc_id-bucketed
+    * external table ([[graft.sources.PartitionedStore.writeBucketed]] —
+    * the dedup deliverable a 100 TB pipeline publishes anyway), and the
+    * split RE-READS it: [[graft.ops.Sampling.leakageSafeSplitsFrom]]
+    * over the bucketed scan, aggregated exactly like [[splitSafe]].
+    * Identical result to q_split_safe (same oracle); the suite cost is
+    * the ~0.6 s map-read + rollup instead of ~11 s of re-clustering
+    * (SplitShapeBench, BENCH_NOTES r14) — q_split_safe stays as the
+    * recompute diagnostic. Rep 1 pays the map write (SessionScoped —
+    * rebuilt on release, the bench's documented first-touch pattern). */
+  private val splitMapTable = new graft.ops.SessionScoped[String]
+  def splitSafeProd(s: SparkSession, dir: String): DataFrame = {
+    val tbl = splitMapTable.getOrCompute(s, dir) {
+      val suffix = (dir.hashCode.toLong & 0xffffffffL).toString
+      val t = s"graft_bkt_splitmap_$suffix"
+      graft.sources.PartitionedStore.writeBucketed(
+        Dedup.simhashCanonical(docsWithMutants(s, dir)), t,
+        s"/tmp/graft_splitmap/$suffix", "doc_id", 32, Seq("doc_id"))
+      t
+    }
+    graft.ops.Sampling.leakageSafeSplitsFrom(s.table(tbl))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("canonical_id")).cast("long").as("n_clusters"))
+  }
+
   /** The FULL curation chain ([[graft.ops.Curation.curationChain]]) over
     * the mutant corpus (sources carried through the mutants): gate →
     * digest dedup → canonical collapse (the cluster map reused for the
@@ -449,6 +476,7 @@ object DedupSim {
     "q_simhash_neardup" -> simhashNearDups,
     "q_simhash_canonical" -> simhashCanonical,
     "q_split_safe" -> splitSafe,
+    "q_split_safe_prod" -> splitSafeProd,
     "q_split_leakage" -> splitLeakage,
     "q_curation_chain" -> curationChain,
     "q_knn_brute" -> knnBrute,
@@ -1270,6 +1298,19 @@ object DedupSim {
     // cluster-keyed split: the same recursive-CTE cluster map, split by
     // the q_train_split hash rendering applied to canonical_id
     "q_split_safe" ->
+      (duckSimhashCanonicalCtes +
+        s", canon AS ($duckCanonSelect), " +
+        "spl AS (SELECT doc_id, canonical_id, " +
+        duckSplitCase(duckSplitBucket("canonical_id")) +
+        " AS split FROM canon) " +
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_clusters " +
+        "FROM spl GROUP BY split"),
+    // the production shape reads the SAME cluster map back from its
+    // bucketed table, so the independent recursive-CTE replay of
+    // q_split_safe is the oracle for it too — a stronger check than
+    // reading the engine's own map parquet
+    "q_split_safe_prod" ->
       (duckSimhashCanonicalCtes +
         s", canon AS ($duckCanonSelect), " +
         "spl AS (SELECT doc_id, canonical_id, " +

@@ -302,6 +302,14 @@ object TextOps {
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrain(Tables(s, dir).documents, nMerges = 8)
 
+  /** The same 8 merges induced in top-4 prefix-disjoint BATCHES per
+    * round (~nMerges/batch distributed rounds — the driver-iteration
+    * lever for tokenizer-scale merge counts; the oracle replays the
+    * batched rule independently, argmax window and all). */
+  def bpeTrainBatched(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(Tables(s, dir).documents, nMerges = 8,
+      batchSize = 4)
+
   /** Encode the corpus with the trained merges (encode-vocab-once +
     * occurrence join). The merge table is driver metadata, memoized per
     * (session, dir); the oracle replays the induction independently and
@@ -380,6 +388,7 @@ object TextOps {
     "q_linear_score" -> linearScore,
     "q_domain_score" -> domainScore,
     "q_bpe_train" -> bpeTrain,
+    "q_bpe_train_batched" -> bpeTrainBatched,
     "q_bpe_encode" -> bpeEncode,
     "q_doc_gate" -> docGate,
     "q_chunk" -> chunk,
@@ -461,6 +470,56 @@ object TextOps {
       (1 to nMerges).map(k =>
         s"SELECT CAST($k AS BIGINT) AS rank, l, r, cnt AS pair_count " +
           s"FROM m$k").mkString(" UNION ALL ")
+
+  /** BATCHED BPE induction replayed independently — the same pair-count
+    * CTE per round as the serial chain, then the engine's prefix-
+    * disjoint acceptance restated as a NOT EXISTS over the ordered
+    * top-`batch` candidates (c→a), the round's accepted merges applied
+    * sequentially in rank order via list_reduce (v), and the global
+    * merge rank recovered as a row_number over (round, in-round rank)
+    * truncated to nMerges. `nMerges` rounds are generated (acceptance
+    * is ≥1 per non-empty round, so that always suffices); an exhausted
+    * round carries an empty merge list and v stays fixed. */
+  private def duckBpeBatchedSql(nMerges: Int, batch: Int): String = {
+    val sb = new StringBuilder
+    sb ++= ("WITH v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) " +
+      "AS freq, array_to_string(string_split(w, ''), ' ') AS sym FROM (" +
+      "SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "GROUP BY w)")
+    for (k <- 1 to nMerges) {
+      sb ++= (s", p$k AS MATERIALIZED (SELECT u.l AS l, u.r AS r, " +
+        "CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
+        "SELECT freq, unnest(list_transform(range(1, len(s)), " +
+        "i -> {'l': s[i], 'r': s[i+1]})) AS u FROM (" +
+        s"SELECT freq, string_split(sym, ' ') AS s FROM v${k - 1})) " +
+        "GROUP BY 1, 2)")
+      sb ++= (s", c$k AS MATERIALIZED (SELECT * FROM (" +
+        "SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) " +
+        s"AS rn FROM p$k) WHERE rn <= $batch)")
+      sb ++= (s", a$k AS MATERIALIZED (SELECT l, r, cnt, " +
+        "row_number() OVER (ORDER BY rn) AS arn " +
+        s"FROM c$k c WHERE NOT EXISTS (SELECT 1 FROM c$k d " +
+        "WHERE d.rn < c.rn AND (d.l = c.l OR d.l = c.r " +
+        "OR d.r = c.l OR d.r = c.r)))")
+      sb ++= (s", ms$k AS MATERIALIZED (SELECT coalesce(" +
+        "list(' ' || l || ' ' || r || ' ' ORDER BY arn), []) AS ms " +
+        s"FROM a$k)")
+      sb ++= (s", v$k AS MATERIALIZED (SELECT w, freq, " +
+        "trim(list_reduce(list_prepend(' ' || sym || ' ', ms), " +
+        "(acc, m) -> replace(acc, m, " +
+        "' ' || replace(trim(m), ' ', '') || ' '))) AS sym " +
+        s"FROM v${k - 1}, ms$k)")
+    }
+    sb ++= (", allm AS (" +
+      (1 to nMerges).map(k =>
+        s"SELECT $k AS rnd, arn, l, r, cnt FROM a$k")
+        .mkString(" UNION ALL ") + ") ")
+    sb ++= ("SELECT rank, l, r, pair_count FROM (" +
+      "SELECT row_number() OVER (ORDER BY rnd, arn) AS rank, l, r, " +
+      "cnt AS pair_count FROM allm) " +
+      s"WHERE rank <= $nMerges")
+    sb.toString
+  }
 
   /** Shared winnow CTE chain (k=4, w=5, df-rail [2,50], minShared 2):
     * k-gram rolling hashes → per-window minima (distinct fps per doc) →
@@ -575,6 +634,12 @@ object TextOps {
         "CAST(coalesce(a.score_sum // a.n_tokens, 0) AS BIGINT) " +
         "AS score_avg FROM documents d LEFT JOIN agg a USING (doc_id)"),
     "q_bpe_train" -> duckBpeSql(8),
+    // batched induction replayed independently: DuckDB derives its own
+    // top-4 windows, applies the same prefix-disjoint acceptance, and
+    // recovers the global rank — engine and oracle agree only if every
+    // count, tie-break, acceptance decision, and in-round application
+    // order match
+    "q_bpe_train_batched" -> duckBpeBatchedSql(8, 4),
     // independent replay: DuckDB derives its OWN merges (argmax chain),
     // then encodes via the same vocabulary-join the engine uses
     "q_bpe_encode" ->

@@ -26,19 +26,29 @@ object BpeRoundBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables(spark, sfDir).documents
-    def time(n: Int): Double = {
+    def time(n: Int, batch: Int = 1): (Double, Long) = {
+      val rounds = new java.util.concurrent.atomic.AtomicLong()
       val t0 = System.nanoTime()
-      graft.ops.TextAnalysis.bpeTrain(docs, nMerges = n).count()
-      (System.nanoTime() - t0) / 1e9
+      graft.ops.TextAnalysis.bpeTrain(docs, nMerges = n,
+        batchSize = batch, roundsOut = Some(rounds)).count()
+      ((System.nanoTime() - t0) / 1e9, rounds.get())
     }
     time(2) // warm the word-frequency path + codegen
-    val t1 = time(n1)
-    val t2 = time(n2)
+    val (t1, _) = time(n1)
+    val (t2, _) = time(n2)
     val perRound = (t2 - t1) / (n2 - n1)
+    // batched mode at the larger merge count: same per-round floor,
+    // fewer rounds — rounds/merge is the lever the knob buys
+    val batch = args.lift(3).map(_.toInt).getOrElse(4)
+    val (tb, rb) = time(n2, batch)
     println(s"""{"metric":"bpe_round_floor","sf":"$sfDir",""" +
       s""""n1":$n1,"t1_sec":$t1,"n2":$n2,"t2_sec":$t2,""" +
       f""""per_round_sec":$perRound%.3f,""" +
-      f""""projected_32k_rounds_hours":${perRound * 32000 / 3600}%.1f}""")
+      f""""projected_32k_rounds_hours":${perRound * 32000 / 3600}%.1f,""" +
+      s""""batch":$batch,"batched_t_sec":$tb,"batched_rounds":$rb,""" +
+      f""""batched_rounds_per_merge":${rb.toDouble / n2}%.3f,""" +
+      f""""projected_32k_merges_batched_hours":${
+        perRound * (rb.toDouble / n2) * 32000 / 3600}%.1f}""")
     spark.stop()
   }
 }

@@ -238,6 +238,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges(4L) == (("lo", "w", 7L)))
   }
 
+  test("bpe batched training: equals serial when rounds don't conflict") {
+    // four disjoint two-letter words: every round's candidates share no
+    // symbols and merging one never changes another's count, so the
+    // batched induction must reproduce the serial table EXACTLY —
+    // ranks, counts, and all — in a single distributed round
+    val text = (Seq.fill(10)("ab") ++ Seq.fill(8)("cd") ++
+      Seq.fill(6)("ef") ++ Seq.fill(4)("gh")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    def table(batch: Int) =
+      TextAnalysis.bpeTrain(docs, nMerges = 4, batchSize = batch)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    val serial = table(1)
+    assert(serial == Seq((1L, "a", "b", 10L), (2L, "c", "d", 8L),
+      (3L, "e", "f", 6L), (4L, "g", "h", 4L)))
+    assert(table(4) == serial, "conflict-free batching must be lossless")
+  }
+
+  test("bpe batched training: prefix-disjoint rule defers conflicts") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    def table(batch: Int) =
+      TextAnalysis.bpeTrain(docs, nMerges = 4, batchSize = batch)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // batch 2: round 1 sees (e,s)=9 and (s,t)=9, but (s,t) shares `s`
+    // with the higher-ranked winner — deferred; it re-wins round 2 as
+    // (es,t) alongside the now-disjoint (l,o). Three rounds reproduce
+    // the serial table exactly (0.75 rounds/merge, zero divergence).
+    assert(table(2) == Seq(("e", "s", 9L), ("es", "t", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    assert(table(2) == table(1))
+    // batch 4: round 1 accepts {(e,s), (l,o)} — (s,t) and (w,e) are
+    // shadowed — and round 2 accepts {(es,t), (lo,w)}: 2 rounds for 4
+    // merges (0.5 rounds/merge). The SAME four merges arrive in a
+    // different rank order — the documented batched-BPE trade: counts
+    // stay the winners' pre-batch counts, order interleaves
+    assert(table(4) == Seq(("e", "s", 9L), ("l", "o", 7L),
+      ("es", "t", 9L), ("lo", "w", 7L)))
+  }
+
   test("bpe encode: trained merges compress the corpus they came from") {
     val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
