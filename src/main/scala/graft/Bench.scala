@@ -180,11 +180,11 @@ object Bench {
     // suite's rep 1 is: the re-run starts after releaseAll dropped every
     // staged frame, so its first rep re-pays staging BY DESIGN — without
     // the exemption a healthy re-run query is falsely flagged as spread
-    val spread = results0.collect {
-      case (n, ts, rr)
-        if (ts.drop(1) ++ rr.drop(1)).nonEmpty && (ts ++ rr).nonEmpty &&
-          (ts.drop(1) ++ rr.drop(1)).max > 3.0 * (ts ++ rr).min &&
-          (ts.drop(1) ++ rr.drop(1)).max - (ts ++ rr).min > 0.5 => n
+    val spread = results0.flatMap { case (n, ts, rr) =>
+      val late = ts.drop(1) ++ rr.drop(1) // first-touch reps exempt
+      val all = ts ++ rr
+      if (late.nonEmpty && late.max > 3.0 * all.min &&
+        late.max - all.min > 0.5) Some(n) else None
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")

@@ -258,8 +258,8 @@ object Dedup {
     * `size == 0` fast path only protects the never-fired case).
     * MEASURED (LshRailBench, sf0.1 + an equal-volume mass-dup block,
     * identical surviving pairs, BENCH_NOTES r15): a ~16-entry census
-    * costs nothing over the clean fast path (3.16 vs 3.37 s), a
-    * ~2400-entry census 3.2×'s the operator (10.9 s) — pure census-size
+    * costs ~nothing over the clean fast path (4.2 vs 3.9 s), a
+    * ~2400-entry census ~3×'s the operator (12.2 s) — pure census-size
     * scaling at equal input volume. The census is bounded by
     * corpus/maxBucket entries, so this is acceptable for a rail
     * designed never to fire; if fired-rail runs become routine (small

@@ -182,7 +182,11 @@ object DedupSim {
   private val splitMapTable = new graft.ops.SessionScoped[String]
   def splitSafeProd(s: SparkSession, dir: String): DataFrame = {
     val tbl = splitMapTable.getOrCompute(s, dir) {
-      val suffix = (dir.hashCode.toLong & 0xffffffffL).toString
+      // sanitized dir + hash, as landingPipeline: a bare hashCode could
+      // collide across dirs and silently serve one corpus's cluster map
+      // to the other (table names reject '/', '.', '-' — keep [a-z0-9_])
+      val suffix = dir.toLowerCase.replaceAll("[^a-z0-9]", "_") +
+        f"_${dir.hashCode & 0xffffffffL}%08x"
       val t = s"graft_bkt_splitmap_$suffix"
       graft.sources.PartitionedStore.writeBucketed(
         Dedup.simhashCanonical(docsWithMutants(s, dir)), t,

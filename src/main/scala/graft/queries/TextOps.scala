@@ -443,19 +443,30 @@ object TextOps {
   /** The induction CTE chain alone (v0..vN, pN, mN) — shared by the
     * train oracle (which selects the merge rows) and the encode oracle
     * (which joins document words to the FINAL vocabulary vN). */
-  private def duckBpeCtes(nMerges: Int): String = {
-    val sb = new StringBuilder
-    sb ++= ("WITH v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, " +
+  /** The tokenize → per-word frequency → char-symbol CTE (v0) and the
+    * per-round pair-count CTE (p_k) — ONE rendering shared by the serial
+    * and batched replays, so the two oracles can never drift on
+    * tokenization or pair counting (the batched rule differs only in
+    * candidate selection and application). */
+  private val duckBpeV0: String =
+    "WITH v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, " +
       "array_to_string(string_split(w, ''), ' ') AS sym FROM (" +
       "SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
-      "GROUP BY w)")
+      "GROUP BY w)"
+
+  private def duckBpePairCte(k: Int): String =
+    s", p$k AS MATERIALIZED (SELECT u.l AS l, u.r AS r, " +
+      "CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
+      "SELECT freq, unnest(list_transform(range(1, len(s)), " +
+      "i -> {'l': s[i], 'r': s[i+1]})) AS u FROM (" +
+      s"SELECT freq, string_split(sym, ' ') AS s FROM v${k - 1})) " +
+      "GROUP BY 1, 2)"
+
+  private def duckBpeCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= duckBpeV0
     for (k <- 1 to nMerges) {
-      sb ++= (s", p$k AS MATERIALIZED (SELECT u.l AS l, u.r AS r, " +
-        "CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
-        "SELECT freq, unnest(list_transform(range(1, len(s)), " +
-        "i -> {'l': s[i], 'r': s[i+1]})) AS u FROM (" +
-        s"SELECT freq, string_split(sym, ' ') AS s FROM v${k - 1})) " +
-        "GROUP BY 1, 2)")
+      sb ++= duckBpePairCte(k)
       sb ++= (s", m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k " +
         "ORDER BY cnt DESC, l, r LIMIT 1)")
       sb ++= (s", v$k AS MATERIALIZED (SELECT w, freq, trim(replace(' ' || sym || ' ', " +
@@ -482,17 +493,9 @@ object TextOps {
     * round carries an empty merge list and v stays fixed. */
   private def duckBpeBatchedSql(nMerges: Int, batch: Int): String = {
     val sb = new StringBuilder
-    sb ++= ("WITH v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) " +
-      "AS freq, array_to_string(string_split(w, ''), ' ') AS sym FROM (" +
-      "SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
-      "GROUP BY w)")
+    sb ++= duckBpeV0
     for (k <- 1 to nMerges) {
-      sb ++= (s", p$k AS MATERIALIZED (SELECT u.l AS l, u.r AS r, " +
-        "CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
-        "SELECT freq, unnest(list_transform(range(1, len(s)), " +
-        "i -> {'l': s[i], 'r': s[i+1]})) AS u FROM (" +
-        s"SELECT freq, string_split(sym, ' ') AS s FROM v${k - 1})) " +
-        "GROUP BY 1, 2)")
+      sb ++= duckBpePairCte(k)
       sb ++= (s", c$k AS MATERIALIZED (SELECT * FROM (" +
         "SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) " +
         s"AS rn FROM p$k) WHERE rn <= $batch)")

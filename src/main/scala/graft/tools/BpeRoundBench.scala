@@ -47,8 +47,13 @@ object BpeRoundBench {
       f""""projected_32k_rounds_hours":${perRound * 32000 / 3600}%.1f,""" +
       s""""batch":$batch,"batched_t_sec":$tb,"batched_rounds":$rb,""" +
       f""""batched_rounds_per_merge":${rb.toDouble / n2}%.3f,""" +
+      // anchored on the MEASURED batched marginal cost per merge
+      // ((tb − intercept)/n2, intercept = the shared word-frequency
+      // build the serial slope also subtracts), not the serial floor ×
+      // round ratio: a batched round folds B regexp passes into its
+      // projection, which the serial floor omits
       f""""projected_32k_merges_batched_hours":${
-        perRound * (rb.toDouble / n2) * 32000 / 3600}%.1f}""")
+        math.max(tb - (t1 - perRound * n1), 0) / n2 * 32000 / 3600}%.1f}""")
     spark.stop()
   }
 }
