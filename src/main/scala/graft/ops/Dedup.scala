@@ -74,11 +74,45 @@ object Dedup {
     val sh = Stage.barrier(
       docs.select(col("doc_id"), col(blockCol).as("block"),
         transform(shingles(col(textCol), n), s => xxhash64(s)).as("sh")))
-    val a = sh.select(col("block"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"), size(col("sh")).as("sz_a"))
-    val b = sh.select(col("block"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"), size(col("sh")).as("sz_b"))
-    a.join(b, Seq("block"))
+    // PAIR-SPACE SALTING (r15): joined on `block` alone, a block's whole
+    // quadratic pair space lands on ONE task — the join-OUTPUT skew AQE
+    // cannot split (input partitions are tiny bytes; the blowup is the
+    // intersection work per joined row), measured as a 13-task stage
+    // with max=19.8 s on 32 cores at sf2 (BENCH_NOTES r15). Tiling by
+    // ceil(bn / tileRows): side a lands at one salt, side b replicates
+    // to all of the block's salts, so each (a, b) pair still meets
+    // exactly once and each tile carries ≈ bn·tileRows/2 pairs — the
+    // same adaptive census-driven scheme as lshCandidatePairs' hotSet.
+    // The b-side ×g shingle replication is a few tens of MB at bench
+    // scale, noise next to the balanced quadratic scan it buys.
+    val tileRows = 512
+    val tiles = sh.groupBy(col("block"))
+      .agg(count(lit(1)).as("_bn"))
+      .select(col("block"),
+        greatest(least(ceil(col("_bn") / lit(tileRows.toDouble)),
+          lit(64L)), lit(1L)).cast("int").as("_g"))
+    val a = sh.join(broadcast(tiles), Seq("block"))
+      .select(col("block"),
+        pmod(xxhash64(col("doc_id")), col("_g").cast("long")).cast("int")
+          .as("slt"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        size(col("sh")).as("sz_a"))
+    val b = sh.join(broadcast(tiles), Seq("block"))
+      .select(col("block"),
+        explode(sequence(lit(0), col("_g") - 1)).as("slt"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        size(col("sh")).as("sz_b"))
+    // EXPLICIT partition count on both join inputs: the pair stage's
+    // bytes are tiny (tens of MB) while its compute is the corpus's
+    // whole pair space, so AQE's byte-targeted coalescing re-serializes
+    // the salted tiles (observed 16 tasks from ~200 salted keys). A
+    // fixed-N repartition on the join keys is co-partitioning the join
+    // reuses (no extra exchange) and AQE leaves alone.
+    val nPart = math.max(
+      sh.sparkSession.sparkContext.defaultParallelism * 2, 32)
+    a.repartition(nPart, col("block"), col("slt"))
+      .join(b.repartition(nPart, col("block"), col("slt")),
+        Seq("block", "slt"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
