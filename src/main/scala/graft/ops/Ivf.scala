@@ -19,17 +19,23 @@ import graft.ops.Similarity.{dot, toDouble}
   */
 object Ivf {
 
-  /** Per-row argmin over centroid literals → (cluster_id). */
-  private def assignExpr(vec: Column, centroids: Seq[(Int, Seq[Double])])
-      : Column = {
-    val scored = centroids.map { case (id, c) =>
-      // squared L2 via dot: |v−c|² = v·v − 2·v·c + c·c ; v·v constant per
-      // row for argmin, c·c constant literal → rank by −2·v·c + c·c
+  /** The ONE centroid-scoring rendering — squared L2 via dot: |v−c|² =
+    * v·v − 2·v·c + c·c; v·v is constant per row for argmin and c·c a
+    * constant literal, so ranking uses −2·v·c + c·c. Shared by
+    * [[assign]], [[clusterStats]] and [[knnIvfWith]]'s probe selection
+    * (one definition, so the fixed evaluation order the cross-engine
+    * parity comments rely on cannot drift between the three sites). */
+  private def scoredStructs(vec: Column,
+      centroids: Seq[(Int, Seq[Double])]): Seq[Column] =
+    centroids.map { case (id, c) =>
       struct((dot(vec, typedLit(c)) * -2.0d +
         lit(c.map(x => x * x).sum)).as("d"), lit(id).as("id"))
     }
-    array_min(array(scored: _*)).getField("id")
-  }
+
+  /** Per-row argmin over centroid literals → (cluster_id). */
+  private def assignExpr(vec: Column, centroids: Seq[(Int, Seq[Double])])
+      : Column =
+    array_min(array(scoredStructs(vec, centroids): _*)).getField("id")
 
   /** Train the coarse quantizer: deterministic seeds (lowest `nlist` ids)
     * + `iters` Lloyd steps (assign, element-wise mean). Returns the
@@ -47,9 +53,18 @@ object Ivf {
     (0 until iters).foreach { _ =>
       val assigned = base.withColumn("cluster",
         assignExpr(col("vec"), centroids))
+      // fixed-point mean (×10⁹ long sum / count): the integer sum is
+      // order-INDEPENDENT, so trained centroids are bit-identical across
+      // runs and partitionings — a float avg() merges partial means in
+      // whatever order tasks finish, and a last-ulp centroid difference
+      // can flip a boundary vector's list assignment (different probe
+      // sets on a re-run). The 1e-9 quantization is far below any
+      // assignment boundary the isotropic data produces.
       val means = assigned
         .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum((col("x") * lit(1e9d)).cast("long")) / count(lit(1)) /
+          lit(1e9d)).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))
@@ -88,12 +103,9 @@ object Ivf {
     * output rows, no window, no sort. */
   def clusterStats(embs: DataFrame, centroids: Seq[(Int, Seq[Double])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = centroids.map { case (id, c) =>
-      struct((dot(col("vec"), typedLit(c)) * -2.0d +
-        lit(c.map(x => x * x).sum)).as("d"), lit(id).as("id"))
-    }
     embs.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("vec"))
-      .withColumn("best", array_min(array(scored: _*)))
+      .withColumn("best",
+        array_min(array(scoredStructs(col("vec"), centroids): _*)))
       .select(col("best.id").as("cluster"),
         round((dot(col("vec"), col("vec")) + col("best.d")) * 1e6, 0)
           .cast("long").as("d2_x1e6"))
@@ -127,8 +139,11 @@ object Ivf {
     assign(embs, centroids, idCol, vecCol)
       .withColumn("_s", -h.cast("double"))
       .groupBy(col("cluster"))
-      .agg(graft.functions.TopKAgg.topKBy(col("_s"), col("vec_id"), cap)
-        .as("picked"))
+      // cast: TopKAgg's buffer holds longs and its update does a raw
+      // unbox — an IntegerType id column would CCE executor-side
+      // (Sampling.sourceQuota defends the same way)
+      .agg(graft.functions.TopKAgg.topKBy(col("_s"),
+        col("vec_id").cast("long"), cap).as("picked"))
       .select(col("cluster"), posexplode(col("picked")).as(Seq("p", "e")))
       .select(col("cluster"), (col("p") + 1).cast("int").as("rk"),
         col("e.id").as("vec_id"))
@@ -151,10 +166,13 @@ object Ivf {
     Similarity.hyperplanes(nlist, dim, seed).zipWithIndex
       .map { case (v, i) => i -> v }
 
-  /** IVF with a fixed quantizer — the cross-engine-verified variant. */
+  /** IVF with a fixed quantizer — the cross-engine-verified variant.
+    * `dim` must match the embedding column's length: a shorter centroid
+    * would read past its literal in the dot kernel, a longer one would
+    * fold phantom dimensions into c·c and skew the argmin. */
   def knnIvfStatic(embs: DataFrame, nQueries: Int, k: Int, nlist: Int = 16,
-      nprobe: Int = 4): DataFrame =
-    knnIvfWith(embs, staticCentroids(nlist, 64), nQueries, k, nprobe)
+      nprobe: Int = 4, dim: Int = 64): DataFrame =
+    knnIvfWith(embs, staticCentroids(nlist, dim), nQueries, k, nprobe)
 
   /** The IVF query plan given a quantizer. */
   def knnIvfWith(embs: DataFrame,
@@ -163,10 +181,7 @@ object Ivf {
     // staged: read by both the query-probe branch and the corpus branch
     val assigned = Stage.barrier(assign(embs, centroids))
 
-    val probeScores = centroids.map { case (id, c) =>
-      struct((dot(col("vec_q"), typedLit(c)) * -2.0d +
-        lit(c.map(x => x * x).sum)).as("d"), lit(id).as("id"))
-    }
+    val probeScores = scoredStructs(col("vec_q"), centroids)
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("vec_q"))
       .withColumn("probes",

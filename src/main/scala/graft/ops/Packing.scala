@@ -32,8 +32,13 @@ object Packing {
     // aggregate below — without the barrier the corpus is re-scanned and
     // re-tokenized per consumer (the narrow 3-column projection is what
     // the cache holds, not the documents)
+    // NULL text packs as a ZERO-length placement (coalesce): without it
+    // size(split(NULL)) is NULL, the window sum skips the row, and the
+    // doc emerges with NULL global_start/bin — silently unplaced in any
+    // bin-partitioned writer
     val d = Stage.barrier(docs.select(col("doc_id"),
-      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))
+        .as("n_tokens"),
       polyHash(col("doc_id").cast("string")).as("_h"))
       .withColumn("_shard", pmod(col("_h"), lit(nShards.toLong))))
     // parallel per-shard prefix sums

@@ -21,6 +21,18 @@ object Sampling {
   private def pctBucket(id: org.apache.spark.sql.Column) =
     pmod(polyHash(id.cast("string")), lit(100L))
 
+  /** Weyl-multiplied portable-hash bucket in [0, mod) — the ONE rendering
+    * of the `polyHash(key) · 2654435761 mod m` rule shared by
+    * [[temperatureMix]], [[materializeMix]] and [[trainingOrder]] (and
+    * replayed by their DuckDB oracles). The polynomial rolling hash is
+    * LINEAR in the trailing characters, so sequential ids land in tight
+    * bands; Knuth's multiplier turns each band into an equidistributed
+    * Weyl sequence mod m. Requirements stated once: the multiplier is
+    * coprime to every modulus used (10⁶, 10³, 10⁹+7), and the int64
+    * product cannot overflow (h < 2³¹ × 2654435761 < 2⁶³). */
+  private def weylBucket(key: org.apache.spark.sql.Column, mod: Long) =
+    pmod(polyHash(key) * lit(2654435761L), lit(mod))
+
   /** Per-stratum Bernoulli sampling at per-key percentage rates:
     * keep a row iff hash(id) % 100 < rate(stratum). `default` applies to
     * strata absent from `rates`. Used to downsample over-represented
@@ -59,8 +71,14 @@ object Sampling {
         -polyHash(col(idCol).cast("string")).cast("double"),
         col(idCol).cast("long"), quota).as("top"))
       .select(col(keyCol), explode(col("top")).as("t"))
-      .select(col(keyCol), col("t.id").as(idCol))
-    df.join(broadcast(keep), Seq(keyCol, idCol), "left_semi")
+      .select(col(keyCol).as("_sqk"), col("t.id").as("_sqi"))
+    // null-safe key equality: the TopKAgg groupBy keeps a NULL-key group
+    // like any other, so NULL-key rows must survive the semi join too —
+    // a plain equi join would silently drop every row of a NULL source
+    // instead of capping it at `quota`
+    df.join(broadcast(keep),
+      col(keyCol) <=> col("_sqk") && col(idCol) === col("_sqi"),
+      "left_semi")
   }
 
   /** Temperature-flattened source mixing — the multilingual/multi-source
@@ -94,16 +112,19 @@ object Sampling {
         .withColumn("w", pow(col("c").cast("double"), lit(alpha))))
     val rates = counts
       .crossJoin(broadcast(counts.agg(sum(col("w")).as("wsum"))))
-      .select(col(keyCol),
+      .select(col(keyCol).as("_tmk"),
         least(lit(1.0d),
           lit(targetRows.toDouble) * col("w") /
             (col("wsum") * col("c").cast("double"))).as("rate"))
-    df.join(broadcast(rates), Seq(keyCol))
-      .filter(pmod(polyHash(concat(lit("tmix:"),
-          col(idCol).cast("string"))) * lit(2654435761L),
-          lit(1000000L))
+    // null-safe key equality: the counts groupBy forms a NULL-key group
+    // (weighted into wsum like any other), so NULL-key rows must join
+    // their own rate back — a plain equi join would both DROP them
+    // entirely and still dilute every other source's rate through wsum
+    df.join(broadcast(rates), col(keyCol) <=> col("_tmk"))
+      .filter(weylBucket(concat(lit("tmix:"), col(idCol).cast("string")),
+          1000000L)
         .cast("double") < col("rate") * lit(1000000.0d))
-      .drop("rate")
+      .drop("rate", "_tmk")
   }
 
   /** Token-budget mixing PLAN — the artifact a training run publishes
@@ -125,9 +146,12 @@ object Sampling {
       alpha: Double, tokenBudget: Long): DataFrame = {
     // staged: the tiny per-source frame feeds both the weight sum and the
     // output — without the barrier the corpus scan runs once per branch
+    // NULL text counts 0 tokens (size(split(NULL)) is NULL, which a sum
+    // would silently SKIP while n_docs still counts the row)
     val perSource = Stage.barrier(df
       .select(col(keyCol),
-        size(split(col(textCol), " ")).cast("long").as("toks"))
+        coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))
+          .as("toks"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("toks")).cast("long").as("n_tokens"))
@@ -157,12 +181,14 @@ object Sampling {
   def materializeMix(df: DataFrame, keyCol: String, idCol: String,
       textCol: String, alpha: Double, tokenBudget: Long): DataFrame = {
     val plan = mixPlan(df, keyCol, textCol, alpha, tokenBudget)
-      .select(col(keyCol), col("epochs_x1000"))
-    val extra = (pmod(polyHash(concat(lit("mmix:"),
-        col(idCol).cast("string"))) * lit(2654435761L), lit(1000L)) <
+      .select(col(keyCol).as("_mmk"), col("epochs_x1000"))
+    val extra = (weylBucket(concat(lit("mmix:"),
+        col(idCol).cast("string")), 1000L) <
       col("epochs_x1000") % 1000L).cast("long")
+    // null-safe, as temperatureMix: a NULL-key source is a plan row too
     df.select(col(idCol), col(keyCol))
-      .join(broadcast(plan), Seq(keyCol))
+      .join(broadcast(plan), col(keyCol) <=> col("_mmk"))
+      .drop("_mmk")
       .withColumn("n_copies", expr("epochs_x1000 DIV 1000") + extra)
       .filter(col("n_copies") >= 1L)
       .select(col(idCol), col(keyCol),
@@ -187,9 +213,8 @@ object Sampling {
     * ever happens. */
   def trainingOrder(mix: DataFrame, idCol: String, copyCol: String,
       nShards: Int): DataFrame = {
-    val h = pmod(polyHash(concat(lit("ord:"), col(idCol).cast("string"),
-      lit(":"), col(copyCol).cast("string"))) * lit(2654435761L),
-      lit(1000000007L))
+    val h = weylBucket(concat(lit("ord:"), col(idCol).cast("string"),
+      lit(":"), col(copyCol).cast("string")), 1000000007L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(col("_h"), col(idCol), col(copyCol))

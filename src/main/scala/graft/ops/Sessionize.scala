@@ -15,22 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Per-user session stats with a gap threshold: a new session starts when
-    * the time since the previous event exceeds `gapSeconds`. Output:
-    * (user_id, n_events, n_sessions). */
-  def sessionStats(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+  /** The gap rule in ONE place — per-user (ts, event_id)-ordered window
+    * plus the `new_session` flag (strict >, millis arithmetic, NULL prev
+    * opens a session). [[sessionStats]], [[sessionIntervals]] and the
+    * streaming dual's spec all depend on this exact predicate; a single
+    * definition keeps them from desynchronizing. Returns the flagged
+    * frame and the window (for callers that add running sums over it). */
+  private def withNewSessionFlag(events: DataFrame, gapSeconds: Long)
+      : (DataFrame, org.apache.spark.sql.expressions.WindowSpec) = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    events
+    (events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
           unix_millis(col("ts")) - unix_millis(col("prev_ts"))
-            > gapSeconds * 1000L, 1L).otherwise(0L))
+            > gapSeconds * 1000L, 1L).otherwise(0L)), w)
+  }
+
+  /** Per-user session stats with a gap threshold: a new session starts when
+    * the time since the previous event exceeds `gapSeconds`. Output:
+    * (user_id, n_events, n_sessions). */
+  def sessionStats(events: DataFrame, gapSeconds: Long = 1800L): DataFrame =
+    withNewSessionFlag(events, gapSeconds)._1
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("new_session")).as("n_sessions"))
-  }
 
   /** Tumbling-window histogram: events per (hour, event_type) — the batch
     * form of the streaming windowed count. */
@@ -59,14 +69,8 @@ object Sessionize {
     * order. Same one-shuffle shape as [[sessionStats]]. */
   def sessionIntervals(events: DataFrame,
       gapSeconds: Long = 1800L): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          unix_millis(col("ts")) - unix_millis(col("prev_ts"))
-            > gapSeconds * 1000L, 1L).otherwise(0L))
+    val (flagged, w) = withNewSessionFlag(events, gapSeconds)
+    flagged
       .withColumn("session_id", sum(col("new_session"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
@@ -85,8 +89,12 @@ object Sessionize {
     * order, so stage assignment is deterministic under ties. */
   def funnelStages(events: DataFrame,
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    // step names are interpolated into SQL — escape embedded quotes, or
+    // a step like "o'reilly_promo" is a ParseException (or worse) at
+    // plan time
     val enc = steps.zipWithIndex
-      .map { case (s, i) => s"WHEN '$s' THEN ${i + 1}" }.mkString(" ")
+      .map { case (s, i) =>
+        s"WHEN '${s.replace("'", "''")}' THEN ${i + 1}" }.mkString(" ")
     events
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),

@@ -284,18 +284,18 @@ object CorpusOps {
     * and the training-order oracle layered on top of it. */
   private lazy val duckMaterializeMixSql: String =
     "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
-      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
-      "FROM documents GROUP BY source), " +
+      "CAST(sum(coalesce(len(string_split(text, ' ')), 0)) AS BIGINT) " +
+      "AS n_tokens FROM documents GROUP BY source), " +
       "w AS (SELECT source, n_tokens, " +
       "pow(CAST(n_tokens AS DOUBLE), 0.5) AS w FROM c), " +
       "t AS (SELECT sum(w) AS wsum FROM w), " +
       "e AS (SELECT source, CAST(floor(CAST(100000 AS DOUBLE) * w * " +
       "1000.0 / (wsum * CAST(n_tokens AS DOUBLE))) AS BIGINT) AS e " +
       "FROM w CROSS JOIN t), " +
-      "n AS (SELECT doc_id, source, e // 1000 + CASE WHEN " +
-      s"${pHash("'mmix:' || doc_id")} * 2654435761 % 1000 < e % 1000 " +
-      "THEN 1 ELSE 0 END AS n_copies " +
-      "FROM documents JOIN e USING (source)) " +
+      "n AS (SELECT d.doc_id, d.source, e.e // 1000 + CASE WHEN " +
+      s"${pHash("'mmix:' || d.doc_id")} * 2654435761 % 1000 < e.e % 1000 " +
+      "THEN 1 ELSE 0 END AS n_copies FROM documents d " +
+      "JOIN e ON d.source IS NOT DISTINCT FROM e.source) " +
       "SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) " +
       "AS INT) AS copy FROM n WHERE n_copies >= 1"
 
@@ -452,7 +452,8 @@ object CorpusOps {
         "WHERE dig IS NULL OR doc_id = keep), " +
         "s AS (SELECT d.doc_id, d.text FROM documents d " +
         "JOIN k USING (doc_id)), " +
-        "d2 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+        "d2 AS (SELECT doc_id, " +
+        "CAST(coalesce(len(string_split(text, ' ')), 0) " +
         s"AS BIGINT) AS n_tokens, ${pHash("doc_id")} AS h FROM s), " +
         "o AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (" +
         "ORDER BY h % 32, h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING " +
@@ -464,7 +465,8 @@ object CorpusOps {
     // sum as ONE window — single-node SQL can afford what the engine
     // decomposes into parallel per-shard sums + broadcast shard bases
     "q_packing" ->
-      (s"WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+      (s"WITH d AS (SELECT doc_id, " +
+        "CAST(coalesce(len(string_split(text, ' ')), 0) " +
         s"AS BIGINT) AS n_tokens, ${pHash("doc_id")} AS h FROM documents), " +
         "o AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (" +
         "ORDER BY h % 32, h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING " +
@@ -535,7 +537,8 @@ object CorpusOps {
         "r AS (SELECT source, least(CAST(1 AS DOUBLE), " +
         "CAST(300 AS DOUBLE) * w / (wsum * CAST(c AS DOUBLE))) AS rate " +
         "FROM w CROSS JOIN t) " +
-        "SELECT d.doc_id, d.source FROM documents d JOIN r USING (source) " +
+        "SELECT d.doc_id, d.source FROM documents d " +
+        "JOIN r ON d.source IS NOT DISTINCT FROM r.source " +
         s"WHERE CAST(${pHash("'tmix:' || d.doc_id")} * 2654435761 " +
         "% 1000000 AS DOUBLE) < rate * CAST(1000000 AS DOUBLE)"),
     // same expression shapes as Sampling.mixPlan (pow, multiply/divide
@@ -543,8 +546,8 @@ object CorpusOps {
     // boundary on these counts — same accepted class as q_temperature_mix
     "q_mix_plan" ->
       ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
-        "FROM documents GROUP BY source), " +
+        "CAST(sum(coalesce(len(string_split(text, ' ')), 0)) AS BIGINT) " +
+        "AS n_tokens FROM documents GROUP BY source), " +
         "w AS (SELECT source, n_docs, n_tokens, " +
         "pow(CAST(n_tokens AS DOUBLE), 0.5) AS w FROM c), " +
         "t AS (SELECT sum(w) AS wsum FROM w) " +

@@ -47,6 +47,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(perSource.count(_._2 == 3) == eligible)
   }
 
+  test("mix + quota treat a NULL key as a group, not as rows to drop") {
+    // pre-fix, the equi joins inside temperatureMix / sourceQuota
+    // silently dropped every NULL-source row while the NULL group still
+    // inflated the budget denominator
+    val docs = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 500).map(i => (i.toLong, null: String)))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperatureMix(docs, "source", "doc_id",
+      alpha = 0.5, targetRows = 250L)
+      .groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // w_big = 20, w_null = 10 → rate_big ≈ 0.417, rate_null ≈ 0.833:
+    // the NULL group participates at ITS derived rate
+    assert(kept.contains(None), s"NULL-source rows dropped: $kept")
+    assert(math.abs(kept(None) - 83L) <= 15, kept.toString)
+    assert(math.abs(kept.values.sum - 250L) <= 25, kept.toString)
+    val q = Sampling.sourceQuota(docs, "source", "doc_id", 3)
+      .groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(q(None) == 3L, s"NULL source must cap at quota, got $q")
+  }
+
+  test("packing: NULL text packs as a zero-length placement") {
+    val docs = Seq((1L, "a b c"), (2L, null: String), (3L, "d e"))
+      .toDF("doc_id", "text")
+    val p = Packing.packSequences(docs, capacity = 4L, nShards = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // all three docs placed (getLong throws on a NULL bin, so building
+    // the map IS the non-null assertion); the NULL-text doc holds a
+    // real zero-width slot inside the 5-token stream
+    assert(p.size == 3, p.toString)
+    assert(p(2L)._1 == 0L, s"NULL text must count 0 tokens: ${p(2L)}")
+    assert(p.values.map(_._1).sum == 5L, p.toString)
+    assert(p.values.forall(v => v._2 >= 0L && v._2 <= 5L && v._3 >= 0L),
+      s"zero-width doc must sit at a real offset: $p")
+  }
+
   test("temperature mix flattens a skewed source distribution to budget") {
     val docs = ((0 until 900).map(i => (i.toLong, "big")) ++
       (900 until 1000).map(i => (i.toLong, "small")))

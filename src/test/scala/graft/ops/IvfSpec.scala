@@ -36,6 +36,24 @@ class IvfSpec extends SparkSpec {
       math.abs(got(0).getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("centroid training is partition-invariant (fixed-point means)") {
+    // the Lloyd mean is a scaled-integer sum, so the trained centroids
+    // are bit-identical regardless of how the corpus is partitioned — a
+    // float avg() merges partials in task-completion order and can
+    // drift in the last ulp, flipping a boundary vector's list
+    val a = Ivf.trainCentroids(embs, nlist = 8, iters = 2)
+    val b = Ivf.trainCentroids(embs.repartition(7), nlist = 8, iters = 2)
+    assert(a == b, "centroids differ across partitionings")
+  }
+
+  test("clusterCap accepts a non-long id column (casts for TopKAgg)") {
+    val intIds = embs.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    val cs = Ivf.staticCentroids(nlist = 4, dim = 64)
+    val got = Ivf.clusterCap(intIds, cs, cap = 2).collect()
+    assert(got.nonEmpty && got.forall(_.getInt(1) <= 2))
+  }
+
   test("static-quantizer IVF also recalls a planted duplicate at rank 1") {
     val dup = embs.filter(col("vec_id") === 0)
       .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))

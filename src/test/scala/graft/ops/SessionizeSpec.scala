@@ -72,4 +72,21 @@ class SessionizeSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == Map(3L -> (1L, 1L), 1L -> (2L, 2L + 3L), 0L -> (1L, 4L)))
   }
+
+  test("funnelStages: a step name containing a quote parses and matches") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    // step strings are interpolated into a SQL CASE — unescaped, the
+    // embedded quote was a plan-time ParseException
+    val events = Seq(
+      (1L, t(1), 101L, "view"), (1L, t(2), 102L, "o'reilly_promo"),
+      (2L, t(1), 201L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.funnelStages(events,
+        steps = Seq("view", "o'reilly_promo")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L, 1L -> 1L),
+      s"user 1 reaches the quoted stage, user 2 stalls at view: $got")
+  }
 }
