@@ -21,18 +21,27 @@ import graft.functions.BloomAgg
   */
 object BloomJoin {
 
-  /** `big ⋉ small` on long-castable keys, bloom-pruned before the exact
-    * semi join. `bits`/`k` size the filter for the expected small-side
-    * cardinality (defaults: 64K bits / 5 probes ≈ 0.1% FPR at 4k keys). */
+  /** `big ⋉ small` on keys of ANY type, bloom-pruned before the exact
+    * semi join. The bloom is built and probed over `xxhash64(key)` — NOT
+    * a cast to long: a lossy cast (a non-numeric string → NULL) would
+    * make the probe return NULL and the filter silently DROP true
+    * matches the rescue join (which compares raw keys) would have kept,
+    * breaking the bit-identical-to-plain-semi-join contract. Hashing is
+    * total: any hash collision across distinct keys is just one more
+    * bloom false positive for the rescue join to remove, and a NULL key
+    * hashes to the seed, passes the prune, and is dropped by the rescue
+    * equi join exactly as a plain semi join drops it. `bits`/`k` size
+    * the filter for the expected small-side cardinality (defaults: 64K
+    * bits / 5 probes ≈ 0.1% FPR at 4k keys). */
   def semiJoin(big: DataFrame, bigKey: Column, small: DataFrame,
       smallKey: Column, bits: Int = 1 << 16, k: Int = 5): DataFrame = {
     // build: one bitmap row; partials OR-merge map-side so the driver pull
     // is bits/8 bytes regardless of small-side row count
     val words = small
-      .select(BloomAgg.bloomAgg(smallKey.cast("long"), bits, k).as("w"))
+      .select(BloomAgg.bloomAgg(xxhash64(smallKey), bits, k).as("w"))
       .head().getSeq[Long](0).toArray
     val pruned = big.filter(
-      BloomAgg.mightContain(bigKey.cast("long"), words, bits, k))
+      BloomAgg.mightContain(xxhash64(bigKey), words, bits, k))
     // rescue: exact semi join over the pruned sliver only
     pruned.join(small.select(smallKey.as("_bloom_k")).distinct(),
       bigKey === col("_bloom_k"), "left_semi")

@@ -84,10 +84,12 @@ object Fuzzy {
       maxDist: Int = 2, maxBlockPairs: Long = 10000000L)
       : (DataFrame, Long) = {
     val (out, overCap) = plan(probe, build, maxDist, maxBlockPairs)
+    // count only — no eager warn line: the returned plan still carries
+    // Rail.observed, which logs the SAME drop when the caller's action
+    // executes it; warning here too would double every fired-rail line
+    // (and the caller asked for the count precisely to do its own
+    // branching/reporting)
     val droppedBlocks = overCap.count()
-    if (droppedBlocks > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(railWarn(maxBlockPairs).format(droppedBlocks))
     (out, droppedBlocks)
   }
 

@@ -31,13 +31,20 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): Dataset[Media] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // pmod, not %: a negative media id under % yields index 0 (a runtime
+    // INVALID_ARRAY_INDEX under ANSI) or a negative element_at that
+    // silently selects from the array's END. NULL text carries a ZERO-
+    // byte payload (coalesce) — the per-partition decode stubs index
+    // bytes.length and would NPE on a null array, killing a 100 TB pass
+    // on one bad row instead of processing it as empty media.
     docs.select(
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(col("text"), "UTF-8").as("bytes"),
-        (col("doc_id") % 640 + 1).cast("int").as("width"),
-        (col("doc_id") % 480 + 1).cast("int").as("height"))
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        coalesce(encode(col("text"), "UTF-8"), lit(Array.emptyByteArray))
+          .as("bytes"),
+        (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"))
       .as[Media]
   }
 
@@ -48,7 +55,10 @@ object Multimodal {
     val acc = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
-      acc(((bytes(i) & 0xff) + i) % dim) += (bytes(i) & 0xff).toLong
+      // (b + i % dim) % dim ≡ (b + i) % dim, but overflow-free: at
+      // payloads within 255 bytes of Int.MaxValue the unreduced sum
+      // wraps negative and indexes out of bounds
+      acc(((bytes(i) & 0xff) + i % dim) % dim) += (bytes(i) & 0xff).toLong
       i += 1
     }
     acc

@@ -28,13 +28,15 @@ object Profile {
     * spread across every distinct value. min/max/counts combine
     * map-side; nothing is ever collected or globally sorted. */
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val pairs = df.select(explode(map(
       cols.flatMap { case (n, c) =>
         Seq(lit(n), c.cast("string"))
       }: _*)).as(Seq("col_name", "value")))
     // two-level: exact distinct via a (col, value) pre-aggregation that
     // carries each value's null flag and occurrence count upward
-    pairs.groupBy(col("col_name"), col("value"))
+    val agg = pairs.groupBy(col("col_name"), col("value"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("col_name"))
       .agg(sum(col("n")).cast("long").as("n_rows"),
@@ -43,5 +45,17 @@ object Profile {
         count(col("value")).cast("long").as("n_distinct"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
+    // an EMPTY input still profiles every requested column — (col, 0, 0,
+    // 0, null, null) — so a before/after diff of a stage that emptied
+    // the table shows n_rows collapsing to 0 instead of the profiled
+    // columns vanishing from the relation (the drift signal this op
+    // exists to carry); the names side is a |cols|-row local relation
+    cols.map(_._1).toDF("col_name")
+      .join(agg, Seq("col_name"), "left")
+      .select(col("col_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
   }
 }

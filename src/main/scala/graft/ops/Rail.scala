@@ -43,7 +43,15 @@ object Rail {
   private val warnTemplates = new ConcurrentHashMap[String, String]()
   /** rail kind → most recent non-negative observed drop count (specs). */
   private val lastCounts = new ConcurrentHashMap[String, Long]()
-  private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak + synchronized: a dedup guard must not PIN sessions — a
+  // long-lived JVM creating short-lived sessions (newSession per tenant,
+  // per-suite test sessions) would otherwise retain every one until
+  // application end (onApplicationEnd fires once per app, not per
+  // session). The session's own listener registry holds the listener;
+  // this set only answers "already hooked?".
+  private val hooked = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Attach lazy drop accounting to an over-cap census frame: the
     * returned frame carries a row-count observation that logs

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Deterministic per-row salt in [0, nSalts) — hash of the whole row's
-    * key list plus a spread column when provided, else a pseudo-random but
-    * deterministic spread from monotonically_increasing_id. */
+  /** Deterministic per-row salt in [0, nSalts): hash(spread) mod nSalts.
+    * `spread` must vary WITHIN a hot key (an event id, a timestamp) — a
+    * column constant per key yields one salt bucket and no skew
+    * mitigation. */
   def salt(nSalts: Int, spread: Column): Column =
     pmod(hash(spread), lit(nSalts))
 
@@ -65,12 +66,21 @@ object Salting {
     * side of the trade by construction. */
   def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
       spreadCol: String, nSalts: Int = -1): DataFrame = {
+    // auto n is CAPPED: 4× parallelism smooths the balls-in-bins lumps
+    // (see above), but on a wide cluster (thousands of shuffle
+    // partitions) an uncapped factor replicates the small side by
+    // thousands — past ~1024 salts the binning is already smooth and the
+    // replication starts to rival |big|, inverting the trade
     val n =
       if (nSalts > 0) nSalts
-      else 4 * big.sparkSession.sessionState.conf.numShufflePartitions
+      else math.min(
+        4 * big.sparkSession.sessionState.conf.numShufflePartitions, 1024)
     val salted = big.withColumn("_salt", salt(n, col(spreadCol)))
+    // sequence, not an n-child array literal: the replication factor must
+    // not bloat the plan/codegen (an 8000-element CreateArray is an
+    // 8000-child expression tree)
     val replicated = small.withColumn("_salt",
-      explode(array((0 until n).map(lit(_)): _*)))
+      explode(sequence(lit(0), lit(n - 1))))
     salted.join(replicated, Seq(keyCol, "_salt")).drop("_salt")
   }
 }

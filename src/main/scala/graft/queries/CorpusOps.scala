@@ -422,13 +422,21 @@ object CorpusOps {
         "UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) " +
         "FROM documents " +
         "UNION ALL SELECT 'source', source FROM documents " +
-        "UNION ALL SELECT 'text', text FROM documents) " +
-        "SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "UNION ALL SELECT 'text', text FROM documents), " +
+        "a AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_nulls, " +
         "CAST(count(DISTINCT value) AS BIGINT) AS n_distinct, " +
         "min(value) AS min_value, max(value) AS max_value " +
-        "FROM p GROUP BY col_name"),
+        "FROM p GROUP BY col_name) " +
+        // empty-input lockstep with the engine: every profiled column
+        // keeps a (col, 0, 0, 0, null, null) row
+        "SELECT n.col_name, coalesce(a.n_rows, 0) AS n_rows, " +
+        "coalesce(a.n_nulls, 0) AS n_nulls, " +
+        "coalesce(a.n_distinct, 0) AS n_distinct, " +
+        "a.min_value, a.max_value FROM (VALUES ('doc_id'), ('lang'), " +
+        "('n_chars'), ('source'), ('text')) n(col_name) " +
+        "LEFT JOIN a USING (col_name)"),
     "q_manifest" ->
       ("SELECT source, count(*) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS n_chars_total, " +

@@ -49,4 +49,20 @@ class BloomJoinSpec extends SparkSpec {
     assert(bloomed.count() > 0)
     assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
   }
+
+  test("bloom semi join on STRING keys keeps every true match") {
+    // pre-fix, the bloom hashed cast(key as long): a non-numeric string
+    // casts to NULL, the probe returned NULL, and the filter silently
+    // dropped rows the rescue join (raw-key equality) would have kept
+    import spark.implicits._
+    val big = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, null: String)).toDF("id", "k")
+    val small = Seq("alpha", "gamma", null).toDF("sk")
+    val got = BloomJoin.semiJoin(big, col("k"), small, col("sk"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val plain = big.join(small, col("k") === col("sk"), "left_semi")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L) && got == plain,
+      s"string-keyed bloom semi join diverged: got=$got plain=$plain")
+  }
 }

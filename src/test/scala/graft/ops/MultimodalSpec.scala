@@ -17,6 +17,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media edges: NULL text is a zero-byte payload; negative ids map") {
+    import spark.implicits._
+    val docs = Seq((-1L, "neg id"), (-2L, null: String), (7L, "ok"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.mediaFromDocuments(docs)
+    val rows = m.collect().map(r => r.media_id -> r).toMap
+    // pmod keeps kind/width/height valid for negative ids (a bare % gave
+    // index 0 — an ANSI error — or silently selected from the array end)
+    rows.values.foreach { r =>
+      assert(Set("image", "audio", "video")(r.kind))
+      assert(r.width >= 1 && r.height >= 1)
+      assert(r.bytes != null, s"media ${r.media_id} carries null bytes")
+    }
+    assert(rows(-2L).bytes.isEmpty, "NULL text must be a zero-byte payload")
+    // every downstream per-partition pass handles the zero-byte payload
+    assert(Multimodal.extractFeatures(m).count() == 3)
+    assert(Multimodal.extractHistograms(m).count() == 3)
+  }
+
   test("feature extraction: fixed dim, deterministic, partition-batched") {
     val f1 = Multimodal.extractFeatures(media, dim = 16).collect()
       .map(f => f.media_id -> f.features.toSeq).toMap

@@ -196,6 +196,18 @@ class RetrievalSpec extends SparkSpec {
     assert(r(2) == (("tag", 4L, 1L, 2L, "a", "b")))
   }
 
+  test("profile of an EMPTY table keeps one zero row per column") {
+    // the drift-diff use case: a stage that empties the table must show
+    // n_rows collapsing to 0, not the profiled columns vanishing
+    val df = Seq((1L, "x")).toDF("id", "tag").filter(col("id") < 0)
+    val r = Profile.profile(df, Seq("id" -> col("id"), "tag" -> col("tag")))
+      .orderBy("col_name").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.isNullAt(4), x.isNullAt(5)))
+    assert(r.toSeq == Seq(("id", 0L, 0L, 0L, true, true),
+      ("tag", 0L, 0L, 0L, true, true)), r.mkString(","))
+  }
+
   test("clusterStats: counts cover the corpus; distances are sane") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = Ivf.staticCentroids(4, 64)
