@@ -27,6 +27,9 @@ case class MinHashAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  // k <= 0 only fails later and opaquely (serialize allocates 8*k bytes)
+  require(k >= 1, s"MinHashAgg: k must be >= 1, got $k")
+
   private val P = 2147483647L
 
   // deterministic (a, b) coefficient pairs — same LCG family as ops.Dedup

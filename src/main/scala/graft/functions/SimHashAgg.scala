@@ -23,6 +23,12 @@ case class SimHashAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  // eval packs lane j into bit j of one long: bits > 62 would silently
+  // wrap lane 64 onto bit 0 (1L << 64 == 1L), corrupting signatures
+  // with no error; bits < 1 is an empty signature
+  require(bits >= 1 && bits <= 62,
+    s"SimHashAgg: bits must be in [1, 62], got $bits")
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](bits)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {

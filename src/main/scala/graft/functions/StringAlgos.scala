@@ -17,7 +17,15 @@ object StringAlgos {
     * split on whitespace runs, capitalize each word (first char upper, rest
     * lower), join with single spaces. Differs from Spark's `initcap`, which
     * also splits on non-alphanumerics ("d'aguilar" → initcap "D'Aguilar" vs
-    * capwords "D'aguilar"). */
+    * capwords "D'aguilar"). Case mapping is the FULL (locale-root) Unicode
+    * mapping on the first CODE POINT — the same rule as the DuckDB
+    * oracle's `upper(x[1:1])` (utf8proc), so e.g. 'ß' → "SS"; Python 2's
+    * 1:1 Py_UNICODE_TOUPPER differs there, but the reference corpus is
+    * ASCII/CJK where all mappings agree. Code-point slicing, not char:
+    * a supplementary-plane first letter must not be split across the
+    * surrogate pair (a lone surrogate case-maps as a no-op — the word
+    * would silently never capitalize while the oracle's per-codepoint
+    * slice does). */
   def capwords(s: UTF8String): UTF8String = {
     if (s == null) return null
     // (?U) = UNICODE_CHARACTER_CLASS: python str.split() treats unicode
@@ -31,8 +39,10 @@ object StringAlgos {
       val w = words(i)
       if (w.nonEmpty) {
         if (!first) sb.append(' ')
-        sb.append(w.substring(0, 1).toUpperCase(Locale.ROOT))
-        if (w.length > 1) sb.append(w.substring(1).toLowerCase(Locale.ROOT))
+        val headLen = Character.charCount(w.codePointAt(0))
+        sb.append(w.substring(0, headLen).toUpperCase(Locale.ROOT))
+        if (w.length > headLen)
+          sb.append(w.substring(headLen).toLowerCase(Locale.ROOT))
         first = false
       }
       i += 1
@@ -253,6 +263,17 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   * the built-in hash functions it replaces for oracle-parity. */
 case class PolyHash(child: Expression, base: Long, mod: Long)
     extends UnaryExpression {
+  // construction-time validation — this expression is SQL-reachable
+  // (poly_hash(s, base, mod) via GraftExtensions), so hostile literals
+  // must fail at analysis, not as an executor ArithmeticException
+  // (mod = 0) or silent corruption (negative acc, acc·base overflow).
+  // Bounds keep the fold exact: acc < mod ≤ 2³¹ and base ≤ 2³¹ →
+  // acc·base + codepoint < 2⁶² + 2²¹ fits a long.
+  require(base >= 1L && mod >= 1L,
+    s"poly_hash: base and mod must be >= 1, got base=$base mod=$mod")
+  require(base <= Int.MaxValue && mod <= Int.MaxValue,
+    s"poly_hash: base and mod must be <= 2^31-1 (overflow-exact fold), " +
+      s"got base=$base mod=$mod")
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
 

@@ -35,6 +35,9 @@ case class TopKAgg(
 
   import TopKAgg.Buffer
 
+  // k = 0 indexes scores(-1) inside a task (opaque executor AIOOBE)
+  require(k >= 1, s"TopKAgg: k must be >= 1, got $k")
+
   override def createAggregationBuffer(): Buffer = new Buffer(k)
 
   override def update(buf: Buffer, input: InternalRow): Buffer = {
@@ -118,6 +121,8 @@ case class TopKVecAgg(
   extends TypedImperativeAggregate[TopKVecAgg.Buffer] {
 
   import TopKVecAgg.Buffer
+
+  require(k >= 1, s"TopKVecAgg: k must be >= 1, got $k")
 
   override def createAggregationBuffer(): Buffer = new Buffer(k)
 
@@ -207,7 +212,12 @@ case class TopKVecAgg(
 
 object TopKVecAgg {
 
-  /** Sorted bounded buffer: TopKAgg.Buffer plus a parallel payload array. */
+  /** Sorted bounded buffer: TopKAgg.Buffer plus a parallel payload
+    * array. CONTRACT COUPLING: the ordering rule (Double.compare —
+    * NaN ranks first — with ascending-id tie-break) is duplicated from
+    * [[TopKAgg.Buffer]] because the payload array must shift in the
+    * same insertion pass; any comparator change there MUST land here in
+    * the same commit (the NaN rationale lives on TopKAgg.Buffer). */
   final class Buffer(k: Int) {
     val scores = new Array[Double](k)
     val ids = new Array[Long](k)

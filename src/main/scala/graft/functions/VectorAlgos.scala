@@ -55,7 +55,12 @@ object VectorAlgos {
     }
     val codes = new Array[Double](n)
     var sq = 0L
-    if (mx != mn) {
+    // Double.compare, not !=: an all-NaN vector has mn = mx = NaN, and
+    // Java NaN != NaN is TRUE — the kernel would emit NaN codes where
+    // the declarative form (array_max === array_min under Spark's
+    // NaN-normalized equality) and the DuckDB oracle's mx = mn both
+    // take the all-zero-codes branch
+    if (java.lang.Double.compare(mx, mn) != 0) {
       i = 0
       while (i < n) {
         val c = math.floor((v.getDouble(i) - mn) * 255.0d / (mx - mn))

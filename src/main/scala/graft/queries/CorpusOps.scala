@@ -370,18 +370,21 @@ object CorpusOps {
     // digests never leave SQL either: the diff is a full outer join of
     // two sha256 projections, statuses derived identically
     "q_corpus_diff" ->
-      ("WITH prev AS (SELECT doc_id, sha256(lower(text)) AS dg " +
-        "FROM documents), " +
-        "curr AS (SELECT doc_id, sha256(lower(CASE WHEN doc_id % 5 = 1 " +
+      ("WITH prev AS (SELECT doc_id, 1 AS in_p, " +
+        "sha256(lower(text)) AS dg FROM documents), " +
+        "curr AS (SELECT doc_id, 1 AS in_c, " +
+        "sha256(lower(CASE WHEN doc_id % 5 = 1 " +
         "THEN 'v2 ' || text ELSE text END)) AS dg FROM documents " +
         "WHERE doc_id % 5 != 3 " +
-        "UNION ALL SELECT doc_id + 1000000, sha256(lower(text)) " +
+        "UNION ALL SELECT doc_id + 1000000, 1, sha256(lower(text)) " +
         "FROM documents WHERE doc_id % 5 = 0) " +
-        // presence via the join keys, digest comparison null-safe — the
-        // engine's marker-column semantics (a NULL-text doc is present)
+        // presence via MARKER columns, never join-key nullity (the
+        // engine's own rule: a NULL doc_id row on one side would read
+        // as 'added'/'removed' through p.doc_id IS NULL even though the
+        // side CONTAINS it); digest comparison stays null-safe
         "SELECT coalesce(p.doc_id, c.doc_id) AS doc_id, " +
-        "CASE WHEN p.doc_id IS NULL THEN 'added' " +
-        "WHEN c.doc_id IS NULL THEN 'removed' " +
+        "CASE WHEN p.in_p IS NULL THEN 'added' " +
+        "WHEN c.in_c IS NULL THEN 'removed' " +
         "WHEN p.dg IS NOT DISTINCT FROM c.dg THEN 'unchanged' " +
         "ELSE 'modified' END AS status " +
         "FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id"),
@@ -512,8 +515,11 @@ object CorpusOps {
         "AS BIGINT) AS n_total FROM hist), " +
         "th AS (SELECT lang, min(bin) * 64 AS th FROM c " +
         "WHERE cum * 100 >= n_total * 75 GROUP BY lang) " +
+        // null-safe group join — the engine's <=> keeps NULL-lang docs
+        // gated against their own group's threshold
         "SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
-        "JOIN th ON d.lang = th.lang WHERE d.n_chars >= th.th"),
+        "JOIN th ON d.lang IS NOT DISTINCT FROM th.lang " +
+        "WHERE d.n_chars >= th.th"),
     // every stage restated: BETWEEN gate, sha256 window-min dedup,
     // polynomial-hash split, rollup — one recipe, two engines
     "q_curation" ->

@@ -73,10 +73,14 @@ object MediaOps {
     * (b+i) mod 16 weighted histogram, and zero-fills empty slots. */
   val oracle: Map[String, String] = Map(
     "q_media_features" ->
+      // engine lockstep on degenerate rows: NULL text is a ZERO-byte
+      // payload (coalesce) and kind/filters use the sign-safe
+      // ((id % 3) + 3) % 3 — the engine's pmod
       ("WITH m AS (SELECT doc_id AS media_id, " +
-        "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind, " +
-        "hex(encode(text)) AS hx, " +
-        "CAST(octet_length(encode(text)) AS INT) AS n_bytes " +
+        "(['image','audio','video'])" +
+        "[CAST((doc_id % 3 + 3) % 3 + 1 AS INT)] AS kind, " +
+        "hex(coalesce(encode(text), encode(''))) AS hx, " +
+        "CAST(coalesce(octet_length(encode(text)), 0) AS INT) AS n_bytes " +
         "FROM documents), " +
         "vals AS (SELECT media_id, i, " +
         "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) " +
@@ -100,15 +104,17 @@ object MediaOps {
       ("SELECT media_id, CAST(off // 256 AS INT) AS frame_no, " +
         "CAST(off AS INT) AS \"offset\", " +
         "CAST(least(64, len - off) AS INT) AS n_frame_bytes FROM (" +
-        "SELECT doc_id AS media_id, octet_length(encode(text)) AS len, " +
+        "SELECT doc_id AS media_id, " +
+        "coalesce(octet_length(encode(text)), 0) AS len, " +
         "unnest(range(0, greatest(len - 63, 1), 256)) AS off " +
-        "FROM documents WHERE doc_id % 3 = 2)"),
+        "FROM documents WHERE (doc_id % 3 + 3) % 3 = 2)"),
     // per-frame histograms: the same hex byte recovery, windowed to each
     // frame's offset with FRAME-LOCAL weighting indices
     "q_frame_features" ->
-      ("WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx, " +
-        "octet_length(encode(text)) AS len FROM documents " +
-        "WHERE doc_id % 3 = 2), " +
+      ("WITH m AS (SELECT doc_id AS media_id, " +
+        "hex(coalesce(encode(text), encode(''))) AS hx, " +
+        "coalesce(octet_length(encode(text)), 0) AS len FROM documents " +
+        "WHERE (doc_id % 3 + 3) % 3 = 2), " +
         "f AS (SELECT media_id, hx, len, " +
         "unnest(range(0, greatest(len - 63, 1), 256)) AS off FROM m), " +
         "v AS (SELECT media_id, off, j, " +
@@ -136,8 +142,10 @@ object MediaOps {
     "q_media_neardup" ->
       ("WITH d AS (SELECT doc_id, text FROM documents " +
         "UNION ALL SELECT doc_id + 1000000, text || 'z' FROM documents), " +
-        "m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx, " +
-        "CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM d), " +
+        "m AS (SELECT doc_id AS media_id, " +
+        "hex(coalesce(encode(text), encode(''))) AS hx, " +
+        "CAST(coalesce(octet_length(encode(text)), 0) AS INT) " +
+        "AS n_bytes FROM d), " +
         "vals AS (SELECT media_id, i, " +
         "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) " +
         "- 1) * 16 + " +
