@@ -55,12 +55,17 @@ object VectorAlgos {
     }
     val codes = new Array[Double](n)
     var sq = 0L
-    // Double.compare, not !=: an all-NaN vector has mn = mx = NaN, and
-    // Java NaN != NaN is TRUE — the kernel would emit NaN codes where
-    // the declarative form (array_max === array_min under Spark's
-    // NaN-normalized equality) and the DuckDB oracle's mx = mn both
-    // take the all-zero-codes branch
-    if (java.lang.Double.compare(mx, mn) != 0) {
+    // degenerate-range test under SQL equality semantics, not Java's:
+    // an all-NaN vector has mn = mx = NaN and Java NaN != NaN is TRUE
+    // (NaN codes), while ±0.0 are == under primitives but differ under
+    // Double.compare (so compare-based testing emits 0/0 = NaN codes
+    // for a mixed-sign all-zero vector). The declarative form
+    // (array_max === array_min, NaN- and -0.0-normalized) and the
+    // DuckDB oracle's mx = mn treat BOTH cases as equal → zero codes;
+    // primitive == plus an explicit both-NaN check reproduces that.
+    val degenerate = mx == mn ||
+      (java.lang.Double.isNaN(mx) && java.lang.Double.isNaN(mn))
+    if (!degenerate) {
       i = 0
       while (i < n) {
         val c = math.floor((v.getDouble(i) - mn) * 255.0d / (mx - mn))

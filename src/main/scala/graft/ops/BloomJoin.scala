@@ -35,6 +35,18 @@ object BloomJoin {
     * bits / 5 probes ≈ 0.1% FPR at 4k keys). */
   def semiJoin(big: DataFrame, bigKey: Column, small: DataFrame,
       smallKey: Column, bits: Int = 1 << 16, k: Int = 5): DataFrame = {
+    // xxhash64 is TYPE-sensitive (hashInt ≠ hashLong for the same
+    // value), so mismatched key types would build and probe disjoint
+    // hash spaces — every true match pruned before the rescue join can
+    // coerce-and-match it. Fail loudly at construction instead; the
+    // caller casts to a common type once.
+    val (bt, st) = (big.select(bigKey).schema.head.dataType,
+      small.select(smallKey).schema.head.dataType)
+    require(bt == st,
+      s"BloomJoin.semiJoin: key types must match exactly ($bt vs $st) — " +
+        "xxhash64 hashes each type differently, so a coercible-but-" +
+        "different pair would silently prune every true match; cast " +
+        "both keys to a common type first")
     // build: one bitmap row; partials OR-merge map-side so the driver pull
     // is bits/8 bytes regardless of small-side row count
     val words = small

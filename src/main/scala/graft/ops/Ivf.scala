@@ -53,18 +53,23 @@ object Ivf {
     (0 until iters).foreach { _ =>
       val assigned = base.withColumn("cluster",
         assignExpr(col("vec"), centroids))
-      // fixed-point mean (×10⁹ long sum / count): the integer sum is
-      // order-INDEPENDENT, so trained centroids are bit-identical across
-      // runs and partitionings — a float avg() merges partial means in
-      // whatever order tasks finish, and a last-ulp centroid difference
-      // can flip a boundary vector's list assignment (different probe
-      // sets on a re-run). The 1e-9 quantization is far below any
-      // assignment boundary the isotropic data produces.
+      // fixed-point mean (×10⁹ scaled terms summed as DECIMAL / count):
+      // the integer sum is order-INDEPENDENT, so trained centroids are
+      // bit-identical across runs and partitionings — a float avg()
+      // merges partial means in whatever order tasks finish, and a
+      // last-ulp centroid difference can flip a boundary vector's list
+      // assignment (different probe sets on a re-run). decimal(38,0),
+      // not a long sum: O(1)-magnitude components scale to ~1e9 per
+      // term, so a hot Voronoi cell beyond ~9.2e9 rows would wrap a
+      // non-ANSI long sum negative SILENTLY — exactly the 100 TB case;
+      // the decimal sum stays exact to 10³⁸. The 1e-9 quantization is
+      // far below any assignment boundary the isotropic data produces.
       val means = assigned
         .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
-        .agg((sum((col("x") * lit(1e9d)).cast("long")) / count(lit(1)) /
-          lit(1e9d)).as("m"))
+        .agg(((sum((col("x") * lit(1e9d)).cast("long")
+            .cast("decimal(38,0)")) / count(lit(1)))
+          .cast("double") / lit(1e9d)).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))

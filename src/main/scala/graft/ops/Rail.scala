@@ -3,7 +3,6 @@ package graft.ops
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
@@ -112,9 +111,11 @@ object Rail {
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })
-      s.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          hooked.remove(s)
-      })
+      // no SparkListener cleanup hook: an anonymous listener on the
+      // app-global context bus would CLOSE OVER the session strongly,
+      // defeating the weak set above (the session would stay reachable
+      // through the bus until application end — the exact leak the weak
+      // set exists to prevent); the QueryExecutionListener is owned by
+      // the session itself and dies with it
     }
 }

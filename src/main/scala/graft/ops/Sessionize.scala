@@ -89,12 +89,15 @@ object Sessionize {
     * order, so stage assignment is deterministic under ties. */
   def funnelStages(events: DataFrame,
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    // step names are interpolated into SQL — escape embedded quotes, or
-    // a step like "o'reilly_promo" is a ParseException (or worse) at
-    // plan time
+    // step names are interpolated into SQL — escape backslashes FIRST,
+    // then quotes: Spark string literals process backslash escapes, so
+    // a trailing backslash would swallow the closing quote (parse
+    // error) and an unescaped "\n" would silently become a newline and
+    // never match its events
     val enc = steps.zipWithIndex
       .map { case (s, i) =>
-        s"WHEN '${s.replace("'", "''")}' THEN ${i + 1}" }.mkString(" ")
+        val esc = s.replace("\\", "\\\\").replace("'", "\\'")
+        s"WHEN '$esc' THEN ${i + 1}" }.mkString(" ")
     events
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),

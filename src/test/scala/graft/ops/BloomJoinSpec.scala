@@ -65,4 +65,17 @@ class BloomJoinSpec extends SparkSpec {
     assert(got == Set(1L, 3L) && got == plain,
       s"string-keyed bloom semi join diverged: got=$got plain=$plain")
   }
+
+  test("bloom semi join REFUSES mismatched key types at construction") {
+    // xxhash64 hashes int and long differently, so coercible-but-
+    // different key types would silently prune every true match — the
+    // operator must fail loudly instead
+    import spark.implicits._
+    val big = Seq((1L, 7)).toDF("id", "k") // int key
+    val small = Seq(7L).toDF("sk") // long key
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(big, col("k"), small, col("sk"))
+    }
+    assert(e.getMessage.contains("key types must match"))
+  }
 }

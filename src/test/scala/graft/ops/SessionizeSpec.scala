@@ -89,4 +89,23 @@ class SessionizeSpec extends SparkSpec {
     assert(got == Map(2L -> 1L, 1L -> 1L),
       s"user 1 reaches the quoted stage, user 2 stalls at view: $got")
   }
+
+  test("funnelStages: backslashes in step names parse and match exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    // Spark string literals process backslash escapes: unescaped, a
+    // trailing backslash swallows the closing quote (ParseException) and
+    // a literal "\n" becomes a newline that never matches its events
+    val events = Seq(
+      (1L, t(1), 101L, """path\to\promo"""), (1L, t(2), 102L, """end\"""),
+      (2L, t(1), 201L, """a\nb"""))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.funnelStages(events,
+        steps = Seq("""path\to\promo""", """end\""", """a\nb"""))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // user 1 advances through both backslashed stages; user 2's first
+    // event matches step 3 but steps must advance in order → stage 0
+    assert(got == Map(2L -> 1L, 0L -> 1L), got.toString)
+  }
 }
