@@ -108,17 +108,27 @@ object Retrieval {
     * Scale shape: [[bm25]]'s scan cost (one corpus pass, no global
     * sort); the shortlist is ≤`shortlist` rows, so the embedding join is
     * a broadcast of the shortlist onto the (bucketable) embeddings
-    * table, the query vector rides a single-row broadcast cross join,
-    * and the rerank is per-row array math over `shortlist` rows. */
+    * table, the query vector rides as a LITERAL (pulled eagerly by one
+    * point lookup, validated to exactly one row — see inline), and the
+    * rerank is per-row array math over `shortlist` rows. */
   def hybridSearch(docs: DataFrame, embs: DataFrame, terms: Seq[String],
       queryVecId: Long = 0L, shortlist: Int = 20, k: Int = 5): DataFrame = {
     val short = bm25(docs, terms, shortlist)
     val vecs = embs.select(col("vec_id").as("doc_id"),
       Similarity.toDouble(col("embedding")).as("v"))
-    val qv = vecs.filter(col("doc_id") === queryVecId)
-      .select(col("v").as("qv"))
+    // the query vector is pulled EAGERLY (one pushed-down point lookup —
+    // the IVF centroid-pull pattern) and must be exactly one row: a
+    // missing id would otherwise annihilate the whole result through the
+    // cross join (0 rows, indistinguishable from "no relevant docs") and
+    // a duplicated id would multiply the shortlist
+    val qrows = vecs.filter(col("doc_id") === queryVecId)
+      .select(col("v")).limit(2).collect()
+    require(qrows.length == 1,
+      s"hybridSearch: expected exactly one embedding with vec_id=" +
+        s"$queryVecId, found ${if (qrows.isEmpty) "none" else "several"}")
+    val qv = typedLit(qrows.head.getSeq[Double](0))
     broadcast(short).join(vecs, "doc_id")
-      .crossJoin(broadcast(qv))
+      .withColumn("qv", qv)
       .withColumn("sim_r", round(
         Similarity.dot(col("qv"), col("v")) /
           (sqrt(Similarity.dot(col("qv"), col("qv"))) *
@@ -159,24 +169,6 @@ object Retrieval {
           .otherwise(expr("n_oov * 1000000 div n_tokens")))
   }
 
-  /** Hard-negative mining — the contrastive-training data shape (DPR /
-    * RocketQA style): for a query's term bag, the top `k` BM25-ranked
-    * documents EXCLUDING the gold positives. Lexically close but
-    * unlabeled-as-relevant documents are exactly the negatives that
-    * teach a retriever its decision boundary; random negatives are too
-    * easy and in-batch negatives too few.
-    *
-    * Ranking parity: document frequencies and corpus scalars are
-    * computed over the FULL corpus (positives included) — excluding them
-    * first would perturb every score. The exclusion happens on the
-    * ranked list: fetch the top k+|positives| (exclusion can remove at
-    * most |positives| rows from any prefix), drop positives, keep `k`.
-    * Identical to ranking everything and filtering, at shortlist cost.
-    *
-    * Scale shape: [[bm25]]'s one corpus pass; the exclusion set rides
-    * the plan as a literal NOT-IN over ≤ k+|positives| rows (driver-side
-    * gold labels are small by definition — a labeled query has tens of
-    * positives, not millions). */
   /** Composed RAG-ingest pipeline — the retrieval-side counterpart of
     * the curation/landing compositions: overlapping character chunks
     * ([[TextAnalysis.chunkDocs]]) → hashing-trick feature vectors (no
@@ -226,6 +218,24 @@ object Retrieval {
       (-best.getField("nc")).cast("long").as("cell"), col("chunk_len"))
   }
 
+  /** Hard-negative mining — the contrastive-training data shape (DPR /
+    * RocketQA style): for a query's term bag, the top `k` BM25-ranked
+    * documents EXCLUDING the gold positives. Lexically close but
+    * unlabeled-as-relevant documents are exactly the negatives that
+    * teach a retriever its decision boundary; random negatives are too
+    * easy and in-batch negatives too few.
+    *
+    * Ranking parity: document frequencies and corpus scalars are
+    * computed over the FULL corpus (positives included) — excluding them
+    * first would perturb every score. The exclusion happens on the
+    * ranked list: fetch the top k+|positives| (exclusion can remove at
+    * most |positives| rows from any prefix), drop positives, keep `k`.
+    * Identical to ranking everything and filtering, at shortlist cost.
+    *
+    * Scale shape: [[bm25]]'s one corpus pass; the exclusion set rides
+    * the plan as a literal NOT-IN over ≤ k+|positives| rows (driver-side
+    * gold labels are small by definition — a labeled query has tens of
+    * positives, not millions). */
   def hardNegatives(docs: DataFrame, terms: Seq[String],
       positives: Seq[Long], k: Int = 10,
       textCol: String = "text"): DataFrame =

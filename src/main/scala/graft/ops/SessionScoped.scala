@@ -36,16 +36,14 @@ final class SessionScoped[V] {
   private def hook(s: SparkSession): Unit =
     if (hooked.add(s)) {
       s.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
           evict(s)
+          hooked.remove(s) // only here — see evict's duplicate-guard note
+        }
       })
     }
 
-  /** `discard` is retained for source compatibility but is never invoked:
-    * the per-key holder guarantees at most one compute, so there is no
-    * losing racer whose staged frame would need releasing. */
-  def getOrCompute(s: SparkSession, key: String, discard: V => Unit = _ => ())(
-      compute: => V): V = {
+  def getOrCompute(s: SparkSession, key: String)(compute: => V): V = {
     hook(s)
     // holder allocation is lock-cheap; forcing `value` (the real work,
     // possibly multi-job) happens outside the map's bin lock, and any
@@ -75,7 +73,13 @@ final class SessionScoped[V] {
   def evict(s: SparkSession): Unit = {
     val it = map.keySet().iterator()
     while (it.hasNext) if (it.next()._1 eq s) it.remove()
-    hooked.remove(s)
+    // `hooked` membership is NOT cleared here: the application-end
+    // listener stays registered on the shared bus either way, so
+    // removing the guard would make the next getOrCompute on a live
+    // session register a DUPLICATE listener — hundreds of releaseAll →
+    // reuse cycles (the bench loop) would accumulate thousands of
+    // listeners, each iterated per event. The entry dies with the
+    // session via the listener itself.
   }
 
   def size: Int = map.size()

@@ -47,7 +47,18 @@ object Stage {
 
   def barrier(df: DataFrame): DataFrame = {
     val cached = df.cache()
-    cached.count()
+    // unpersist on a FAILED materialization: cache() registers the plan
+    // in the CacheManager immediately, so a count() that throws
+    // (executor loss, ANSI overflow inside the staged plan) would
+    // otherwise leave a registered-but-untracked entry — plus any
+    // partially materialized blocks — that releaseAll (which only walks
+    // the tracked set) could never release
+    try cached.count()
+    catch {
+      case t: Throwable =>
+        try cached.unpersist(blocking = false) catch { case _: Throwable => }
+        throw t
+    }
     track(cached)
     cached
   }

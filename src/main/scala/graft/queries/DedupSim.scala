@@ -68,7 +68,7 @@ object DedupSim {
   // session (see ops.SessionScoped).
   private val pairCache = new graft.ops.SessionScoped[DataFrame]
   private def mutantPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrCompute(s, dir, discard = graft.ops.Stage.release)(
+    pairCache.getOrCompute(s, dir)(
       graft.ops.Stage.barrier(
         Dedup.minhashDedupPairs(docsWithMutants(s, dir))))
 
@@ -107,7 +107,7 @@ object DedupSim {
 
   /** Near-dup pairs → canonical clusters (keep min doc per component). */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
-    componentCache.getOrCompute(s, dir, discard = graft.ops.Stage.release)(
+    componentCache.getOrCompute(s, dir)(
       graft.ops.Stage.barrier(Dedup.components(mutantPairs(s, dir),
         // minhashDedupPairs emits each pair once, doc_a < doc_b
         // (first-matching-band structural dedup, spec-pinned)

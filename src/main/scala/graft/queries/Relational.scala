@@ -386,7 +386,11 @@ object Relational {
   private val bucketed = new graft.ops.SessionScoped[(String, String)]
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val (custT, ordT) = bucketed.getOrCompute(s, dir) {
-      val suffix = (dir.hashCode.toLong & 0xffffffffL).toString
+      // sanitized dir + hash, as splitSafeProd/landingPipeline: a bare
+      // hashCode could collide across dirs and silently serve one dir's
+      // bucketed layout (and rows) to the other
+      val suffix = dir.toLowerCase.replaceAll("[^a-z0-9]", "_") +
+        f"_${dir.hashCode & 0xffffffffL}%08x"
       val ct = s"graft_bkt_customer_$suffix"
       val ot = s"graft_bkt_orders_$suffix"
       graft.sources.PartitionedStore.writeBucketed(
@@ -709,9 +713,12 @@ object Relational {
         "CASE WHEN k LIKE '%:%' THEN regexp_extract(k, '^(.*?):(.*)$', 1) " +
         "ELSE 'regular' END AS tag_type, " +
         "CASE WHEN k LIKE '%:%' THEN regexp_extract(k, '^(.*?):(.*)$', 2) " +
+        // concat_ws, not ||: the engine's concat_ws SKIPS a NULL lang
+        // (yielding just `source`) while || propagates NULL — a latent
+        // hash mismatch on any corpus with NULL lang/source
         "ELSE k END AS tag_key FROM (SELECT doc_id, " +
         "CASE WHEN doc_id % 3 = 0 THEN source " +
-        "ELSE lang || ':' || source END AS k FROM documents)"),
+        "ELSE concat_ws(':', lang, source) END AS k FROM documents)"),
     "q_topk" ->
       ("SELECT user_id, n FROM (SELECT user_id, count(*) AS n, " +
         "row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn " +

@@ -38,10 +38,12 @@ object JsonlStore {
     spark.readStream.schema(schema).json(path)
 
   /** Quarantining scan: malformed lines land in `<quarantineDir>` as raw
-    * text while clean rows flow on. The raw read materializes first
-    * (Spark disallows querying only the corrupt column off a raw scan) —
-    * callers on big data should stage the result (Stage.barrier) so the
-    * quarantine write and the main consumer share one parse. */
+    * text while clean rows flow on. The raw read is staged INSIDE this
+    * op (Stage.barrier — Spark disallows querying only the corrupt
+    * column off a raw scan, and the quarantine write plus the returned
+    * clean stream must share one parse); do NOT stage the result again.
+    * The staged blocks stay pinned until the caller's next
+    * Stage.releaseAll — the standard staged-op lifecycle (see Stage). */
   def readJsonlQuarantined(spark: SparkSession, path: String,
       schema: StructType, quarantineDir: String): DataFrame = {
     val withCorrupt = schema.add("_corrupt_record", "string")

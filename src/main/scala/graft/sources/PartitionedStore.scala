@@ -88,6 +88,18 @@ object PartitionedStore {
       targetBytesPerFile: Long = 128L << 20): Long = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // refuse a hive-partitioned tree: partition discovery would fold the
+    // directory keys into data columns and the flat rewrite would
+    // silently DESTROY the layout (planning-time pruning gone, every
+    // path/key=value/ reader broken) while the row-count audit passes.
+    // Compact partitioned data one LEAF directory at a time.
+    val partitionDirs = fs.listStatus(p)
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.contains("="))
+    require(partitionDirs.isEmpty,
+      s"compact($path): hive-partitioned layout detected " +
+        s"(${partitionDirs.take(3).mkString(", ")}…) — a flat rewrite " +
+        "would silently drop the partition tree; compact each leaf " +
+        "partition directory instead")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L,
       (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt

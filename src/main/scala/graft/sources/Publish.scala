@@ -43,10 +43,24 @@ object Publish {
         s"audit rejected staged output ($rows rows); " +
           s"target untouched, staged files at $quarantine")
     }
-    // publish: destructive only AFTER the audit passed
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      throw new AuditFailedException(s"rename $staging -> $target failed")
+    // publish: the live target steps ASIDE first (rename, not delete) —
+    // a crash or failed rename in the window must leave the PREVIOUS
+    // published data recoverable at .old, never a state where neither
+    // copy exists (the same swap order compact() uses). The retired copy
+    // is deleted only after the new data is live.
+    val retired = new Path(finalPath + ".old")
+    fs.delete(retired, true)
+    if (fs.exists(target) && !fs.rename(target, retired))
+      throw new AuditFailedException(
+        s"could not retire live $target -> $retired; target untouched, " +
+          s"staged files at $staging")
+    if (!fs.rename(staging, target)) {
+      // roll back: put the previous published data back live
+      if (fs.exists(retired)) fs.rename(retired, target)
+      throw new AuditFailedException(
+        s"rename $staging -> $target failed; previous publish restored")
+    }
+    fs.delete(retired, true)
     rows
   }
 
