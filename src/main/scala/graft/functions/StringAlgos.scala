@@ -380,6 +380,11 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column): Column =
     asColumn(DotProduct(toExpr(a), toExpr(b)))
 
+  /** Column-level binary-search membership probe over a SORTED
+    * ARRAY<LONG> (see [[SortedProbe]]). */
+  def sortedContains(arr: Column, v: Column): Column =
+    asColumn(SortedArrayContains(toExpr(arr), toExpr(v)))
+
   /** Column-level fused int8 quantization → STRUCT<mn, delta, codes, sq>
     * (see VectorAlgos.quantizeInt8). */
   def quantizeInt8(v: Column): Column = asColumn(QuantizeInt8(toExpr(v)))

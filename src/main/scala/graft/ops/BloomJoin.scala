@@ -42,18 +42,38 @@ object BloomJoin {
     // caller casts to a common type once.
     val (bt, st) = (big.select(bigKey).schema.head.dataType,
       small.select(smallKey).schema.head.dataType)
-    require(bt == st,
-      s"BloomJoin.semiJoin: key types must match exactly ($bt vs $st) — " +
-        "xxhash64 hashes each type differently, so a coercible-but-" +
-        "different pair would silently prune every true match; cast " +
-        "both keys to a common type first")
+    // LOSSLESSLY-coercible mismatches auto-widen to a common type before
+    // hashing (ADVICE r15: the previous hard require rejected int-vs-long
+    // calls the old cast-to-long implementation handled): integral pairs
+    // widen to long and float/double pairs to double — both injective, so
+    // build and probe hash one shared space and the no-false-negative
+    // contract holds. Anything else (string-vs-numeric, decimal,
+    // integral-vs-fractional — where long→double silently collapses keys
+    // past 2⁵³) still fails loudly; the caller casts once.
+    import org.apache.spark.sql.types._
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val (hb, hs): (Column, Column) = (bt, st) match {
+      case (a, b) if a == b => (bigKey, smallKey)
+      case (a, b) if integral(a) && integral(b) =>
+        (bigKey.cast("long"), smallKey.cast("long"))
+      case (FloatType | DoubleType, FloatType | DoubleType) =>
+        (bigKey.cast("double"), smallKey.cast("double"))
+      case _ => throw new IllegalArgumentException(
+        s"BloomJoin.semiJoin: key types must match or widen losslessly " +
+          s"($bt vs $st) — xxhash64 hashes each type differently, so a " +
+          "lossy coercion would silently prune true matches; cast both " +
+          "keys to a common type first")
+    }
     // build: one bitmap row; partials OR-merge map-side so the driver pull
     // is bits/8 bytes regardless of small-side row count
     val words = small
-      .select(BloomAgg.bloomAgg(xxhash64(smallKey), bits, k).as("w"))
+      .select(BloomAgg.bloomAgg(xxhash64(hs), bits, k).as("w"))
       .head().getSeq[Long](0).toArray
     val pruned = big.filter(
-      BloomAgg.mightContain(xxhash64(bigKey), words, bits, k))
+      BloomAgg.mightContain(xxhash64(hb), words, bits, k))
     // rescue: exact semi join over the pruned sliver only
     pruned.join(small.select(smallKey.as("_bloom_k")).distinct(),
       bigKey === col("_bloom_k"), "left_semi")

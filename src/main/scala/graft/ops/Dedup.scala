@@ -86,20 +86,29 @@ object Dedup {
     // The b-side ×g shingle replication is a few tens of MB at bench
     // scale, noise next to the balanced quadratic scan it buys.
     val tileRows = 512
+    // CENSUS-BOUNDED broadcast (ADVICE r15): only blocks that actually
+    // tile (_g > 1, i.e. > tileRows rows) ride in the broadcast — at
+    // most corpus/tileRows entries by the same argument that bounds
+    // lshCandidatePairs' hotSet. A high-cardinality blockCol (say,
+    // block = URL host at web scale) would otherwise make this an
+    // unbounded one-row-per-distinct-block driver broadcast. Absent
+    // blocks default to one tile via left join + coalesce.
     val tiles = sh.groupBy(col("block"))
       .agg(count(lit(1)).as("_bn"))
       .select(col("block"),
         greatest(least(ceil(col("_bn") / lit(tileRows.toDouble)),
           lit(64L)), lit(1L)).cast("int").as("_g"))
-    val a = sh.join(broadcast(tiles), Seq("block"))
+      .filter(col("_g") > 1)
+    val g = coalesce(col("_g"), lit(1))
+    val a = sh.join(broadcast(tiles), Seq("block"), "left")
       .select(col("block"),
-        pmod(xxhash64(col("doc_id")), col("_g").cast("long")).cast("int")
+        pmod(xxhash64(col("doc_id")), g.cast("long")).cast("int")
           .as("slt"),
         col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         size(col("sh")).as("sz_a"))
-    val b = sh.join(broadcast(tiles), Seq("block"))
+    val b = sh.join(broadcast(tiles), Seq("block"), "left")
       .select(col("block"),
-        explode(sequence(lit(0), col("_g") - 1)).as("slt"),
+        explode(sequence(lit(0), g - 1)).as("slt"),
         col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         size(col("sh")).as("sz_b"))
     // EXPLICIT partition count on both join inputs: the pair stage's
@@ -286,20 +295,16 @@ object Dedup {
     * distinct-over-surviving-buckets base semantics (pinned in
     * DedupSpec). Recall loss under a fired rail is only the pairs whose
     * EVERY matching bucket is over-cap, with the drop count surfacing
-    * via [[Rail.observed]]. FIRED-RAIL COST: the surviving-band
-    * when-chain probes the collected census with `array_contains` —
-    * O(bands × |census|) linear scans per joined candidate row (the
-    * `size == 0` fast path only protects the never-fired case).
-    * MEASURED (LshRailBench, sf0.1 + an equal-volume mass-dup block,
-    * identical surviving pairs, BENCH_NOTES r15): a ~16-entry census
-    * costs ~nothing over the clean fast path (4.2 vs 3.9 s), a
-    * ~2400-entry census ~3×'s the operator (12.2 s) — pure census-size
-    * scaling at equal input volume. The census is bounded by
-    * corpus/maxBucket entries, so this is acceptable for a rail
-    * designed never to fire; if fired-rail runs become routine (small
-    * caps on mass-duplicate corpora), a sorted census + binary probe —
-    * or a bloom side-filter — would bound the scan, at the cost of a
-    * custom expression. [[hammingNearDupPairs]]
+    * via [[Rail.observed]]. FIRED-RAIL COST (r16): the surviving-band
+    * when-chain probes a PER-BAND SORTED key array by binary search
+    * ([[graft.functions.SortedProbe]], a codegen'd static call) —
+    * O(bands × log|census_band|) per joined candidate row, with the
+    * `_ocn == 0` fast path keeping the never-fired case at one int
+    * comparison. The r15 `array_contains` scan this replaced was
+    * O(bands × |census|) and MEASURED ~3× on the whole operator at a
+    * ~2,400-entry census (LshRailBench, BENCH_NOTES r15); the sorted
+    * probe flattens the fired-rail run back to clean-path cost
+    * (BENCH_NOTES r16). [[hammingNearDupPairs]]
     * offers the same surviving-bucket rule behind its
     * `survivingBlocks` knob (r14) — not by default, because there the
     * mask needs an extra census pass measured at ~+50% (see there); the
@@ -350,8 +355,23 @@ object Dedup {
     // over-cap bucket holds > maxBucket rows, so the census has at most
     // corpus/maxBucket entries). Always exactly one row (a global agg),
     // with an empty array when the rail never fired — the designed case.
+    // Collected shape: PER-BAND SORTED key arrays (`_ocb`, band-indexed)
+    // plus the total entry count (`_ocn`). The first-match filter probes
+    // band j's array by BINARY SEARCH (functions.SortedProbe — codegen'd
+    // static call), so a fired rail costs O(log |census_j|) per band
+    // probe instead of the O(|census|) array_contains scan that measured
+    // ~3× on the whole operator at a 2,400-entry census (LshRailBench,
+    // BENCH_NOTES r15/r16). The single-row assembly below runs
+    // interpreted HOFs over ONE row — free — and sort_array(asc) is
+    // exactly the order SortedProbe.contains requires.
     val ocRow = overCap
-      .agg(collect_set(struct(col("band"), col("key"))).as("_oc"))
+      .agg(collect_set(struct(col("band"), col("key"))).as("_ocp"))
+      .select(
+        transform(sequence(lit(0), lit(bands - 1)),
+          j => sort_array(transform(
+            filter(col("_ocp"), p => p.getField("band") === j),
+            p => p.getField("key")))).as("_ocb"),
+        size(col("_ocp")).as("_ocn"))
     // first matching SURVIVING band as a codegen'd when-chain over the
     // two hashed band-key vectors — the joined rows matched on a
     // surviving (band, key), so a first matching surviving band ≤ band
@@ -371,12 +391,12 @@ object Dedup {
       when(matchAt(j), lit(j)).otherwise(rest)
     }
     val firstSurvivingBand = (0 until bands).foldRight(lit(-1)) { (j, rest) =>
-      when(matchAt(j) && !array_contains(col("_oc"),
-          struct(lit(j).as("band"), col("bkv_a").getItem(j).as("key"))),
+      when(matchAt(j) && !graft.functions.GraftFunctions.sortedContains(
+          col("_ocb").getItem(j), col("bkv_a").getItem(j)),
         lit(j)).otherwise(rest)
     }
     val firstBand =
-      when(size(col("_oc")) === 0, firstBandAll)
+      when(col("_ocn") === 0, firstBandAll)
         .otherwise(firstSurvivingBand)
     // FORCED sort-merge, as in the simhash path: statistics-driven
     // planning would broadcast-build the corpus-sized blocked relation.
@@ -393,7 +413,7 @@ object Dedup {
     a.hint("merge").join(b, Seq("band", "key", "slt"))
       .withColumn("_j", pmod(xxhash64(col("doc_a")), lit(1L)).cast("int"))
       .join(broadcast(ocRow.withColumn("_j",
-        pmod(size(col("_oc")).cast("long"), lit(1L)).cast("int"))),
+        pmod(col("_ocn").cast("long"), lit(1L)).cast("int"))),
         Seq("_j"), "left")
       .filter(col("doc_a") < col("doc_b") && col("band") === firstBand)
       .select(col("doc_a"), col("doc_b"))
@@ -1036,12 +1056,23 @@ object Dedup {
     // cost is ocRow's own census pass (BENCH_NOTES r14 stage table); on
     // clean blocks the two sides share the bucket, so either row's mask
     // bit decides — dirty-block bits are never read.
+    // Same collected shape as lshCandidatePairs' census (r16): per-blk
+    // SORTED key arrays probed by binary search (functions.SortedProbe)
+    // instead of an O(|census|) array_contains scan per blk. blk indices
+    // are c1·8+c2 ∈ [1, 62], so the band-indexed array has 63 slots (35
+    // of them always empty — one single-row array, free).
     val ocRow = overCap
-      .agg(collect_set(struct(col("blk"), col("key"))).as("_oc"))
-    val maskExpr = when(size(col("_oc")) === 0, lit(0L)).otherwise(
+      .agg(collect_set(struct(col("blk"), col("key"))).as("_ocp"))
+      .select(
+        transform(sequence(lit(0), lit(62)),
+          b => sort_array(transform(
+            filter(col("_ocp"), p => p.getField("blk") === b),
+            p => p.getField("key")))).as("_ocb"),
+        size(col("_ocp")).as("_ocn"))
+    val maskExpr = when(col("_ocn") === 0, lit(0L)).otherwise(
       pairDefs.foldLeft(lit(0L)) { case (acc, (b, k)) =>
-        acc.bitwiseOR(when(array_contains(col("_oc"),
-          struct(lit(b).as("blk"), k.as("key"))), lit(1L << b))
+        acc.bitwiseOR(when(graft.functions.GraftFunctions.sortedContains(
+          col("_ocb").getItem(b), k), lit(1L << b))
           .otherwise(lit(0L)))
       })
     // kernel-branch blocked relation: the census above reads the
@@ -1067,7 +1098,7 @@ object Dedup {
         .withColumn("_j",
           pmod(xxhash64(col("simhash")), lit(1L)).cast("int"))
         .join(broadcast(ocRow.withColumn("_j",
-          pmod(size(col("_oc")).cast("long"), lit(1L)).cast("int"))),
+          pmod(col("_ocn").cast("long"), lit(1L)).cast("int"))),
           Seq("_j"), "left")
         .select(col("doc_id"), col("simhash"),
           coalesce(maskExpr, lit(0L)).as("_mask"))

@@ -110,7 +110,15 @@ object Retrieval {
     * a broadcast of the shortlist onto the (bucketable) embeddings
     * table, the query vector rides as a LITERAL (pulled eagerly by one
     * point lookup, validated to exactly one row — see inline), and the
-    * rerank is per-row array math over `shortlist` rows. */
+    * rerank is per-row array math over `shortlist` rows.
+    *
+    * BEHAVIOR NOTE (since r15, intentional): construction is EAGER — the
+    * query-vector lookup runs at call time and a missing or duplicated
+    * `queryVecId` THROWS, where earlier versions built a lazy plan that
+    * returned an empty result for a missing id. Callers that treated
+    * "vector absent" as "no results" must pre-check the id; the loud
+    * failure is deliberate (an empty frame is indistinguishable from
+    * "no relevant docs", which silently corrupts downstream evals). */
   def hybridSearch(docs: DataFrame, embs: DataFrame, terms: Seq[String],
       queryVecId: Long = 0L, shortlist: Int = 20, k: Int = 5): DataFrame = {
     val short = bm25(docs, terms, shortlist)

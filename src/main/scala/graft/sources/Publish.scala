@@ -55,10 +55,23 @@ object Publish {
         s"could not retire live $target -> $retired; target untouched, " +
           s"staged files at $staging")
     if (!fs.rename(staging, target)) {
-      // roll back: put the previous published data back live
-      if (fs.exists(retired)) fs.rename(retired, target)
+      // roll back: put the previous published data back live. The
+      // rollback rename can itself fail (same degraded filesystem that
+      // failed the publish rename) — report the TRUE state either way,
+      // never claim "restored" while the target is missing and the only
+      // copy sits at .old (ADVICE r15).
+      val hadPrevious = fs.exists(retired)
+      val restored = hadPrevious && fs.rename(retired, target)
       throw new AuditFailedException(
-        s"rename $staging -> $target failed; previous publish restored")
+        if (restored)
+          s"rename $staging -> $target failed; previous publish restored"
+        else if (hadPrevious)
+          s"rename $staging -> $target failed AND rollback failed; " +
+            s"target is MISSING — previous data at $retired, staged " +
+            s"files at $staging"
+        else
+          s"rename $staging -> $target failed; no previous publish to " +
+            s"restore — staged files at $staging")
     }
     fs.delete(retired, true)
     rows

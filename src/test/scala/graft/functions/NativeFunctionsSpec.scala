@@ -134,4 +134,39 @@ class NativeFunctionsSpec extends SparkSpec {
       .head().getString(0)
     assert(twice == "\u00E9\u00C5")
   }
+
+  test("sorted_array_contains == array_contains on sorted random arrays") {
+    import spark.implicits._
+    // deterministic pseudo-random membership workload: 200 rows, each
+    // with a sorted xxhash64-derived array and probes that hit / miss;
+    // the binary probe must agree with the linear built-in everywhere,
+    // including the empty array and Long.Min/Max boundary values
+    val rows = spark.range(200).select(
+      sort_array(array_distinct(concat(
+        transform(sequence(lit(0), pmod(col("id"), lit(7)).cast("int")),
+          i => xxhash64(col("id") * 31 + i)),
+        array(lit(Long.MinValue), lit(Long.MaxValue))))).as("arr"),
+      xxhash64(col("id") * 31).as("hit"),
+      xxhash64(col("id") + 1000000).as("probeMiss"))
+    val got = rows.select(
+      graft.functions.GraftFunctions.sortedContains(col("arr"), col("hit"))
+        .as("h1"),
+      array_contains(col("arr"), col("hit")).as("h2"),
+      graft.functions.GraftFunctions.sortedContains(col("arr"),
+        col("probeMiss")).as("m1"),
+      array_contains(col("arr"), col("probeMiss")).as("m2"),
+      graft.functions.GraftFunctions.sortedContains(col("arr"),
+        lit(Long.MinValue)).as("lo"),
+      graft.functions.GraftFunctions.sortedContains(col("arr"),
+        lit(Long.MaxValue)).as("hi"),
+      graft.functions.GraftFunctions.sortedContains(
+        array().cast("array<long>"), col("hit")).as("emp"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getBoolean(0) == r.getBoolean(1), "hit probe diverged")
+      assert(r.getBoolean(2) == r.getBoolean(3), "miss probe diverged")
+      assert(r.getBoolean(4) && r.getBoolean(5), "boundary probes")
+      assert(!r.getBoolean(6), "empty array must be a miss")
+    }
+  }
 }

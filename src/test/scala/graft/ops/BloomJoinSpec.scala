@@ -66,13 +66,26 @@ class BloomJoinSpec extends SparkSpec {
       s"string-keyed bloom semi join diverged: got=$got plain=$plain")
   }
 
-  test("bloom semi join REFUSES mismatched key types at construction") {
-    // xxhash64 hashes int and long differently, so coercible-but-
-    // different key types would silently prune every true match — the
-    // operator must fail loudly instead
+  test("bloom semi join auto-widens losslessly-coercible key types") {
+    // xxhash64 hashes int and long differently; since r16 an
+    // integral-vs-integral mismatch widens BOTH sides to long before
+    // hashing (injective — one shared hash space), so the int-keyed
+    // fact against a long-keyed dim keeps every true match
+    import spark.implicits._
+    val big = Seq((1L, 7), (2L, 8), (3L, 9)).toDF("id", "k") // int key
+    val small = Seq(7L, 9L).toDF("sk") // long key
+    val got = BloomJoin.semiJoin(big, col("k"), small, col("sk"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L),
+      s"widened int-vs-long bloom semi join diverged: got=$got")
+  }
+
+  test("bloom semi join REFUSES lossily-coercible key types") {
+    // integral-vs-fractional coercion collapses distinct keys past 2⁵³
+    // (and string-vs-numeric casts NULL) — still a loud failure
     import spark.implicits._
     val big = Seq((1L, 7)).toDF("id", "k") // int key
-    val small = Seq(7L).toDF("sk") // long key
+    val small = Seq(7.0d).toDF("sk") // double key
     val e = intercept[IllegalArgumentException] {
       BloomJoin.semiJoin(big, col("k"), small, col("sk"))
     }
