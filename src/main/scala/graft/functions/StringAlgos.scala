@@ -385,6 +385,13 @@ object GraftFunctions {
   def sortedContains(arr: Column, v: Column): Column =
     asColumn(SortedArrayContains(toExpr(arr), toExpr(v)))
 
+  /** Column-level IVF centroid argmin → STRUCT<d: double, id: int>
+    * (see [[CentroidArgmin]]); `centroids` as (id, components). */
+  def centroidArgmin(vec: Column,
+      centroids: Seq[(Int, Seq[Double])]): Column =
+    asColumn(CentroidArgmin(toExpr(vec),
+      centroids.map(_._2.toArray).toArray, centroids.map(_._1).toArray))
+
   /** Column-level fused int8 quantization → STRUCT<mn, delta, codes, sq>
     * (see VectorAlgos.quantizeInt8). */
   def quantizeInt8(v: Column): Column = asColumn(QuantizeInt8(toExpr(v)))

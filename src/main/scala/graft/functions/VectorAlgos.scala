@@ -34,6 +34,61 @@ object VectorAlgos {
     acc
   }
 
+  /** Spark SQL's double comparison semantics
+    * (`Utils.nanSafeCompareDoubles`, what codegen'd struct ordering
+    * uses): NaN ranks greatest, NaN == NaN, and ±0.0 compare equal —
+    * NOT `java.lang.Double.compare`, which splits ±0.0. The argmin
+    * kernel must tie-break exactly like `array_min` over
+    * struct<d, id> or a boundary vector's list assignment could differ
+    * between the literal and kernel paths. */
+  private def cmpD(a: Double, b: Double): Int = {
+    if (a < b) -1
+    else if (a > b) 1
+    else {
+      val na = java.lang.Double.isNaN(a)
+      val nb = java.lang.Double.isNaN(b)
+      if (na && nb) 0 else if (na) 1 else if (nb) -1 else 0
+    }
+  }
+
+  /** Argmin over `cents` of the IVF centroid score d = −2·(v·c) + c·c —
+    * bit-identical to `array_min(array(struct(dot(v, lit(c))·−2 +
+    * lit(cc), id), …))` over the same centroids: same left-to-right dot
+    * fold ([[dot]]), same operation order, same nan-safe lexicographic
+    * (d, id) tie-break ([[cmpD]]). Returns struct<d: double, id: int>,
+    * or NULL when the vector's length differs from the centroid dim
+    * (the literal path's NULL-dot poisoning, surfaced whole). `cc` is
+    * the caller-precomputed Σc², `ids` the centroid ids aligned with
+    * `cents` (not assumed sorted — the tie-break handles any order). */
+  def argminCentroid(v: ArrayData, cents: Array[Array[Double]],
+      cc: Array[Double], ids: Array[Int]): InternalRow = {
+    val dim = cents(0).length
+    if (v.numElements() != dim) return null
+    var bestD = 0.0d
+    var bestId = 0
+    var first = true
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      var acc = 0.0d
+      var j = 0
+      while (j < dim) {
+        acc += v.getDouble(j) * c(j)
+        j += 1
+      }
+      val d = acc * -2.0d + cc(i)
+      if (first) { bestD = d; bestId = ids(i); first = false }
+      else {
+        val cp = cmpD(d, bestD)
+        if (cp < 0 || (cp == 0 && ids(i) < bestId)) {
+          bestD = d; bestId = ids(i)
+        }
+      }
+      i += 1
+    }
+    InternalRow(bestD, bestId)
+  }
+
   /** One-pass per-vector int8 quantization → (mn, delta, codes, sq).
     * Bit-compatible with the staged declarative form it fuses (and the
     * DuckDB oracle): min/max via Double.compare (NaN ranks greatest,
@@ -152,4 +207,65 @@ object QuantizeInt8 {
     StructField("codes", ArrayType(DoubleType, containsNull = false),
       nullable = false),
     StructField("sq", LongType, nullable = false)))
+}
+
+/** Native fused [[VectorAlgos.argminCentroid]] — the IVF assignment
+  * kernel (VERDICT r15 #3). The literal form (`array_min` over an
+  * `array()` of nlist scored structs) inlines every centroid component
+  * into the expression tree: at production quantizer sizes (nlist
+  * 4k–64k × dim 128–1024) that is tens of thousands of expression nodes
+  * per column — analysis chokes and codegen's method-size splitter
+  * falls the stage back to interpreted rows long before the executors
+  * see data. Here the centroids ride as ONE plan-referenced object
+  * (`ctx.addReferenceObj` — serialized once per stage, zero analysis
+  * footprint, same mechanism broadcast hash maps use), the per-row work
+  * is a primitive double[][] loop, and the expression stays inside
+  * WholeStageCodegen at any nlist (plan-pinned in IvfSpec). Bit-identical
+  * to the literal form by construction — see [[VectorAlgos.argminCentroid]].
+  *
+  * Equality/canonicalization note: the centroid arrays participate by
+  * REFERENCE, so two semantically-equal kernels built from equal
+  * centroid values are not `semanticEquals` — harmless here (the plan
+  * builds each kernel once and subexpression elimination still works
+  * within a projection via the common reference). */
+case class CentroidArgmin(child: Expression,
+    centroids: Array[Array[Double]], ids: Array[Int])
+    extends UnaryExpression {
+  require(centroids.nonEmpty && centroids.length == ids.length,
+    "CentroidArgmin: need ≥1 centroid and aligned ids")
+
+  /** Σc² per centroid — the SAME driver-side fold the literal path bakes
+    * into `lit(c.map(x => x*x).sum)` (left-to-right over the components). */
+  private lazy val cc: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def dataType: DataType = CentroidArgmin.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "centroid_argmin"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorAlgos.argminCentroid(
+      v.asInstanceOf[ArrayData], centroids, cc, ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", centroids, "double[][]")
+    val ccRef = ctx.addReferenceObj("cc", cc, "double[]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} = graft.functions.VectorAlgos.argminCentroid(
+         |  $v, $centsRef, $ccRef, $idsRef);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CentroidArgmin = copy(child = newChild)
+}
+
+object CentroidArgmin {
+  val schema: StructType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("id", org.apache.spark.sql.types.IntegerType,
+      nullable = false)))
 }

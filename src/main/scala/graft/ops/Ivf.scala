@@ -21,10 +21,19 @@ object Ivf {
 
   /** The ONE centroid-scoring rendering — squared L2 via dot: |v−c|² =
     * v·v − 2·v·c + c·c; v·v is constant per row for argmin and c·c a
-    * constant literal, so ranking uses −2·v·c + c·c. Shared by
-    * [[assign]], [[clusterStats]] and [[knnIvfWith]]'s probe selection
-    * (one definition, so the fixed evaluation order the cross-engine
-    * parity comments rely on cannot drift between the three sites). */
+    * constant literal, so ranking uses −2·v·c + c·c. Since r16 the
+    * CORPUS-side argmin sites ([[assign]], [[clusterStats]]) run the
+    * fused [[graft.functions.CentroidArgmin]] kernel — bit-identical to
+    * this literal form (same dot fold, operation order, and nan-safe
+    * (d, id) tie-break; asserted in IvfSpec) but with the centroids as
+    * ONE plan-referenced object instead of nlist×dim inlined literals,
+    * which keeps analysis O(1) and the stage inside WholeStageCodegen
+    * at production nlist (the literal plan's expression tree measured
+    * minutes of driver analysis at nlist 4096 × dim 128 — BENCH_NOTES
+    * r16). This literal rendering remains the QUERY-side probe ranking
+    * ([[knnIvfWith]] needs all nlist scores sorted, not the argmin, and
+    * runs it over ≤nQueries rows) and the cross-engine oracle's
+    * replayable form. */
   private def scoredStructs(vec: Column,
       centroids: Seq[(Int, Seq[Double])]): Seq[Column] =
     centroids.map { case (id, c) =>
@@ -32,10 +41,15 @@ object Ivf {
         lit(c.map(x => x * x).sum)).as("d"), lit(id).as("id"))
     }
 
-  /** Per-row argmin over centroid literals → (cluster_id). */
+  /** Fused best-centroid struct<d, id> (see [[scoredStructs]] note). */
+  private def bestCentroid(vec: Column,
+      centroids: Seq[(Int, Seq[Double])]): Column =
+    graft.functions.GraftFunctions.centroidArgmin(vec, centroids)
+
+  /** Per-row argmin over the broadcast-referenced centroids → (cluster_id). */
   private def assignExpr(vec: Column, centroids: Seq[(Int, Seq[Double])])
       : Column =
-    array_min(array(scoredStructs(vec, centroids): _*)).getField("id")
+    bestCentroid(vec, centroids).getField("id")
 
   /** Train the coarse quantizer: deterministic seeds (lowest `nlist` ids)
     * + `iters` Lloyd steps (assign, element-wise mean). Returns the
@@ -109,8 +123,7 @@ object Ivf {
   def clusterStats(embs: DataFrame, centroids: Seq[(Int, Seq[Double])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     embs.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("vec"))
-      .withColumn("best",
-        array_min(array(scoredStructs(col("vec"), centroids): _*)))
+      .withColumn("best", bestCentroid(col("vec"), centroids))
       .select(col("best.id").as("cluster"),
         round((dot(col("vec"), col("vec")) + col("best.d")) * 1e6, 0)
           .cast("long").as("d2_x1e6"))

@@ -863,7 +863,11 @@ object TextAnalysis {
     * literals): pair counting sees every adjacent pair; the merge applies
     * left-to-right non-overlapping on the delimited symbol string, so
     * occurrences sharing a delimiter space merge in a later round if
-    * their pair wins again.
+    * their pair wins again. EXECUTABLE, not just prose (r16): the
+    * "abab" fixture — one merge this round, the shared-delimiter
+    * survivor next round — is pinned engine-side in TextAnalysisSpec
+    * ("bpe overlap convention") and cross-engine by `q_bpe_overlap`,
+    * whose DuckDB replay runs the identical inline corpus.
     *
     * Scale shape: the corpus is touched ONCE (the word-frequency
     * aggregation — at web scale ~10⁷ rows); every round then runs one

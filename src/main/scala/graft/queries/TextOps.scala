@@ -310,6 +310,24 @@ object TextOps {
     TextAnalysis.bpeTrain(Tables(s, dir).documents, nMerges = 8,
       batchSize = 4)
 
+  /** The BPE overlap convention as an EXECUTABLE cross-engine fixture
+    * (VERDICT r15 #5): on the word "abab" (sym " a b a b ") the winning
+    * pair (a, b) occurs twice but the occurrences SHARE the middle
+    * delimiter space, so left-to-right non-overlapping application
+    * merges only the first — the survivor merges the NEXT round when
+    * (a, b) wins again (tie vs (ab, a) broken lexicographically).
+    * Expected table: (1, a, b, 6), (2, a, b, 3), (3, ab, ab, 3) — the
+    * same pair at two ranks is the convention's signature. The corpus
+    * is inline (three copies of the word), and the DuckDB oracle replays
+    * its own induction over the identical VALUES corpus — both engines
+    * EXECUTE the convention instead of merely documenting it
+    * (TextAnalysis.bpeTrain scaladoc). */
+  def bpeOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.bpeTrain(
+      Seq((1L, "abab abab abab")).toDF("doc_id", "text"), nMerges = 3)
+  }
+
   /** Encode the corpus with the trained merges (encode-vocab-once +
     * occurrence join). The merge table is driver metadata, memoized per
     * (session, dir); the oracle replays the induction independently and
@@ -389,6 +407,7 @@ object TextOps {
     "q_domain_score" -> domainScore,
     "q_bpe_train" -> bpeTrain,
     "q_bpe_train_batched" -> bpeTrainBatched,
+    "q_bpe_overlap" -> bpeOverlap,
     "q_bpe_encode" -> bpeEncode,
     "q_doc_gate" -> docGate,
     "q_chunk" -> chunk,
@@ -448,11 +467,13 @@ object TextOps {
     * and batched replays, so the two oracles can never drift on
     * tokenization or pair counting (the batched rule differs only in
     * candidate selection and application). */
-  private val duckBpeV0: String =
+  private def duckBpeV0From(src: String): String =
     "WITH v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, " +
       "array_to_string(string_split(w, ''), ' ') AS sym FROM (" +
-      "SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      s"SELECT unnest(string_split(text, ' ')) AS w FROM $src) " +
       "GROUP BY w)"
+
+  private val duckBpeV0: String = duckBpeV0From("documents")
 
   private def duckBpePairCte(k: Int): String =
     s", p$k AS MATERIALIZED (SELECT u.l AS l, u.r AS r, " +
@@ -462,9 +483,10 @@ object TextOps {
       s"SELECT freq, string_split(sym, ' ') AS s FROM v${k - 1})) " +
       "GROUP BY 1, 2)"
 
-  private def duckBpeCtes(nMerges: Int): String = {
+  private def duckBpeCtes(nMerges: Int,
+      src: String = "documents"): String = {
     val sb = new StringBuilder
-    sb ++= duckBpeV0
+    sb ++= duckBpeV0From(src)
     for (k <- 1 to nMerges) {
       sb ++= duckBpePairCte(k)
       sb ++= (s", m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k " +
@@ -643,6 +665,15 @@ object TextOps {
     // count, tie-break, acceptance decision, and in-round application
     // order match
     "q_bpe_train_batched" -> duckBpeBatchedSql(8, 4),
+    // the overlap-convention fixture: DuckDB's replace() and the
+    // engine's regexp_replace share left-to-right non-overlapping
+    // semantics, so both merge " a b a b " ONCE per round — the replay
+    // runs over the identical inline corpus, no parquet involved
+    "q_bpe_overlap" ->
+      (duckBpeCtes(3, "(SELECT 'abab abab abab' AS text)") + " " +
+        (1 to 3).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS rank, l, r, cnt AS pair_count " +
+            s"FROM m$k").mkString(" UNION ALL ")),
     // independent replay: DuckDB derives its OWN merges (argmax chain),
     // then encodes via the same vocabulary-join the engine uses
     "q_bpe_encode" ->

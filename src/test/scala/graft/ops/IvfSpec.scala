@@ -64,4 +64,47 @@ class IvfSpec extends SparkSpec {
     assert(got(0).getLong(1) == 5000L &&
       math.abs(got(0).getDouble(3) - 1.0) < 1e-9)
   }
+
+  test("CentroidArgmin kernel is BIT-identical to the literal argmin") {
+    // the kernel replaced the literal rendering in assign/clusterStats
+    // (r16) — same dot fold, operation order, and nan-safe (d, id)
+    // tie-break; this pins d down to the raw bits, not a tolerance
+    val cents = Ivf.staticCentroids(nlist = 16, dim = 64)
+    val base = embs.select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("vec"))
+    val literalBest = array_min(array(cents.map { case (id, c) =>
+      struct((Similarity.dot(col("vec"), typedLit(c)) * -2.0d +
+        lit(c.map(x => x * x).sum)).as("d"), lit(id).as("id"))
+    }: _*))
+    val both = base.select(col("vec_id"),
+      graft.functions.GraftFunctions.centroidArgmin(col("vec"), cents)
+        .as("k"),
+      literalBest.as("l"))
+      .select(col("vec_id"), col("k.d").as("kd"), col("k.id").as("kid"),
+        col("l.d").as("ld"), col("l.id").as("lid"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        s"vec ${r.getLong(0)}: kernel d bits diverged")
+      assert(r.getInt(2) == r.getInt(4),
+        s"vec ${r.getLong(0)}: kernel picked a different list")
+    }
+  }
+
+  test("assignment stays codegen'd at nlist 1024 (no literal blowup)") {
+    // the literal form at production nlist would blow the expression
+    // tree (nlist × dim inlined literals — analysis chokes, codegen
+    // falls back); the kernel must keep the stage fused at any nlist
+    val cents = Ivf.staticCentroids(nlist = 1024, dim = 64)
+    val assigned = Ivf.assign(embs, cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen
+    // span; centroid_argmin must sit inside one
+    assert(plan.linesIterator.exists(l =>
+      l.contains("centroid_argmin") && l.contains("*(")), plan.take(600))
+    // and the whole thing actually runs: every vector lands in a list
+    assert(assigned.count() == embs.count())
+  }
 }

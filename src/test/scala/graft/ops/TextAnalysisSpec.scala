@@ -257,6 +257,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(table(4) == serial, "conflict-free batching must be lossless")
   }
 
+  test("bpe overlap convention: ' a b a b ' merges once, survivor " +
+      "merges next round") {
+    // the convention the scaladoc documents (occurrences sharing a
+    // delimiter space merge in a later round if their pair wins again),
+    // executable: word "abab" → sym "a b a b"; pair counting sees BOTH
+    // (a,b) occurrences (cnt 2·freq) but left-to-right non-overlapping
+    // application consumes the middle space, merging only the first →
+    // "ab a b". Next round (a,b) cnt=freq TIES (ab,a) cnt=freq; the
+    // lexicographic (l, r) tie-break picks (a,b) — the shared-delimiter
+    // SURVIVOR merges → "ab ab"; finally (ab,ab). The same pair at two
+    // ranks is the signature the oracle fixture q_bpe_overlap replays
+    // in DuckDB over the identical corpus.
+    val docs = Seq((1L, "abab abab abab")).toDF("doc_id", "text")
+    def table(batch: Int) =
+      TextAnalysis.bpeTrain(docs, nMerges = 3, batchSize = batch)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    val serial = table(1)
+    assert(serial == Seq((1L, "a", "b", 6L), (2L, "a", "b", 3L),
+      (3L, "ab", "ab", 3L)), s"overlap convention broke: $serial")
+    // batched: each round's runner-up shares a symbol with the winner
+    // ((b,a) then (ab,a) — prefix-disjoint rejects both), so batch=4
+    // must walk the exact serial chain
+    assert(table(4) == serial, "batched induction diverged on overlaps")
+  }
+
   test("bpe batched training: prefix-disjoint rule defers conflicts") {
     val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")

@@ -592,6 +592,94 @@ class EventStreamSpec extends SparkSpec {
     graft.ops.Stage.releaseAll(spark)
   }
 
+  test("streaming split dual: within-stream near-dups self-label " +
+      "(documented divergence), and the epoch posture removes it") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Sampling}
+    // the ONE streaming-vs-batch divergence splitAgainstCorpus documents
+    // (EventStream contract): arriving docs compare to the CORPUS only,
+    // never to each other — two streamed near-dups of one another with
+    // no corpus match each self-label, possibly into different splits,
+    // where the batch replay clusters them. Within-stream duplication
+    // is the landing screens' job, which in the incremental posture
+    // means: doc A's epoch publishes A into the corpus, so doc B's
+    // epoch DOES see A — this spec pins both halves executably.
+    val corpus = Seq(
+      (1L, "completely different content about other things entirely " +
+        "with its own vocabulary and rhythm and no overlap at all"))
+      .toDF("doc_id", "text")
+    val cmap = Dedup.simhashCanonical(corpus)
+    val novel = "entirely novel prose concerning migratory songbirds " +
+      "and the cartography of small alpine lakes at dawn in autumn " +
+      "where the first frost writes silver sentences on the meadow " +
+      "grass and the last swifts carve their goodbyes into pale sky"
+    // pick arriving ids (> corpus ids) whose NAIVE splits differ — the
+    // divergence must be visible in the split column, not just the label
+    val naive = (5000L to 5100L).map(i => (i,
+      spark.range(1).select(
+        graft.ops.TextAnalysis.splitAssign(lit(i)).as("s"))
+        .head().getString(0)))
+    val idA = naive.find(_._2 == "test").get._1
+    // idB > idA: half 2 publishes A into the corpus, and the operator's
+    // contract requires arriving ids larger than every corpus id
+    val idB = naive.find(p => p._2 == "train" && p._1 > idA).get._1
+    val textA = novel
+    val textB = novel.replaceFirst("^[^ ]* ", "") // near-dup of A
+    // fixture sanity: batch WOULD cluster them (they are near-dups) and
+    // neither matches the corpus
+    val batchMap = Dedup.simhashCanonical(
+      corpus.union(Seq((idA, textA), (idB, textB)).toDF("doc_id", "text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchMap(idA) == batchMap(idB),
+      "fixture broken: batch replay must cluster the two near-dups")
+    assert(batchMap(idA) == math.min(idA, idB) && batchMap(1L) == 1L,
+      "fixture broken: the pair must not touch the corpus cluster")
+
+    // HALF 1 — one stream delivers both: each self-labels, splits differ
+    val dir = Files.createTempDirectory("graft-split-wsdup").toString
+    Seq((idA, textA), (idB, textB)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/one")
+    val oneStream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(s"$dir/one")
+    val got = EventStream.runToMemory(
+      EventStream.splitAgainstCorpus(oneStream, corpus, cmap),
+      "split_wsdup", org.apache.spark.sql.streaming.OutputMode.Update,
+      lastPerKey = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got(idA) == ((idA, "test")) && got(idB) == ((idB, "train")),
+      s"each within-stream near-dup must SELF-label (documented " +
+        s"contract): $got")
+    // and that IS a divergence from the batch replay, by construction
+    val batchSplit = Sampling.leakageSafeSplitsFrom(
+      Dedup.simhashCanonical(corpus.union(
+        Seq((idA, textA), (idB, textB)).toDF("doc_id", "text"))))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(batchSplit(idA) == batchSplit(idB),
+      "batch replay puts the cluster in ONE split")
+    assert(got(idA)._2 != got(idB)._2,
+      "fixture must exhibit the documented split divergence")
+
+    // HALF 2 — the epoch posture: A's epoch publishes A into the
+    // corpus (the landing chain's job), so B's epoch sees A in the
+    // static index and joins A's cluster — divergence gone
+    Seq((idB, textB)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/two")
+    val corpus2 = corpus.union(Seq((idA, textA)).toDF("doc_id", "text"))
+    val cmap2 = Dedup.simhashCanonical(corpus2)
+    val bStream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(s"$dir/two")
+    val got2 = EventStream.runToMemory(
+      EventStream.splitAgainstCorpus(bStream, corpus2, cmap2),
+      "split_wsdup2", org.apache.spark.sql.streaming.OutputMode.Update,
+      lastPerKey = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got2(idB) == ((idA, "test")),
+      s"after A is published, B must join A's cluster and split: $got2")
+    graft.ops.Stage.releaseAll(spark)
+  }
+
   test("near-dup screen: re-delivered doc with CHANGED text re-verifies") {
     import spark.implicits._
     // corpus doc 1; the arriving doc_id 100 is delivered TWICE: first as
