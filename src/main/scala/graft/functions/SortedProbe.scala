@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 
 /** Membership probe against a SORTED long array — the sub-linear
   * fired-rail census probe (VERDICT r15 #2).
@@ -43,6 +44,20 @@ case class SortedArrayContains(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "sorted_array_contains"
+
+  // a non-ARRAY<LONG> left child would compile (getLong misreads other
+  // element widths) and return wrong membership SILENTLY — fail at
+  // analysis instead. containsNull must be false: the probe never
+  // null-checks elements, and the builders sort_array over non-null
+  // xxhash64 keys, so a nullable array type signals a wrong caller.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, false), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<BIGINT> NOT NULL elements, BIGINT), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
 
   override protected def nullSafeEval(a: Any, v: Any): Any =
     SortedProbe.contains(a.asInstanceOf[ArrayData], v.asInstanceOf[Long])

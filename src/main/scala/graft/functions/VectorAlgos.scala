@@ -56,8 +56,13 @@ object VectorAlgos {
     * lit(cc), id), …))` over the same centroids: same left-to-right dot
     * fold ([[dot]]), same operation order, same nan-safe lexicographic
     * (d, id) tie-break ([[cmpD]]). Returns struct<d: double, id: int>,
-    * or NULL when the vector's length differs from the centroid dim
-    * (the literal path's NULL-dot poisoning, surfaced whole). `cc` is
+    * or NULL when the vector's length differs from the centroid dim.
+    * That NULL is an INTENTIONAL divergence from the literal path
+    * (ADVICE r16): there, each mismatched dot is NULL, and array_min's
+    * nulls-first struct ordering quietly "assigns" the row to the
+    * smallest centroid id — a wrong answer with no signal. A dim
+    * mismatch is a caller error; the kernel surfaces it as a NULL
+    * assignment the downstream count/join makes visible. `cc` is
     * the caller-precomputed Σc², `ids` the centroid ids aligned with
     * `cents` (not assumed sorted — the tie-break handles any order). */
   def argminCentroid(v: ArrayData, cents: Array[Array[Double]],

@@ -59,6 +59,11 @@ object BloomJoin {
       case (a, b) if a == b => (bigKey, smallKey)
       case (a, b) if integral(a) && integral(b) =>
         (bigKey.cast("long"), smallKey.cast("long"))
+      // ±0.0 and NaN stay no-false-negative here: Spark's hash
+      // expressions normalize -0.0→0.0 before hashing (SPARK-26021) and
+      // doubleToLongBits canonicalizes NaN payloads, so xxhash64 agrees
+      // with the rescue join's equality (0.0 = -0.0, NaN = NaN) — pinned
+      // in BloomJoinSpec's ±0.0/NaN test
       case (FloatType | DoubleType, FloatType | DoubleType) =>
         (bigKey.cast("double"), smallKey.cast("double"))
       case _ => throw new IllegalArgumentException(

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -983,6 +983,7 @@ object DedupSim {
     "q_semantic_dedup" -> duckSemanticDedupSql,
     "q_incremental_neardup" -> duckIncrementalNearDupSql,
     "q_landing_pipeline" -> duckLandingPipelineSql,
+    "q_epoch_refresh" -> duckEpochRefreshSql,
   )
 
   /** Ivf.clusterStats replayed: the same static-centroid argmin (fixed
@@ -1138,6 +1139,109 @@ object DedupSim {
       "FROM batch b LEFT JOIN g ON g.doc_id = b.doc_id " +
       "LEFT JOIN ek e ON e.doc_id = b.doc_id " +
       "LEFT JOIN ver v ON v.doc_id = b.doc_id"
+  }
+
+  /** Spark's integer `div` (truncation toward ZERO) + pmod, rendered
+    * portably: DuckDB's `//` FLOORS, which diverges for negative
+    * numerators — exactly the published ids < 1000002 that the epoch-2
+    * class expression can see (p = orig + 10⁶ with orig ∈ {0, 1}). For
+    * a ≥ 0, floor = trunc, so trunc(-a/3) = -(a // 3). */
+  private def duckCls(p: String): String = {
+    val a = s"(($p) - 1000002)"
+    val q = s"(CASE WHEN $a >= 0 THEN $a // 3 ELSE -((-$a) // 3) END)"
+    s"((($q % 3) + 3) % 3)"
+  }
+
+  /** The epoch-refresh chain (q_epoch_refresh) replayed END TO END in
+    * one DuckDB query over `documents`: epoch 1's full landing chain
+    * (gopher gate → window-min + corpus-NOT-IN exact dedup → banded
+    * MinHash near-dup screen → publish + split), then epoch 2's batch
+    * DERIVED FROM THE ORACLE'S OWN epoch-1 publish decision (verbatim /
+    * first-token-dropped / td→78 rewrite keyed on [[duckCls]]) screened
+    * against the REFRESHED corpus (base ∪ epoch-1 publishes). Because
+    * the engine reads its epoch-1 publishes back from the PUBLISHED
+    * STORE while the oracle re-derives them relationally, a lossy store
+    * round-trip, a wrong refresh union, or a cls divergence all
+    * hash-mismatch here. */
+  private lazy val duckEpochRefreshSql: String = {
+    // MATERIALIZED on every multi-referenced CTE: DuckDB 1.0 INLINES
+    // CTEs at each reference, and here epoch 2's corpus embeds epoch 1's
+    // ENTIRE chain (pub1), so plain CTEs re-expand the epoch-1 subplan
+    // at every epoch-2 reference — measured minutes at sf0.001 vs
+    // seconds materialized. The landing oracle tolerates inlining only
+    // because its chain is one epoch deep.
+    def gate(batch: String, g: String) =
+      s"$g AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, " +
+        s"text, string_split(text, ' ') AS t FROM $batch) " +
+        s"WHERE $duckGopherPass)"
+    def exactKept(g: String, corpus: String, ek: String) =
+      s"$ek AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, " +
+        "text, d, min(doc_id) OVER (PARTITION BY d) AS k FROM " +
+        s"(SELECT doc_id, text, sha256(lower(text)) AS d FROM $g)) " +
+        "WHERE doc_id = k AND d NOT IN " +
+        s"(SELECT sha256(lower(text)) FROM $corpus))"
+    // the shared chain's shs/sig/band CTEs are each referenced twice
+    // (hx + verify; sig + band) — materialize them too
+    def matChain(docsCte: String, p: String): String =
+      duckNearDupChain(docsCte, p)
+        .replace(s"${p}shs AS (", s"${p}shs AS MATERIALIZED (")
+        .replace(s"${p}sig AS (", s"${p}sig AS MATERIALIZED (")
+        .replace(s"${p}band AS (", s"${p}band AS MATERIALIZED (")
+    def verify(pb: String, pc: String, cand: String, ver: String) =
+      s"$cand AS MATERIALIZED (SELECT DISTINCT b.doc_id AS doc_id, " +
+        s"c.doc_id AS corpus_id FROM ${pb}band b JOIN ${pc}band c " +
+        "ON b.band = c.band AND b.key = c.key), " +
+        s"$ver AS MATERIALIZED (SELECT $cand.doc_id, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        s"FROM $cand JOIN ${pb}shs x ON x.doc_id = $cand.doc_id " +
+        s"JOIN ${pc}shs y ON y.doc_id = $cand.corpus_id " +
+        "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
+        "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7 " +
+        s"GROUP BY $cand.doc_id)"
+    def status(epoch: Int, batch: String, g: String, ek: String,
+        ver: String, st: String) =
+      s"$st AS (SELECT CAST($epoch AS BIGINT) AS epoch, b.doc_id, " +
+        "CASE WHEN g.doc_id IS NULL THEN 'screened' " +
+        "WHEN e.doc_id IS NULL THEN 'dup_exact' " +
+        "WHEN coalesce(v.n, 0) > 0 THEN 'dup_near' " +
+        "ELSE 'published' END AS status, " +
+        "CASE WHEN g.doc_id IS NOT NULL AND e.doc_id IS NOT NULL " +
+        "AND coalesce(v.n, 0) = 0 THEN " +
+        duckSplitCase(duckSplitBucket("b.doc_id")) + " END AS split " +
+        s"FROM $batch b LEFT JOIN $g g ON g.doc_id = b.doc_id " +
+        s"LEFT JOIN $ek e ON e.doc_id = b.doc_id " +
+        s"LEFT JOIN $ver v ON v.doc_id = b.doc_id)"
+    "WITH corpus AS MATERIALIZED (SELECT doc_id, text FROM documents), " +
+      "b1 AS MATERIALIZED (SELECT orig + 1000000 AS doc_id, " +
+      "CASE WHEN orig % 3 = 0 THEN text " +
+      "WHEN orig % 3 = 1 THEN regexp_replace(text, '^[^ ]* ', '') " +
+      "ELSE translate(text, 'sr', '59') END AS text FROM " +
+      "(SELECT doc_id AS orig, text FROM documents)), " +
+      gate("b1", "g1") + ", " +
+      exactKept("g1", "corpus", "ek1") + ", " +
+      matChain("ek1", "e1") + ", " +
+      matChain("corpus", "c1") + ", " +
+      verify("e1", "c1", "cand1", "ver1") + ", " +
+      "pub1 AS MATERIALIZED (SELECT ek1.doc_id, ek1.text FROM ek1 " +
+      "LEFT JOIN ver1 ON ver1.doc_id = ek1.doc_id " +
+      "WHERE coalesce(ver1.n, 0) = 0), " +
+      "corpus2 AS MATERIALIZED (SELECT doc_id, text FROM corpus " +
+      "UNION ALL SELECT doc_id, text FROM pub1), " +
+      "b2 AS MATERIALIZED (SELECT p + 1000000 AS doc_id, " +
+      "CASE WHEN cls = 0 THEN text " +
+      "WHEN cls = 1 THEN regexp_replace(text, '^[^ ]* ', '') " +
+      "ELSE translate(text, 'td', '78') END AS text FROM " +
+      s"(SELECT doc_id AS p, ${duckCls("doc_id")} AS cls, text " +
+      "FROM pub1)), " +
+      gate("b2", "g2") + ", " +
+      exactKept("g2", "corpus2", "ek2") + ", " +
+      matChain("ek2", "e2") + ", " +
+      matChain("corpus2", "c2") + ", " +
+      verify("e2", "c2", "cand2", "ver2") + ", " +
+      status(1, "b1", "g1", "ek1", "ver1", "st1") + ", " +
+      status(2, "b2", "g2", "ek2", "ver2", "st2") + " " +
+      "SELECT epoch, doc_id, status, split FROM st1 " +
+      "UNION ALL SELECT epoch, doc_id, status, split FROM st2"
   }
 
   private lazy val duckIncrementalNearDupSql: String = {

@@ -159,14 +159,34 @@ class NativeFunctionsSpec extends SparkSpec {
         lit(Long.MinValue)).as("lo"),
       graft.functions.GraftFunctions.sortedContains(col("arr"),
         lit(Long.MaxValue)).as("hi"),
+      // slice(arr, 1, 0) keeps arr's non-null element type — a bare
+      // cast("array<long>") types containsNull=true and (correctly)
+      // fails the expression's analysis check
       graft.functions.GraftFunctions.sortedContains(
-        array().cast("array<long>"), col("hit")).as("emp"))
+        slice(col("arr"), 1, 0), col("hit")).as("emp"))
       .collect()
     got.foreach { r =>
       assert(r.getBoolean(0) == r.getBoolean(1), "hit probe diverged")
       assert(r.getBoolean(2) == r.getBoolean(3), "miss probe diverged")
       assert(r.getBoolean(4) && r.getBoolean(5), "boundary probes")
       assert(!r.getBoolean(6), "empty array must be a miss")
+    }
+  }
+
+  test("sorted_array_contains rejects wrong input types at analysis") {
+    // ADVICE r16: a non-ARRAY<LONG NOT NULL> left child used to compile
+    // and silently return wrong membership (getLong misreads other
+    // element widths); both misuses must now fail analysis, not run
+    val df = spark.range(3).select(
+      array(col("id").cast("int")).as("ints"),
+      array(when(col("id") > 0, col("id"))).as("nullable"),
+      col("id"))
+    for (bad <- Seq("ints", "nullable")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(graft.functions.GraftFunctions.sortedContains(
+          col(bad), col("id"))).collect()
+      }
+      assert(e.getMessage.contains("sorted_array_contains"), bad)
     }
   }
 }

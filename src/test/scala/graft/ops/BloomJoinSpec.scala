@@ -80,6 +80,34 @@ class BloomJoinSpec extends SparkSpec {
       s"widened int-vs-long bloom semi join diverged: got=$got")
   }
 
+  test("bloom semi join keeps ±0.0 and NaN matches on fractional keys") {
+    // ADVICE r16 flagged a potential false negative: if xxhash64(-0.0)
+    // differed from xxhash64(0.0) the probe could prune a 0.0 fact row
+    // matching a -0.0 dim key that the rescue join's normalized equality
+    // keeps. Spark's hash expressions normalize -0.0→0.0 (SPARK-26021)
+    // and Double.doubleToLongBits canonicalizes NaN payloads, so the
+    // build and probe spaces agree with join equality — this pins it
+    // (and the float→double widening path) against regression.
+    import spark.implicits._
+    val nanA = java.lang.Double.longBitsToDouble(0x7ff8000000000000L)
+    val nanB = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val big = Seq((1L, 0.0d), (2L, -0.0d), (3L, nanA), (4L, 1.5d))
+      .toDF("id", "k")
+    val small = Seq(-0.0d, nanB).toDF("sk")
+    val plain = big.join(small, col("k") === col("sk"), "left_semi")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = BloomJoin.semiJoin(big, col("k"), small, col("sk"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == plain && got == Set(1L, 2L, 3L),
+      s"fractional-key bloom semi join diverged: got=$got plain=$plain")
+    // widened branch: float dim against double fact, -0.0f → -0.0d
+    val smallF = Seq(-0.0f).toDF("sk")
+    val gotW = BloomJoin.semiJoin(big, col("k"), smallF, col("sk"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotW == Set(1L, 2L),
+      s"float-vs-double ±0.0 bloom semi join diverged: got=$gotW")
+  }
+
   test("bloom semi join REFUSES lossily-coercible key types") {
     // integral-vs-fractional coercion collapses distinct keys past 2⁵³
     // (and string-vs-numeric casts NULL) — still a loud failure
