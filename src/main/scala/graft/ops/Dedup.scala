@@ -303,8 +303,9 @@ object Dedup {
     * comparison. The r15 `array_contains` scan this replaced was
     * O(bands × |census|) and MEASURED ~3× on the whole operator at a
     * ~2,400-entry census (LshRailBench, BENCH_NOTES r15); the sorted
-    * probe flattens the fired-rail run back to clean-path cost
-    * (BENCH_NOTES r16). [[hammingNearDupPairs]]
+    * probe flattens the fired-rail run back to clean-path cost —
+    * fired-2,400 5.02 s vs clean 4.74 s, 1.06×, identical 7,930 pairs
+    * (BENCH_NOTES r17). [[hammingNearDupPairs]]
     * offers the same surviving-bucket rule behind its
     * `survivingBlocks` knob (r14) — not by default, because there the
     * mask needs an extra census pass measured at ~+50% (see there); the
@@ -361,7 +362,7 @@ object Dedup {
     // static call), so a fired rail costs O(log |census_j|) per band
     // probe instead of the O(|census|) array_contains scan that measured
     // ~3× on the whole operator at a 2,400-entry census (LshRailBench,
-    // BENCH_NOTES r15/r16). The single-row assembly below runs
+    // BENCH_NOTES r15/r17). The single-row assembly below runs
     // interpreted HOFs over ONE row — free — and sort_array(asc) is
     // exactly the order SortedProbe.contains requires.
     val ocRow = overCap

@@ -414,72 +414,91 @@ object DedupSim {
     * enters as a UNION the near-dup screen re-bands per epoch — at
     * production scale that side is the published store's bucketed table,
     * not a recompute. */
-  def epochRefresh(s: SparkSession, dir: String): DataFrame = {
+  private val epochSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_id", "long").add("text", "string")
+
+  // epoch-2 class of a published id p: pmod((p − 1000002) div 3, 3)
+  // — p ≡ orig + 10⁶ with orig ≡ 2 (mod 3) for the dominant fresh
+  // class, so a plain p % 3 would be CONSTANT; the div-3 quotient
+  // cycles. Total for any positive id; the oracle renders Spark's
+  // TRUNCATING div explicitly ([[duckCls]] — DuckDB `//` floors).
+  private def epochCls: Column = expr("pmod((doc_id - 1000002) div 3, 3)")
+
+  /** One epoch's screens: (gopher-passed ids, screened rows, exact-kept
+    * ids) of `landed` against `corpus`. */
+  private def epochScreenOf(landed: DataFrame, corpus: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     import graft.ops.{Stage, TextAnalysis}
+    val passed = TextAnalysis.gopherRules(landed)
+      .filter(col("gopher_pass")).select(col("doc_id"))
+    val screened = Stage.barrier(
+      landed.join(passed, Seq("doc_id"), "left_semi"))
+    val seen = corpus.select(sha2(lower(col("text")), 256).as("digest"))
+    val exactKept = Stage.barrier(
+      Dedup.incrementalDedup(screened, seen).select(col("doc_id")))
+    (passed, screened, exactKept)
+  }
+
+  private def epochPublish(landed: DataFrame, corpus: DataFrame,
+      pubPath: String): Unit = {
+    import graft.ops.{Stage, TextAnalysis}
+    val (_, screened, exactKept) = epochScreenOf(landed, corpus)
+    val survivors = Stage.barrier(
+      screened.join(exactKept, Seq("doc_id"), "left_semi"))
+    val near = Dedup.incrementalNearDedup(survivors, corpus)
+    val toPublish = Stage.barrier(survivors
+      .join(near.filter(col("kept")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .withColumn("split", TextAnalysis.splitAssign(col("doc_id"))))
+    val expected = toPublish.count()
+    graft.sources.Publish.parquet(toPublish, pubPath,
+      audit = staged => staged.count() == expected)
+  }
+
+  /** Lands + publishes both epochs once per (session, dir); returns
+    * (land1, pub1, land2, pub2) paths. Shared by [[epochRefresh]] and
+    * the production-shape [[epochRefreshProd]]. */
+  private def epochArtifacts(s: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    import graft.ops.Stage
     val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("doc_id", "long").add("text", "string")
-    // epoch-2 class of a published id p: pmod((p − 1000002) div 3, 3)
-    // — p ≡ orig + 10⁶ with orig ≡ 2 (mod 3) for the dominant fresh
-    // class, so a plain p % 3 would be CONSTANT; the div-3 quotient
-    // cycles. Total and portable for any positive id (DuckDB // is the
-    // same floor division).
-    def cls: Column = expr("pmod((doc_id - 1000002) div 3, 3)")
-    def screenOf(landed: DataFrame, corpus: DataFrame)
-        : (DataFrame, DataFrame, DataFrame) = {
-      val passed = TextAnalysis.gopherRules(landed)
-        .filter(col("gopher_pass")).select(col("doc_id"))
-      val screened = Stage.barrier(
-        landed.join(passed, Seq("doc_id"), "left_semi"))
-      val seen = corpus.select(sha2(lower(col("text")), 256).as("digest"))
-      val exactKept = Stage.barrier(
-        Dedup.incrementalDedup(screened, seen).select(col("doc_id")))
-      (passed, screened, exactKept)
-    }
-    def publishEpoch(landed: DataFrame, corpus: DataFrame,
-        pubPath: String): Unit = {
-      val (_, screened, exactKept) = screenOf(landed, corpus)
-      val survivors = Stage.barrier(
-        screened.join(exactKept, Seq("doc_id"), "left_semi"))
-      val near = Dedup.incrementalNearDedup(survivors, corpus)
-      val toPublish = Stage.barrier(survivors
-        .join(near.filter(col("kept")).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-        .withColumn("split", TextAnalysis.splitAssign(col("doc_id"))))
-      val expected = toPublish.count()
-      graft.sources.Publish.parquet(toPublish, pubPath,
-        audit = staged => staged.count() == expected)
-    }
-    val (l1, p1, l2, p2) = epochCache.getOrCompute(s, dir) {
+    epochCache.getOrCompute(s, dir) {
       val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         f"-${dir.hashCode & 0xffffffffL}%08x"
       val base = s"/tmp/graft_epochs/$tag"
       val land1 = s"$base/land1"
       graft.sources.JsonlStore.writeJsonl(landingBatch(docs), land1)
       val pub1Path = s"$base/pub1"
-      publishEpoch(Stage.barrier(
-        graft.sources.JsonlStore.readJsonl(s, land1, schema)),
+      epochPublish(Stage.barrier(
+        graft.sources.JsonlStore.readJsonl(s, land1, epochSchema)),
         docs, pub1Path)
       val pub1 = graft.sources.Publish.readPublished(s, pub1Path)
         .select(col("doc_id"), col("text"))
       val land2 = s"$base/land2"
       graft.sources.JsonlStore.writeJsonl(
         pub1.select((col("doc_id") + 1000000L).as("doc_id"),
-          when(cls === 0, col("text"))
-            .when(cls === 1, regexp_replace(col("text"), "^[^ ]* ", ""))
+          when(epochCls === 0, col("text"))
+            .when(epochCls === 1,
+              regexp_replace(col("text"), "^[^ ]* ", ""))
             .otherwise(translate(col("text"), "td", "78")).as("text")),
         land2)
       val pub2Path = s"$base/pub2"
-      publishEpoch(Stage.barrier(
-        graft.sources.JsonlStore.readJsonl(s, land2, schema)),
+      epochPublish(Stage.barrier(
+        graft.sources.JsonlStore.readJsonl(s, land2, epochSchema)),
         docs.unionByName(pub1), pub2Path)
       (land1, pub1Path, land2, pub2Path)
     }
+  }
+
+  def epochRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Stage
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val (l1, p1, l2, p2) = epochArtifacts(s, dir)
     def statusOf(epoch: Int, landPath: String, corpus: DataFrame,
         pubPath: String): DataFrame = {
       val landed = Stage.barrier(
-        graft.sources.JsonlStore.readJsonl(s, landPath, schema))
-      val (passed, _, exactKept) = screenOf(landed, corpus)
+        graft.sources.JsonlStore.readJsonl(s, landPath, epochSchema))
+      val (passed, _, exactKept) = epochScreenOf(landed, corpus)
       val published = graft.sources.Publish.readPublished(s, pubPath)
         .select(col("doc_id"), col("split"))
       landed.select(col("doc_id"))
@@ -497,6 +516,84 @@ object DedupSim {
       .select(col("doc_id"), col("text"))
     statusOf(1, l1, docs, p1)
       .unionByName(statusOf(2, l2, docs.unionByName(pub1), p2))
+  }
+
+  // the refreshed-corpus digest store, published once per (session, dir)
+  private val epochDigestTable = new graft.ops.SessionScoped[String]
+
+  /** Epoch 2's EXACT screen against the refreshed corpus as a
+    * DIGEST-BUCKETED published store (VERDICT r16 #7 — the production
+    * shape the [[epochRefresh]] scaladoc promises): the pipeline
+    * maintains the corpus digest table as a bucketed deliverable
+    * (base ∪ epoch-1 publishes, bucketed by digest), and each new
+    * epoch's batch anti-joins it IN PLACE — the corpus side scans its
+    * bucket layout with zero exchanges; only the (small) batch
+    * shuffles. [[epochRefreshProd]] wraps this with the per-landed-doc
+    * verdict; EpochProdSpec plan-asserts the single exchange, the
+    * bucketed scan, and row-identity with the recompute path. */
+  private[graft] def epochDigestStore(s: SparkSession, dir: String)
+      : String = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val (_, p1, _, _) = epochArtifacts(s, dir)
+    epochDigestTable.getOrCompute(s, dir) {
+      // sanitized dir + hash, as splitSafeProd: table names keep
+      // [a-z0-9_] and distinct dirs can never share a digest store
+      val suffix = dir.toLowerCase.replaceAll("[^a-z0-9]", "_") +
+        f"_${dir.hashCode & 0xffffffffL}%08x"
+      val t = s"graft_bkt_epochdig_$suffix"
+      val pub1 = graft.sources.Publish.readPublished(s, p1)
+        .select(col("doc_id"), col("text"))
+      graft.sources.PartitionedStore.writeBucketed(
+        docs.unionByName(pub1)
+          .select(sha2(lower(col("text")), 256).as("digest")),
+        t, s"/tmp/graft_epochdig/$suffix", "digest", 32, Seq("digest"))
+      t
+    }
+  }
+
+  /** The screen join itself, over an arbitrary screened (doc_id, text)
+    * batch: within-batch first occurrence per digest (the batch's ONE
+    * shuffle), then the in-place anti join — the groupBy's output
+    * partitioning (already hashed on the digest) is what the
+    * bucketed-scan join consumes, so no second exchange and the corpus
+    * side never moves. EpochProdSpec pins exactly this plan. */
+  private[graft] def epochExactScreenFrom(s: SparkSession,
+      screened: DataFrame, digestTable: String): DataFrame = {
+    val firstKeep = screened
+      .select(col("doc_id"), sha2(lower(col("text")), 256).as("_dig"))
+      .groupBy(col("_dig")).agg(min(col("doc_id")).as("doc_id"))
+    graft.sources.PartitionedStore.antiJoinBucketed(s, firstKeep,
+      digestTable).select(col("doc_id"))
+  }
+
+  private[graft] def epochExactScreenProd(s: SparkSession, dir: String)
+      : DataFrame = {
+    val (_, _, l2, _) = epochArtifacts(s, dir)
+    val tbl = epochDigestStore(s, dir)
+    val landed = graft.sources.JsonlStore.readJsonl(s, l2, epochSchema)
+    val passed = graft.ops.TextAnalysis.gopherRules(landed)
+      .filter(col("gopher_pass")).select(col("doc_id"))
+    // barrier as the sibling chains do: the gate is its own (already
+    // measured) stage, so the screen join's plan stays the pinned shape
+    val screened = graft.ops.Stage.barrier(
+      landed.join(passed, Seq("doc_id"), "left_semi"))
+    epochExactScreenFrom(s, screened, tbl)
+  }
+
+  /** [[epochExactScreenProd]] as a suite entry: epoch 2's exact-screen
+    * verdict per gopher-surviving landed doc — (doc_id, kept_exact),
+    * kept_exact = first in-batch occurrence of its content AND unseen
+    * in the refreshed corpus digest store. Row-identical to the
+    * recompute inside q_epoch_refresh (the oracle re-derives the store
+    * relationally, so a lossy bucketed write would hash-mismatch). */
+  def epochRefreshProd(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, l2, _) = epochArtifacts(s, dir)
+    val kept = epochExactScreenProd(s, dir)
+    val landed = graft.sources.JsonlStore.readJsonl(s, l2, epochSchema)
+    graft.ops.TextAnalysis.gopherRules(landed)
+      .filter(col("gopher_pass")).select(col("doc_id"))
+      .join(kept.withColumn("_k", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_k").isNotNull.as("kept_exact"))
   }
 
   /** Per-vector int8 scalar quantization of the embedding table. */
@@ -606,6 +703,7 @@ object DedupSim {
     "q_incremental_neardup" -> incrementalNearDedup,
     "q_landing_pipeline" -> landingPipeline,
     "q_epoch_refresh" -> epochRefresh,
+    "q_epoch_refresh_prod" -> epochRefreshProd,
   )
 
   /** DuckDB dot product with the same left-to-right double accumulation as
@@ -984,6 +1082,7 @@ object DedupSim {
     "q_incremental_neardup" -> duckIncrementalNearDupSql,
     "q_landing_pipeline" -> duckLandingPipelineSql,
     "q_epoch_refresh" -> duckEpochRefreshSql,
+    "q_epoch_refresh_prod" -> duckEpochRefreshProdSql,
   )
 
   /** Ivf.clusterStats replayed: the same static-centroid argmin (fixed
@@ -1170,10 +1269,6 @@ object DedupSim {
     // at every epoch-2 reference — measured minutes at sf0.001 vs
     // seconds materialized. The landing oracle tolerates inlining only
     // because its chain is one epoch deep.
-    def gate(batch: String, g: String) =
-      s"$g AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, " +
-        s"text, string_split(text, ' ') AS t FROM $batch) " +
-        s"WHERE $duckGopherPass)"
     def exactKept(g: String, corpus: String, ek: String) =
       s"$ek AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, " +
         "text, d, min(doc_id) OVER (PARTITION BY d) AS k FROM " +
@@ -1211,7 +1306,39 @@ object DedupSim {
         s"FROM $batch b LEFT JOIN $g g ON g.doc_id = b.doc_id " +
         s"LEFT JOIN $ek e ON e.doc_id = b.doc_id " +
         s"LEFT JOIN $ver v ON v.doc_id = b.doc_id)"
-    "WITH corpus AS MATERIALIZED (SELECT doc_id, text FROM documents), " +
+    "WITH " + duckEpochCtesThroughG2 + ", " +
+      exactKept("g2", "corpus2", "ek2") + ", " +
+      matChain("ek2", "e2") + ", " +
+      matChain("corpus2", "c2") + ", " +
+      verify("e2", "c2", "cand2", "ver2") + ", " +
+      status(1, "b1", "g1", "ek1", "ver1", "st1") + ", " +
+      status(2, "b2", "g2", "ek2", "ver2", "st2") + " " +
+      "SELECT epoch, doc_id, status, split FROM st1 " +
+      "UNION ALL SELECT epoch, doc_id, status, split FROM st2"
+  }
+
+  /** The epoch chain's shared CTE prefix — epoch 1 end-to-end through
+    * its publish decision (pub1), the refreshed corpus (corpus2), and
+    * epoch 2's derived batch through the gopher gate (g2). Embedded by
+    * [[duckEpochRefreshSql]] (full both-epoch statuses) and the
+    * production-shape exact-screen oracle (q_epoch_refresh_prod). */
+  private lazy val duckEpochCtesThroughG2: String = {
+    def gate(batch: String, g: String) =
+      s"$g AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, " +
+        s"text, string_split(text, ' ') AS t FROM $batch) " +
+        s"WHERE $duckGopherPass)"
+    def exactKept(g: String, corpus: String, ek: String) =
+      s"$ek AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, " +
+        "text, d, min(doc_id) OVER (PARTITION BY d) AS k FROM " +
+        s"(SELECT doc_id, text, sha256(lower(text)) AS d FROM $g)) " +
+        "WHERE doc_id = k AND d NOT IN " +
+        s"(SELECT sha256(lower(text)) FROM $corpus))"
+    def matChain(docsCte: String, p: String): String =
+      duckNearDupChain(docsCte, p)
+        .replace(s"${p}shs AS (", s"${p}shs AS MATERIALIZED (")
+        .replace(s"${p}sig AS (", s"${p}sig AS MATERIALIZED (")
+        .replace(s"${p}band AS (", s"${p}band AS MATERIALIZED (")
+    "corpus AS MATERIALIZED (SELECT doc_id, text FROM documents), " +
       "b1 AS MATERIALIZED (SELECT orig + 1000000 AS doc_id, " +
       "CASE WHEN orig % 3 = 0 THEN text " +
       "WHEN orig % 3 = 1 THEN regexp_replace(text, '^[^ ]* ', '') " +
@@ -1221,7 +1348,16 @@ object DedupSim {
       exactKept("g1", "corpus", "ek1") + ", " +
       matChain("ek1", "e1") + ", " +
       matChain("corpus", "c1") + ", " +
-      verify("e1", "c1", "cand1", "ver1") + ", " +
+      "cand1 AS MATERIALIZED (SELECT DISTINCT b.doc_id AS doc_id, " +
+      "c.doc_id AS corpus_id FROM e1band b JOIN c1band c " +
+      "ON b.band = c.band AND b.key = c.key), " +
+      "ver1 AS MATERIALIZED (SELECT cand1.doc_id, " +
+      "CAST(count(*) AS BIGINT) AS n " +
+      "FROM cand1 JOIN e1shs x ON x.doc_id = cand1.doc_id " +
+      "JOIN c1shs y ON y.doc_id = cand1.corpus_id " +
+      "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
+      "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7 " +
+      "GROUP BY cand1.doc_id), " +
       "pub1 AS MATERIALIZED (SELECT ek1.doc_id, ek1.text FROM ek1 " +
       "LEFT JOIN ver1 ON ver1.doc_id = ek1.doc_id " +
       "WHERE coalesce(ver1.n, 0) = 0), " +
@@ -1233,16 +1369,20 @@ object DedupSim {
       "ELSE translate(text, 'td', '78') END AS text FROM " +
       s"(SELECT doc_id AS p, ${duckCls("doc_id")} AS cls, text " +
       "FROM pub1)), " +
-      gate("b2", "g2") + ", " +
-      exactKept("g2", "corpus2", "ek2") + ", " +
-      matChain("ek2", "e2") + ", " +
-      matChain("corpus2", "c2") + ", " +
-      verify("e2", "c2", "cand2", "ver2") + ", " +
-      status(1, "b1", "g1", "ek1", "ver1", "st1") + ", " +
-      status(2, "b2", "g2", "ek2", "ver2", "st2") + " " +
-      "SELECT epoch, doc_id, status, split FROM st1 " +
-      "UNION ALL SELECT epoch, doc_id, status, split FROM st2"
+      gate("b2", "g2")
   }
+
+  /** q_epoch_refresh_prod restated: epoch 2's per-gopher-survivor exact
+    * verdict — first in-batch occurrence of the digest AND unseen in
+    * the refreshed corpus (re-derived relationally where the engine
+    * reads its bucketed digest store, so a lossy bucketed write
+    * hash-mismatches here). */
+  private lazy val duckEpochRefreshProdSql: String =
+    "WITH " + duckEpochCtesThroughG2 + ", " +
+      "dg2 AS (SELECT doc_id, d, min(doc_id) OVER (PARTITION BY d) " +
+      "AS k FROM (SELECT doc_id, sha256(lower(text)) AS d FROM g2)) " +
+      "SELECT doc_id, (doc_id = k AND d NOT IN " +
+      "(SELECT sha256(lower(text)) FROM corpus2)) AS kept_exact FROM dg2"
 
   private lazy val duckIncrementalNearDupSql: String = {
     def chain(docsCte: String, p: String) = duckNearDupChain(docsCte, p)

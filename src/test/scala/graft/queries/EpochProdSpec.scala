@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The production epoch screen (q_epoch_refresh_prod): the refreshed
+  * corpus digest set is a DIGEST-BUCKETED published store and epoch 2's
+  * exact screen anti-joins it in place — asserted on the PLAN (one
+  * exchange, bucketed corpus scan) and on the ROWS (identical verdict to
+  * the recompute path inside q_epoch_refresh). */
+class EpochProdSpec extends SparkSpec {
+
+  private def nShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    val p = df.queryExecution.executedPlan.toString
+    "Exchange ".r.findAllIn(p).size -
+      "BroadcastExchange ".r.findAllIn(p).size
+  }
+
+  test("epoch-2 exact screen joins the bucketed digest store in place") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    // the store is written with 32 buckets (the production session's
+    // shuffle width); the session must agg at the same width or the
+    // join legitimately re-exchanges the batch from the agg's width to
+    // the bucket count — the spec pins the matched-width deployment
+    spark.conf.set("spark.sql.shuffle.partitions", 32)
+    try {
+      val tbl = DedupSim.epochDigestStore(spark, sf)
+      // plan shape over a clean leaf batch (any (doc_id, text) source —
+      // the gate upstream is its own staged plan in the prod query):
+      // one exchange, the batch's first-occurrence groupBy, whose
+      // output partitioning the anti join then reuses; the corpus
+      // digest side reads its bucket layout with no shuffle at any
+      // corpus size
+      val batch = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val kept = DedupSim.epochExactScreenFrom(spark, batch, tbl)
+      assert(nShuffles(kept) == 1,
+        kept.queryExecution.executedPlan.toString)
+      assert(kept.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"), "corpus scan must read its buckets")
+      // every base doc's digest is in the refreshed store by
+      // construction — the in-place anti join must drop them all
+      assert(kept.count() == 0L, "base docs must all be store hits")
+
+      // row identity with the recompute path: q_epoch_refresh's epoch-2
+      // verdict (gopher survivors only; kept_exact ⇔ status advanced
+      // past dup_exact)
+      val prod = DedupSim.epochRefreshProd(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      val recompute = DedupSim.epochRefresh(spark, sf)
+        .filter(col("epoch") === 2 && col("status") =!= "screened")
+        .select(col("doc_id"),
+          (col("status") =!= "dup_exact").as("kept_exact"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      assert(prod == recompute,
+        s"prod/recompute diverged: only-prod=${(prod -- recompute).take(5)}" +
+          s" only-recompute=${(recompute -- prod).take(5)}")
+      assert(prod.exists(_._2) && prod.exists(!_._2),
+        "fixture must exercise both verdicts")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+    }
+  }
+}
