@@ -289,6 +289,37 @@ object DedupSim {
     Dedup.incrementalNearDedup(batch, docs)
   }
 
+  // the persisted near-dup index (band + shingle tables), built once per
+  // (session, dir) like the digest store
+  private val nearDupIndexTables =
+    new graft.ops.SessionScoped[(String, String)]
+
+  /** [[incrementalNearDedup]]'s batch↔corpus screen against the
+    * PERSISTED index ([[graft.ops.Dedup.buildNearDupIndex]]): identical
+    * fixture and output to q_incremental_neardup — same oracle SQL —
+    * but the corpus side is two bucketed external tables read in place
+    * (band probe + shingle verification), the steady-state shape where
+    * the index is an append-per-increment deliverable and the corpus
+    * chain is never re-derived per batch. NearDupIndexSpec plan-asserts
+    * the one-exchange band probe and the in-place scans. */
+  def incrementalNearDupProd(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val (bt, st) = nearDupIndexTables.getOrCompute(s, dir) {
+      val suffix = dir.toLowerCase.replaceAll("[^a-z0-9]", "_") +
+        f"_${dir.hashCode & 0xffffffffL}%08x"
+      val base = s"/tmp/graft_ndindex/$suffix"
+      val (b, sh) = (s"graft_bkt_nd_bands_$suffix",
+        s"graft_bkt_nd_shingles_$suffix")
+      Dedup.buildNearDupIndex(docs, b, s"$base/bands", sh, s"$base/shingles")
+      (b, sh)
+    }
+    val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      when(col("doc_id") % 2 === 0,
+          regexp_replace(col("text"), "^[^ ]* ", ""))
+        .otherwise(translate(col("text"), "aeiou", "01234")).as("text"))
+    Dedup.incrementalNearDedupFrom(s, batch, bt, st)
+  }
+
   /** The landed recrawl batch for the end-to-end landing pipeline: every
     * doc re-arrives under a fresh id — id ≡ 0 (mod 3) verbatim (exact
     * duplicate of the corpus), ≡ 1 with the first token dropped (near
@@ -704,6 +735,7 @@ object DedupSim {
     "q_landing_pipeline" -> landingPipeline,
     "q_epoch_refresh" -> epochRefresh,
     "q_epoch_refresh_prod" -> epochRefreshProd,
+    "q_incremental_neardup_prod" -> incrementalNearDupProd,
   )
 
   /** DuckDB dot product with the same left-to-right double accumulation as
@@ -1080,6 +1112,9 @@ object DedupSim {
         "USING (doc_id)"),
     "q_semantic_dedup" -> duckSemanticDedupSql,
     "q_incremental_neardup" -> duckIncrementalNearDupSql,
+    // same fixture, same output contract — the prod path must be
+    // row-identical to the recompute, so it shares the oracle verbatim
+    "q_incremental_neardup_prod" -> duckIncrementalNearDupSql,
     "q_landing_pipeline" -> duckLandingPipelineSql,
     "q_epoch_refresh" -> duckEpochRefreshSql,
     "q_epoch_refresh_prod" -> duckEpochRefreshProdSql,

@@ -51,10 +51,18 @@ object PartitionedStore {
     * metadata lives in the session catalog — the production shape, where
     * tables are storage-first and catalogs are replaceable. */
   def writeBucketed(df: DataFrame, table: String, path: String,
-      bucketCol: String, nBuckets: Int, sortCols: Seq[String]): Unit = {
+      bucketCol: String, nBuckets: Int, sortCols: Seq[String]): Unit =
+    writeBucketed(df, table, path, Seq(bucketCol), nBuckets, sortCols)
+
+  /** COMPOSITE-key variant: bucket by several columns (e.g. the LSH band
+    * index's (band, key)) so an equi-join on exactly those columns reads
+    * the table in place. Join keys must cover ALL bucket columns —
+    * Spark only reuses bucketing when the join's clustering matches. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], nBuckets: Int, sortCols: Seq[String]): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet").option("path", path)
-      .bucketBy(nBuckets, bucketCol)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
      else w).saveAsTable(table)
   }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted near-dup screen index (Dedup.buildNearDupIndex /
+  * incrementalNearDedupFrom): the corpus's band rows and shingle sets
+  * live in bucketed external tables every later increment reads IN
+  * PLACE — asserted on the PLAN (one-exchange band probe, bucketed
+  * scans) and on the ROWS (identical verdicts to the inline recompute
+  * screen). */
+class NearDupIndexSpec extends SparkSpec {
+
+  private def nShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    val p = df.queryExecution.executedPlan.toString
+    "Exchange ".r.findAllIn(p).size -
+      "BroadcastExchange ".r.findAllIn(p).size
+  }
+
+  test("band probe reads the index in place; screen equals the recompute") {
+    import spark.implicits._
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    spark.conf.set("spark.sql.shuffle.partitions", 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx")
+      .toString
+    try {
+      val corpus = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      Dedup.buildNearDupIndex(corpus, "nd_bands_t", s"$dir/bands",
+        "nd_shingles_t", s"$dir/shingles")
+
+      // plan shape: a leaf batch-band relation probing the band table —
+      // ONE exchange (the batch side onto the (band, key) layout); the
+      // index side scans its buckets in place at any corpus size
+      // key is the STRING band sub-signature (bandKeyCols' concat_ws) —
+      // a mistyped leaf would cast the table column and silently
+      // disable bucket reuse, which is exactly what this pins against
+      val batchBands = Seq((1L, 0, "42_7"), (2L, 3, "99_1"))
+        .toDF("doc_id", "band", "key")
+      val probe = Dedup.nearDupBandProbe(spark, batchBands, "nd_bands_t")
+      assert(nShuffles(probe) == 1,
+        probe.queryExecution.executedPlan.toString)
+      assert(probe.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"), "band index must read its buckets")
+
+      // the verification side too: a candidate join keyed on the
+      // shingle table's bucket column scans it in place
+      val candLeaf = Seq((1000001L, 1L)).toDF("doc_id", "corpus_id")
+      val ver = candLeaf.join(spark.table("nd_shingles_t")
+          .select(col("doc_id").as("corpus_id"), col("sh")),
+        Seq("corpus_id"))
+      assert(nShuffles(ver) == 1,
+        ver.queryExecution.executedPlan.toString)
+      assert(ver.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"), "shingle table must read its buckets")
+
+      // row identity with the inline recompute screen on the suite's
+      // fixture batch (even ids near-dup, odd ids fresh)
+      val batch = corpus.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0,
+            regexp_replace(col("text"), "^[^ ]* ", ""))
+          .otherwise(translate(col("text"), "aeiou", "01234")).as("text"))
+      val prod = Dedup.incrementalNearDedupFrom(spark, batch,
+          "nd_bands_t", "nd_shingles_t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      val inline = Dedup.incrementalNearDedup(batch, corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(prod == inline,
+        s"index/recompute diverged: only-prod=${(prod -- inline).take(5)} " +
+          s"only-inline=${(inline -- prod).take(5)}")
+      assert(prod.exists(_._3) && prod.exists(!_._3),
+        "fixture must exercise both verdicts")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      spark.sql("DROP TABLE IF EXISTS nd_bands_t")
+      spark.sql("DROP TABLE IF EXISTS nd_shingles_t")
+    }
+  }
+}
