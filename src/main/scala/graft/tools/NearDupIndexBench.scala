@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures what the persisted near-dup index actually buys: the cost of
+  * screening ONE NEW INCREMENT with NOTHING cached — the steady-state
+  * posture, where the corpus chain cannot live in executor memory
+  * (at 100 TB it never fits) and each nightly batch arrives in a fresh
+  * session.
+  *
+  * Arms, each preceded by Stage.releaseAll + catalog.clearCache so no
+  * arm inherits the other's work:
+  *   - inline:  Dedup.incrementalNearDedup(batch, corpus) — re-derives
+  *     the corpus shingle/band chain per increment.
+  *   - index:   Dedup.incrementalNearDedupFrom against the prebuilt
+  *     bucketed tables — corpus side read in place.
+  * The one-time index build is reported separately (it amortizes across
+  * increments; in production it's an append per increment).
+  *
+  * Usage: NearDupIndexBench [sfDir] [reps]  (defaults: target/sf1, 2)
+  */
+object NearDupIndexBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/target/sf1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    // FIXED-SIZE increment against a GROWING corpus — the production
+    // ratio. A batch that scaled with the corpus (the suite fixture)
+    // would let batch-side work dominate both arms and mask what the
+    // index buys on the corpus side.
+    val mod = math.max(1L, docs.count() / 5000L)
+    val batch = docs.filter(col("doc_id") % mod === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0,
+            regexp_replace(col("text"), "^[^ ]* ", ""))
+          .otherwise(translate(col("text"), "aeiou", "01234")).as("text"))
+
+    def fresh(): Unit = {
+      graft.ops.Stage.releaseAll(spark)
+      spark.catalog.clearCache()
+    }
+    def time(body: => Long): (Double, Long) = {
+      fresh()
+      val t0 = System.nanoTime()
+      val n = body
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val suffix = "ndbench_" + (sfDir.hashCode & 0xffffffffL).toString
+    val base = s"/tmp/graft_ndbench/$suffix"
+    val (bt, st) = (s"graft_ndbench_bands_$suffix",
+      s"graft_ndbench_shingles_$suffix")
+    // warm codegen/session on the small path once, untimed
+    graft.ops.Dedup.incrementalNearDedup(batch.limit(100),
+      docs.limit(100)).count()
+    val (tBuild, _) = time {
+      graft.ops.Dedup.buildNearDupIndex(docs, bt, s"$base/bands",
+        st, s"$base/shingles"); 0L
+    }
+    def arm(body: => Long): Seq[Double] =
+      (1 to reps).map(_ => time(body)._1)
+    val tIndex = arm(graft.ops.Dedup.incrementalNearDedupFrom(
+      spark, batch, bt, st).filter(col("kept")).count())
+    val tInline = arm(graft.ops.Dedup.incrementalNearDedup(
+      batch, docs).filter(col("kept")).count())
+    def fmt(ts: Seq[Double]) = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"neardup_index","sf":"$sfDir","reps":$reps,""" +
+      f""""index_build_sec":$tBuild%.2f,""" +
+      s""""screen_indexed_sec":${fmt(tIndex)},""" +
+      s""""screen_inline_sec":${fmt(tInline)}}""")
+    spark.stop()
+  }
+}
