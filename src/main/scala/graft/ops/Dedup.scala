@@ -1559,10 +1559,22 @@ object Dedup {
       .join(bandRows(minhashSigsOf(csh, k), bands, k)
         .withColumnRenamed("doc_id", "corpus_id"), Seq("band", "key"))
       .select(col("doc_id"), col("corpus_id")).distinct()
+    nearDupVerdict(batch, cand, bsh,
+      csh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+      numer, denom)
+  }
+
+  /** The shared verification + verdict assembly of the two incremental
+    * near-dup screens — ONE definition so the inline and persisted-index
+    * paths cannot drift (their row identity is spec-pinned in
+    * NearDupIndexSpec and they share one oracle). `corpusShingles` is
+    * (corpus_id, sh_c) from either the inline chain or the index table. */
+  private def nearDupVerdict(batch: DataFrame, cand: DataFrame,
+      bsh: DataFrame, corpusShingles: DataFrame, numer: Int,
+      denom: Int): DataFrame = {
     val verified = cand
       .join(bsh, Seq("doc_id"))
-      .join(csh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
-        Seq("corpus_id"))
+      .join(corpusShingles, Seq("corpus_id"))
       .select(col("doc_id"),
         size(array_intersect(col("sh"), col("sh_c"))).cast("long")
           .as("n_inter"),
@@ -1606,7 +1618,34 @@ object Dedup {
       graft.sources.PartitionedStore.writeBucketed(
         csh, shingleTable, shinglePath, Seq("doc_id"), nBuckets,
         Seq("doc_id"))
+      // stamp the banding parameters on the index: a screen run with a
+      // DIFFERENT (n, k, bands) would produce band keys that can never
+      // equi-match the stored ones — an empty candidate set, every
+      // batch doc "kept", mass duplicate leakage with zero error. The
+      // screen validates this stamp and fails loudly instead (the
+      // BloomJoin / SortedArrayContains convention).
+      corpus.sparkSession.sql(
+        s"ALTER TABLE $bandTable SET TBLPROPERTIES(" +
+          s"'graft.ndindex.n'='$n', 'graft.ndindex.k'='$k', " +
+          s"'graft.ndindex.bands'='$bands')")
     } finally Stage.release(csh)
+  }
+
+  /** Fails loudly when the persisted band index was built with different
+    * banding parameters than the screen is about to probe with. */
+  private def requireIndexParams(s: SparkSession, bandTable: String,
+      n: Int, k: Int, bands: Int): Unit = {
+    val props = s.sql(s"SHOW TBLPROPERTIES $bandTable").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val stamped = (props.get("graft.ndindex.n"),
+      props.get("graft.ndindex.k"), props.get("graft.ndindex.bands"))
+    require(stamped == (Some(n.toString), Some(k.toString),
+        Some(bands.toString)),
+      s"incrementalNearDedupFrom: $bandTable was built with " +
+        s"(n, k, bands) = $stamped but the screen asked for " +
+        s"($n, $k, $bands) — mismatched banding would silently return " +
+        "an empty candidate set (every batch doc kept); rebuild the " +
+        "index or pass the index's parameters")
   }
 
   /** The candidate probe against a persisted band index: batch band
@@ -1633,27 +1672,15 @@ object Dedup {
       bandTable: String, shingleTable: String, n: Int = 2, k: Int = 64,
       bands: Int = 16, numer: Int = 7, denom: Int = 10,
       textCol: String = "text"): DataFrame = {
+    requireIndexParams(s, bandTable, n, k, bands)
     val bsh = Stage.barrier(hashedShingleRows(batch, n, textCol))
     val cand = nearDupBandProbe(s, bandRows(minhashSigsOf(bsh, k), bands, k),
         bandTable)
       .select(col("doc_id"), col("corpus_id")).distinct()
-    val verified = cand
-      .join(bsh, Seq("doc_id"))
-      .join(s.table(shingleTable)
-          .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
-        Seq("corpus_id"))
-      .select(col("doc_id"),
-        size(array_intersect(col("sh"), col("sh_c"))).cast("long")
-          .as("n_inter"),
-        (size(col("sh")) + size(col("sh_c"))).cast("long").as("sz_sum"))
-      .filter(col("n_inter") * denom >= (col("sz_sum") - col("n_inter")) * numer)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_corpus_dups"))
-    batch.select(col("doc_id"))
-      .join(verified, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
-        (coalesce(col("n_corpus_dups"), lit(0L)) === 0L).as("kept"))
+    nearDupVerdict(batch, cand, bsh,
+      s.table(shingleTable)
+        .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+      numer, denom)
   }
 
   /** Corpus snapshot diff — the audit between two versions of an

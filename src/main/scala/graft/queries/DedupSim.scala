@@ -185,8 +185,7 @@ object DedupSim {
       // sanitized dir + hash, as landingPipeline: a bare hashCode could
       // collide across dirs and silently serve one corpus's cluster map
       // to the other (table names reject '/', '.', '-' — keep [a-z0-9_])
-      val suffix = dir.toLowerCase.replaceAll("[^a-z0-9]", "_") +
-        f"_${dir.hashCode & 0xffffffffL}%08x"
+      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
       val t = s"graft_bkt_splitmap_$suffix"
       graft.sources.PartitionedStore.writeBucketed(
         Dedup.simhashCanonical(docsWithMutants(s, dir)), t,
@@ -282,12 +281,21 @@ object DedupSim {
     * (vowels digit-substituted: no shingle overlap, kept). */
   def incrementalNearDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
-    val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+    Dedup.incrementalNearDedup(recrawlBatch(docs), docs)
+  }
+
+  /** The incremental screens' shared fixture batch: every doc re-arrives
+    * under a fresh id — even ids lightly edited (first token dropped:
+    * near-dup), odd ids genuinely new (vowels digit-substituted). ONE
+    * definition (like [[landingBatch]]): q_incremental_neardup and
+    * q_incremental_neardup_prod share one oracle on the premise their
+    * fixtures are identical, and NearDupIndexSpec pins prod == inline
+    * over the same rows. */
+  private[graft] def recrawlBatch(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") + 1000000L).as("doc_id"),
       when(col("doc_id") % 2 === 0,
           regexp_replace(col("text"), "^[^ ]* ", ""))
         .otherwise(translate(col("text"), "aeiou", "01234")).as("text"))
-    Dedup.incrementalNearDedup(batch, docs)
-  }
 
   // the persisted near-dup index (band + shingle tables), built once per
   // (session, dir) like the digest store
@@ -305,19 +313,14 @@ object DedupSim {
   def incrementalNearDupProd(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
     val (bt, st) = nearDupIndexTables.getOrCompute(s, dir) {
-      val suffix = dir.toLowerCase.replaceAll("[^a-z0-9]", "_") +
-        f"_${dir.hashCode & 0xffffffffL}%08x"
+      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
       val base = s"/tmp/graft_ndindex/$suffix"
       val (b, sh) = (s"graft_bkt_nd_bands_$suffix",
         s"graft_bkt_nd_shingles_$suffix")
       Dedup.buildNearDupIndex(docs, b, s"$base/bands", sh, s"$base/shingles")
       (b, sh)
     }
-    val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-      when(col("doc_id") % 2 === 0,
-          regexp_replace(col("text"), "^[^ ]* ", ""))
-        .otherwise(translate(col("text"), "aeiou", "01234")).as("text"))
-    Dedup.incrementalNearDedupFrom(s, batch, bt, st)
+    Dedup.incrementalNearDedupFrom(s, recrawlBatch(docs), bt, st)
   }
 
   /** The landed recrawl batch for the end-to-end landing pipeline: every
@@ -569,8 +572,7 @@ object DedupSim {
     epochDigestTable.getOrCompute(s, dir) {
       // sanitized dir + hash, as splitSafeProd: table names keep
       // [a-z0-9_] and distinct dirs can never share a digest store
-      val suffix = dir.toLowerCase.replaceAll("[^a-z0-9]", "_") +
-        f"_${dir.hashCode & 0xffffffffL}%08x"
+      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
       val t = s"graft_bkt_epochdig_$suffix"
       val pub1 = graft.sources.Publish.readPublished(s, p1)
         .select(col("doc_id"), col("text"))
@@ -583,46 +585,37 @@ object DedupSim {
   }
 
   /** The screen join itself, over an arbitrary screened (doc_id, text)
-    * batch: within-batch first occurrence per digest (the batch's ONE
-    * shuffle), then the in-place anti join — the groupBy's output
-    * partitioning (already hashed on the digest) is what the
-    * bucketed-scan join consumes, so no second exchange and the corpus
-    * side never moves. EpochProdSpec pins exactly this plan. */
+    * batch: within-batch first occurrence per digest (the shared
+    * [[graft.ops.Dedup.firstPerDigest]] keep rule — NULL digests kept
+    * untouched, exactly as the recompute path), then the in-place anti
+    * join — the batch's exchanges both hash on the digest and the
+    * corpus side never moves. EpochProdSpec pins exactly this plan. */
   private[graft] def epochExactScreenFrom(s: SparkSession,
       screened: DataFrame, digestTable: String): DataFrame = {
-    val firstKeep = screened
-      .select(col("doc_id"), sha2(lower(col("text")), 256).as("_dig"))
-      .groupBy(col("_dig")).agg(min(col("doc_id")).as("doc_id"))
+    val firstKeep = Dedup.firstPerDigest(screened
+      .select(col("doc_id"), sha2(lower(col("text")), 256).as("_dig")))
     graft.sources.PartitionedStore.antiJoinBucketed(s, firstKeep,
       digestTable).select(col("doc_id"))
   }
 
-  private[graft] def epochExactScreenProd(s: SparkSession, dir: String)
-      : DataFrame = {
+  /** Epoch 2's exact screen against the bucketed digest store as a
+    * suite entry: per gopher-surviving landed doc — (doc_id,
+    * kept_exact), kept_exact = first in-batch occurrence of its content
+    * AND unseen in the refreshed corpus digest store. Row-identical to
+    * the recompute inside q_epoch_refresh (the oracle re-derives the
+    * store relationally, so a lossy bucketed write would
+    * hash-mismatch). The gate runs ONCE; the screen join consumes its
+    * barriered output (the sibling chains' staging pattern). */
+  def epochRefreshProd(s: SparkSession, dir: String): DataFrame = {
     val (_, _, l2, _) = epochArtifacts(s, dir)
     val tbl = epochDigestStore(s, dir)
     val landed = graft.sources.JsonlStore.readJsonl(s, l2, epochSchema)
     val passed = graft.ops.TextAnalysis.gopherRules(landed)
       .filter(col("gopher_pass")).select(col("doc_id"))
-    // barrier as the sibling chains do: the gate is its own (already
-    // measured) stage, so the screen join's plan stays the pinned shape
     val screened = graft.ops.Stage.barrier(
       landed.join(passed, Seq("doc_id"), "left_semi"))
-    epochExactScreenFrom(s, screened, tbl)
-  }
-
-  /** [[epochExactScreenProd]] as a suite entry: epoch 2's exact-screen
-    * verdict per gopher-surviving landed doc — (doc_id, kept_exact),
-    * kept_exact = first in-batch occurrence of its content AND unseen
-    * in the refreshed corpus digest store. Row-identical to the
-    * recompute inside q_epoch_refresh (the oracle re-derives the store
-    * relationally, so a lossy bucketed write would hash-mismatch). */
-  def epochRefreshProd(s: SparkSession, dir: String): DataFrame = {
-    val (_, _, l2, _) = epochArtifacts(s, dir)
-    val kept = epochExactScreenProd(s, dir)
-    val landed = graft.sources.JsonlStore.readJsonl(s, l2, epochSchema)
-    graft.ops.TextAnalysis.gopherRules(landed)
-      .filter(col("gopher_pass")).select(col("doc_id"))
+    val kept = epochExactScreenFrom(s, screened, tbl)
+    screened.select(col("doc_id"))
       .join(kept.withColumn("_k", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("_k").isNotNull.as("kept_exact"))
   }
@@ -1297,37 +1290,51 @@ object DedupSim {
     * STORE while the oracle re-derives them relationally, a lossy store
     * round-trip, a wrong refresh union, or a cls divergence all
     * hash-mismatch here. */
+  // ---- the epoch oracles' shared CTE builders. MATERIALIZED on every
+  // multi-referenced CTE: DuckDB 1.0 INLINES CTEs at each reference, and
+  // epoch 2's corpus embeds epoch 1's ENTIRE chain (pub1), so plain
+  // CTEs re-expand the epoch-1 subplan at every epoch-2 reference —
+  // measured minutes at sf0.001 vs seconds materialized. (The landing
+  // oracle tolerates inlining only because its chain is one epoch deep.)
+  // ONE definition each: duckEpochRefreshSql and duckEpochCtesThroughG2
+  // both embed these, and duckMatChain's string surgery must track
+  // duckNearDupChain's exact formatting — a second copy drifting would
+  // re-open the re-expansion cliff in just one oracle.
+
+  private def duckEpochGate(batch: String, g: String) =
+    s"$g AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, " +
+      s"text, string_split(text, ' ') AS t FROM $batch) " +
+      s"WHERE $duckGopherPass)"
+
+  private def duckEpochExactKept(g: String, corpus: String, ek: String) =
+    s"$ek AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, " +
+      "text, d, min(doc_id) OVER (PARTITION BY d) AS k FROM " +
+      s"(SELECT doc_id, text, sha256(lower(text)) AS d FROM $g)) " +
+      "WHERE doc_id = k AND d NOT IN " +
+      s"(SELECT sha256(lower(text)) FROM $corpus))"
+
+  // the shared chain's shs/sig/band CTEs are each referenced twice
+  // (hx + verify; sig + band) — materialize them too
+  private def duckMatChain(docsCte: String, p: String): String =
+    duckNearDupChain(docsCte, p)
+      .replace(s"${p}shs AS (", s"${p}shs AS MATERIALIZED (")
+      .replace(s"${p}sig AS (", s"${p}sig AS MATERIALIZED (")
+      .replace(s"${p}band AS (", s"${p}band AS MATERIALIZED (")
+
+  private def duckEpochVerify(pb: String, pc: String, cand: String,
+      ver: String) =
+    s"$cand AS MATERIALIZED (SELECT DISTINCT b.doc_id AS doc_id, " +
+      s"c.doc_id AS corpus_id FROM ${pb}band b JOIN ${pc}band c " +
+      "ON b.band = c.band AND b.key = c.key), " +
+      s"$ver AS MATERIALIZED (SELECT $cand.doc_id, " +
+      "CAST(count(*) AS BIGINT) AS n " +
+      s"FROM $cand JOIN ${pb}shs x ON x.doc_id = $cand.doc_id " +
+      s"JOIN ${pc}shs y ON y.doc_id = $cand.corpus_id " +
+      "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
+      "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7 " +
+      s"GROUP BY $cand.doc_id)"
+
   private lazy val duckEpochRefreshSql: String = {
-    // MATERIALIZED on every multi-referenced CTE: DuckDB 1.0 INLINES
-    // CTEs at each reference, and here epoch 2's corpus embeds epoch 1's
-    // ENTIRE chain (pub1), so plain CTEs re-expand the epoch-1 subplan
-    // at every epoch-2 reference — measured minutes at sf0.001 vs
-    // seconds materialized. The landing oracle tolerates inlining only
-    // because its chain is one epoch deep.
-    def exactKept(g: String, corpus: String, ek: String) =
-      s"$ek AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, " +
-        "text, d, min(doc_id) OVER (PARTITION BY d) AS k FROM " +
-        s"(SELECT doc_id, text, sha256(lower(text)) AS d FROM $g)) " +
-        "WHERE doc_id = k AND d NOT IN " +
-        s"(SELECT sha256(lower(text)) FROM $corpus))"
-    // the shared chain's shs/sig/band CTEs are each referenced twice
-    // (hx + verify; sig + band) — materialize them too
-    def matChain(docsCte: String, p: String): String =
-      duckNearDupChain(docsCte, p)
-        .replace(s"${p}shs AS (", s"${p}shs AS MATERIALIZED (")
-        .replace(s"${p}sig AS (", s"${p}sig AS MATERIALIZED (")
-        .replace(s"${p}band AS (", s"${p}band AS MATERIALIZED (")
-    def verify(pb: String, pc: String, cand: String, ver: String) =
-      s"$cand AS MATERIALIZED (SELECT DISTINCT b.doc_id AS doc_id, " +
-        s"c.doc_id AS corpus_id FROM ${pb}band b JOIN ${pc}band c " +
-        "ON b.band = c.band AND b.key = c.key), " +
-        s"$ver AS MATERIALIZED (SELECT $cand.doc_id, " +
-        "CAST(count(*) AS BIGINT) AS n " +
-        s"FROM $cand JOIN ${pb}shs x ON x.doc_id = $cand.doc_id " +
-        s"JOIN ${pc}shs y ON y.doc_id = $cand.corpus_id " +
-        "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
-        "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7 " +
-        s"GROUP BY $cand.doc_id)"
     def status(epoch: Int, batch: String, g: String, ek: String,
         ver: String, st: String) =
       s"$st AS (SELECT CAST($epoch AS BIGINT) AS epoch, b.doc_id, " +
@@ -1342,10 +1349,10 @@ object DedupSim {
         s"LEFT JOIN $ek e ON e.doc_id = b.doc_id " +
         s"LEFT JOIN $ver v ON v.doc_id = b.doc_id)"
     "WITH " + duckEpochCtesThroughG2 + ", " +
-      exactKept("g2", "corpus2", "ek2") + ", " +
-      matChain("ek2", "e2") + ", " +
-      matChain("corpus2", "c2") + ", " +
-      verify("e2", "c2", "cand2", "ver2") + ", " +
+      duckEpochExactKept("g2", "corpus2", "ek2") + ", " +
+      duckMatChain("ek2", "e2") + ", " +
+      duckMatChain("corpus2", "c2") + ", " +
+      duckEpochVerify("e2", "c2", "cand2", "ver2") + ", " +
       status(1, "b1", "g1", "ek1", "ver1", "st1") + ", " +
       status(2, "b2", "g2", "ek2", "ver2", "st2") + " " +
       "SELECT epoch, doc_id, status, split FROM st1 " +
@@ -1358,41 +1365,17 @@ object DedupSim {
     * [[duckEpochRefreshSql]] (full both-epoch statuses) and the
     * production-shape exact-screen oracle (q_epoch_refresh_prod). */
   private lazy val duckEpochCtesThroughG2: String = {
-    def gate(batch: String, g: String) =
-      s"$g AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, " +
-        s"text, string_split(text, ' ') AS t FROM $batch) " +
-        s"WHERE $duckGopherPass)"
-    def exactKept(g: String, corpus: String, ek: String) =
-      s"$ek AS MATERIALIZED (SELECT doc_id, text FROM (SELECT doc_id, " +
-        "text, d, min(doc_id) OVER (PARTITION BY d) AS k FROM " +
-        s"(SELECT doc_id, text, sha256(lower(text)) AS d FROM $g)) " +
-        "WHERE doc_id = k AND d NOT IN " +
-        s"(SELECT sha256(lower(text)) FROM $corpus))"
-    def matChain(docsCte: String, p: String): String =
-      duckNearDupChain(docsCte, p)
-        .replace(s"${p}shs AS (", s"${p}shs AS MATERIALIZED (")
-        .replace(s"${p}sig AS (", s"${p}sig AS MATERIALIZED (")
-        .replace(s"${p}band AS (", s"${p}band AS MATERIALIZED (")
     "corpus AS MATERIALIZED (SELECT doc_id, text FROM documents), " +
       "b1 AS MATERIALIZED (SELECT orig + 1000000 AS doc_id, " +
       "CASE WHEN orig % 3 = 0 THEN text " +
       "WHEN orig % 3 = 1 THEN regexp_replace(text, '^[^ ]* ', '') " +
       "ELSE translate(text, 'sr', '59') END AS text FROM " +
       "(SELECT doc_id AS orig, text FROM documents)), " +
-      gate("b1", "g1") + ", " +
-      exactKept("g1", "corpus", "ek1") + ", " +
-      matChain("ek1", "e1") + ", " +
-      matChain("corpus", "c1") + ", " +
-      "cand1 AS MATERIALIZED (SELECT DISTINCT b.doc_id AS doc_id, " +
-      "c.doc_id AS corpus_id FROM e1band b JOIN c1band c " +
-      "ON b.band = c.band AND b.key = c.key), " +
-      "ver1 AS MATERIALIZED (SELECT cand1.doc_id, " +
-      "CAST(count(*) AS BIGINT) AS n " +
-      "FROM cand1 JOIN e1shs x ON x.doc_id = cand1.doc_id " +
-      "JOIN c1shs y ON y.doc_id = cand1.corpus_id " +
-      "WHERE len(list_intersect(x.sh, y.sh)) * 10 >= " +
-      "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 7 " +
-      "GROUP BY cand1.doc_id), " +
+      duckEpochGate("b1", "g1") + ", " +
+      duckEpochExactKept("g1", "corpus", "ek1") + ", " +
+      duckMatChain("ek1", "e1") + ", " +
+      duckMatChain("corpus", "c1") + ", " +
+      duckEpochVerify("e1", "c1", "cand1", "ver1") + ", " +
       "pub1 AS MATERIALIZED (SELECT ek1.doc_id, ek1.text FROM ek1 " +
       "LEFT JOIN ver1 ON ver1.doc_id = ek1.doc_id " +
       "WHERE coalesce(ver1.n, 0) = 0), " +
@@ -1404,7 +1387,7 @@ object DedupSim {
       "ELSE translate(text, 'td', '78') END AS text FROM " +
       s"(SELECT doc_id AS p, ${duckCls("doc_id")} AS cls, text " +
       "FROM pub1)), " +
-      gate("b2", "g2")
+      duckEpochGate("b2", "g2")
   }
 
   /** q_epoch_refresh_prod restated: epoch 2's per-gopher-survivor exact

@@ -389,8 +389,7 @@ object Relational {
       // sanitized dir + hash, as splitSafeProd/landingPipeline: a bare
       // hashCode could collide across dirs and silently serve one dir's
       // bucketed layout (and rows) to the other
-      val suffix = dir.toLowerCase.replaceAll("[^a-z0-9]", "_") +
-        f"_${dir.hashCode & 0xffffffffL}%08x"
+      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
       val ct = s"graft_bkt_customer_$suffix"
       val ot = s"graft_bkt_orders_$suffix"
       graft.sources.PartitionedStore.writeBucketed(

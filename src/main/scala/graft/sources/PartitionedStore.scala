@@ -46,6 +46,16 @@ object PartitionedStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Catalog-safe table-name suffix for a data directory: sanitized to
+    * [a-z0-9_] (table names reject '/', '.', '-') PLUS the dir's hash —
+    * the sanitized text alone could collide across dirs ("sf0.1" vs
+    * "sf0_1") and silently serve one corpus's table to the other. ONE
+    * definition for every session-scoped bucketed store (split map,
+    * epoch digest store, near-dup index, bucketed-join demos). */
+  def tableSuffix(dir: String): String =
+    dir.toLowerCase.replaceAll("[^a-z0-9]", "_") +
+      f"_${dir.hashCode & 0xffffffffL}%08x"
+
   /** EXTERNAL-table variant of [[writeBucketed]]: the parquet lives at
     * `path` (where the caller's storage layout says), only the bucketing
     * metadata lives in the session catalog — the production shape, where

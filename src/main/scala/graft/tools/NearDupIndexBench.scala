@@ -37,11 +37,15 @@ object NearDupIndexBench {
     // FIXED-SIZE increment against a GROWING corpus — the production
     // ratio. A batch that scaled with the corpus (the suite fixture)
     // would let batch-side work dominate both arms and mask what the
-    // index buys on the corpus side.
+    // index buys on the corpus side. The near-dup/fresh rewrite keys on
+    // (doc_id / mod) % 2, NOT doc_id % 2: sampling doc_id % mod == 0
+    // with an even mod selects only even ids, which would silence the
+    // fresh arm entirely (review r17 — the first measurement's batch
+    // was 100% near-dups).
     val mod = math.max(1L, docs.count() / 5000L)
     val batch = docs.filter(col("doc_id") % mod === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
-        when(col("doc_id") % 2 === 0,
+        when((col("doc_id") / mod) % 2 === 0,
             regexp_replace(col("text"), "^[^ ]* ", ""))
           .otherwise(translate(col("text"), "aeiou", "01234")).as("text"))
 

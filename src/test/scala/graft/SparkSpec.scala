@@ -22,4 +22,16 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sf: String = TestSpark.sf
+
+  /** Shuffle count of a plan: "Exchange hashpartitioning(...)" nodes
+    * minus broadcast builds ("BroadcastExchange", not a shuffle).
+    * String-matched because TreeNode.collect does not descend into
+    * AdaptiveSparkPlanExec — ONE definition for every plan-shape
+    * assertion (a Spark rename of the node would otherwise have to be
+    * fixed in each spec's private copy). */
+  protected def nShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    val p = df.queryExecution.executedPlan.toString
+    "Exchange ".r.findAllIn(p).size -
+      "BroadcastExchange ".r.findAllIn(p).size
+  }
 }

@@ -48,16 +48,6 @@ class LeakageSplitSpec extends SparkSpec {
     Stage.releaseAll(spark)
   }
 
-  // shuffle nodes print as "Exchange hashpartitioning(...)"; broadcast
-  // builds are not shuffles (same string-matched probe as
-  // PartitionedStoreSpec — TreeNode.collect does not descend into
-  // AdaptiveSparkPlanExec)
-  private def nShuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    val p = df.queryExecution.executedPlan.toString
-    "Exchange ".r.findAllIn(p).size -
-      "BroadcastExchange ".r.findAllIn(p).size
-  }
-
   test("production shape: bucketed map joins the corpus with no map-side " +
       "exchange") {
     import org.apache.spark.sql.functions.col

@@ -12,12 +12,6 @@ import graft.SparkSpec
   * screen). */
 class NearDupIndexSpec extends SparkSpec {
 
-  private def nShuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    val p = df.queryExecution.executedPlan.toString
-    "Exchange ".r.findAllIn(p).size -
-      "BroadcastExchange ".r.findAllIn(p).size
-  }
-
   test("band probe reads the index in place; screen equals the recompute") {
     import spark.implicits._
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -58,11 +52,10 @@ class NearDupIndexSpec extends SparkSpec {
         .contains("Bucketed: true"), "shingle table must read its buckets")
 
       // row identity with the inline recompute screen on the suite's
-      // fixture batch (even ids near-dup, odd ids fresh)
-      val batch = corpus.select((col("doc_id") + 1000000L).as("doc_id"),
-        when(col("doc_id") % 2 === 0,
-            regexp_replace(col("text"), "^[^ ]* ", ""))
-          .otherwise(translate(col("text"), "aeiou", "01234")).as("text"))
+      // SHARED fixture batch (even ids near-dup, odd ids fresh) — the
+      // same definition q_incremental_neardup{,_prod} run, so this
+      // assertion covers exactly the oracle-shared rows
+      val batch = graft.queries.DedupSim.recrawlBatch(corpus)
       val prod = Dedup.incrementalNearDedupFrom(spark, batch,
           "nd_bands_t", "nd_shingles_t")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
@@ -75,6 +68,16 @@ class NearDupIndexSpec extends SparkSpec {
           s"only-inline=${(inline -- prod).take(5)}")
       assert(prod.exists(_._3) && prod.exists(!_._3),
         "fixture must exercise both verdicts")
+
+      // banding-parameter mismatch fails LOUDLY: a screen probed with
+      // different (n, k, bands) than the index was built with would
+      // otherwise return an empty candidate set — every batch doc
+      // silently "kept" (review r17)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.incrementalNearDedupFrom(spark, batch,
+          "nd_bands_t", "nd_shingles_t", bands = 8)
+      }
+      assert(e.getMessage.contains("mismatched banding"), e.getMessage)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
       spark.conf.set("spark.sql.shuffle.partitions", parts)

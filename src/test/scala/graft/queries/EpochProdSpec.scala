@@ -11,12 +11,6 @@ import graft.SparkSpec
   * the recompute path inside q_epoch_refresh). */
 class EpochProdSpec extends SparkSpec {
 
-  private def nShuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    val p = df.queryExecution.executedPlan.toString
-    "Exchange ".r.findAllIn(p).size -
-      "BroadcastExchange ".r.findAllIn(p).size
-  }
-
   test("epoch-2 exact screen joins the bucketed digest store in place") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -30,14 +24,15 @@ class EpochProdSpec extends SparkSpec {
       val tbl = DedupSim.epochDigestStore(spark, sf)
       // plan shape over a clean leaf batch (any (doc_id, text) source —
       // the gate upstream is its own staged plan in the prod query):
-      // one exchange, the batch's first-occurrence groupBy, whose
-      // output partitioning the anti join then reuses; the corpus
-      // digest side reads its bucket layout with no shuffle at any
-      // corpus size
+      // exactly TWO exchanges, BOTH on the batch side and both hashed
+      // on the digest — firstPerDigest's keep-set aggregation plus the
+      // probe join back over the batch (the shared exact-dedup keep
+      // rule, NULL digests kept); the corpus digest side reads its
+      // bucket layout with no shuffle at any corpus size
       val batch = spark.read.parquet(s"$sf/documents.parquet")
         .select(col("doc_id"), col("text"))
       val kept = DedupSim.epochExactScreenFrom(spark, batch, tbl)
-      assert(nShuffles(kept) == 1,
+      assert(nShuffles(kept) == 2,
         kept.queryExecution.executedPlan.toString)
       assert(kept.queryExecution.executedPlan.toString
         .contains("Bucketed: true"), "corpus scan must read its buckets")

@@ -9,15 +9,6 @@ import graft.SparkSpec
 
 class PartitionedStoreSpec extends SparkSpec {
 
-  // shuffle nodes print as "Exchange hashpartitioning(...)"; broadcast
-  // builds ("BroadcastExchange") are not shuffles. String-matched because
-  // TreeNode.collect does not descend into AdaptiveSparkPlanExec.
-  private def nShuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    val p = df.queryExecution.executedPlan.toString
-    "Exchange ".r.findAllIn(p).size -
-      "BroadcastExchange ".r.findAllIn(p).size
-  }
-
   test("partitioned write prunes directories at planning time") {
     val dir = Files.createTempDirectory("graft_part").toString
     val events = spark.read.parquet(s"$sf/lineitem.parquet")
