@@ -1632,8 +1632,9 @@ object Dedup {
   }
 
   /** Fails loudly when the persisted band index was built with different
-    * banding parameters than the screen is about to probe with. */
-  private def requireIndexParams(s: SparkSession, bandTable: String,
+    * banding parameters than the screen is about to probe with (shared
+    * with the streaming dual, EventStream.nearDupAgainstIndex). */
+  private[graft] def requireIndexParams(s: SparkSession, bandTable: String,
       n: Int, k: Int, bands: Int): Unit = {
     val props = s.sql(s"SHOW TBLPROPERTIES $bandTable").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

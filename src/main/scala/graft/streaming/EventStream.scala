@@ -244,6 +244,39 @@ object EventStream {
     val cband = Dedup.bandRows(
         Dedup.minhashSignaturesNative(corpus, n, k, textCol), bands, k)
       .withColumnRenamed("doc_id", "corpus_id")
+    nearDupScreenWith(docs, cband, csh, n, k, bands, numer, denom, textCol)
+  }
+
+  /** [[nearDupAgainstCorpus]] with the static side read from the
+    * PERSISTED index tables of [[graft.ops.Dedup.buildNearDupIndex]] —
+    * the steady-state streaming posture. A stream-static join
+    * re-executes its static subplan on EVERY micro-batch, so the inline
+    * form above re-derives the whole corpus chain (tokenize → shingle →
+    * hash → 64-lane minhash → band) per batch; against the index, each
+    * batch's static work is two bucketed scans and nothing else. Same
+    * hash family, banding, and integer Jaccard (the shared screen core
+    * below) — match parity with the inline dual is spec-pinned, and a
+    * mismatched-banding probe fails loudly via the same stamp check as
+    * the batch screen. */
+  def nearDupAgainstIndex(s: SparkSession, docs: DataFrame,
+      bandTable: String, shingleTable: String, n: Int = 2, k: Int = 64,
+      bands: Int = 16, numer: Int = 7, denom: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    graft.ops.Dedup.requireIndexParams(s, bandTable, n, k, bands)
+    nearDupScreenWith(docs,
+      s.table(bandTable).withColumnRenamed("doc_id", "corpus_id"),
+      s.table(shingleTable)
+        .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+      n, k, bands, numer, denom, textCol)
+  }
+
+  /** The screen core shared by the inline and persisted-index duals —
+    * one definition so they cannot drift. `cband` is (corpus_id, band,
+    * key), `csh` (corpus_id, sh_c). */
+  private def nearDupScreenWith(docs: DataFrame, cband: DataFrame,
+      csh: DataFrame, n: Int, k: Int, bands: Int, numer: Int,
+      denom: Int, textCol: String): DataFrame = {
+    import graft.ops.Dedup
     // stream side: per-row shingle hashes + stateless signature fold
     val sigCol = array(Dedup.minhashCoeffs(k).map { case (a, b) =>
       array_min(transform(col("sh"),

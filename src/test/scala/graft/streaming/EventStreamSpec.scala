@@ -219,6 +219,32 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(expected.values.exists(_ > 0L), "screen found nothing — vacuous")
     assert(gotCounts == expected.filter(_._2 > 0L))
+
+    // the persisted-index dual screens the SAME stream to the SAME
+    // pairs: at steady state a stream-static join re-executes its
+    // static subplan per micro-batch, so production reads the
+    // buildNearDupIndex tables instead of re-deriving the corpus chain
+    val idxDir = Files.createTempDirectory("graft-ndidx-stream").toString
+    graft.ops.Dedup.buildNearDupIndex(corpus, "nd_stream_bands",
+      s"$idxDir/bands", "nd_stream_shingles", s"$idxDir/shingles")
+    try {
+      val viaIndex = EventStream.runToMemory(
+        EventStream.nearDupAgainstIndex(spark, stream,
+          "nd_stream_bands", "nd_stream_shingles"), "neardup_stream_idx",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(viaIndex == gotPairs.sorted.toSeq,
+        s"index dual diverged from inline dual")
+      // mismatched banding fails loudly, as in the batch screen
+      val e = intercept[IllegalArgumentException] {
+        EventStream.nearDupAgainstIndex(spark, stream,
+          "nd_stream_bands", "nd_stream_shingles", bands = 8)
+      }
+      assert(e.getMessage.contains("mismatched banding"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nd_stream_bands")
+      spark.sql("DROP TABLE IF EXISTS nd_stream_shingles")
+    }
   }
 
   test("cross-batch late event folds into the session, never a phantom") {
