@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Measures the claim behind EventStream.nearDupAgainstIndex: a
+  * stream-static join RE-EXECUTES its static subplan on every
+  * micro-batch, so the inline streaming near-dup screen re-derives the
+  * whole corpus chain per batch while the index dual's per-batch static
+  * work is two bucketed scans.
+  *
+  * Harness: `nBatches` parquet files of ~2k recrawl docs each, consumed
+  * one file per trigger (maxFilesPerTrigger=1 — one micro-batch per
+  * file); each arm runs the same stream to a memory sink and reports
+  * total wall + per-batch average. Both arms emit identical pair sets
+  * (asserted — a fast-but-wrong arm would be meaningless).
+  *
+  * Usage: StreamIndexBench [sfDir] [nBatches]  (defaults: target/sf1, 4)
+  */
+object StreamIndexBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/target/sf1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.EventStream
+    val docs = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val corpus = docs
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx").toString
+    // nBatches files of ~2k docs each: recrawls (near-dups) and fresh
+    // rewrites, ids offset per batch so batches never collide
+    val mod = math.max(1L, docs.count() / (2000L * nBatches))
+    val land = s"$base/landing"
+    (0 until nBatches).foreach { b =>
+      docs.filter(col("doc_id") % mod === b % mod)
+        .select((col("doc_id") + 1000000L * (b + 1)).as("doc_id"),
+          when((col("doc_id") / mod) % 2 === 0,
+              regexp_replace(col("text"), "^[^ ]* ", ""))
+            .otherwise(translate(col("text"), "aeiou", "01234"))
+            .as("text"))
+        .coalesce(1).write.parquet(s"$land/b$b")
+    }
+    graft.ops.Dedup.buildNearDupIndex(corpus, "sib_bands",
+      s"$base/bands", "sib_shingles", s"$base/shingles")
+
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$land/*")
+    def run(name: String, df: org.apache.spark.sql.DataFrame)
+        : (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = EventStream.runToMemory(df, name, OutputMode.Append)
+        .count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    // warm both plans' codegen on a single tiny batch, untimed
+    run("sib_warm", EventStream.nearDupAgainstIndex(spark,
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(s"$land/b0"), "sib_bands", "sib_shingles"))
+    val (tIdx, nIdx) = run("sib_idx",
+      EventStream.nearDupAgainstIndex(spark, stream(),
+        "sib_bands", "sib_shingles"))
+    val (tInl, nInl) = run("sib_inline",
+      EventStream.nearDupAgainstCorpus(stream(), corpus))
+    require(nIdx == nInl, s"arms diverged: $nIdx vs $nInl pairs")
+    println(s"""{"metric":"stream_index","sf":"$sfDir",""" +
+      s""""n_batches":$nBatches,"n_pairs":$nIdx,""" +
+      f""""indexed_total_sec":$tIdx%.2f,""" +
+      f""""indexed_per_batch_sec":${tIdx / nBatches}%.2f,""" +
+      f""""inline_total_sec":$tInl%.2f,""" +
+      f""""inline_per_batch_sec":${tInl / nBatches}%.2f}""")
+    spark.sql("DROP TABLE IF EXISTS sib_bands")
+    spark.sql("DROP TABLE IF EXISTS sib_shingles")
+    spark.stop()
+  }
+}
