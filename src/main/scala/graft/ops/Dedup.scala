@@ -1631,6 +1631,30 @@ object Dedup {
     } finally Stage.release(csh)
   }
 
+  /** Appends an increment's band/shingle rows to an EXISTING index —
+    * the maintenance step that closes the lifecycle: build once, then
+    * per increment screen ([[incrementalNearDedupFrom]]) → publish
+    * survivors → append the survivors here, so the next increment
+    * screens against the refreshed corpus without any rebuild. The
+    * stamp check runs FIRST: an append with different banding would
+    * poison the index with keys no probe could ever match, silently
+    * halving recall — the same failure class the screen guard closes.
+    * Each append adds one file per bucket; the hash layout (and the
+    * probe's exchange-free table side) is unchanged. */
+  def appendNearDupIndex(docs: DataFrame, bandTable: String,
+      shingleTable: String, n: Int = 2, k: Int = 64, bands: Int = 16,
+      nBuckets: Int = 32, textCol: String = "text"): Unit = {
+    requireIndexParams(docs.sparkSession, bandTable, n, k, bands)
+    val csh = Stage.barrier(hashedShingleRows(docs, n, textCol))
+    try {
+      graft.sources.PartitionedStore.appendBucketed(
+        bandRows(minhashSigsOf(csh, k), bands, k),
+        bandTable, Seq("band", "key"), nBuckets, Seq("band", "key"))
+      graft.sources.PartitionedStore.appendBucketed(
+        csh, shingleTable, Seq("doc_id"), nBuckets, Seq("doc_id"))
+    } finally Stage.release(csh)
+  }
+
   /** Fails loudly when the persisted band index was built with different
     * banding parameters than the screen is about to probe with (shared
     * with the streaming dual, EventStream.nearDupAgainstIndex). */
@@ -1642,11 +1666,12 @@ object Dedup {
       props.get("graft.ndindex.k"), props.get("graft.ndindex.bands"))
     require(stamped == (Some(n.toString), Some(k.toString),
         Some(bands.toString)),
-      s"incrementalNearDedupFrom: $bandTable was built with " +
-        s"(n, k, bands) = $stamped but the screen asked for " +
+      s"near-dup index $bandTable was built with " +
+        s"(n, k, bands) = $stamped but the caller asked for " +
         s"($n, $k, $bands) — mismatched banding would silently return " +
-        "an empty candidate set (every batch doc kept); rebuild the " +
-        "index or pass the index's parameters")
+        "an empty candidate set on screens (every batch doc kept) or " +
+        "poison the index on appends; rebuild the index or pass the " +
+        "index's parameters")
   }
 
   /** The candidate probe against a persisted band index: batch band

@@ -77,6 +77,23 @@ object PartitionedStore {
      else w).saveAsTable(table)
   }
 
+  /** APPEND to an existing bucketed table — the per-increment
+    * maintenance write of a long-lived index (band/shingle/digest
+    * stores): each append adds one more file per bucket, the hash
+    * layout still holds (joins stay exchange-free on the table side;
+    * Spark adds a merge sort across the bucket's files where a
+    * single-write table scanned pre-sorted), and Spark itself rejects
+    * an append whose bucket spec differs from the table's. */
+  def appendBucketed(df: DataFrame, table: String,
+      bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
+
   /** The digest-table increment join (see Dedup.incrementalDedup): keep
     * batch rows whose `_dig` is unseen in the bucketed corpus digest
     * table. With the corpus bucketed on `digest`, its scan reads the

@@ -78,7 +78,36 @@ class NearDupIndexSpec extends SparkSpec {
           "nd_bands_t", "nd_shingles_t", bands = 8)
       }
       assert(e.getMessage.contains("mismatched banding"), e.getMessage)
+
+      // lifecycle: an index BUILT on half the corpus then APPENDED with
+      // the other half screens identically to the whole-build index —
+      // and the probe still reads the (now multi-file-per-bucket)
+      // layout in place
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_ndidx2")
+        .toString
+      Dedup.buildNearDupIndex(corpus.filter(col("doc_id") % 2 === 0),
+        "nd_bands_a", s"$dir2/bands", "nd_shingles_a", s"$dir2/shingles")
+      Dedup.appendNearDupIndex(corpus.filter(col("doc_id") % 2 === 1),
+        "nd_bands_a", "nd_shingles_a")
+      val appended = Dedup.incrementalNearDedupFrom(spark, batch,
+          "nd_bands_a", "nd_shingles_a")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(appended == prod, "appended index diverged from whole-build")
+      val probe2 = Dedup.nearDupBandProbe(spark, batchBands, "nd_bands_a")
+      assert(nShuffles(probe2) == 1 &&
+        probe2.queryExecution.executedPlan.toString
+          .contains("Bucketed: true"),
+        "appended index must still read in place")
+      // appending with mismatched banding is refused BEFORE any write
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.appendNearDupIndex(corpus, "nd_bands_a", "nd_shingles_a",
+          k = 32, bands = 8)
+      }
+      assert(e2.getMessage.contains("mismatched banding"), e2.getMessage)
     } finally {
+      spark.sql("DROP TABLE IF EXISTS nd_bands_a")
+      spark.sql("DROP TABLE IF EXISTS nd_shingles_a")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       spark.sql("DROP TABLE IF EXISTS nd_bands_t")
