@@ -1618,16 +1618,19 @@ object Dedup {
       graft.sources.PartitionedStore.writeBucketed(
         csh, shingleTable, shinglePath, Seq("doc_id"), nBuckets,
         Seq("doc_id"))
-      // stamp the banding parameters on the index: a screen run with a
-      // DIFFERENT (n, k, bands) would produce band keys that can never
-      // equi-match the stored ones — an empty candidate set, every
-      // batch doc "kept", mass duplicate leakage with zero error. The
-      // screen validates this stamp and fails loudly instead (the
-      // BloomJoin / SortedArrayContains convention).
-      corpus.sparkSession.sql(
-        s"ALTER TABLE $bandTable SET TBLPROPERTIES(" +
-          s"'graft.ndindex.n'='$n', 'graft.ndindex.k'='$k', " +
-          s"'graft.ndindex.bands'='$bands')")
+      // stamp the banding parameters on BOTH tables: a screen run with
+      // a DIFFERENT (n, k, bands) would produce band keys that can
+      // never equi-match the stored ones — an empty candidate set,
+      // every batch doc "kept", mass duplicate leakage with zero error
+      // — and a shingle table from a DIFFERENT index (other n) would
+      // silently zero the verification intersections. The screens
+      // validate both stamps and fail loudly instead (the BloomJoin /
+      // SortedArrayContains convention).
+      for (t <- Seq(bandTable, shingleTable))
+        corpus.sparkSession.sql(
+          s"ALTER TABLE $t SET TBLPROPERTIES(" +
+            s"'graft.ndindex.n'='$n', 'graft.ndindex.k'='$k', " +
+            s"'graft.ndindex.bands'='$bands')")
     } finally Stage.release(csh)
   }
 
@@ -1644,35 +1647,53 @@ object Dedup {
   def appendNearDupIndex(docs: DataFrame, bandTable: String,
       shingleTable: String, n: Int = 2, k: Int = 64, bands: Int = 16,
       nBuckets: Int = 32, textCol: String = "text"): Unit = {
-    requireIndexParams(docs.sparkSession, bandTable, n, k, bands)
+    requireIndexParams(docs.sparkSession, bandTable, shingleTable,
+      n, k, bands)
     val csh = Stage.barrier(hashedShingleRows(docs, n, textCol))
     try {
+      // SHINGLE table first, bands second — the two appends are not
+      // atomic, and the order decides the failure mode of a crash
+      // between them: orphan shingle rows are inert (candidates come
+      // from the band table; the increment just isn't screened-against
+      // yet, same as before the append), while orphan BAND rows would
+      // produce candidates the verification inner join silently drops —
+      // near-dups of those docs never flagged. A RETRIED append
+      // duplicates rows in both tables, which inflates n_corpus_dups
+      // (the same corpus doc counted per copy) but cannot flip `kept`
+      // (duplicate matches only exist where a match already did); true
+      // idempotence needs a transactional table format underneath.
+      graft.sources.PartitionedStore.appendBucketed(
+        csh, shingleTable, Seq("doc_id"), nBuckets, Seq("doc_id"))
       graft.sources.PartitionedStore.appendBucketed(
         bandRows(minhashSigsOf(csh, k), bands, k),
         bandTable, Seq("band", "key"), nBuckets, Seq("band", "key"))
-      graft.sources.PartitionedStore.appendBucketed(
-        csh, shingleTable, Seq("doc_id"), nBuckets, Seq("doc_id"))
     } finally Stage.release(csh)
   }
 
-  /** Fails loudly when the persisted band index was built with different
-    * banding parameters than the screen is about to probe with (shared
-    * with the streaming dual, EventStream.nearDupAgainstIndex). */
+  /** Fails loudly when either persisted index table was built with
+    * different banding parameters than the caller is about to use
+    * (shared with the streaming dual, EventStream.nearDupAgainstIndex).
+    * BOTH tables are checked: a band table from one index paired with a
+    * shingle table from another (different n) passes every band probe
+    * and then zeroes the verification intersections — true near-dups
+    * silently admitted. */
   private[graft] def requireIndexParams(s: SparkSession, bandTable: String,
-      n: Int, k: Int, bands: Int): Unit = {
-    val props = s.sql(s"SHOW TBLPROPERTIES $bandTable").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val stamped = (props.get("graft.ndindex.n"),
-      props.get("graft.ndindex.k"), props.get("graft.ndindex.bands"))
-    require(stamped == (Some(n.toString), Some(k.toString),
-        Some(bands.toString)),
-      s"near-dup index $bandTable was built with " +
-        s"(n, k, bands) = $stamped but the caller asked for " +
-        s"($n, $k, $bands) — mismatched banding would silently return " +
-        "an empty candidate set on screens (every batch doc kept) or " +
-        "poison the index on appends; rebuild the index or pass the " +
-        "index's parameters")
-  }
+      shingleTable: String, n: Int, k: Int, bands: Int): Unit =
+    for (t <- Seq(bandTable, shingleTable)) {
+      val props = s.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val stamped = (props.get("graft.ndindex.n"),
+        props.get("graft.ndindex.k"), props.get("graft.ndindex.bands"))
+      require(stamped == (Some(n.toString), Some(k.toString),
+          Some(bands.toString)),
+        s"near-dup index table $t was built with " +
+          s"(n, k, bands) = $stamped but the caller asked for " +
+          s"($n, $k, $bands) — mismatched banding would silently return " +
+          "an empty candidate set on screens (every batch doc kept), " +
+          "zero the verification on mixed-index tables, or poison the " +
+          "index on appends; rebuild the index or pass the index's " +
+          "parameters")
+    }
 
   /** The candidate probe against a persisted band index: batch band
     * rows ⋈ `bandTable` on (band, key) — exactly the bucket columns, so
@@ -1698,7 +1719,7 @@ object Dedup {
       bandTable: String, shingleTable: String, n: Int = 2, k: Int = 64,
       bands: Int = 16, numer: Int = 7, denom: Int = 10,
       textCol: String = "text"): DataFrame = {
-    requireIndexParams(s, bandTable, n, k, bands)
+    requireIndexParams(s, bandTable, shingleTable, n, k, bands)
     val bsh = Stage.barrier(hashedShingleRows(batch, n, textCol))
     val cand = nearDupBandProbe(s, bandRows(minhashSigsOf(bsh, k), bands, k),
         bandTable)

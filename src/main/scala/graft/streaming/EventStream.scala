@@ -262,7 +262,8 @@ object EventStream {
       bandTable: String, shingleTable: String, n: Int = 2, k: Int = 64,
       bands: Int = 16, numer: Int = 7, denom: Int = 10,
       textCol: String = "text"): DataFrame = {
-    graft.ops.Dedup.requireIndexParams(s, bandTable, n, k, bands)
+    graft.ops.Dedup.requireIndexParams(s, bandTable, shingleTable,
+      n, k, bands)
     nearDupScreenWith(docs,
       s.table(bandTable).withColumnRenamed("doc_id", "corpus_id"),
       s.table(shingleTable)

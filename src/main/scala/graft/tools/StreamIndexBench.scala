@@ -38,13 +38,19 @@ object StreamIndexBench {
     val base = java.nio.file.Files
       .createTempDirectory("graft_stream_idx").toString
     // nBatches files of ~2k docs each: recrawls (near-dups) and fresh
-    // rewrites, ids offset per batch so batches never collide
-    val mod = math.max(1L, docs.count() / (2000L * nBatches))
+    // rewrites, ids offset per batch so batches never collide. The
+    // near-dup/fresh split keys on floor(doc_id / mod) % 2 — the
+    // INTEGRAL quotient: Spark's `/` is fractional, so a plain
+    // (doc_id / mod) % 2 is nonzero for every residue class but 0 and
+    // would silence the near-dup arm in most batches (review r17; the
+    // first take also sized mod by 2000·nBatches, making each batch
+    // nBatches× the documented size)
+    val mod = math.max(1L, docs.count() / 2000L)
     val land = s"$base/landing"
     (0 until nBatches).foreach { b =>
       docs.filter(col("doc_id") % mod === b % mod)
         .select((col("doc_id") + 1000000L * (b + 1)).as("doc_id"),
-          when((col("doc_id") / mod) % 2 === 0,
+          when(pmod(floor(col("doc_id") / mod).cast("long"), lit(2L)) === 0,
               regexp_replace(col("text"), "^[^ ]* ", ""))
             .otherwise(translate(col("text"), "aeiou", "01234"))
             .as("text"))
@@ -58,24 +64,32 @@ object StreamIndexBench {
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$land/*")
     def run(name: String, df: org.apache.spark.sql.DataFrame)
-        : (Double, Long) = {
+        : (Double, Set[(Long, Long)]) = {
       val t0 = System.nanoTime()
-      val rows = EventStream.runToMemory(df, name, OutputMode.Append)
-        .count()
-      ((System.nanoTime() - t0) / 1e9, rows)
+      val pairs = EventStream.runToMemory(df, name, OutputMode.Append)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((System.nanoTime() - t0) / 1e9, pairs)
     }
-    // warm both plans' codegen on a single tiny batch, untimed
-    run("sib_warm", EventStream.nearDupAgainstIndex(spark,
-      spark.readStream.schema("doc_id LONG, text STRING")
-        .parquet(s"$land/b0"), "sib_bands", "sib_shingles"))
-    val (tIdx, nIdx) = run("sib_idx",
+    // warm BOTH arms' codegen on a single batch, untimed — warming only
+    // one would charge the other's one-time compile (including the very
+    // corpus-chain subplan under measurement) to its timed run
+    def oneBatch() = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$land/b0")
+    run("sib_warm_idx", EventStream.nearDupAgainstIndex(spark,
+      oneBatch(), "sib_bands", "sib_shingles"))
+    run("sib_warm_inl", EventStream.nearDupAgainstCorpus(
+      oneBatch(), corpus))
+    val (tIdx, pIdx) = run("sib_idx",
       EventStream.nearDupAgainstIndex(spark, stream(),
         "sib_bands", "sib_shingles"))
-    val (tInl, nInl) = run("sib_inline",
+    val (tInl, pInl) = run("sib_inline",
       EventStream.nearDupAgainstCorpus(stream(), corpus))
-    require(nIdx == nInl, s"arms diverged: $nIdx vs $nInl pairs")
+    // pair-SET equality, not row counts: a fast-but-differently-wrong
+    // arm must fail the harness, not publish a comparison
+    require(pIdx == pInl, s"arms diverged: only-idx=" +
+      s"${(pIdx -- pInl).take(3)} only-inline=${(pInl -- pIdx).take(3)}")
     println(s"""{"metric":"stream_index","sf":"$sfDir",""" +
-      s""""n_batches":$nBatches,"n_pairs":$nIdx,""" +
+      s""""n_batches":$nBatches,"n_pairs":${pIdx.size},""" +
       f""""indexed_total_sec":$tIdx%.2f,""" +
       f""""indexed_per_batch_sec":${tIdx / nBatches}%.2f,""" +
       f""""inline_total_sec":$tInl%.2f,""" +
