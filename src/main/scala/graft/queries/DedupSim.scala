@@ -1314,12 +1314,20 @@ object DedupSim {
       s"(SELECT sha256(lower(text)) FROM $corpus))"
 
   // the shared chain's shs/sig/band CTEs are each referenced twice
-  // (hx + verify; sig + band) — materialize them too
+  // (hx + verify; sig + band) — materialize them too. Each replace must
+  // actually FIRE: if duckNearDupChain's generated formatting drifted,
+  // a silent no-op here would reopen the measured minutes-long CTE
+  // re-expansion cliff with zero signal (ADVICE r17).
   private def duckMatChain(docsCte: String, p: String): String =
-    duckNearDupChain(docsCte, p)
-      .replace(s"${p}shs AS (", s"${p}shs AS MATERIALIZED (")
-      .replace(s"${p}sig AS (", s"${p}sig AS MATERIALIZED (")
-      .replace(s"${p}band AS (", s"${p}band AS MATERIALIZED (")
+    Seq(s"${p}shs AS (", s"${p}sig AS (", s"${p}band AS (")
+      .foldLeft(duckNearDupChain(docsCte, p)) { (sql, cte) =>
+        val out = sql.replace(cte, cte.dropRight(1) + "MATERIALIZED (")
+        require(out != sql,
+          s"duckMatChain: '$cte' not found in duckNearDupChain output — " +
+            "formatting drifted; the MATERIALIZED patch would silently " +
+            "no-op and re-expand the epoch CTEs")
+        out
+      }
 
   private def duckEpochVerify(pb: String, pc: String, cand: String,
       ver: String) =

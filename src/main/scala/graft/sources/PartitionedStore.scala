@@ -135,6 +135,21 @@ object PartitionedStore {
         s"(${partitionDirs.take(3).mkString(", ")}…) — a flat rewrite " +
         "would silently drop the partition tree; compact each leaf " +
         "partition directory instead")
+    // refuse a BUCKETED table's files too: bucketed layouts are flat
+    // (they pass the partition-dir guard above) but encode the bucket id
+    // in each file name (part-NNNNN-<uuid>_BBBBB.*); a flat rewrite
+    // passes the row-count audit while silently destroying the hash
+    // layout — every later "exchange-free" bucketed join would read
+    // rows from the wrong buckets. Bucketed tables compact through
+    // [[compactBucketed]], which rewrites THROUGH the bucket spec.
+    val bucketed = fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(_.matches("""part-\d+-.*_\d{5}(\..*)?"""))
+    require(bucketed.isEmpty,
+      s"compact($path): bucketed-table files detected " +
+        s"(${bucketed.take(2).mkString(", ")}…) — a flat rewrite would " +
+        "silently destroy the bucket layout while the row-count audit " +
+        "passes; use compactBucketed(spark, table) instead")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L,
       (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
@@ -155,5 +170,83 @@ object PartitionedStore {
         s"swap of compacted files into $path failed")
     fs.delete(retired, true)
     rows
+  }
+
+  /** Bucket-PRESERVING compaction of a bucketed external table — the
+    * maintenance pass the append-per-increment lifecycle needs:
+    * [[appendBucketed]] adds one file per bucket per increment forever,
+    * and [[compact]]'s flat rewrite would destroy the hash layout (it
+    * now refuses). Rewrites the table's data THROUGH its own catalog
+    * bucket spec into ONE file per bucket, with the same
+    * stage–audit–swap discipline as [[compact]]: the staged copy must
+    * hold exactly the expected row count before it replaces the
+    * original, and a crash mid-swap leaves both copies on disk. The
+    * live table's catalog entry (location, bucket spec, TBLPROPERTIES
+    * stamps) is never touched — only its files are swapped — so index
+    * parameter stamps survive by construction and later joins still
+    * read `Bucketed: true` with zero table-side exchanges.
+    *
+    * `dedupRows = true` additionally collapses EXACT duplicate rows —
+    * what a blindly retried [[graft.ops.Dedup.appendNearDupIndex]]
+    * leaves behind (verdict-invariant at screen time; reclaimed here).
+    * The audit then checks distinct-row parity instead.
+    *
+    * Scale shape: one shuffle of the table onto its own bucket hash
+    * (`repartition(n, bucketCols)` uses the same pmod(murmur3, n) as
+    * the bucketed write, so each task holds exactly one bucket and
+    * writes exactly one file), one count per side for the audit, two
+    * directory renames. Run it when files-per-bucket makes probe scans
+    * merge-heavy — BENCH_NOTES carries the measured knee. */
+  def compactBucketed(spark: SparkSession, table: String,
+      dedupRows: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.col
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"compactBucketed($table): table has no bucket spec — flat parquet " +
+        "compacts with compact(path)"))
+    val path = new Path(meta.location)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // read the FILES, not the table: a table-scan source reports the
+    // bucket hash as its output partitioning, which lets the planner
+    // elide the aligned repartition below — and then (auto-disabled
+    // bucketed scan) write from however many read tasks the file
+    // coalescer picked, one file per bucket EACH. The path read has no
+    // claimed partitioning, so the repartition is physical and each
+    // write task holds exactly one bucket.
+    val raw = spark.read.schema(spark.table(table).schema)
+      .parquet(path.toString)
+    val base = if (dedupRows) raw.distinct() else raw
+    val expected = base.count()
+    val df = base.repartition(spec.numBuckets,
+      spec.bucketColumnNames.map(col): _*)
+    val staging = table + "__compacting"
+    val stagingPath = path.toString + ".compacted"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    fs.delete(new Path(stagingPath), true)
+    writeBucketed(df, staging, stagingPath, spec.bucketColumnNames,
+      spec.numBuckets, spec.sortColumnNames)
+    val got = spark.table(staging).count()
+    if (got != expected) {
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      fs.delete(new Path(stagingPath), true)
+      throw new Publish.AuditFailedException(
+        s"compactBucketed($table): staged copy holds $got rows, " +
+          s"expected $expected — original untouched")
+    }
+    // swap: original steps aside first, so a crash mid-swap leaves BOTH
+    // copies on disk (recoverable), never neither
+    val retired = new Path(path.toString + ".old")
+    fs.delete(retired, true)
+    if (!fs.rename(path, retired) ||
+        !fs.rename(new Path(stagingPath), path))
+      throw new Publish.AuditFailedException(
+        s"compactBucketed($table): swap into $path failed")
+    fs.delete(retired, true)
+    // external drop is metadata-only; the staged files now ARE the
+    // live table's files, so only the staging catalog entry goes
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.catalog.refreshTable(table)
+    expected
   }
 }

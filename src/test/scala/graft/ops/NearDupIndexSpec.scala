@@ -8,9 +8,15 @@ import graft.SparkSpec
   * incrementalNearDedupFrom): the corpus's band rows and shingle sets
   * live in bucketed external tables every later increment reads IN
   * PLACE — asserted on the PLAN (one-exchange band probe, bucketed
-  * scans) and on the ROWS (identical verdicts to the inline recompute
-  * screen). */
+  * scans, bucket-PRUNED scans for the small-probe screen) and on the
+  * ROWS (identical verdicts to the inline recompute screen, across the
+  * whole lifecycle: build → append → retried append → compaction). */
 class NearDupIndexSpec extends SparkSpec {
+
+  private def verdicts(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Boolean)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
 
   test("band probe reads the index in place; screen equals the recompute") {
     import spark.implicits._
@@ -27,13 +33,13 @@ class NearDupIndexSpec extends SparkSpec {
         "nd_shingles_t", s"$dir/shingles")
 
       // plan shape: a leaf batch-band relation probing the band table —
-      // ONE exchange (the batch side onto the (band, key) layout); the
-      // index side scans its buckets in place at any corpus size
-      // key is the STRING band sub-signature (bandKeyCols' concat_ws) —
+      // ONE exchange (the batch side onto the fused-bkey layout); the
+      // index side scans its buckets in place at any corpus size.
+      // bkey is the STRING "band_subsignature" fusion (Dedup.withBkey) —
       // a mistyped leaf would cast the table column and silently
       // disable bucket reuse, which is exactly what this pins against
-      val batchBands = Seq((1L, 0, "42_7"), (2L, 3, "99_1"))
-        .toDF("doc_id", "band", "key")
+      val batchBands = Seq((1L, "0_42_7"), (2L, "3_99_1"))
+        .toDF("doc_id", "bkey")
       val probe = Dedup.nearDupBandProbe(spark, batchBands, "nd_bands_t")
       assert(nShuffles(probe) == 1,
         probe.queryExecution.executedPlan.toString)
@@ -56,18 +62,25 @@ class NearDupIndexSpec extends SparkSpec {
       // same definition q_incremental_neardup{,_prod} run, so this
       // assertion covers exactly the oracle-shared rows
       val batch = graft.queries.DedupSim.recrawlBatch(corpus)
-      val prod = Dedup.incrementalNearDedupFrom(spark, batch,
-          "nd_bands_t", "nd_shingles_t")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-        .toSet
-      val inline = Dedup.incrementalNearDedup(batch, corpus)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-        .toSet
+      val prod = verdicts(Dedup.incrementalNearDedupFrom(spark, batch,
+        "nd_bands_t", "nd_shingles_t"))
+      val inline = verdicts(Dedup.incrementalNearDedup(batch, corpus))
       assert(prod == inline,
         s"index/recompute diverged: only-prod=${(prod -- inline).take(5)} " +
           s"only-inline=${(inline -- prod).take(5)}")
       assert(prod.exists(_._3) && prod.exists(!_._3),
         "fixture must exercise both verdicts")
+
+      // the PRUNED small-probe screen: identical verdicts, and BOTH
+      // index scans carry a pruned bucket set — the plan marker that
+      // per-trigger I/O is candidate-proportional, not
+      // corpus-proportional (VERDICT r17 #2)
+      val pruned = Dedup.incrementalNearDedupPruned(spark, batch,
+        "nd_bands_t", "nd_shingles_t")
+      assert(verdicts(pruned) == prod, "pruned screen diverged")
+      val prunedPlan = pruned.queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("SelectedBucketsCount"),
+        s"pruned screen must bucket-prune its index scans:\n$prunedPlan")
 
       // banding-parameter mismatch fails LOUDLY: a screen probed with
       // different (n, k, bands) than the index was built with would
@@ -89,16 +102,62 @@ class NearDupIndexSpec extends SparkSpec {
         "nd_bands_a", s"$dir2/bands", "nd_shingles_a", s"$dir2/shingles")
       Dedup.appendNearDupIndex(corpus.filter(col("doc_id") % 2 === 1),
         "nd_bands_a", "nd_shingles_a")
-      val appended = Dedup.incrementalNearDedupFrom(spark, batch,
-          "nd_bands_a", "nd_shingles_a")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-        .toSet
+      assert(Dedup.reconcileNearDupIndex(spark, "nd_bands_a",
+        "nd_shingles_a").isEmpty, "clean append must reconcile empty")
+      val appended = verdicts(Dedup.incrementalNearDedupFrom(spark, batch,
+        "nd_bands_a", "nd_shingles_a"))
       assert(appended == prod, "appended index diverged from whole-build")
       val probe2 = Dedup.nearDupBandProbe(spark, batchBands, "nd_bands_a")
       assert(nShuffles(probe2) == 1 &&
         probe2.queryExecution.executedPlan.toString
           .contains("Bucketed: true"),
         "appended index must still read in place")
+
+      // a blindly RETRIED append (crash-after-commit, redelivered
+      // increment) duplicates rows in both tables — and changes NO
+      // verdict: the candidate set distincts and n_corpus_dups counts
+      // DISTINCT corpus docs (VERDICT r17 #1: retried append leaves
+      // n_corpus_dups unchanged)
+      Dedup.appendNearDupIndex(corpus.filter(col("doc_id") % 2 === 1),
+        "nd_bands_a", "nd_shingles_a")
+      assert(verdicts(Dedup.incrementalNearDedupFrom(spark, batch,
+        "nd_bands_a", "nd_shingles_a")) == prod,
+        "retried append changed verdicts")
+
+      // bucket-preserving COMPACTION of the appended+retried index:
+      // dedupRows reclaims the retry's duplicate rows, the parameter
+      // stamps survive (catalog entry untouched), the probe still
+      // reads a bucketed layout in place, and the screen verdicts are
+      // unchanged (VERDICT r17 #1 done-criteria)
+      for (t <- Seq("nd_bands_a", "nd_shingles_a"))
+        graft.sources.PartitionedStore.compactBucketed(spark, t,
+          dedupRows = true)
+      val probe3 = Dedup.nearDupBandProbe(spark, batchBands, "nd_bands_a")
+      assert(nShuffles(probe3) == 1 &&
+        probe3.queryExecution.executedPlan.toString
+          .contains("Bucketed: true"),
+        "compacted index must still read in place")
+      assert(verdicts(Dedup.incrementalNearDedupFrom(spark, batch,
+        "nd_bands_a", "nd_shingles_a")) == prod,
+        "compacted index diverged")
+      // compaction restored the build-state row counts (dup rows gone)
+      assert(spark.table("nd_bands_a").count() ==
+        spark.table("nd_bands_t").count(), "band dup rows not reclaimed")
+      assert(spark.table("nd_shingles_a").count() ==
+        spark.table("nd_shingles_t").count(),
+        "shingle dup rows not reclaimed")
+
+      // a TORN append (crash between the two table appends) surfaces in
+      // the reconcile check as missing_from='band' — the inert,
+      // shingles-first crash state (ADVICE r17: previously silent)
+      graft.sources.PartitionedStore.appendBucketed(
+        Seq((777777L, Array(1L, 2L, 3L))).toDF("doc_id", "sh"),
+        "nd_shingles_a", Seq("doc_id"), 32, Seq("doc_id"))
+      val torn = Dedup.reconcileNearDupIndex(spark, "nd_bands_a",
+          "nd_shingles_a")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(torn.toSeq == Seq((777777L, "band")), torn.mkString(","))
+
       // appending with mismatched banding is refused BEFORE any write
       val e2 = intercept[IllegalArgumentException] {
         Dedup.appendNearDupIndex(corpus, "nd_bands_a", "nd_shingles_a",

@@ -87,6 +87,89 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$path.old").exists())
   }
 
+  test("compact refuses a bucketed layout instead of destroying it") {
+    import spark.implicits._
+    // a bucketed table's directory passes the partition-dir guard (flat
+    // layout) but its files encode bucket ids; a flat rewrite would
+    // pass the row-count audit while silently scrambling every later
+    // "exchange-free" join — compact must refuse and point at
+    // compactBucketed (VERDICT r17 #7)
+    val base = Files.createTempDirectory("graft_cbkt_refuse").toString
+    val df = (1L to 100L).map(i => (i, s"v_$i")).toDF("id", "v")
+    try {
+      PartitionedStore.writeBucketed(df, "bkt_refuse", s"$base/t",
+        "id", 4, Seq("id"))
+      val e = intercept[IllegalArgumentException] {
+        PartitionedStore.compact(spark, s"$base/t")
+      }
+      assert(e.getMessage.contains("compactBucketed"), e.getMessage)
+      // and the data is untouched
+      assert(spark.table("bkt_refuse").count() == 100L)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_refuse")
+  }
+
+  test("compactBucketed: appended buckets merge to one file each, " +
+      "layout + stamps + rows survive") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cbkt").toString
+    val path = s"$base/t"
+    val mk = (r: Range) => r.map(i => (i.toLong, s"v_$i")).toDF("id", "v")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      PartitionedStore.writeBucketed(mk(1 to 200), "bkt_cpt", path,
+        "id", 4, Seq("id"))
+      spark.sql("ALTER TABLE bkt_cpt SET TBLPROPERTIES(" +
+        "'graft.test.stamp'='keepme')")
+      // 8 increments — files-per-bucket grows one per append
+      (1 to 8).foreach { a =>
+        PartitionedStore.appendBucketed(mk(200 * a + 1 to 200 * (a + 1)),
+          "bkt_cpt", Seq("id"), 4, Seq("id"))
+      }
+      def files = new java.io.File(path).listFiles()
+        .count(_.getName.startsWith("part-"))
+      // ≥ one file per (write, bucket-with-rows); exact count depends on
+      // how many tasks each local write ran — the claim under test is
+      // only that appends GROW the file set and compaction collapses it
+      assert(files >= 9, s"expected at least one file per write, got $files")
+      val before = spark.table("bkt_cpt").as[(Long, String)].collect().toSet
+
+      val rows = PartitionedStore.compactBucketed(spark, "bkt_cpt")
+      assert(rows == 1800L)
+      assert(files == 4, s"expected one file per bucket, got $files")
+      // rows identical, stamp survived (catalog entry never touched)
+      assert(spark.table("bkt_cpt").as[(Long, String)].collect().toSet
+        == before)
+      val props = spark.sql("SHOW TBLPROPERTIES bkt_cpt").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.test.stamp").contains("keepme"), props)
+      // and the compacted table still joins exchange-free on its bucket
+      // column — the layout genuinely survived, not just the file count
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Seq((5L, "x")).toDF("id", "p")
+        .join(spark.table("bkt_cpt"), Seq("id"))
+      assert(nShuffles(probe) == 1,
+        probe.queryExecution.executedPlan.toString)
+      assert(probe.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"), "compacted table must read buckets")
+      // no shadow copies linger
+      assert(!new java.io.File(s"$path.old").exists())
+      assert(!new java.io.File(s"$path.compacted").exists())
+
+      // dedupRows reclaims a blindly RETRIED append's duplicate rows
+      PartitionedStore.appendBucketed(mk(2001 to 2100), "bkt_cpt",
+        Seq("id"), 4, Seq("id"))
+      PartitionedStore.appendBucketed(mk(2001 to 2100), "bkt_cpt",
+        Seq("id"), 4, Seq("id")) // the retry
+      assert(spark.table("bkt_cpt").count() == 2000L)
+      val deduped = PartitionedStore.compactBucketed(spark, "bkt_cpt",
+        dedupRows = true)
+      assert(deduped == 1900L && spark.table("bkt_cpt").count() == 1900L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_cpt")
+    }
+  }
+
   test("co-bucketed tables join with zero exchanges") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     assert(warehouse.nonEmpty)

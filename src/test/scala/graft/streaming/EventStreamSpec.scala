@@ -235,6 +235,19 @@ class EventStreamSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(viaIndex == gotPairs.sorted.toSeq,
         s"index dual diverged from inline dual")
+      // the foreachBatch PRUNED dual screens the same stream to the
+      // same pair set — per-trigger index reads bucket-pruned to the
+      // micro-batch's candidate buckets instead of scanning the corpus
+      // tables whole (VERDICT r17 #2); sink-shaped, so matches
+      // accumulate through the sink callback
+      val acc = scala.collection.mutable.Set[(Long, Long)]()
+      val q = EventStream.nearDupIndexEachBatch(spark, stream,
+        "nd_stream_bands", "nd_stream_shingles") { (m, _) =>
+          acc ++= m.collect().map(r => (r.getLong(0), r.getLong(1)))
+        }.start()
+      q.processAllAvailable(); q.stop()
+      assert(acc.toSeq.sorted == gotPairs.sorted.toSeq,
+        "pruned foreachBatch dual diverged from inline dual")
       // mismatched banding fails loudly, as in the batch screen
       val e = intercept[IllegalArgumentException] {
         EventStream.nearDupAgainstIndex(spark, stream,
