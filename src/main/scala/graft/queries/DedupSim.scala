@@ -620,6 +620,108 @@ object DedupSim {
       .select(col("doc_id"), col("_k").isNotNull.as("kept_exact"))
   }
 
+  // the epoch chain's near-dup index lifecycle artifacts: ONE index,
+  // built on the base corpus, epoch-1 verdicts screened against it,
+  // epoch-1 publishes APPENDED, epoch-2 verdicts screened against the
+  // refreshed tables — run once per (session, dir). The per-epoch
+  // verdicts are MATERIALIZED (write–audit–publish) because the index
+  // mutates at the epoch boundary: re-running epoch 1's screen against
+  // the appended index would match its own publishes — in production,
+  // too, an epoch's verdicts are an immutable artifact of the index
+  // state they were screened against, not a recomputable view.
+  private val epochNdCache =
+    new graft.ops.SessionScoped[(String, String, String, String)]
+
+  /** Builds/screens/appends the epoch near-dup index chain once;
+    * returns (bandTable, shingleTable, near1Path, near2Path). */
+  private[graft] def epochNdArtifacts(s: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    import graft.ops.Stage
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val (l1, p1, l2, _) = epochArtifacts(s, dir)
+    epochNdCache.getOrCompute(s, dir) {
+      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
+      val base = s"/tmp/graft_epochnd/$suffix"
+      val (bt, st) = (s"graft_bkt_epochnd_bands_$suffix",
+        s"graft_bkt_epochnd_shingles_$suffix")
+      Dedup.buildNearDupIndex(docs, bt, s"$base/bands",
+        st, s"$base/shingles")
+      // an epoch's near-screen input is its exact-surviving landed docs
+      // (the same relation epochPublish screens inline)
+      def survivorsOf(landPath: String, corpus: DataFrame): DataFrame = {
+        val landed = Stage.barrier(
+          graft.sources.JsonlStore.readJsonl(s, landPath, epochSchema))
+        val (_, screened, exactKept) = epochScreenOf(landed, corpus)
+        screened.join(exactKept, Seq("doc_id"), "left_semi")
+      }
+      def publishVerdicts(sv: DataFrame, path: String): Unit = {
+        val svb = Stage.barrier(sv)
+        val expected = svb.count()
+        graft.sources.Publish.parquet(
+          Dedup.incrementalNearDedupFrom(s, svb, bt, st), path,
+          audit = _.count() == expected)
+      }
+      val near1 = s"$base/near1"
+      publishVerdicts(survivorsOf(l1, docs), near1)
+      // the epoch boundary: the ONE index is refreshed by appending
+      // epoch 1's publishes; epoch 2 screens the appended tables in
+      // place — no rebuild, no per-epoch corpus chain re-derivation
+      val pub1 = graft.sources.Publish.readPublished(s, p1)
+        .select(col("doc_id"), col("text"))
+      Dedup.appendNearDupIndex(pub1, bt, st)
+      val near2 = s"$base/near2"
+      publishVerdicts(survivorsOf(l2, docs.unionByName(pub1)), near2)
+      (bt, st, near1, near2)
+    }
+  }
+
+  /** [[epochRefresh]] with its near-dup screens wired through the
+    * PERSISTED index lifecycle (VERDICT r17 #4 — the steady-state
+    * pipeline, where the epoch story and the index story compose):
+    * epoch 1 screens against the index BUILT on the base corpus, the
+    * epoch-1 publishes are APPENDED to that same index
+    * ([[graft.ops.Dedup.appendNearDupIndex]]), and epoch 2 screens the
+    * refreshed tables IN PLACE — the corpus-side chain is derived
+    * exactly once per corpus state, instead of once per epoch as in
+    * the inline [[epochRefresh]]. Output is row-identical ((epoch,
+    * doc_id, status, split) per landed doc — EpochProdSpec pins it
+    * against [[epochRefresh]]) and shares q_epoch_refresh's DuckDB
+    * oracle verbatim, so a drifted append or a lossy index round-trip
+    * hash-mismatches cross-engine. Splits are [[graft.ops.TextAnalysis
+    * .splitAssign]] on published rows — the same deterministic rule the
+    * publish path stamps into the store. */
+  def epochRefreshIdx(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Stage
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    val (l1, p1, l2, _) = epochArtifacts(s, dir)
+    val (_, _, near1, near2) = epochNdArtifacts(s, dir)
+    val pub1 = graft.sources.Publish.readPublished(s, p1)
+      .select(col("doc_id"), col("text"))
+    def statusOf(epoch: Int, landPath: String, corpus: DataFrame,
+        nearPath: String): DataFrame = {
+      val landed = Stage.barrier(
+        graft.sources.JsonlStore.readJsonl(s, landPath, epochSchema))
+      val (passed, _, exactKept) = epochScreenOf(landed, corpus)
+      val nearKept = graft.sources.Publish.readPublished(s, nearPath)
+        .filter(col("kept")).select(col("doc_id"))
+      landed.select(col("doc_id"))
+        .join(passed.withColumn("_s", lit(true)), Seq("doc_id"), "left")
+        .join(exactKept.withColumn("_e", lit(true)), Seq("doc_id"), "left")
+        .join(nearKept.withColumn("_p", lit(true)), Seq("doc_id"), "left")
+        .select(lit(epoch.toLong).as("epoch"), col("doc_id"),
+          when(col("_s").isNull, lit("screened"))
+            .when(col("_e").isNull, lit("dup_exact"))
+            .when(col("_p").isNull, lit("dup_near"))
+            .otherwise(lit("published")).as("status"),
+          when(col("_s").isNotNull && col("_e").isNotNull &&
+              col("_p").isNotNull,
+            graft.ops.TextAnalysis.splitAssign(col("doc_id")))
+            .as("split"))
+    }
+    statusOf(1, l1, docs, near1)
+      .unionByName(statusOf(2, l2, docs.unionByName(pub1), near2))
+  }
+
   /** Per-vector int8 scalar quantization of the embedding table. */
   def quantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables(s, dir).embeddings)
@@ -728,6 +830,7 @@ object DedupSim {
     "q_landing_pipeline" -> landingPipeline,
     "q_epoch_refresh" -> epochRefresh,
     "q_epoch_refresh_prod" -> epochRefreshProd,
+    "q_epoch_refresh_idx" -> epochRefreshIdx,
     "q_incremental_neardup_prod" -> incrementalNearDupProd,
   )
 
@@ -1111,6 +1214,10 @@ object DedupSim {
     "q_landing_pipeline" -> duckLandingPipelineSql,
     "q_epoch_refresh" -> duckEpochRefreshSql,
     "q_epoch_refresh_prod" -> duckEpochRefreshProdSql,
+    // the index-composed chain must be row-identical to the inline one
+    // (same statuses, same splits), so it shares the oracle verbatim —
+    // a drifted append or lossy index round-trip hash-mismatches here
+    "q_epoch_refresh_idx" -> duckEpochRefreshSql,
   )
 
   /** Ivf.clusterStats replayed: the same static-centroid argmin (fixed

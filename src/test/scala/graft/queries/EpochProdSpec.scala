@@ -60,4 +60,43 @@ class EpochProdSpec extends SparkSpec {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
     }
   }
+
+  test("epoch chain composed with the near-dup index matches the inline " +
+      "chain") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    spark.conf.set("spark.sql.shuffle.partitions", 32)
+    try {
+      // row identity across BOTH epochs: build-on-base → screen →
+      // append-publishes → screen must reproduce the inline
+      // per-epoch corpus recompute exactly (same statuses, same splits)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2), Option(r.getString(3)))).toSet
+      val idx = rows(DedupSim.epochRefreshIdx(spark, sf))
+      val inline = rows(DedupSim.epochRefresh(spark, sf))
+      assert(idx == inline,
+        s"idx/inline diverged: only-idx=${(idx -- inline).take(5)} " +
+          s"only-inline=${(inline -- idx).take(5)}")
+      // the fixture exercises every status in both epochs' unions
+      assert(idx.map(_._3) ==
+        Set("screened", "dup_exact", "dup_near", "published"))
+
+      // and the screens really read the index: the appended band table
+      // probes in place (batch-side-only exchange, bucketed scan)
+      import spark.implicits._
+      val (bt, _, _, _) = DedupSim.epochNdArtifacts(spark, sf)
+      val batchBands = Seq((1L, "0_42_7")).toDF("doc_id", "bkey")
+      val probe = graft.ops.Dedup.nearDupBandProbe(spark, batchBands, bt)
+      assert(nShuffles(probe) == 1,
+        probe.queryExecution.executedPlan.toString)
+      assert(probe.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"),
+        "epoch index must read its buckets in place")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+    }
+  }
 }
