@@ -1818,12 +1818,43 @@ object Dedup {
     * purely an I/O bound (the joins re-apply the same equality), so
     * the rows are identical to the unpruned screen by construction.
     *
-    * Railed at `maxLits` literals per side: past that the probe is not
-    * "small" (driver collect + expression size would bite) and the
-    * unfiltered in-place scan of [[incrementalNearDedupFrom]] is the
-    * right plan anyway — the fallback keeps the operator total, never
-    * wrong, like the LSH bucket rail. The two collects are the
-    * operator's only driver-side steps, both bounded by the rail. */
+    * Railed at `maxLits` literals per side, and the default is LOW
+    * (2048) for a MEASURED reason: Spark's bucket pruning
+    * (genBucketSet) evaluates the bucket-id expression INTERPRETED,
+    * per set element, at physical planning — ~0.2 ms per value on this
+    * box (a 78k-key probe spent 15.6 s planning the very scan it
+    * pruned; the same filter on a spec-less path read plans in 0.02 s,
+    * and the filter itself is InSet — ONE node — so the cost is all
+    * genBucketSet). 2048 keys ≈ 0.4 s planning ≈ a 128-doc trigger at
+    * bands = 16 — exactly the trickle-probe regime where file pruning
+    * wins; past the rail the unfiltered in-place scan of
+    * [[incrementalNearDedupFrom]] is the right plan anyway, so the
+    * fallback keeps the operator total, never wrong, like the LSH
+    * bucket rail. The two collects are the operator's only driver-side
+    * steps, both bounded by the rail. */
+  /** Set-membership filter built DIRECTLY as Catalyst's `InSet` — ONE
+    * expression node carrying the set — instead of `Column.isin`, whose
+    * `In` holds one Literal CHILD per value: every analyzer/optimizer
+    * pass walks all of them, measured at ~0.5 ms per literal — a
+    * micro-batch's 80k band keys made planning the pruned screen 25×
+    * slower than the full scan it was saving. InSet is what OptimizeIn
+    * folds In into anyway; building it up front keeps planning O(1) in
+    * the key count, and both bucket pruning (genBucketSet) and the
+    * parquet pushdown translate InSet the same as In. Values are
+    * converted to their INTERNAL forms (UTF8String for strings) —
+    * InSet compares against internal row values. */
+  private[graft] def inSetCol(c: Column, values: Iterable[Any]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    if (values.isEmpty) lit(false)
+    else Bridge.column(org.apache.spark.sql.catalyst.expressions.InSet(
+      Bridge.expression(c),
+      values.map {
+        case s: String =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case v => v
+      }.toSet))
+  }
+
   private def prunedIndexSides(s: SparkSession, bsh: DataFrame,
       bandTable: String, shingleTable: String, k: Int, bands: Int,
       maxLits: Int): (DataFrame, DataFrame) = {
@@ -1834,7 +1865,7 @@ object Dedup {
       .limit(maxLits + 1).collect().map(_.getString(0)).toSeq
     val bandSide =
       if (keys.size > maxLits) s.table(bandTable)
-      else s.table(bandTable).filter(col("bkey").isin(keys: _*))
+      else s.table(bandTable).filter(inSetCol(col("bkey"), keys))
     val cand = Stage.barrier(
       bbands.join(bandSide.select(col("bkey"),
           col("doc_id").as("corpus_id")), Seq("bkey"))
@@ -1843,7 +1874,7 @@ object Dedup {
       .limit(maxLits + 1).collect().map(_.get(0)).toSeq
     val shingleSide =
       if (cids.size > maxLits) s.table(shingleTable)
-      else s.table(shingleTable).filter(col("doc_id").isin(cids: _*))
+      else s.table(shingleTable).filter(inSetCol(col("doc_id"), cids))
     (cand, shingleSide.select(col("doc_id").as("corpus_id"),
       col("sh").as("sh_c")))
   }
@@ -1857,7 +1888,7 @@ object Dedup {
   def incrementalNearDedupPruned(s: SparkSession, batch: DataFrame,
       bandTable: String, shingleTable: String, n: Int = 2, k: Int = 64,
       bands: Int = 16, numer: Int = 7, denom: Int = 10,
-      textCol: String = "text", maxLits: Int = 100000): DataFrame = {
+      textCol: String = "text", maxLits: Int = 2048): DataFrame = {
     requireIndexParams(s, bandTable, shingleTable, n, k, bands)
     val bsh = Stage.barrier(hashedShingleRows(batch, n, textCol))
     val (cand, csh) = prunedIndexSides(s, bsh, bandTable, shingleTable,
@@ -1874,7 +1905,7 @@ object Dedup {
       batch: DataFrame, bandTable: String, shingleTable: String,
       n: Int = 2, k: Int = 64, bands: Int = 16, numer: Int = 7,
       denom: Int = 10, textCol: String = "text",
-      maxLits: Int = 100000): DataFrame = {
+      maxLits: Int = 2048): DataFrame = {
     requireIndexParams(s, bandTable, shingleTable, n, k, bands)
     val bsh = Stage.barrier(hashedShingleRows(batch, n, textCol))
     val (cand, csh) = prunedIndexSides(s, bsh, bandTable, shingleTable,

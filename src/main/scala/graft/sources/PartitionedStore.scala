@@ -34,13 +34,33 @@ object PartitionedStore {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Aligns `df`'s partitioning with the table's bucket hash before a
+    * bucketed write: `repartition(n, cols)` and the bucket id share the
+    * SAME pmod(murmur3, n) formula, so each write task holds exactly
+    * one bucket and writes exactly ONE file. Without it a bucketed
+    * write emits one file per (task, bucket-present) pair — up to
+    * tasks×buckets small files PER WRITE, which is what makes an
+    * append-per-increment table scan-merge-heavy long before any
+    * compaction could run. The input must not itself be a bucketed
+    * TABLE SCAN on the same keys (the planner would elide the
+    * repartition as already-satisfied and the alignment silently
+    * vanishes — compactBucketed reads files by path for this reason);
+    * every in-repo caller writes derived frames, where the repartition
+    * is always physical. */
+  private def alignBuckets(df: DataFrame, bucketCols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(nBuckets, bucketCols.map(col): _*)
+  }
+
   /** Write `df` as a bucketed (and in-bucket sorted) managed table. Spark
     * records bucketing in the catalog, so later equi-joins/aggregations on
     * `bucketCol` across tables with the SAME bucket count skip their
     * exchanges (and with the sort, their sorts). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    alignBuckets(df, Seq(bucketCol), nBuckets)
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
@@ -70,7 +90,8 @@ object PartitionedStore {
     * Spark only reuses bucketing when the join's clustering matches. */
   def writeBucketed(df: DataFrame, table: String, path: String,
       bucketCols: Seq[String], nBuckets: Int, sortCols: Seq[String]): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = alignBuckets(df, bucketCols, nBuckets)
+      .write.mode(SaveMode.Overwrite)
       .format("parquet").option("path", path)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
@@ -87,7 +108,8 @@ object PartitionedStore {
   def appendBucketed(df: DataFrame, table: String,
       bucketCols: Seq[String], nBuckets: Int,
       sortCols: Seq[String]): Unit = {
-    val w = df.write.mode(SaveMode.Append)
+    val w = alignBuckets(df, bucketCols, nBuckets)
+      .write.mode(SaveMode.Append)
       .format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)

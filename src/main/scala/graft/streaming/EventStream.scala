@@ -295,7 +295,7 @@ object EventStream {
   def nearDupIndexEachBatch(s: SparkSession, docs: DataFrame,
       bandTable: String, shingleTable: String, n: Int = 2, k: Int = 64,
       bands: Int = 16, numer: Int = 7, denom: Int = 10,
-      textCol: String = "text", maxLits: Int = 100000)
+      textCol: String = "text", maxLits: Int = 2048)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =

@@ -83,11 +83,78 @@ object NearDupIndexBench {
       spark, batch, bt, st).filter(col("kept")).count())
     val tInline = arm(graft.ops.Dedup.incrementalNearDedup(
       batch, docs).filter(col("kept")).count())
+    // the PRUNED screen's regime is the TRICKLE probe (its literal rail
+    // caps at ~128 docs × 16 bands — genBucketSet planning costs
+    // ~0.2 ms/value, see the operator's scaladoc); the 5000-doc batch
+    // above would just rail-fall-back to the tIndex plan. Compare all
+    // three plans on the same ~100-doc trickle.
+    val trickle = batch.orderBy(col("doc_id")).limit(100)
+    val tTrkPruned = arm(graft.ops.Dedup.incrementalNearDedupPruned(
+      spark, trickle, bt, st).filter(col("kept")).count())
+    val tTrkIndex = arm(graft.ops.Dedup.incrementalNearDedupFrom(
+      spark, trickle, bt, st).filter(col("kept")).count())
+    val tTrkInline = arm(graft.ops.Dedup.incrementalNearDedup(
+      trickle, docs).filter(col("kept")).count())
+
+    // the MAINTAINED-index arm (VERDICT r17 #1 done-criteria): ~32
+    // append increments grow every bucket's file set, then the
+    // bucket-preserving compaction collapses it back — screen latency
+    // is measured at both states. The filler increments carry FRESH
+    // ids and consonant-substituted text so they add no matches for
+    // the measurement batch: the screen's work delta is the file
+    // layout, not a changed candidate set.
+    val nAppends = 32
+    // residue mod-1 (not 1): at sf0.1 the fixed-size batch makes
+    // mod == 1, where residue 1 selects NOTHING and the whole
+    // maintenance measurement would silently run on empty appends;
+    // slicing by doc-id RANGE (not % nAppends) keeps every slice
+    // non-empty regardless of the ids' residue structure
+    val filler = docs.filter(col("doc_id") % mod === mod - 1)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        translate(col("text"), "etaoins", "3740195").as("text"))
+      .cache()
+    val nFiller = filler.count()
+    require(nFiller >= nAppends,
+      s"filler degenerated to $nFiller docs — maintenance arms vacuous")
+    val ids = filler.select(min(col("doc_id")), max(col("doc_id")))
+      .head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val step = (hi - lo) / nAppends + 1
+    val tAppends = time {
+      (0 until nAppends).foreach { i =>
+        graft.ops.Dedup.appendNearDupIndex(
+          filler.filter(col("doc_id") >= lo + i * step &&
+            col("doc_id") < lo + (i + 1) * step), bt, st)
+      }; nFiller
+    }._1
+    def bandFiles = new java.io.File(s"$base/bands").listFiles()
+      .count(_.getName.startsWith("part-"))
+    val filesBefore = bandFiles
+    val tAfterAppends = arm(graft.ops.Dedup.incrementalNearDedupFrom(
+      spark, batch, bt, st).filter(col("kept")).count())
+    val tCompact = time {
+      graft.sources.PartitionedStore.compactBucketed(spark, bt) +
+        graft.sources.PartitionedStore.compactBucketed(spark, st)
+    }._1
+    val filesAfter = bandFiles
+    val tCompacted = arm(graft.ops.Dedup.incrementalNearDedupFrom(
+      spark, batch, bt, st).filter(col("kept")).count())
+
     def fmt(ts: Seq[Double]) = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
     println(s"""{"metric":"neardup_index","sf":"$sfDir","reps":$reps,""" +
       f""""index_build_sec":$tBuild%.2f,""" +
       s""""screen_indexed_sec":${fmt(tIndex)},""" +
-      s""""screen_inline_sec":${fmt(tInline)}}""")
+      s""""screen_inline_sec":${fmt(tInline)},""" +
+      s""""trickle_pruned_sec":${fmt(tTrkPruned)},""" +
+      s""""trickle_indexed_sec":${fmt(tTrkIndex)},""" +
+      s""""trickle_inline_sec":${fmt(tTrkInline)},""" +
+      f""""appends":$nAppends,"n_filler":$nFiller,""" +
+      f""""appends_sec":$tAppends%.2f,""" +
+      s""""band_files_pre_compact":$filesBefore,""" +
+      s""""screen_after_appends_sec":${fmt(tAfterAppends)},""" +
+      f""""compact_sec":$tCompact%.2f,""" +
+      s""""band_files_post_compact":$filesAfter,""" +
+      s""""screen_compacted_sec":${fmt(tCompacted)}}""")
     spark.stop()
   }
 }

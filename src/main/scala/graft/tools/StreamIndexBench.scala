@@ -16,12 +16,17 @@ import org.apache.spark.sql.streaming.OutputMode
   * total wall + per-batch average. Both arms emit identical pair sets
   * (asserted — a fast-but-wrong arm would be meaningless).
   *
-  * Usage: StreamIndexBench [sfDir] [nBatches]  (defaults: target/sf1, 4)
+  * Usage: StreamIndexBench [sfDir] [nBatches] [docsPerBatch]
+  * (defaults: target/sf1, 4, 2000). docsPerBatch ≤ ~125 is the pruned
+  * foreachBatch dual's regime (its literal rail caps at ~128 docs ×
+  * 16 bands); at the 2000-doc default the pruned arm rail-falls-back
+  * to the same in-place scan as the transform dual.
   */
 object StreamIndexBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/sf1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(4)
+    val docsPerBatch = args.lift(2).map(_.toInt).getOrElse(2000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Tables.configure(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -45,7 +50,7 @@ object StreamIndexBench {
     // would silence the near-dup arm in most batches (review r17; the
     // first take also sized mod by 2000·nBatches, making each batch
     // nBatches× the documented size)
-    val mod = math.max(1L, docs.count() / 2000L)
+    val mod = math.max(1L, docs.count() / docsPerBatch)
     val land = s"$base/landing"
     (0 until nBatches).foreach { b =>
       docs.filter(col("doc_id") % mod === b % mod)
@@ -70,28 +75,48 @@ object StreamIndexBench {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       ((System.nanoTime() - t0) / 1e9, pairs)
     }
-    // warm BOTH arms' codegen on a single batch, untimed — warming only
-    // one would charge the other's one-time compile (including the very
-    // corpus-chain subplan under measurement) to its timed run
+    // the foreachBatch PRUNED dual is sink-shaped: pairs accumulate
+    // through the sink callback instead of a memory-sink table
+    def runPruned(src: org.apache.spark.sql.DataFrame)
+        : (Double, Set[(Long, Long)]) = {
+      val acc = scala.collection.mutable.Set[(Long, Long)]()
+      val t0 = System.nanoTime()
+      val q = EventStream.nearDupIndexEachBatch(spark, src,
+        "sib_bands", "sib_shingles") { (m, _) =>
+          acc ++= m.collect().map(r => (r.getLong(0), r.getLong(1)))
+        }.start()
+      q.processAllAvailable(); q.stop()
+      ((System.nanoTime() - t0) / 1e9, acc.toSet)
+    }
+    // warm ALL arms' codegen on a single batch, untimed — warming only
+    // one would charge the others' one-time compile (including the very
+    // corpus-chain subplan under measurement) to their timed runs
     def oneBatch() = spark.readStream
       .schema("doc_id LONG, text STRING").parquet(s"$land/b0")
     run("sib_warm_idx", EventStream.nearDupAgainstIndex(spark,
       oneBatch(), "sib_bands", "sib_shingles"))
     run("sib_warm_inl", EventStream.nearDupAgainstCorpus(
       oneBatch(), corpus))
+    runPruned(oneBatch())
     val (tIdx, pIdx) = run("sib_idx",
       EventStream.nearDupAgainstIndex(spark, stream(),
         "sib_bands", "sib_shingles"))
+    val (tPrn, pPrn) = runPruned(stream())
     val (tInl, pInl) = run("sib_inline",
       EventStream.nearDupAgainstCorpus(stream(), corpus))
     // pair-SET equality, not row counts: a fast-but-differently-wrong
     // arm must fail the harness, not publish a comparison
     require(pIdx == pInl, s"arms diverged: only-idx=" +
       s"${(pIdx -- pInl).take(3)} only-inline=${(pInl -- pIdx).take(3)}")
+    require(pPrn == pInl, s"pruned arm diverged: only-pruned=" +
+      s"${(pPrn -- pInl).take(3)} only-inline=${(pInl -- pPrn).take(3)}")
     println(s"""{"metric":"stream_index","sf":"$sfDir",""" +
-      s""""n_batches":$nBatches,"n_pairs":${pIdx.size},""" +
+      s""""n_batches":$nBatches,"docs_per_batch":$docsPerBatch,""" +
+      s""""n_pairs":${pIdx.size},""" +
       f""""indexed_total_sec":$tIdx%.2f,""" +
       f""""indexed_per_batch_sec":${tIdx / nBatches}%.2f,""" +
+      f""""pruned_total_sec":$tPrn%.2f,""" +
+      f""""pruned_per_batch_sec":${tPrn / nBatches}%.2f,""" +
       f""""inline_total_sec":$tInl%.2f,""" +
       f""""inline_per_batch_sec":${tInl / nBatches}%.2f}""")
     spark.sql("DROP TABLE IF EXISTS sib_bands")

@@ -71,16 +71,29 @@ class NearDupIndexSpec extends SparkSpec {
       assert(prod.exists(_._3) && prod.exists(!_._3),
         "fixture must exercise both verdicts")
 
-      // the PRUNED small-probe screen: identical verdicts, and BOTH
-      // index scans carry a pruned bucket set — the plan marker that
-      // per-trigger I/O is candidate-proportional, not
+      // the PRUNED small-probe screen on a TRICKLE slice (its literal
+      // rail caps at ~128 docs × 16 bands — genBucketSet planning
+      // costs ~0.2 ms per set value, so past the rail the operator
+      // falls back to the unpruned in-place scan, which the full
+      // fixture batch exercises implicitly): identical verdicts, and
+      // the index scans carry a pruned bucket set — the plan marker
+      // that per-trigger I/O is candidate-proportional, not
       // corpus-proportional (VERDICT r17 #2)
-      val pruned = Dedup.incrementalNearDedupPruned(spark, batch,
+      val trickle = batch.orderBy(col("doc_id")).limit(60)
+      val pruned = Dedup.incrementalNearDedupPruned(spark, trickle,
         "nd_bands_t", "nd_shingles_t")
-      assert(verdicts(pruned) == prod, "pruned screen diverged")
+      assert(verdicts(pruned) ==
+        verdicts(Dedup.incrementalNearDedupFrom(spark, trickle,
+          "nd_bands_t", "nd_shingles_t")),
+        "pruned screen diverged from the in-place screen")
       val prunedPlan = pruned.queryExecution.executedPlan.toString
       assert(prunedPlan.contains("SelectedBucketsCount"),
         s"pruned screen must bucket-prune its index scans:\n$prunedPlan")
+      // and the rail: a probe past maxLits must still be CORRECT
+      // (falls back to the unpruned plan, never truncates the key set)
+      assert(verdicts(Dedup.incrementalNearDedupPruned(spark, batch,
+        "nd_bands_t", "nd_shingles_t", maxLits = 10)) == prod,
+        "rail fallback diverged")
 
       // banding-parameter mismatch fails LOUDLY: a screen probed with
       // different (n, k, bands) than the index was built with would
