@@ -1635,7 +1635,7 @@ object Dedup {
     *    (only the batch's band rows shuffle — the 100 TB corpus side
     *    never moves), and single-column bucketing is what lets Spark's
     *    native bucket pruning fire on a key-filtered probe
-    *    ([[nearDupScreenPruned]]) so a micro-batch screen reads only
+    *    ([[incrementalNearDedupPruned]]) so a micro-batch screen reads only
     *    its candidate buckets' files.
     *  - `shingleTable` (doc_id, sh), bucketed by doc_id: the
     *    verification probe's corpus side, read in place per candidate.
@@ -1805,6 +1805,29 @@ object Dedup {
       numer, denom)
   }
 
+  /** Set-membership filter built DIRECTLY as Catalyst's `InSet` — ONE
+    * expression node carrying the set — instead of `Column.isin`, whose
+    * `In` holds one Literal CHILD per value: every analyzer/optimizer
+    * pass walks all of them, measured at ~0.5 ms per literal — a
+    * micro-batch's 80k band keys made planning the pruned screen 25×
+    * slower than the full scan it was saving. InSet is what OptimizeIn
+    * folds In into anyway; building it up front keeps planning O(1) in
+    * the key count, and both bucket pruning (genBucketSet) and the
+    * parquet pushdown translate InSet the same as In. Values are
+    * converted to their INTERNAL forms (UTF8String for strings) —
+    * InSet compares against internal row values. */
+  private[graft] def inSetCol(c: Column, values: Iterable[Any]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    if (values.isEmpty) lit(false)
+    else Bridge.column(org.apache.spark.sql.catalyst.expressions.InSet(
+      Bridge.expression(c),
+      values.map {
+        case s: String =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case v => v
+      }.toSet))
+  }
+
   /** PRUNED index sides for a SMALL probe batch (a streaming
     * micro-batch, a trickle increment): the batch's distinct fused band
     * keys — at most |batch|·bands strings — are collected to the driver
@@ -1832,29 +1855,6 @@ object Dedup {
     * fallback keeps the operator total, never wrong, like the LSH
     * bucket rail. The two collects are the operator's only driver-side
     * steps, both bounded by the rail. */
-  /** Set-membership filter built DIRECTLY as Catalyst's `InSet` — ONE
-    * expression node carrying the set — instead of `Column.isin`, whose
-    * `In` holds one Literal CHILD per value: every analyzer/optimizer
-    * pass walks all of them, measured at ~0.5 ms per literal — a
-    * micro-batch's 80k band keys made planning the pruned screen 25×
-    * slower than the full scan it was saving. InSet is what OptimizeIn
-    * folds In into anyway; building it up front keeps planning O(1) in
-    * the key count, and both bucket pruning (genBucketSet) and the
-    * parquet pushdown translate InSet the same as In. Values are
-    * converted to their INTERNAL forms (UTF8String for strings) —
-    * InSet compares against internal row values. */
-  private[graft] def inSetCol(c: Column, values: Iterable[Any]): Column = {
-    import org.apache.spark.sql.graftbridge.Bridge
-    if (values.isEmpty) lit(false)
-    else Bridge.column(org.apache.spark.sql.catalyst.expressions.InSet(
-      Bridge.expression(c),
-      values.map {
-        case s: String =>
-          org.apache.spark.unsafe.types.UTF8String.fromString(s)
-        case v => v
-      }.toSet))
-  }
-
   private def prunedIndexSides(s: SparkSession, bsh: DataFrame,
       bandTable: String, shingleTable: String, k: Int, bands: Int,
       maxLits: Int): (DataFrame, DataFrame) = {

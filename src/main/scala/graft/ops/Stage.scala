@@ -120,4 +120,38 @@ object Stage {
     val set = staged.get(s)
     if (set == null) 0 else set.size()
   }
+
+  /** Run `body`, then release every barrier it staged — the bounded
+    * per-iteration lifecycle a LONG-RUNNING loop needs (a foreachBatch
+    * trigger, a maintenance sweep): each iteration's staged frames are
+    * consumed inside `body`, and without a scope nothing could release
+    * them (the frames are internal to the callee), so a stream pinning
+    * 3 caches per trigger would fill executor storage and churn
+    * eviction forever. Barriers staged BEFORE the scope are untouched.
+    * Concurrency caveat: a barrier staged by ANOTHER thread during the
+    * scope is released with it — harmless for correctness
+    * (rebuild-on-touch) but it forfeits that frame's staging; keep
+    * scopes to single-threaded loops. */
+  def scoped[A](s: SparkSession)(body: => A): A = {
+    val before = {
+      val set = staged.get(s)
+      if (set == null) java.util.Collections.emptySet[DataFrame]()
+      else new java.util.HashSet[DataFrame](set)
+    }
+    try body
+    finally {
+      val set = staged.get(s)
+      if (set != null) {
+        val it = set.iterator()
+        while (it.hasNext) {
+          val df = it.next()
+          if (!before.contains(df)) {
+            try df.unpersist(blocking = false)
+            catch { case _: Throwable => }
+            it.remove()
+          }
+        }
+      }
+    }
+  }
 }

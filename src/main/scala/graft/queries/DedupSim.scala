@@ -524,32 +524,42 @@ object DedupSim {
     }
   }
 
+  /** One epoch's per-landed-doc verdict frame — the ONE status cascade
+    * shared by [[epochRefresh]] (publish-store marker, stored split)
+    * and [[epochRefreshIdx]] (materialized index verdicts, recomputed
+    * split), so the four-way status rule cannot drift between the two
+    * chains (review r18). `published` carries (doc_id, split) for
+    * exactly the epoch's published docs, however the caller derives
+    * it. */
+  private def epochStatusOf(s: SparkSession, epoch: Int, landPath: String,
+      corpus: DataFrame, published: DataFrame): DataFrame = {
+    val landed = graft.ops.Stage.barrier(
+      graft.sources.JsonlStore.readJsonl(s, landPath, epochSchema))
+    val (passed, _, exactKept) = epochScreenOf(landed, corpus)
+    landed.select(col("doc_id"))
+      .join(passed.withColumn("_s", lit(true)), Seq("doc_id"), "left")
+      .join(exactKept.withColumn("_e", lit(true)), Seq("doc_id"), "left")
+      .join(published.select(col("doc_id"), col("split"))
+        .withColumn("_p", lit(true)), Seq("doc_id"), "left")
+      .select(lit(epoch.toLong).as("epoch"), col("doc_id"),
+        when(col("_s").isNull, lit("screened"))
+          .when(col("_e").isNull, lit("dup_exact"))
+          .when(col("_p").isNull, lit("dup_near"))
+          .otherwise(lit("published")).as("status"),
+        when(col("_p").isNotNull, col("split")).as("split"))
+  }
+
   def epochRefresh(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Stage
     val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
     val (l1, p1, l2, p2) = epochArtifacts(s, dir)
-    def statusOf(epoch: Int, landPath: String, corpus: DataFrame,
-        pubPath: String): DataFrame = {
-      val landed = Stage.barrier(
-        graft.sources.JsonlStore.readJsonl(s, landPath, epochSchema))
-      val (passed, _, exactKept) = epochScreenOf(landed, corpus)
-      val published = graft.sources.Publish.readPublished(s, pubPath)
+    def pubOf(pubPath: String): DataFrame =
+      graft.sources.Publish.readPublished(s, pubPath)
         .select(col("doc_id"), col("split"))
-      landed.select(col("doc_id"))
-        .join(passed.withColumn("_s", lit(true)), Seq("doc_id"), "left")
-        .join(exactKept.withColumn("_e", lit(true)), Seq("doc_id"), "left")
-        .join(published.withColumn("_p", lit(true)), Seq("doc_id"), "left")
-        .select(lit(epoch.toLong).as("epoch"), col("doc_id"),
-          when(col("_s").isNull, lit("screened"))
-            .when(col("_e").isNull, lit("dup_exact"))
-            .when(col("_p").isNull, lit("dup_near"))
-            .otherwise(lit("published")).as("status"),
-          when(col("_p").isNotNull, col("split")).as("split"))
-    }
     val pub1 = graft.sources.Publish.readPublished(s, p1)
       .select(col("doc_id"), col("text"))
-    statusOf(1, l1, docs, p1)
-      .unionByName(statusOf(2, l2, docs.unionByName(pub1), p2))
+    epochStatusOf(s, 1, l1, docs, pubOf(p1))
+      .unionByName(
+        epochStatusOf(s, 2, l2, docs.unionByName(pub1), pubOf(p2)))
   }
 
   // the refreshed-corpus digest store, published once per (session, dir)
@@ -691,35 +701,23 @@ object DedupSim {
     * .splitAssign]] on published rows — the same deterministic rule the
     * publish path stamps into the store. */
   def epochRefreshIdx(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Stage
     val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
     val (l1, p1, l2, _) = epochArtifacts(s, dir)
     val (_, _, near1, near2) = epochNdArtifacts(s, dir)
     val pub1 = graft.sources.Publish.readPublished(s, p1)
       .select(col("doc_id"), col("text"))
-    def statusOf(epoch: Int, landPath: String, corpus: DataFrame,
-        nearPath: String): DataFrame = {
-      val landed = Stage.barrier(
-        graft.sources.JsonlStore.readJsonl(s, landPath, epochSchema))
-      val (passed, _, exactKept) = epochScreenOf(landed, corpus)
-      val nearKept = graft.sources.Publish.readPublished(s, nearPath)
-        .filter(col("kept")).select(col("doc_id"))
-      landed.select(col("doc_id"))
-        .join(passed.withColumn("_s", lit(true)), Seq("doc_id"), "left")
-        .join(exactKept.withColumn("_e", lit(true)), Seq("doc_id"), "left")
-        .join(nearKept.withColumn("_p", lit(true)), Seq("doc_id"), "left")
-        .select(lit(epoch.toLong).as("epoch"), col("doc_id"),
-          when(col("_s").isNull, lit("screened"))
-            .when(col("_e").isNull, lit("dup_exact"))
-            .when(col("_p").isNull, lit("dup_near"))
-            .otherwise(lit("published")).as("status"),
-          when(col("_s").isNotNull && col("_e").isNotNull &&
-              col("_p").isNotNull,
-            graft.ops.TextAnalysis.splitAssign(col("doc_id")))
-            .as("split"))
-    }
-    statusOf(1, l1, docs, near1)
-      .unionByName(statusOf(2, l2, docs.unionByName(pub1), near2))
+    // published = near-kept survivors of the MATERIALIZED index screen;
+    // split is the same deterministic rule the publish path stamps (a
+    // near-kept doc is a gate+exact survivor by construction, so the
+    // _p marker implies _s and _e in the shared cascade)
+    def keptOf(nearPath: String): DataFrame =
+      graft.sources.Publish.readPublished(s, nearPath)
+        .filter(col("kept"))
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.splitAssign(col("doc_id")).as("split"))
+    epochStatusOf(s, 1, l1, docs, keptOf(near1))
+      .unionByName(
+        epochStatusOf(s, 2, l2, docs.unionByName(pub1), keptOf(near2)))
   }
 
   /** Per-vector int8 scalar quantization of the embedding table. */

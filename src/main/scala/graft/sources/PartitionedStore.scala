@@ -37,16 +37,25 @@ object PartitionedStore {
   /** Aligns `df`'s partitioning with the table's bucket hash before a
     * bucketed write: `repartition(n, cols)` and the bucket id share the
     * SAME pmod(murmur3, n) formula, so each write task holds exactly
-    * one bucket and writes exactly ONE file. Without it a bucketed
+    * one bucket and writes exactly ONE file (an unaligned bucketed
     * write emits one file per (task, bucket-present) pair — up to
-    * tasks×buckets small files PER WRITE, which is what makes an
-    * append-per-increment table scan-merge-heavy long before any
-    * compaction could run. The input must not itself be a bucketed
-    * TABLE SCAN on the same keys (the planner would elide the
-    * repartition as already-satisfied and the alignment silently
-    * vanishes — compactBucketed reads files by path for this reason);
-    * every in-repo caller writes derived frames, where the repartition
-    * is always physical. */
+    * tasks×buckets files per write).
+    *
+    * Applied to APPENDS and COMPACTION only, deliberately NOT to
+    * one-shot Overwrite builds (review r18): an increment is small, so
+    * collapsing its write to nBuckets tasks is free and the
+    * one-file-per-bucket-per-increment discipline is the whole point —
+    * but a whole-corpus build forced through nBuckets tasks is a
+    * parallelism collapse at exactly the scale this library targets
+    * (100 TB / 32 buckets = 3 TB of sort+write per task). Builds keep
+    * the write stage's natural parallelism; their bounded multi-file
+    * buckets read fine in place and [[compactBucketed]] collapses them
+    * when wanted — with nBuckets sized so a bucket fits a task.
+    *
+    * The input must not itself be a bucketed TABLE SCAN on the same
+    * keys (the planner would elide the repartition as
+    * already-satisfied and the alignment silently vanishes —
+    * compactBucketed reads files by path for this reason). */
   private def alignBuckets(df: DataFrame, bucketCols: Seq[String],
       nBuckets: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -59,8 +68,7 @@ object PartitionedStore {
     * exchanges (and with the sort, their sorts). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int): Unit =
-    alignBuckets(df, Seq(bucketCol), nBuckets)
-      .write.mode(SaveMode.Overwrite)
+    df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
@@ -90,8 +98,7 @@ object PartitionedStore {
     * Spark only reuses bucketing when the join's clustering matches. */
   def writeBucketed(df: DataFrame, table: String, path: String,
       bucketCols: Seq[String], nBuckets: Int, sortCols: Seq[String]): Unit = {
-    val w = alignBuckets(df, bucketCols, nBuckets)
-      .write.mode(SaveMode.Overwrite)
+    val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet").option("path", path)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
@@ -221,7 +228,6 @@ object PartitionedStore {
     * merge-heavy — BENCH_NOTES carries the measured knee. */
   def compactBucketed(spark: SparkSession, table: String,
       dedupRows: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.col
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -240,8 +246,11 @@ object PartitionedStore {
       .parquet(path.toString)
     val base = if (dedupRows) raw.distinct() else raw
     val expected = base.count()
-    val df = base.repartition(spec.numBuckets,
-      spec.bucketColumnNames.map(col): _*)
+    // the aligned repartition is what yields ONE file per bucket —
+    // writeBucketed itself does not align (build parallelism; see
+    // alignBuckets), so compaction, whose purpose IS the collapse,
+    // aligns here
+    val df = alignBuckets(base, spec.bucketColumnNames, spec.numBuckets)
     val staging = table + "__compacting"
     val stagingPath = path.toString + ".compacted"
     spark.sql(s"DROP TABLE IF EXISTS $staging")

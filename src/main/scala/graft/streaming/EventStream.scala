@@ -301,9 +301,18 @@ object EventStream {
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink(graft.ops.Dedup.nearDupMatchesPruned(s, batch.toDF(),
-          bandTable, shingleTable, n, k, bands, numer, denom, textCol,
-          maxLits), id)
+        // Stage.scoped: the per-trigger screen stages three barriers
+        // (batch shingles, band rows, candidates) that only exist
+        // inside this callback — without the scope a long-running
+        // stream pins 3 caches per trigger FOREVER (review r18). The
+        // sink must consume the frame inside the callback (standard
+        // foreachBatch contract); after it returns the trigger's
+        // staged frames are released.
+        graft.ops.Stage.scoped(s) {
+          sink(graft.ops.Dedup.nearDupMatchesPruned(s, batch.toDF(),
+            bandTable, shingleTable, n, k, bands, numer, denom, textCol,
+            maxLits), id)
+        }
     }
 
   /** The screen core shared by the inline and persisted-index duals —

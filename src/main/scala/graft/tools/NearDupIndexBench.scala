@@ -109,10 +109,15 @@ object NearDupIndexBench {
     // maintenance measurement would silently run on empty appends;
     // slicing by doc-id RANGE (not % nAppends) keeps every slice
     // non-empty regardless of the ids' residue structure
-    val filler = docs.filter(col("doc_id") % mod === mod - 1)
+    // materialized to PARQUET, not cache(): every timed arm starts
+    // with fresh() = clearCache, which would silently unpersist a
+    // cached filler and charge 32 corpus-slice recomputes to
+    // appends_sec (review r18) — a disk copy survives the cache clears
+    docs.filter(col("doc_id") % mod === mod - 1)
       .select((col("doc_id") + 5000000L).as("doc_id"),
         translate(col("text"), "etaoins", "3740195").as("text"))
-      .cache()
+      .write.mode("overwrite").parquet(s"$base/filler")
+    val filler = spark.read.parquet(s"$base/filler")
     val nFiller = filler.count()
     require(nFiller >= nAppends,
       s"filler degenerated to $nFiller docs — maintenance arms vacuous")

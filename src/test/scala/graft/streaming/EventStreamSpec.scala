@@ -241,6 +241,7 @@ class EventStreamSpec extends SparkSpec {
       // tables whole (VERDICT r17 #2); sink-shaped, so matches
       // accumulate through the sink callback
       val acc = scala.collection.mutable.Set[(Long, Long)]()
+      val stagedBefore = graft.ops.Stage.stagedCount(spark)
       val q = EventStream.nearDupIndexEachBatch(spark, stream,
         "nd_stream_bands", "nd_stream_shingles") { (m, _) =>
           acc ++= m.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -248,6 +249,11 @@ class EventStreamSpec extends SparkSpec {
       q.processAllAvailable(); q.stop()
       assert(acc.toSeq.sorted == gotPairs.sorted.toSeq,
         "pruned foreachBatch dual diverged from inline dual")
+      // the per-trigger screen stages 3 barriers; Stage.scoped must
+      // release them after each sink call or a long-running stream
+      // pins 3 caches per trigger forever (review r18)
+      assert(graft.ops.Stage.stagedCount(spark) == stagedBefore,
+        "foreachBatch screen leaked staged frames across triggers")
       // mismatched banding fails loudly, as in the batch screen
       val e = intercept[IllegalArgumentException] {
         EventStream.nearDupAgainstIndex(spark, stream,
