@@ -1442,6 +1442,109 @@ object Dedup {
         expr("n_dup_tokens * 1000000 div n_tokens"))
   }
 
+  // ---- persisted-store lifecycles for the OTHER two rungs of the
+  // incremental-ingestion ladder, symmetric with the near-dup index
+  // (buildNearDupIndex/appendNearDupIndex below): every screen's corpus
+  // side becomes a bucketed external table that is built once, appended
+  // per increment, screened in place, and compacted with
+  // PartitionedStore.compactBucketed. Both are retry-idempotent BY
+  // CONSTRUCTION — their only consumers are an anti join (digests) and
+  // a left-semi join (span bank), to which duplicate rows are
+  // invisible — so a torn or redelivered append is repaired by blindly
+  // re-running it; compactBucketed(dedupRows = true) reclaims the
+  // duplicate rows.
+
+  /** Builds the PERSISTED digest index — [[incrementalDedup]]'s
+    * `seenDigests` as a digest-bucketed external table (the shape the
+    * epoch chain's production store already uses): one distinct digest
+    * per row, bucketed AND sorted by digest, so every later increment's
+    * anti join reads the corpus side in place and only the batch
+    * shuffles. No parameter stamps: the digest recipe
+    * (sha2(lower(text), 256)) has no free parameters. NULL-text docs
+    * define no digest and are absent (a stored NULL could never
+    * equi-match; the screen keeps NULL-digest batch docs untouched
+    * regardless — [[firstPerDigest]]). */
+  def buildDigestIndex(corpus: DataFrame, table: String, path: String,
+      nBuckets: Int = 32, textCol: String = "text"): Unit =
+    graft.sources.PartitionedStore.writeBucketed(
+      corpus.select(sha2(lower(col(textCol)), 256).as("digest"))
+        .filter(col("digest").isNotNull).distinct(),
+      table, path, Seq("digest"), nBuckets, Seq("digest"))
+
+  /** Appends an increment's (within-increment distinct) digests to the
+    * persisted index — run after each increment's survivors publish,
+    * like [[appendNearDupIndex]]. */
+  def appendDigestIndex(docs: DataFrame, table: String,
+      nBuckets: Int = 32, textCol: String = "text"): Unit =
+    graft.sources.PartitionedStore.appendBucketed(
+      docs.select(sha2(lower(col(textCol)), 256).as("digest"))
+        .filter(col("digest").isNotNull).distinct(),
+      table, Seq("digest"), nBuckets, Seq("digest"))
+
+  /** [[incrementalDedup]] against the persisted digest index —
+    * row-identical output ((doc_id, digest) per kept batch doc), with
+    * the corpus side one in-place bucketed scan
+    * ([[graft.sources.PartitionedStore.antiJoinBucketed]]; both batch
+    * exchanges hash on the digest, the store never moves —
+    * EpochProdSpec pins the identical plan shape for the epoch store). */
+  def incrementalDedupFrom(s: SparkSession, batch: DataFrame,
+      digestTable: String, textCol: String = "text"): DataFrame =
+    graft.sources.PartitionedStore.antiJoinBucketed(s,
+      firstPerDigest(batch.select(col("doc_id"),
+        sha2(lower(col(textCol)), 256).as("_dig"))),
+      digestTable)
+      .select(col("doc_id"), col("_dig").as("digest"))
+
+  /** Builds the PERSISTED span bank — [[spanBank]] as an h-bucketed
+    * external table, stamped with its window width: a screen or append
+    * run with a DIFFERENT `windowTokens` would produce window hashes
+    * that can never match the stored ones — silently zero coverage,
+    * every quote-stitched recrawl admitted — so the stamp check fails
+    * loudly instead (the near-dup index's banding-stamp convention). */
+  def buildSpanBank(corpus: DataFrame, table: String, path: String,
+      windowTokens: Int = 8, nBuckets: Int = 32,
+      textCol: String = "text"): Unit = {
+    graft.sources.PartitionedStore.writeBucketed(
+      spanBank(corpus, windowTokens, textCol),
+      table, path, Seq("h"), nBuckets, Seq("h"))
+    corpus.sparkSession.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'graft.spanbank.w'='$windowTokens')")
+  }
+
+  /** Appends an increment's (within-increment distinct) window hashes
+    * to the persisted span bank. */
+  def appendSpanBank(docs: DataFrame, table: String,
+      windowTokens: Int = 8, nBuckets: Int = 32,
+      textCol: String = "text"): Unit = {
+    requireSpanBankParams(docs.sparkSession, table, windowTokens)
+    graft.sources.PartitionedStore.appendBucketed(
+      spanBank(docs, windowTokens, textCol),
+      table, Seq("h"), nBuckets, Seq("h"))
+  }
+
+  /** [[spanScreen]] against the persisted span bank — row-identical
+    * output, with the bank side an in-place bucketed scan (the
+    * LEFT SEMI probe joins on exactly the bucket column, so only the
+    * batch's 8-byte window hashes shuffle). */
+  def spanScreenFrom(s: SparkSession, batch: DataFrame,
+      bankTable: String, windowTokens: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    requireSpanBankParams(s, bankTable, windowTokens)
+    spanScreen(batch, s.table(bankTable), windowTokens, textCol)
+  }
+
+  private[graft] def requireSpanBankParams(s: SparkSession,
+      table: String, windowTokens: Int): Unit = {
+    val props = s.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.get("graft.spanbank.w").contains(windowTokens.toString),
+      s"span bank $table was built with windowTokens = " +
+        s"${props.get("graft.spanbank.w")} but the caller asked for " +
+        s"$windowTokens — mismatched windows silently zero coverage " +
+        "(every recrawl admitted) or poison the bank on appends; " +
+        "rebuild the bank or pass its width")
+  }
+
   /** Candidate-vs-gold pair-set metrics — the evaluation harness every
     * near-dup method needs before it gates a corpus: given the pairs a
     * method FOUND and a TRUTH pair set, report sizes, overlap, and

@@ -178,17 +178,63 @@ object CorpusOps {
     * freshened; every 7th row also re-arrives WITHIN the batch under a
     * higher id, exercising the within-batch first-occurrence rule.
     * Replayed verbatim in the oracle. */
-  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir).documents
+  /** The exact screen's shared fixture batch — ONE definition so
+    * q_incremental_dedup and q_incremental_dedup_prod stay
+    * fixture-identical and can share one oracle verbatim. */
+  private def dedupBatch(docs: DataFrame): DataFrame = {
     val newText = when(col("doc_id") % 2 === 0, col("text"))
       .otherwise(concat(lit("fresh "), col("text")))
-    val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+    docs.select((col("doc_id") + 1000000L).as("doc_id"),
         newText.as("text"))
       .union(docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           newText.as("text")))
+  }
+
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
     val seen = docs.select(sha2(lower(col("text")), 256).as("digest"))
-    Dedup.incrementalDedup(batch, seen)
+    Dedup.incrementalDedup(dedupBatch(docs), seen)
+  }
+
+  // the persisted digest index / span bank, built once per
+  // (session, dir) like DedupSim's stores
+  private val digestIndexTable = new graft.ops.SessionScoped[String]
+  private val spanBankTable = new graft.ops.SessionScoped[String]
+
+  /** [[incrementalDedup]] against the PERSISTED digest index
+    * ([[graft.ops.Dedup.buildDigestIndex]]): identical fixture and
+    * output — same oracle SQL — but the corpus digest side is a
+    * bucketed external table anti-joined IN PLACE, the steady-state
+    * shape where the digest store is an append-per-increment
+    * deliverable (DigestSpanStoreSpec plan-asserts batch-side-only
+    * exchanges). */
+  def incrementalDedupProd(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val t = digestIndexTable.getOrCompute(s, dir) {
+      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
+      val tbl = s"graft_bkt_digidx_$suffix"
+      Dedup.buildDigestIndex(docs, tbl, s"/tmp/graft_digidx/$suffix")
+      tbl
+    }
+    Dedup.incrementalDedupFrom(s, dedupBatch(docs), t)
+  }
+
+  /** [[spanScreen]] against the PERSISTED span bank
+    * ([[graft.ops.Dedup.buildSpanBank]]): identical fixture and output
+    * — same oracle SQL — but the bank is an h-bucketed external table
+    * whose LEFT SEMI probe reads it in place. */
+  def spanScreenProd(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val t = spanBankTable.getOrCompute(s, dir) {
+      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
+      val tbl = s"graft_bkt_spanbank_$suffix"
+      Dedup.buildSpanBank(d.filter(col("doc_id") % 5 =!= 0), tbl,
+        s"/tmp/graft_spanbank/$suffix", windowTokens = 8)
+      tbl
+    }
+    Dedup.spanScreenFrom(s, d.filter(col("doc_id") % 5 === 0), t,
+      windowTokens = 8)
   }
 
   /** Capped posting lists (df + 20 lowest doc ids per token). */
@@ -251,6 +297,8 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incremental_dedup" -> incrementalDedup,
+    "q_incremental_dedup_prod" -> incrementalDedupProd,
+    "q_span_screen_prod" -> spanScreenProd,
     "q_postings" -> postings,
     "q_packing" -> packing,
     "q_manifest" -> manifest,
@@ -328,6 +376,60 @@ object CorpusOps {
       "WHERE cm_est * 1000 >= n_total * 20"
   }
 
+  /** The exact-screen oracle, shared verbatim by q_incremental_dedup
+    * (inline seen-set) and q_incremental_dedup_prod (persisted bucketed
+    * digest index): NULL digests (sha256 of NULL text) pass through as
+    * trivially unique — the engine's firstPerDigest semantics — and the
+    * seen-set must exclude NULLs (one NULL in a NOT IN list nulls every
+    * verdict; the engine's anti join has no such hazard). */
+  private lazy val duckIncrementalDedupSql: String =
+    "WITH base AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text " +
+      "ELSE 'fresh ' || text END AS text FROM documents), " +
+      "batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM base " +
+      "UNION ALL SELECT doc_id + 2000000, text FROM base " +
+      "WHERE doc_id % 7 = 0), " +
+      "dig AS (SELECT doc_id, sha256(lower(text)) AS dig FROM batch), " +
+      "firstb AS (SELECT doc_id, dig FROM (SELECT doc_id, dig, " +
+      "min(doc_id) OVER (PARTITION BY dig) AS k FROM dig) " +
+      "WHERE dig IS NULL OR doc_id = k) " +
+      "SELECT doc_id, dig AS digest FROM firstb " +
+      "WHERE dig IS NULL OR dig NOT IN (" +
+      "SELECT sha256(lower(text)) FROM documents " +
+      "WHERE text IS NOT NULL)"
+
+  /** The span-screen oracle, shared verbatim by q_span_screen (inline
+    * bank) and q_span_screen_prod (persisted h-bucketed bank). */
+  private lazy val duckSpanScreenSql: String =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS l " +
+      "FROM documents WHERE doc_id % 5 = 0), " +
+      "bank AS (SELECT DISTINCT u.h AS h FROM (" +
+      "SELECT unnest(list_transform(" +
+      "range(0, greatest(len(l) - 7, 0)), " +
+      s"i -> {'h': ${OracleSql.pHash2(
+        "array_to_string(l[(i+1):(i+8)], ' ')")}})) AS u " +
+      "FROM (SELECT string_split(text, ' ') AS l FROM documents " +
+      "WHERE doc_id % 5 != 0))), " +
+      "occ AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (" +
+      "SELECT doc_id, unnest(list_transform(" +
+      "range(0, greatest(len(l) - 7, 0)), " +
+      s"i -> {'pos': i, 'h': ${OracleSql.pHash2(
+        "array_to_string(l[(i+1):(i+8)], ' ')")}})) AS u FROM t)), " +
+      "cov AS (SELECT DISTINCT doc_id, pos + off AS tokpos FROM occ " +
+      "JOIN bank USING (h) " +
+      "CROSS JOIN (SELECT unnest(range(0, 8)) AS off)), " +
+      "tok AS (SELECT doc_id, u.pos AS pos FROM (" +
+      "SELECT doc_id, unnest(list_transform(range(0, len(l)), " +
+      "i -> {'pos': i})) AS u FROM t)) " +
+      "SELECT tok.doc_id AS doc_id, CAST(count(*) AS BIGINT) " +
+      "AS n_tokens, " +
+      "CAST(sum(CASE WHEN tokpos IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_dup_tokens, " +
+      "CAST(sum(CASE WHEN tokpos IS NOT NULL THEN 1 ELSE 0 END) " +
+      "* 1000000 // count(*) AS BIGINT) AS dup_x1e6 " +
+      "FROM tok LEFT JOIN cov " +
+      "ON tok.doc_id = cov.doc_id AND tok.pos = cov.tokpos " +
+      "GROUP BY tok.doc_id"
+
   val oracle: Map[String, String] = Map(
     // same segmentation as q_seg_dedup, but the keep rule is the
     // document-frequency threshold, counted over distinct docs per segment
@@ -398,24 +500,11 @@ object CorpusOps {
         "FROM documents GROUP BY source"),
     // same planted increment, same window-min first-occurrence, same
     // NOT-IN-digests anti join (sha256 hex parity proven by q_dedup_hash)
-    "q_incremental_dedup" ->
-      ("WITH base AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text " +
-        "ELSE 'fresh ' || text END AS text FROM documents), " +
-        "batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM base " +
-        "UNION ALL SELECT doc_id + 2000000, text FROM base " +
-        "WHERE doc_id % 7 = 0), " +
-        "dig AS (SELECT doc_id, sha256(lower(text)) AS dig FROM batch), " +
-        // NULL digests (sha256 of NULL text) pass through as trivially
-        // unique — the engine's firstPerDigest r13 semantics — and the
-        // seen-set must exclude NULLs (one NULL in a NOT IN list nulls
-        // every verdict; the engine's anti join has no such hazard)
-        "firstb AS (SELECT doc_id, dig FROM (SELECT doc_id, dig, " +
-        "min(doc_id) OVER (PARTITION BY dig) AS k FROM dig) " +
-        "WHERE dig IS NULL OR doc_id = k) " +
-        "SELECT doc_id, dig AS digest FROM firstb " +
-        "WHERE dig IS NULL OR dig NOT IN (" +
-        "SELECT sha256(lower(text)) FROM documents " +
-        "WHERE text IS NOT NULL)"),
+    "q_incremental_dedup" -> duckIncrementalDedupSql,
+    // identical fixture and output contract — the persisted-index path
+    // must be row-identical to the recompute, so it shares the oracle
+    // verbatim (a lossy digest-store round-trip hash-mismatches here)
+    "q_incremental_dedup_prod" -> duckIncrementalDedupSql,
     // the same canonical string renderings, unpivoted via UNION ALL
     "q_profile" ->
       ("WITH p AS (" +
@@ -712,36 +801,11 @@ object CorpusOps {
         "FROM f GROUP BY doc_id"),
     // batch = doc_id % 5 = 0, bank = distinct window hashes of the rest;
     // coverage = batch windows found in the bank, exploded x8
-    "q_span_screen" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS l " +
-        "FROM documents WHERE doc_id % 5 = 0), " +
-        "bank AS (SELECT DISTINCT u.h AS h FROM (" +
-        "SELECT unnest(list_transform(" +
-        "range(0, greatest(len(l) - 7, 0)), " +
-        s"i -> {'h': ${OracleSql.pHash2(
-          "array_to_string(l[(i+1):(i+8)], ' ')")}})) AS u " +
-        "FROM (SELECT string_split(text, ' ') AS l FROM documents " +
-        "WHERE doc_id % 5 != 0))), " +
-        "occ AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (" +
-        "SELECT doc_id, unnest(list_transform(" +
-        "range(0, greatest(len(l) - 7, 0)), " +
-        s"i -> {'pos': i, 'h': ${OracleSql.pHash2(
-          "array_to_string(l[(i+1):(i+8)], ' ')")}})) AS u FROM t)), " +
-        "cov AS (SELECT DISTINCT doc_id, pos + off AS tokpos FROM occ " +
-        "JOIN bank USING (h) " +
-        "CROSS JOIN (SELECT unnest(range(0, 8)) AS off)), " +
-        "tok AS (SELECT doc_id, u.pos AS pos FROM (" +
-        "SELECT doc_id, unnest(list_transform(range(0, len(l)), " +
-        "i -> {'pos': i})) AS u FROM t)) " +
-        "SELECT tok.doc_id AS doc_id, CAST(count(*) AS BIGINT) " +
-        "AS n_tokens, " +
-        "CAST(sum(CASE WHEN tokpos IS NOT NULL THEN 1 ELSE 0 END) " +
-        "AS BIGINT) AS n_dup_tokens, " +
-        "CAST(sum(CASE WHEN tokpos IS NOT NULL THEN 1 ELSE 0 END) " +
-        "* 1000000 // count(*) AS BIGINT) AS dup_x1e6 " +
-        "FROM tok LEFT JOIN cov " +
-        "ON tok.doc_id = cov.doc_id AND tok.pos = cov.tokpos " +
-        "GROUP BY tok.doc_id"),
+    "q_span_screen" -> duckSpanScreenSql,
+    // identical fixture and output — the persisted-bank path must be
+    // row-identical to the inline bank, so it shares the oracle
+    // verbatim (a lossy bank round-trip hash-mismatches here)
+    "q_span_screen_prod" -> duckSpanScreenSql,
     "q_freq_score" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) " +
         "AS token FROM documents), " +
