@@ -1475,11 +1475,10 @@ object Dedup {
     * persisted index — run after each increment's survivors publish,
     * like [[appendNearDupIndex]]. */
   def appendDigestIndex(docs: DataFrame, table: String,
-      nBuckets: Int = 32, textCol: String = "text"): Unit =
+      textCol: String = "text"): Unit =
     graft.sources.PartitionedStore.appendBucketed(
       docs.select(sha2(lower(col(textCol)), 256).as("digest"))
-        .filter(col("digest").isNotNull).distinct(),
-      table, Seq("digest"), nBuckets, Seq("digest"))
+        .filter(col("digest").isNotNull).distinct(), table)
 
   /** [[incrementalDedup]] against the persisted digest index —
     * row-identical output ((doc_id, digest) per kept batch doc), with
@@ -1514,12 +1513,10 @@ object Dedup {
   /** Appends an increment's (within-increment distinct) window hashes
     * to the persisted span bank. */
   def appendSpanBank(docs: DataFrame, table: String,
-      windowTokens: Int = 8, nBuckets: Int = 32,
-      textCol: String = "text"): Unit = {
+      windowTokens: Int = 8, textCol: String = "text"): Unit = {
     requireSpanBankParams(docs.sparkSession, table, windowTokens)
     graft.sources.PartitionedStore.appendBucketed(
-      spanBank(docs, windowTokens, textCol),
-      table, Seq("h"), nBuckets, Seq("h"))
+      spanBank(docs, windowTokens, textCol), table)
   }
 
   /** [[spanScreen]] against the persisted span bank — row-identical
@@ -1791,7 +1788,7 @@ object Dedup {
     * probe's exchange-free table side) is unchanged. */
   def appendNearDupIndex(docs: DataFrame, bandTable: String,
       shingleTable: String, n: Int = 2, k: Int = 64, bands: Int = 16,
-      nBuckets: Int = 32, textCol: String = "text"): Unit = {
+      textCol: String = "text"): Unit = {
     requireIndexParams(docs.sparkSession, bandTable, shingleTable,
       n, k, bands)
     val csh = Stage.barrier(hashedShingleRows(docs, n, textCol))
@@ -1810,12 +1807,10 @@ object Dedup {
       // ([[nearDupVerdict]]), so duplicated index rows change no
       // n_corpus_dups and no `kept` — and the duplicate rows themselves
       // are reclaimed at the next compactBucketed(dedupRows = true).
-      graft.sources.PartitionedStore.appendBucketed(
-        csh, shingleTable, Seq("doc_id"), nBuckets, Seq("doc_id"))
+      graft.sources.PartitionedStore.appendBucketed(csh, shingleTable)
       graft.sources.PartitionedStore.appendBucketed(
         withBkey(bandRows(minhashSigsOf(csh, k), bands, k))
-          .select(col("doc_id"), col("bkey")),
-        bandTable, Seq("bkey"), nBuckets, Seq("bkey"))
+          .select(col("doc_id"), col("bkey")), bandTable)
     } finally Stage.release(csh)
   }
 

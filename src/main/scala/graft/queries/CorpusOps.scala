@@ -173,14 +173,13 @@ object CorpusOps {
         .select(explode(split(col("text"), " ")).as("token")),
       keyCol = "token", sharePermille = 20)
 
-  /** A synthetic "new increment" against the corpus-as-seen-set: even-id
-    * docs re-arrive verbatim (dups of the corpus), odd-id docs arrive
-    * freshened; every 7th row also re-arrives WITHIN the batch under a
-    * higher id, exercising the within-batch first-occurrence rule.
-    * Replayed verbatim in the oracle. */
-  /** The exact screen's shared fixture batch — ONE definition so
-    * q_incremental_dedup and q_incremental_dedup_prod stay
-    * fixture-identical and can share one oracle verbatim. */
+  /** The exact screen's shared fixture batch — a synthetic "new
+    * increment" against the corpus-as-seen-set: even-id docs re-arrive
+    * verbatim (dups of the corpus), odd-id docs arrive freshened; every
+    * 7th row also re-arrives WITHIN the batch under a higher id,
+    * exercising the within-batch first-occurrence rule. ONE definition
+    * so q_incremental_dedup and q_incremental_dedup_prod stay
+    * fixture-identical and share one oracle verbatim. */
   private def dedupBatch(docs: DataFrame): DataFrame = {
     val newText = when(col("doc_id") % 2 === 0, col("text"))
       .otherwise(concat(lit("fresh "), col("text")))
@@ -212,9 +211,9 @@ object CorpusOps {
   def incrementalDedupProd(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     val t = digestIndexTable.getOrCompute(s, dir) {
-      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
-      val tbl = s"graft_bkt_digidx_$suffix"
-      Dedup.buildDigestIndex(docs, tbl, s"/tmp/graft_digidx/$suffix")
+      val (tbl, path) =
+        graft.sources.PartitionedStore.storeNames("digidx", dir)
+      Dedup.buildDigestIndex(docs, tbl, path)
       tbl
     }
     Dedup.incrementalDedupFrom(s, dedupBatch(docs), t)
@@ -227,10 +226,10 @@ object CorpusOps {
   def spanScreenProd(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents
     val t = spanBankTable.getOrCompute(s, dir) {
-      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
-      val tbl = s"graft_bkt_spanbank_$suffix"
-      Dedup.buildSpanBank(d.filter(col("doc_id") % 5 =!= 0), tbl,
-        s"/tmp/graft_spanbank/$suffix", windowTokens = 8)
+      val (tbl, path) =
+        graft.sources.PartitionedStore.storeNames("spanbank", dir)
+      Dedup.buildSpanBank(d.filter(col("doc_id") % 5 =!= 0), tbl, path,
+        windowTokens = 8)
       tbl
     }
     Dedup.spanScreenFrom(s, d.filter(col("doc_id") % 5 === 0), t,

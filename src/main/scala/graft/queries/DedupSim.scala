@@ -182,14 +182,11 @@ object DedupSim {
   private val splitMapTable = new graft.ops.SessionScoped[String]
   def splitSafeProd(s: SparkSession, dir: String): DataFrame = {
     val tbl = splitMapTable.getOrCompute(s, dir) {
-      // sanitized dir + hash, as landingPipeline: a bare hashCode could
-      // collide across dirs and silently serve one corpus's cluster map
-      // to the other (table names reject '/', '.', '-' — keep [a-z0-9_])
-      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
-      val t = s"graft_bkt_splitmap_$suffix"
+      val (t, path) =
+        graft.sources.PartitionedStore.storeNames("splitmap", dir)
       graft.sources.PartitionedStore.writeBucketed(
         Dedup.simhashCanonical(docsWithMutants(s, dir)), t,
-        s"/tmp/graft_splitmap/$suffix", "doc_id", 32, Seq("doc_id"))
+        path, "doc_id", 32, Seq("doc_id"))
       t
     }
     graft.ops.Sampling.leakageSafeSplitsFrom(s.table(tbl))
@@ -313,11 +310,11 @@ object DedupSim {
   def incrementalNearDupProd(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
     val (bt, st) = nearDupIndexTables.getOrCompute(s, dir) {
-      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
-      val base = s"/tmp/graft_ndindex/$suffix"
-      val (b, sh) = (s"graft_bkt_nd_bands_$suffix",
-        s"graft_bkt_nd_shingles_$suffix")
-      Dedup.buildNearDupIndex(docs, b, s"$base/bands", sh, s"$base/shingles")
+      val (b, bPath) =
+        graft.sources.PartitionedStore.storeNames("nd_bands", dir)
+      val (sh, shPath) =
+        graft.sources.PartitionedStore.storeNames("nd_shingles", dir)
+      Dedup.buildNearDupIndex(docs, b, bPath, sh, shPath)
       (b, sh)
     }
     Dedup.incrementalNearDedupFrom(s, recrawlBatch(docs), bt, st)
@@ -580,16 +577,14 @@ object DedupSim {
     val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
     val (_, p1, _, _) = epochArtifacts(s, dir)
     epochDigestTable.getOrCompute(s, dir) {
-      // sanitized dir + hash, as splitSafeProd: table names keep
-      // [a-z0-9_] and distinct dirs can never share a digest store
-      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
-      val t = s"graft_bkt_epochdig_$suffix"
+      val (t, path) =
+        graft.sources.PartitionedStore.storeNames("epochdig", dir)
       val pub1 = graft.sources.Publish.readPublished(s, p1)
         .select(col("doc_id"), col("text"))
       graft.sources.PartitionedStore.writeBucketed(
         docs.unionByName(pub1)
           .select(sha2(lower(col("text")), 256).as("digest")),
-        t, s"/tmp/graft_epochdig/$suffix", "digest", 32, Seq("digest"))
+        t, path, "digest", 32, Seq("digest"))
       t
     }
   }
@@ -650,12 +645,11 @@ object DedupSim {
     val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
     val (l1, p1, l2, _) = epochArtifacts(s, dir)
     epochNdCache.getOrCompute(s, dir) {
-      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
-      val base = s"/tmp/graft_epochnd/$suffix"
-      val (bt, st) = (s"graft_bkt_epochnd_bands_$suffix",
-        s"graft_bkt_epochnd_shingles_$suffix")
-      Dedup.buildNearDupIndex(docs, bt, s"$base/bands",
-        st, s"$base/shingles")
+      val (bt, btPath) =
+        graft.sources.PartitionedStore.storeNames("epochnd_bands", dir)
+      val (st, stPath) =
+        graft.sources.PartitionedStore.storeNames("epochnd_shingles", dir)
+      Dedup.buildNearDupIndex(docs, bt, btPath, st, stPath)
       // an epoch's near-screen input is its exact-surviving landed docs
       // (the same relation epochPublish screens inline)
       def survivorsOf(landPath: String, corpus: DataFrame): DataFrame = {
@@ -671,7 +665,8 @@ object DedupSim {
           Dedup.incrementalNearDedupFrom(s, svb, bt, st), path,
           audit = _.count() == expected)
       }
-      val near1 = s"$base/near1"
+      val near1 =
+        graft.sources.PartitionedStore.storePath("epochnd_near1", dir)
       publishVerdicts(survivorsOf(l1, docs), near1)
       // the epoch boundary: the ONE index is refreshed by appending
       // epoch 1's publishes; epoch 2 screens the appended tables in
@@ -679,7 +674,8 @@ object DedupSim {
       val pub1 = graft.sources.Publish.readPublished(s, p1)
         .select(col("doc_id"), col("text"))
       Dedup.appendNearDupIndex(pub1, bt, st)
-      val near2 = s"$base/near2"
+      val near2 =
+        graft.sources.PartitionedStore.storePath("epochnd_near2", dir)
       publishVerdicts(survivorsOf(l2, docs.unionByName(pub1)), near2)
       (bt, st, near1, near2)
     }

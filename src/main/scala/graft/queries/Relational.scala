@@ -386,21 +386,19 @@ object Relational {
   private val bucketed = new graft.ops.SessionScoped[(String, String)]
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val (custT, ordT) = bucketed.getOrCompute(s, dir) {
-      // sanitized dir + hash, as splitSafeProd/landingPipeline: a bare
-      // hashCode could collide across dirs and silently serve one dir's
-      // bucketed layout (and rows) to the other
-      val suffix = graft.sources.PartitionedStore.tableSuffix(dir)
-      val ct = s"graft_bkt_customer_$suffix"
-      val ot = s"graft_bkt_orders_$suffix"
+      // ONE naming scheme (PartitionedStore.storeNames): collision-safe
+      // suffix, so distinct dirs can never share a bucketed layout
+      val (ct, cPath) =
+        graft.sources.PartitionedStore.storeNames("customer", dir)
+      val (ot, oPath) =
+        graft.sources.PartitionedStore.storeNames("orders", dir)
       graft.sources.PartitionedStore.writeBucketed(
         Tables(s, dir).customer
           .select(col("c_custkey"), col("c_mktsegment")),
-        ct, s"/tmp/graft_bucketed/$suffix/customer", "c_custkey", 8,
-        Seq("c_custkey"))
+        ct, cPath, "c_custkey", 8, Seq("c_custkey"))
       graft.sources.PartitionedStore.writeBucketed(
         Tables(s, dir).orders.select(col("o_custkey"), col("o_orderkey")),
-        ot, s"/tmp/graft_bucketed/$suffix/orders", "o_custkey", 8,
-        Seq("o_custkey"))
+        ot, oPath, "o_custkey", 8, Seq("o_custkey"))
       (ct, ot)
     }
     s.table(custT)

@@ -84,6 +84,23 @@ object PartitionedStore {
     dir.toLowerCase.replaceAll("[^a-z0-9]", "_") +
       f"_${dir.hashCode & 0xffffffffL}%08x"
 
+  /** Scratch path for a (store-name, data-dir)-scoped artifact — half
+    * of [[storeNames]], for non-table artifacts (materialized verdict
+    * files) that must live under the same collision-safe scheme. */
+  def storePath(name: String, dir: String): String =
+    s"/tmp/graft_$name/${tableSuffix(dir)}"
+
+  /** The ONE naming scheme for every session-scoped bucketed store
+    * (split map, digest stores, near-dup index, span bank, bucketed
+    * demos): (table, path) = ("graft_bkt_<name>_<suffix>",
+    * "/tmp/graft_<name>/<suffix>"). A single definition so a future
+    * scheme change (different scratch root, different collision
+    * suffix) cannot be applied to five call sites and missed in the
+    * sixth — which would silently serve one store under the old
+    * scheme (review r18). */
+  def storeNames(name: String, dir: String): (String, String) =
+    (s"graft_bkt_${name}_${tableSuffix(dir)}", storePath(name, dir))
+
   /** EXTERNAL-table variant of [[writeBucketed]]: the parquet lives at
     * `path` (where the caller's storage layout says), only the bucketing
     * metadata lives in the session catalog — the production shape, where
@@ -110,16 +127,28 @@ object PartitionedStore {
     * stores): each append adds one more file per bucket, the hash
     * layout still holds (joins stay exchange-free on the table side;
     * Spark adds a merge sort across the bucket's files where a
-    * single-write table scanned pre-sorted), and Spark itself rejects
-    * an append whose bucket spec differs from the table's. */
-  def appendBucketed(df: DataFrame, table: String,
-      bucketCols: Seq[String], nBuckets: Int,
-      sortCols: Seq[String]): Unit = {
-    val w = alignBuckets(df, bucketCols, nBuckets)
+    * single-write table scanned pre-sorted).
+    *
+    * The bucket spec is read from the CATALOG, never from the caller
+    * (review r18): the table already defines its layout, and a
+    * caller-supplied count could drift from it — Spark would reject
+    * the write, but only after [[alignBuckets]] had already shuffled
+    * the increment to the wrong width, and with a generic message
+    * instead of the table's actual spec. */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"appendBucketed($table): table has no bucket spec — plain " +
+          "appends don't need this writer"))
+    val cols = spec.bucketColumnNames
+    val w = alignBuckets(df, cols, spec.numBuckets)
       .write.mode(SaveMode.Append)
       .format("parquet")
-      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+      .bucketBy(spec.numBuckets, cols.head, cols.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
      else w).saveAsTable(table)
   }
 

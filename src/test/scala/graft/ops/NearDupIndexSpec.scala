@@ -165,7 +165,7 @@ class NearDupIndexSpec extends SparkSpec {
       // shingles-first crash state (ADVICE r17: previously silent)
       graft.sources.PartitionedStore.appendBucketed(
         Seq((777777L, Array(1L, 2L, 3L))).toDF("doc_id", "sh"),
-        "nd_shingles_a", Seq("doc_id"), 32, Seq("doc_id"))
+        "nd_shingles_a")
       val torn = Dedup.reconcileNearDupIndex(spark, "nd_bands_a",
           "nd_shingles_a")
         .collect().map(r => (r.getLong(0), r.getString(1)))

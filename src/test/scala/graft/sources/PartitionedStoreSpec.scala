@@ -123,7 +123,7 @@ class PartitionedStoreSpec extends SparkSpec {
       // 8 increments — files-per-bucket grows one per append
       (1 to 8).foreach { a =>
         PartitionedStore.appendBucketed(mk(200 * a + 1 to 200 * (a + 1)),
-          "bkt_cpt", Seq("id"), 4, Seq("id"))
+          "bkt_cpt")
       }
       def files = new java.io.File(path).listFiles()
         .count(_.getName.startsWith("part-"))
@@ -156,10 +156,8 @@ class PartitionedStoreSpec extends SparkSpec {
       assert(!new java.io.File(s"$path.compacted").exists())
 
       // dedupRows reclaims a blindly RETRIED append's duplicate rows
-      PartitionedStore.appendBucketed(mk(2001 to 2100), "bkt_cpt",
-        Seq("id"), 4, Seq("id"))
-      PartitionedStore.appendBucketed(mk(2001 to 2100), "bkt_cpt",
-        Seq("id"), 4, Seq("id")) // the retry
+      PartitionedStore.appendBucketed(mk(2001 to 2100), "bkt_cpt")
+      PartitionedStore.appendBucketed(mk(2001 to 2100), "bkt_cpt") // retry
       assert(spark.table("bkt_cpt").count() == 2000L)
       val deduped = PartitionedStore.compactBucketed(spark, "bkt_cpt",
         dedupRows = true)
