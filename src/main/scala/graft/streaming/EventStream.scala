@@ -307,8 +307,16 @@ object EventStream {
         // stream pins 3 caches per trigger FOREVER (review r18). The
         // sink must consume the frame inside the callback (standard
         // foreachBatch contract); after it returns the trigger's
-        // staged frames are released.
-        graft.ops.Stage.scoped(s) {
+        // staged frames are released. Scoped on BATCH.sparkSession,
+        // not `s`: Structured Streaming runs foreachBatch under the
+        // query's CLONED session (StreamExecution.sparkSessionForStream
+        // — ForeachBatchSink builds the batch Dataset from it), every
+        // barrier here derives from `batch`, and Stage tracks frames
+        // under df.sparkSession — a scope keyed on the outer session
+        // would snapshot an unrelated set and release NOTHING
+        // (ADVICE r18; EventStreamSpec pins the clone's count at 0
+        // post-stop).
+        graft.ops.Stage.scoped(batch.sparkSession) {
           sink(graft.ops.Dedup.nearDupMatchesPruned(s, batch.toDF(),
             bandTable, shingleTable, n, k, bands, numer, denom, textCol,
             maxLits), id)

@@ -107,8 +107,12 @@ object NearDupIndexBench {
     // residue mod-1 (not 1): at sf0.1 the fixed-size batch makes
     // mod == 1, where residue 1 selects NOTHING and the whole
     // maintenance measurement would silently run on empty appends;
-    // slicing by doc-id RANGE (not % nAppends) keeps every slice
-    // non-empty regardless of the ids' residue structure
+    // slicing by ROW RANK (ntile over doc_id order), not by doc-id
+    // range — range slicing only guarantees disjoint coverage, and
+    // clustered ids would leave some appends empty with no signal,
+    // silently under-measuring appends_sec (ADVICE r18); ntile hands
+    // every slice ≥ 1 row whenever nFiller ≥ nAppends, which the
+    // require below pins.
     // materialized to PARQUET, not cache(): every timed arm starts
     // with fresh() = clearCache, which would silently unpersist a
     // cached filler and charge 32 corpus-slice recomputes to
@@ -116,20 +120,18 @@ object NearDupIndexBench {
     docs.filter(col("doc_id") % mod === mod - 1)
       .select((col("doc_id") + 5000000L).as("doc_id"),
         translate(col("text"), "etaoins", "3740195").as("text"))
+      .withColumn("_slice", ntile(nAppends).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
       .write.mode("overwrite").parquet(s"$base/filler")
     val filler = spark.read.parquet(s"$base/filler")
     val nFiller = filler.count()
     require(nFiller >= nAppends,
       s"filler degenerated to $nFiller docs — maintenance arms vacuous")
-    val ids = filler.select(min(col("doc_id")), max(col("doc_id")))
-      .head()
-    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-    val step = (hi - lo) / nAppends + 1
     val tAppends = time {
-      (0 until nAppends).foreach { i =>
+      (1 to nAppends).foreach { i =>
         graft.ops.Dedup.appendNearDupIndex(
-          filler.filter(col("doc_id") >= lo + i * step &&
-            col("doc_id") < lo + (i + 1) * step), bt, st)
+          filler.filter(col("_slice") === i)
+            .select(col("doc_id"), col("text")), bt, st)
       }; nFiller
     }._1
     def bandFiles = new java.io.File(s"$base/bands").listFiles()
