@@ -230,6 +230,76 @@ object PartitionedStore {
     rows
   }
 
+  /** Health snapshot of a bucketed store table — the "when do I
+    * compact" input ([[compactBucketed]]'s scaladoc says run it when
+    * probe scans go merge-heavy; this is the number that says when):
+    * files per bucket (each [[appendBucketed]] adds one file per
+    * bucket, so max ≈ increments since the last compaction), row vs
+    * DISTINCT-row count (the duplicate backlog blindly-retried appends
+    * leave behind — verdict-invariant at screen time, reclaimed by
+    * `compactBucketed(dedupRows = true)`), and the table's `graft.*`
+    * TBLPROPERTIES stamps (the parameter guards every screen
+    * validates). Cost: one filesystem listing + ONE aggregation job
+    * (rows and distinct rows fold out of the same group-by) + a
+    * catalog read — a maintenance probe, never per screen. */
+  case class StoreStats(table: String, nBuckets: Int, nFiles: Long,
+      filesPerBucketMin: Long, filesPerBucketMax: Long, rows: Long,
+      distinctRows: Long, stamps: Map[String, String]) {
+    /** Duplicate rows a retried append left behind. */
+    def dupBacklog: Long = rows - distinctRows
+    /** Mean data files per bucket. */
+    def filesPerBucketMean: Double =
+      if (nBuckets == 0) 0.0 else nFiles.toDouble / nBuckets
+  }
+
+  def storeStats(spark: SparkSession, table: String): StoreStats = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"storeStats($table): table has no bucket spec — these stats " +
+        "describe the append-per-increment bucketed-store lifecycle"))
+    val path = new Path(meta.location)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bucket id is encoded in each file name (part-NNNNN-<uuid>_BBBBB)
+    val bucketOf = """part-\d+-.*_(\d{5})""".r.unanchored
+    val perBucket = fs.listStatus(path).filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case bucketOf(b) => b.toInt }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // zero-file buckets count 0 — min is over ALL nBuckets
+    val counts = (0 until spec.numBuckets)
+      .map(b => perBucket.getOrElse(b, 0L))
+    val tbl = spark.table(table)
+    val a = tbl.groupBy(tbl.columns.map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_c")).cast("long"), count(lit(1)).cast("long"))
+      .head()
+    val stamps = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .filter { case (k, _) => k.startsWith("graft.") }
+    StoreStats(table, spec.numBuckets, counts.sum,
+      if (counts.isEmpty) 0L else counts.min,
+      if (counts.isEmpty) 0L else counts.max,
+      if (a.isNullAt(0)) 0L else a.getLong(0), a.getLong(1), stamps)
+  }
+
+  /** [[compactBucketed]] gated on [[storeStats]] — the stats-driven
+    * maintenance trigger: compacts only when the table's max
+    * files-per-bucket exceeds `maxFilesPerBucket` (the measured knee —
+    * BENCH_NOTES r18: a 33-file bucket screened 1.5× slower than one
+    * file) or a duplicate backlog from retried appends exists. Returns
+    * the consulted stats and whether compaction fired, so a sweep over
+    * many stores can report what it did. */
+  def compactIfNeeded(spark: SparkSession, table: String,
+      maxFilesPerBucket: Long = 8L): (StoreStats, Boolean) = {
+    val stats = storeStats(spark, table)
+    val fire = stats.filesPerBucketMax > maxFilesPerBucket ||
+      stats.dupBacklog > 0
+    if (fire) compactBucketed(spark, table, dedupRows = stats.dupBacklog > 0)
+    (stats, fire)
+  }
+
   /** Bucket-PRESERVING compaction of a bucketed external table — the
     * maintenance pass the append-per-increment lifecycle needs:
     * [[appendBucketed]] adds one file per bucket per increment forever,

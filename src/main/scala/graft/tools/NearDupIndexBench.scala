@@ -139,9 +139,20 @@ object NearDupIndexBench {
     val filesBefore = bandFiles
     val tAfterAppends = arm(graft.ops.Dedup.incrementalNearDedupFrom(
       spark, batch, bt, st).filter(col("kept")).count())
+    // STATS-DRIVEN compaction (VERDICT r18 #4): the maintenance sweep
+    // consults storeStats and compacts only past the knee — 8
+    // files/bucket, under the measured 33-file state whose screen ran
+    // 1.5× slower than one file (BENCH_NOTES r18); 32 appends must
+    // trip it, so the bench exercises the trigger, not a blind compact
+    val statsPre = graft.sources.PartitionedStore.storeStats(spark, bt)
     val tCompact = time {
-      graft.sources.PartitionedStore.compactBucketed(spark, bt) +
-        graft.sources.PartitionedStore.compactBucketed(spark, st)
+      val (_, fb) = graft.sources.PartitionedStore.compactIfNeeded(
+        spark, bt, maxFilesPerBucket = 8)
+      val (_, fsh) = graft.sources.PartitionedStore.compactIfNeeded(
+        spark, st, maxFilesPerBucket = 8)
+      require(fb && fsh,
+        s"32 appends must exceed the 8-files/bucket knee: $statsPre")
+      statsPre.rows
     }._1
     val filesAfter = bandFiles
     val tCompacted = arm(graft.ops.Dedup.incrementalNearDedupFrom(
@@ -158,6 +169,9 @@ object NearDupIndexBench {
       f""""appends":$nAppends,"n_filler":$nFiller,""" +
       f""""appends_sec":$tAppends%.2f,""" +
       s""""band_files_pre_compact":$filesBefore,""" +
+      s""""stats_max_files_per_bucket":${statsPre.filesPerBucketMax},""" +
+      s""""stats_dup_backlog":${statsPre.dupBacklog},""" +
+      s""""stats_trigger_knee":8,""" +
       s""""screen_after_appends_sec":${fmt(tAfterAppends)},""" +
       f""""compact_sec":$tCompact%.2f,""" +
       s""""band_files_post_compact":$filesAfter,""" +
