@@ -3,22 +3,26 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.expr
 object Bench {
 
-  /** Previous committed per-query minima, read from the artifact this run
-    * is about to overwrite. Only trusted when the prior run measured the
-    * SAME sf dir — a sf2 artifact is no baseline for a sf0.1 run. */
-  private def priorMins(path: String, sfDir: String): Map[String, Double] = {
+  /** Previous committed per-query minima plus that run's calibration
+    * probe time, read from the artifact this run is about to overwrite.
+    * Only trusted when the prior run measured the SAME sf dir — a sf2
+    * artifact is no baseline for a sf0.1 run. */
+  private def priorState(path: String, sfDir: String)
+      : (Map[String, Double], Option[Double]) = {
     try {
       val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) return Map.empty
+      if (!java.nio.file.Files.exists(p)) return (Map.empty, None)
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(java.nio.file.Files.readString(p))
-      if (root.path("sf").asText("") != sfDir) return Map.empty
+      if (root.path("sf").asText("") != sfDir) return (Map.empty, None)
       val qs = root.path("queries")
       val it = qs.fields()
       val b = Map.newBuilder[String, Double]
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-      b.result()
-    } catch { case _: Throwable => Map.empty }
+      val cal = root.path("calibration_sec")
+      (b.result(), if (cal.isNumber && cal.asDouble() > 0)
+        Some(cal.asDouble()) else None)
+    } catch { case _: Throwable => (Map.empty, None) }
   }
 
   // A query is "contended" when its min sits 3× above the last committed
@@ -45,6 +49,23 @@ object Bench {
     // isn't charged for one-time JVM setup. Touches NO test data.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.range(1000).groupBy(expr("id % 7")).count().collect()
+    // CPU-bound CALIBRATION PROBE (VERDICT r18 #6): this box runs in
+    // multi-hour speed WINDOWS (~25% uniform inflation across unrelated
+    // queries — r18 burned two full three-scale takes adjudicating it by
+    // hand). A fixed data-free probe — 128M xxhash64 folds across all
+    // cores, the same whole-stage-codegen arithmetic real queries spend
+    // their time in — measures the window once per artifact, and the
+    // contention guard compares CALIBRATION-NORMALIZED minima, so a
+    // slow-window run no longer mass-flags healthy queries (or vice
+    // versa). Min of 3 after one warm rep; ~1 s in the fast window.
+    def calProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 27, 1, cpus.toInt)
+        .selectExpr("xxhash64(id) AS h").agg(expr("sum(h)")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calProbe()
+    val calibration = (1 to 3).map(_ => calProbe()).min
     // SPARK_GRAFT_ONLY=q_a,q_b reruns a subset while profiling a hotspot
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -75,7 +96,16 @@ object Bench {
     // per-query minima are the contention baseline (VERDICT r9 #5 — the
     // committed 82.1s headline was a contended run 1.7× above same-day
     // steady state; min-of-2 can't recover when BOTH reps are contended).
-    val prior = priorMins(outPath, sfDir)
+    val (prior, priorCal) = priorState(outPath, sfDir)
+    // normalize the guard by the box-window ratio: a current min is
+    // compared against prior × (thisCal / priorCal), clamped to [0.5, 2]
+    // so a broken probe can never scale a real regression away by more
+    // than the windows themselves move. No prior calibration → ratio 1
+    // (the pre-r19 behavior).
+    val calRatio = priorCal.map(pc =>
+      math.max(0.5, math.min(2.0, calibration / pc))).getOrElse(1.0)
+    def contendedNorm(cur: Double, prev: Double): Boolean =
+      contended(cur, prev * calRatio)
 
     // queries with at least one failed rep this run — surfaced in the
     // artifact so a failure can never masquerade as a timing (a thrown
@@ -142,7 +172,7 @@ object Bench {
     val results0 = firstPass.map { case (name, fn, times) =>
       val rerun =
         if (times.isEmpty ||
-            prior.get(name).exists(p => contended(times.min, p))) {
+            prior.get(name).exists(p => contendedNorm(times.min, p))) {
           System.err.println(if (times.isEmpty)
             s"[bench] $name: every rep failed — re-running"
           else
@@ -165,7 +195,7 @@ object Bench {
     // 3× after re-runs — i.e. either a real regression or a fully-contended
     // box; either way the artifact says "don't trust this as the trend".
     val unsteady = results.collect {
-      case (n, ts) if prior.get(n).exists(p => contended(ts.min, p)) => n
+      case (n, ts) if prior.get(n).exists(p => contendedNorm(ts.min, p)) => n
     }
     // rep-spread flag: the min can look healthy while a LATER rep ran 3×
     // slower — the r13 artifact carried a 37.3 s rep 2 inside
@@ -209,7 +239,7 @@ object Bench {
     // outside every per-query timer (absent when no q_osm_* query ran)
     val osmJson = if (osmStagingSec >= 0) s""","osm_staging":$osmStagingSec"""
                   else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repJson,"sf":"$sfDir","reps":$reps,"steady_state":${unsteady.isEmpty && failedReps.isEmpty},"unsteady_queries":$unsteadyJson,"spread_queries":$spreadJson,"failed_queries":$failedJson$osmJson$quadJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repJson,"sf":"$sfDir","reps":$reps,"calibration_sec":$calibration,"calibration_ratio_vs_prior":$calRatio,"steady_state":${unsteady.isEmpty && failedReps.isEmpty},"unsteady_queries":$unsteadyJson,"spread_queries":$spreadJson,"failed_queries":$failedJson$osmJson$quadJson}"""
     println(line)
     // Self-contained record: the driver captures stdout with a bounded
     // tail, and a 144-query JSON line can exceed it (round 7's BENCH_r07

@@ -455,6 +455,18 @@ object DedupSim {
   // TRUNCATING div explicitly ([[duckCls]] — DuckDB `//` floors).
   private def epochCls: Column = expr("pmod((doc_id - 1000002) div 3, 3)")
 
+  /** Epoch 2's landing batch derived from epoch 1's published docs —
+    * ONE definition shared by the inline chain ([[epochArtifacts]]) and
+    * the full-store chain ([[epochFullArtifacts]]), so the two
+    * fixtures cannot drift from each other or from the oracle's b2
+    * CTE. */
+  private def epoch2BatchOf(pub1: DataFrame): DataFrame =
+    pub1.select((col("doc_id") + 1000000L).as("doc_id"),
+      when(epochCls === 0, col("text"))
+        .when(epochCls === 1,
+          regexp_replace(col("text"), "^[^ ]* ", ""))
+        .otherwise(translate(col("text"), "td", "78")).as("text"))
+
   /** One epoch's screens: (gopher-passed ids, screened rows, exact-kept
     * ids) of `landed` against `corpus`. */
   private def epochScreenOf(landed: DataFrame, corpus: DataFrame)
@@ -506,13 +518,7 @@ object DedupSim {
       val pub1 = graft.sources.Publish.readPublished(s, pub1Path)
         .select(col("doc_id"), col("text"))
       val land2 = s"$base/land2"
-      graft.sources.JsonlStore.writeJsonl(
-        pub1.select((col("doc_id") + 1000000L).as("doc_id"),
-          when(epochCls === 0, col("text"))
-            .when(epochCls === 1,
-              regexp_replace(col("text"), "^[^ ]* ", ""))
-            .otherwise(translate(col("text"), "td", "78")).as("text")),
-        land2)
+      graft.sources.JsonlStore.writeJsonl(epoch2BatchOf(pub1), land2)
       val pub2Path = s"$base/pub2"
       epochPublish(Stage.barrier(
         graft.sources.JsonlStore.readJsonl(s, land2, epochSchema)),
@@ -533,6 +539,16 @@ object DedupSim {
     val landed = graft.ops.Stage.barrier(
       graft.sources.JsonlStore.readJsonl(s, landPath, epochSchema))
     val (passed, _, exactKept) = epochScreenOf(landed, corpus)
+    statusCascadeOf(epoch, landed, passed, exactKept, published)
+  }
+
+  /** The cascade join itself, over however the caller derived each
+    * screen's survivors — [[epochStatusOf]] feeds it inline recomputes;
+    * [[epochFullArtifacts]] feeds it the persisted-STORE screens. ONE
+    * join/when definition either way. */
+  private def statusCascadeOf(epoch: Int, landed: DataFrame,
+      passed: DataFrame, exactKept: DataFrame,
+      published: DataFrame): DataFrame = {
     landed.select(col("doc_id"))
       .join(passed.withColumn("_s", lit(true)), Seq("doc_id"), "left")
       .join(exactKept.withColumn("_e", lit(true)), Seq("doc_id"), "left")
@@ -716,6 +732,154 @@ object DedupSim {
         epochStatusOf(s, 2, l2, docs.unionByName(pub1), keptOf(near2)))
   }
 
+  // the FULL steady-state production chain's artifacts: all three
+  // persisted stores (digest index + near-dup index + span bank) built
+  // on the base corpus; per epoch: gate → exact screen (digest store)
+  // → near screen (nd index) → span screen (span bank) → publish →
+  // append ALL THREE stores; compactBucketed(dedupRows) interleaved
+  // between epoch 1's appends and epoch 2's screens. Per-epoch status
+  // AND span verdicts are MATERIALIZED (write–audit–publish) — each is
+  // an immutable artifact of the store state it screened against.
+  private val epochFullCache =
+    new graft.ops.SessionScoped[(String, String, String, String)]
+
+  /** Runs the composed nightly job once per (session, dir); returns
+    * (status1, status2, span1, span2) published-artifact paths.
+    *
+    * This is VERDICT r18 #1 — the three store lifecycles were each
+    * oracled in isolation; this chain is their INTERACTION: an append
+    * racing a compaction, a stamp lost in the swap, or a dedupRows
+    * pass that changes a verdict would surface exactly here (the
+    * status output shares q_epoch_refresh's DuckDB oracle verbatim,
+    * and the span output is oracled against a relational replay over
+    * the same epoch CTEs — so the whole composition, including the
+    * mid-chain compaction being a no-op on verdicts, is cross-engine
+    * verified). Self-contained after land1: epoch 2's batch derives
+    * from THIS chain's own published store ([[epoch2BatchOf]]), as in
+    * production, not from the inline chain's. */
+  private[graft] def epochFullArtifacts(s: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    import graft.ops.{Stage, TextAnalysis}
+    import graft.sources.{JsonlStore, PartitionedStore, Publish}
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    epochFullCache.getOrCompute(s, dir) {
+      val (dt, dtPath) = PartitionedStore.storeNames("epochfull_dig", dir)
+      val (bt, btPath) = PartitionedStore.storeNames("epochfull_bands", dir)
+      val (sht, shtPath) =
+        PartitionedStore.storeNames("epochfull_shingles", dir)
+      val (kt, ktPath) = PartitionedStore.storeNames("epochfull_spans", dir)
+      Dedup.buildDigestIndex(docs, dt, dtPath)
+      Dedup.buildNearDupIndex(docs, bt, btPath, sht, shtPath)
+      Dedup.buildSpanBank(docs, kt, ktPath)
+      val base = PartitionedStore.storePath("epochfull", dir)
+
+      // one epoch through the three store screens, with EVERY result
+      // the boundary needs — published docs, status cascade, span
+      // coverage — MATERIALIZED before the scope releases the epoch's
+      // staged frames. The scope is load-bearing, not hygiene: the
+      // barriers reference the store tables' CURRENT file listing, and
+      // the epoch boundary COMPACTS those tables — a cached frame
+      // touched after the swap would recompute from the retired
+      // listing and die on FILE_NOT_EXIST (observed; this is the
+      // append-racing-compaction interaction class this chain exists
+      // to pin down). After the scope, downstream only reads the
+      // epoch's own published artifacts.
+      def runEpoch(epoch: Int, landPath: String, statusPath: String,
+          spanPath: String, pubPath: String): Unit = Stage.scoped(s) {
+        val landed = Stage.barrier(
+          JsonlStore.readJsonl(s, landPath, epochSchema))
+        val passed = TextAnalysis.gopherRules(landed)
+          .filter(col("gopher_pass")).select(col("doc_id"))
+        val screened = Stage.barrier(
+          landed.join(passed, Seq("doc_id"), "left_semi"))
+        val exactKept = Stage.barrier(
+          Dedup.incrementalDedupFrom(s, screened, dt)
+            .select(col("doc_id")))
+        val survivors = Stage.barrier(
+          screened.join(exactKept, Seq("doc_id"), "left_semi"))
+        val near = Dedup.incrementalNearDedupFrom(s, survivors, bt, sht)
+        val published = Stage.barrier(survivors
+          .join(near.filter(col("kept")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .withColumn("split", TextAnalysis.splitAssign(col("doc_id"))))
+        val nPub = published.count()
+        Publish.parquet(published
+          .select(col("doc_id"), col("text"), col("split")),
+          pubPath, audit = _.count() == nPub)
+        // the span RUNG: a landing screen drops or FLAGS — this chain
+        // flags (coverage materialized per published doc; the status
+        // cascade is untouched, which is what lets the status output
+        // share the inline chain's oracle verbatim)
+        Publish.parquet(
+          Dedup.spanScreenFrom(s, published, kt)
+            .withColumn("epoch", lit(epoch.toLong)),
+          spanPath, audit = _.count() == nPub)
+        val status = statusCascadeOf(epoch, landed, passed, exactKept,
+          published.select(col("doc_id"), col("split")))
+        val nLanded = landed.count()
+        Publish.parquet(status, statusPath,
+          audit = _.count() == nLanded)
+      }
+
+      val land1 = s"$base/land1"
+      JsonlStore.writeJsonl(landingBatch(docs), land1)
+      val (st1, sp1, pb1) = (s"$base/status1", s"$base/span1",
+        s"$base/pub1")
+      runEpoch(1, land1, st1, sp1, pb1)
+
+      // the epoch boundary: append epoch 1's publishes — READ BACK
+      // from the published store, the appends' production input — to
+      // ALL THREE stores, then compact each one MID-CHAIN. Epoch 2's
+      // screens run against the compacted files, so a compaction that
+      // moved a row across buckets, dropped a stamp, or (dedupRows)
+      // collapsed a row a screen still needed would flip an epoch-2
+      // verdict and hash-mismatch against the oracle, which knows no
+      // compaction.
+      val pub1 = Publish.readPublished(s, pb1)
+        .select(col("doc_id"), col("text"))
+      Dedup.appendDigestIndex(pub1, dt)
+      Dedup.appendNearDupIndex(pub1, bt, sht)
+      Dedup.appendSpanBank(pub1, kt)
+      for (t <- Seq(dt, bt, sht, kt))
+        PartitionedStore.compactBucketed(s, t, dedupRows = true)
+
+      val land2 = s"$base/land2"
+      JsonlStore.writeJsonl(epoch2BatchOf(pub1), land2)
+      val (st2, sp2, pb2) = (s"$base/status2", s"$base/span2",
+        s"$base/pub2")
+      runEpoch(2, land2, st2, sp2, pb2)
+      (st1, st2, sp1, sp2)
+    }
+  }
+
+  /** [[epochRefresh]] through the FULL three-store production chain
+    * ([[epochFullArtifacts]]): both epochs' materialized status
+    * artifacts read back and unioned — hash-green against
+    * q_epoch_refresh's DuckDB oracle verbatim, which is what certifies
+    * the whole composition (three store screens, three appends, four
+    * mid-chain compactions) changed no verdict. */
+  def epochRefreshFull(s: SparkSession, dir: String): DataFrame = {
+    val (st1, st2, _, _) = epochFullArtifacts(s, dir)
+    graft.sources.Publish.readPublished(s, st1)
+      .unionByName(graft.sources.Publish.readPublished(s, st2))
+      .select(col("epoch"), col("doc_id"), col("status"), col("split"))
+  }
+
+  /** The full chain's span RUNG as its own gate entry: per published
+    * doc of each epoch — window-coverage against the span bank AS OF
+    * that epoch's screen (epoch 1 vs the base bank; epoch 2 vs the
+    * appended-then-compacted bank). The oracle replays both banks
+    * relationally over the same epoch CTEs, so the bank's append and
+    * mid-chain compaction are cross-engine verified at the
+    * sub-document rung too. */
+  def epochSpanFull(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, sp1, sp2) = epochFullArtifacts(s, dir)
+    graft.sources.Publish.readPublished(s, sp1)
+      .unionByName(graft.sources.Publish.readPublished(s, sp2))
+      .select(col("epoch"), col("doc_id"), col("n_tokens"),
+        col("n_dup_tokens"), col("dup_x1e6"))
+  }
+
   /** Per-vector int8 scalar quantization of the embedding table. */
   def quantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables(s, dir).embeddings)
@@ -825,6 +989,8 @@ object DedupSim {
     "q_epoch_refresh" -> epochRefresh,
     "q_epoch_refresh_prod" -> epochRefreshProd,
     "q_epoch_refresh_idx" -> epochRefreshIdx,
+    "q_epoch_refresh_full" -> epochRefreshFull,
+    "q_epoch_span_full" -> epochSpanFull,
     "q_incremental_neardup_prod" -> incrementalNearDupProd,
   )
 
@@ -1212,6 +1378,12 @@ object DedupSim {
     // (same statuses, same splits), so it shares the oracle verbatim —
     // a drifted append or lossy index round-trip hash-mismatches here
     "q_epoch_refresh_idx" -> duckEpochRefreshSql,
+    // the FULL three-store chain (digest + nd index + span bank,
+    // compaction interleaved mid-chain) must also be row-identical —
+    // the oracle knows no stores and no compaction, so hash-green here
+    // certifies the composed lifecycle changed no verdict
+    "q_epoch_refresh_full" -> duckEpochRefreshSql,
+    "q_epoch_span_full" -> duckEpochSpanFullSql,
   )
 
   /** Ivf.clusterStats replayed: the same static-centroid argmin (fixed
@@ -1466,6 +1638,62 @@ object DedupSim {
       status(2, "b2", "g2", "ek2", "ver2", "st2") + " " +
       "SELECT epoch, doc_id, status, split FROM st1 " +
       "UNION ALL SELECT epoch, doc_id, status, split FROM st2"
+  }
+
+  /** The full chain's span-rung oracle: both epochs' published docs'
+    * window coverage, each against the span bank AS OF its screen —
+    * epoch 1 vs the base corpus's windows, epoch 2 vs the refreshed
+    * corpus's (base ∪ pub1, which is exactly what the engine's
+    * append-then-compact left in the persisted bank). The span replay
+    * is q_span_screen's (windowTokens = 8: pHash2 over the joined
+    * 8-token window, ×8 coverage explosion, DISTINCT interval union),
+    * re-based onto the epoch CTEs' pub1/pub2 instead of the %5
+    * fixture. */
+  private lazy val duckEpochSpanFullSql: String = {
+    def spanChain(p: String, batchCte: String, corpusCte: String) =
+      s"${p}t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') " +
+        s"AS l FROM $batchCte), " +
+        s"${p}bank AS MATERIALIZED (SELECT DISTINCT u.h AS h FROM (" +
+        "SELECT unnest(list_transform(" +
+        "range(0, greatest(len(l) - 7, 0)), " +
+        s"i -> {'h': ${OracleSql.pHash2(
+          "array_to_string(l[(i+1):(i+8)], ' ')")}})) AS u " +
+        s"FROM (SELECT string_split(text, ' ') AS l FROM $corpusCte))), " +
+        s"${p}occ AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (" +
+        "SELECT doc_id, unnest(list_transform(" +
+        "range(0, greatest(len(l) - 7, 0)), " +
+        s"i -> {'pos': i, 'h': ${OracleSql.pHash2(
+          "array_to_string(l[(i+1):(i+8)], ' ')")}})) AS u " +
+        s"FROM ${p}t)), " +
+        s"${p}cov AS (SELECT DISTINCT doc_id, pos + off AS tokpos " +
+        s"FROM ${p}occ JOIN ${p}bank USING (h) " +
+        "CROSS JOIN (SELECT unnest(range(0, 8)) AS off)), " +
+        s"${p}tok AS (SELECT doc_id, u.pos AS pos FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(0, len(l)), " +
+        s"i -> {'pos': i})) AS u FROM ${p}t))"
+    def spanSelect(p: String, epoch: Int) =
+      s"SELECT CAST($epoch AS BIGINT) AS epoch, " +
+        s"${p}tok.doc_id AS doc_id, " +
+        "CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN tokpos IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_dup_tokens, " +
+        "CAST(sum(CASE WHEN tokpos IS NOT NULL THEN 1 ELSE 0 END) " +
+        "* 1000000 // count(*) AS BIGINT) AS dup_x1e6 " +
+        s"FROM ${p}tok LEFT JOIN ${p}cov " +
+        s"ON ${p}tok.doc_id = ${p}cov.doc_id " +
+        s"AND ${p}tok.pos = ${p}cov.tokpos " +
+        s"GROUP BY ${p}tok.doc_id"
+    "WITH " + duckEpochCtesThroughG2 + ", " +
+      duckEpochExactKept("g2", "corpus2", "ek2") + ", " +
+      duckMatChain("ek2", "e2") + ", " +
+      duckMatChain("corpus2", "c2") + ", " +
+      duckEpochVerify("e2", "c2", "cand2", "ver2") + ", " +
+      "pub2 AS MATERIALIZED (SELECT ek2.doc_id, ek2.text FROM ek2 " +
+      "LEFT JOIN ver2 ON ver2.doc_id = ek2.doc_id " +
+      "WHERE coalesce(ver2.n, 0) = 0), " +
+      spanChain("s1", "pub1", "corpus") + ", " +
+      spanChain("s2", "pub2", "corpus2") + " " +
+      spanSelect("s1", 1) + " UNION ALL " + spanSelect("s2", 2)
   }
 
   /** The epoch chain's shared CTE prefix — epoch 1 end-to-end through
