@@ -117,6 +117,7 @@ object Bench {
                   n: Int, release: Boolean = true): Seq[Double] = {
       val dir = if (quadFamily(name)) quadSampleDir.getOrElse(sfDir)
                 else sfDir
+      var best = Double.MaxValue
       val times = (1 to n).flatMap { i =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, dir).count(); true } catch {
@@ -126,7 +127,25 @@ object Bench {
             failedReps += name
             false
         }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        if (ok) {
+          val t = (System.nanoTime() - t0) / 1e9
+          // spread self-diagnosis (VERDICT r18 #2): when a LATE rep
+          // blows past the min (the r18 q_curation_chain 30→164 s rep),
+          // snapshot the storage/staging state so the mechanism —
+          // eviction churn vs box window — is readable from the bench
+          // stderr without a re-run
+          if (i > 1 && t > 3.0 * best && t - best > 0.5) {
+            val mem = spark.sparkContext.getExecutorMemoryStatus.values
+              .map { case (max, free) => s"${(max - free) >> 20}MB used/" +
+                s"${max >> 20}MB max" }.mkString(";")
+            val rdds = spark.sparkContext.getPersistentRDDs.size
+            System.err.println(f"[bench] SPREAD $name rep $i $t%.1fs " +
+              f"vs min $best%.1fs — storage[$mem] persistentRdds=$rdds " +
+              s"staged=${graft.ops.Stage.stagedCount(spark)}")
+          }
+          best = math.min(best, t)
+          Some(t)
+        } else None
       }
       // per Stage's lifecycle: caches pinned by this query's staging
       // must not accumulate across the suite (144 queries' worth of

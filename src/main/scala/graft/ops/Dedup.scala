@@ -449,7 +449,7 @@ object Dedup {
     * native aggregate (fixed seed 7 — the family the DuckDB oracles
     * render as literals). Shared by the same two pipelines as
     * [[hashedShingleRows]]. */
-  private def minhashSigsOf(sh: DataFrame, k: Int): DataFrame =
+  private[graft] def minhashSigsOf(sh: DataFrame, k: Int): DataFrame =
     sh.select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhash(col("h"), k, seed = 7L)
@@ -1682,7 +1682,7 @@ object Dedup {
     * paths cannot drift (their row identity is spec-pinned in
     * NearDupIndexSpec and they share one oracle). `corpusShingles` is
     * (corpus_id, sh_c) from either the inline chain or the index table. */
-  private def nearDupVerdict(batch: DataFrame, cand: DataFrame,
+  private[graft] def nearDupVerdict(batch: DataFrame, cand: DataFrame,
       bsh: DataFrame, corpusShingles: DataFrame, numer: Int,
       denom: Int): DataFrame = {
     // n_corpus_dups counts DISTINCT corpus docs, not verified join rows:
@@ -2001,62 +2001,99 @@ object Dedup {
   }
 
   /** PRUNED index sides for a SMALL probe batch (a streaming
-    * micro-batch, a trickle increment): the batch's distinct fused band
-    * keys — at most |batch|·bands strings — are collected to the driver
-    * and become an IN filter on the band table, and the candidate
-    * corpus ids likewise filter the shingle table. Because both tables
-    * bucket on exactly the filtered column, Spark's native bucket
-    * pruning (`SelectedBucketsCount` in the scan) skips every file
-    * whose bucket holds no probe key — per-trigger index I/O becomes
-    * candidate-proportional instead of corpus-proportional, the scale
-    * term VERDICT r17 flagged on the streaming dual. The filters are
-    * purely an I/O bound (the joins re-apply the same equality), so
-    * the rows are identical to the unpruned screen by construction.
+    * micro-batch, a trickle increment): the batch's band rows — at most
+    * |batch|·bands — are collected to the driver ONCE and become (a)
+    * the candidate bucket set, resolved to FILES driver-side with the
+    * write's own hash ([[graft.sources.PartitionedStore.bucketIdOf]] /
+    * prunedBucketScan — r19, replacing the r18 genBucketSet path whose
+    * interpreted per-value planning walk was the screen's dominant
+    * ~2 s constant), and (b) a broadcast LOCAL probe relation, so the
+    * candidate join reads only candidate-bucket files and shuffles
+    * NOTHING. The verified candidates are collected in the same way
+    * (one action, both the cand relation and the shingle-side id
+    * filter), so a trickle trigger runs FOUR jobs total: batch-shingle
+    * barrier, band-row collect, candidate collect, verdict. The file
+    * filters are purely an I/O bound (every join re-applies its key
+    * equality, and the InSet filters survive as parquet pushdown), so
+    * the rows are identical to the unpruned screen by construction
+    * (NearDupIndexSpec pins equality; PartitionedStoreSpec pins the
+    * driver hash against the written files).
     *
-    * Railed at `maxLits` literals per side, and the default is LOW
-    * (2048) for a MEASURED reason: Spark's bucket pruning
-    * (genBucketSet) evaluates the bucket-id expression INTERPRETED,
-    * per set element, at physical planning — ~0.2 ms per value on this
-    * box (a 78k-key probe spent 15.6 s planning the very scan it
-    * pruned; the same filter on a spec-less path read plans in 0.02 s,
-    * and the filter itself is InSet — ONE node — so the cost is all
-    * genBucketSet). 2048 keys ≈ 0.4 s planning ≈ a 128-doc trigger at
-    * bands = 16 — exactly the trickle-probe regime where file pruning
-    * wins; past the rail the unfiltered in-place scan of
-    * [[incrementalNearDedupFrom]] is the right plan anyway, so the
-    * fallback keeps the operator total, never wrong, like the LSH
-    * bucket rail. The two collects are the operator's only driver-side
-    * steps, both bounded by the rail. */
+    * Rails, all bounded by `maxLits` (default 2048 ≈ a 128-doc trigger
+    * at bands = 16): band rows > 2·maxLits or distinct keys > maxLits →
+    * the full in-place bucketed plan of [[incrementalNearDedupFrom]]
+    * (a jumbo trigger is corpus-shaped work — the in-place scan IS the
+    * right plan, like the LSH bucket rail); verified candidates >
+    * 4·maxLits → the candidate relation stays distributed and only the
+    * shingle side falls back. The rails bound every driver collect and
+    * every InSet's execution size; planning is O(1) in the key count
+    * either way. */
   private def prunedIndexSides(s: SparkSession, bsh: DataFrame,
       bandTable: String, shingleTable: String, k: Int, bands: Int,
       maxLits: Int): (DataFrame, DataFrame) = {
-    val bbands = Stage.barrier(
-      withBkey(bandRows(minhashSigsOf(bsh, k), bands, k))
-        .select(col("doc_id"), col("bkey")))
-    val keys = bbands.select(col("bkey")).distinct()
-      .limit(maxLits + 1).collect().map(_.getString(0)).toSeq
-    val bandSide =
-      if (keys.size > maxLits) s.table(bandTable)
-      else s.table(bandTable).filter(inSetCol(col("bkey"), keys))
-    val cand = Stage.barrier(
-      bbands.join(bandSide.select(col("bkey"),
-          col("doc_id").as("corpus_id")), Seq("bkey"))
-        .select(col("doc_id"), col("corpus_id")).distinct())
-    val cids = cand.select(col("corpus_id")).distinct()
-      .limit(maxLits + 1).collect().map(_.get(0)).toSeq
-    val shingleSide =
-      if (cids.size > maxLits) s.table(shingleTable)
-      else s.table(shingleTable).filter(inSetCol(col("doc_id"), cids))
-    (cand, shingleSide.select(col("doc_id").as("corpus_id"),
-      col("sh").as("sh_c")))
+    import graft.sources.PartitionedStore
+    val bbandsDf = withBkey(bandRows(minhashSigsOf(bsh, k), bands, k))
+      .select(col("doc_id"), col("bkey"))
+    def shingleSideOf(cids: Seq[Any]): DataFrame = {
+      // the key filter lives inside prunedBucketScan (applied only
+      // when files were actually pruned — an unpruned catalog read
+      // must carry NO key filter or genBucketSet's planning walk
+      // returns); the verification join re-applies the equality
+      val base =
+        if (cids.size > maxLits) s.table(shingleTable)
+        else PartitionedStore.prunedBucketScan(s, shingleTable, cids)
+      base.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+    }
+    def distributedCand(bandProbe: DataFrame, bandSide: DataFrame)
+        : (DataFrame, DataFrame) = {
+      val cand = Stage.barrier(
+        bandProbe.join(bandSide.select(col("bkey"),
+            col("doc_id").as("corpus_id")), Seq("bkey"))
+          .select(col("doc_id"), col("corpus_id")).distinct())
+      val cids = cand.select(col("corpus_id")).distinct()
+        .limit(maxLits + 1).collect().map(_.get(0)).toSeq
+      (cand, shingleSideOf(cids))
+    }
+    val rowCap = maxLits * 2
+    val head = bbandsDf.limit(rowCap + 1).collect()
+    val keys = head.iterator.map(_.getString(1)).toSet
+    if (head.length > rowCap || keys.size > maxLits)
+      // jumbo trigger: corpus-shaped work — take the in-place plan.
+      // (A small probe whose keys happen to touch EVERY bucket still
+      // takes the broadcast collect-probe: prunedBucketScan degrades
+      // it to the unfiltered catalog read, and the broadcast-hash
+      // probe over that scan measured FASTER than the in-place
+      // sort-merge join — BENCH_NOTES r19 A/B — so the rail, not
+      // prunability, decides the route.)
+      distributedCand(Stage.barrier(bbandsDf), s.table(bandTable))
+    else {
+      val localBands = broadcast(s.createDataFrame(
+        java.util.Arrays.asList(head: _*), bbandsDf.schema))
+      val bandSide = PartitionedStore
+        .prunedBucketScan(s, bandTable, keys)
+      val candDf = bandSide.select(col("bkey"),
+          col("doc_id").as("corpus_id"))
+        .join(localBands, Seq("bkey"))
+        .select(col("doc_id"), col("corpus_id")).distinct()
+      val candCap = maxLits * 4
+      val candRows = candDf.limit(candCap + 1).collect()
+      if (candRows.length > candCap) distributedCand(localBands, bandSide)
+      else {
+        val cand = broadcast(s.createDataFrame(
+          java.util.Arrays.asList(candRows: _*), candDf.schema))
+        val cids = candRows.iterator.map(_.get(1)).toSeq.distinct
+        (cand, shingleSideOf(cids))
+      }
+    }
   }
 
   /** [[incrementalNearDedupFrom]] with BOTH index scans pruned to the
     * batch's candidate buckets ([[prunedIndexSides]]) — identical
-    * verdict rows (NearDupIndexSpec pins equality and the
-    * `SelectedBucketsCount` plan), candidate-proportional I/O. Use for
-    * small probes; above `maxLits` distinct keys it degrades to the
-    * full in-place scan, which is then the right plan. */
+    * verdict rows (NearDupIndexSpec pins equality; the bucket files are
+    * selected driver-side with the write's own hash), candidate-
+    * proportional I/O, O(1) planning in the key count. Use for small
+    * probes; above `maxLits` distinct keys it degrades to the full
+    * in-place scan, which is then the right plan. */
   def incrementalNearDedupPruned(s: SparkSession, batch: DataFrame,
       bandTable: String, shingleTable: String, n: Int = 2, k: Int = 64,
       bands: Int = 16, numer: Int = 7, denom: Int = 10,

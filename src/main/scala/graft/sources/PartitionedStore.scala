@@ -230,6 +230,99 @@ object PartitionedStore {
     rows
   }
 
+  /** Driver-side bucket id of one INTERNAL-typed value (UTF8String for
+    * strings) under an n-bucket spec — digit-for-digit the bucketed
+    * write's own formula (HashPartitioning.partitionIdExpression =
+    * pmod(murmur3(col, seed 42), n)), so a key's file can be named
+    * without planning a scan. This is what lets a trickle probe skip
+    * Spark's genBucketSet, which evaluates the same expression
+    * INTERPRETED per set value at physical planning (~0.2 ms/value
+    * measured — the r18 pruned screen's dominant constant). Parity with
+    * the write is spec-pinned (PartitionedStoreSpec: every row of every
+    * bucket file hashes back to that file's bucket id). */
+  def bucketIdOf(value: Any,
+      dt: org.apache.spark.sql.types.DataType, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(value, dt, 42L).toInt
+    val m = h % nBuckets
+    if (m < 0) m + nBuckets else m
+  }
+
+  /** Bucket-pruned read of a single-column bucketed table, for a probe
+    * whose candidate keys are known driver-side: the candidate bucket
+    * ids are computed with the write's own hash ([[bucketIdOf]]) and
+    * only those buckets' files are read BY PATH, with the exact key
+    * filter (InSet) applied — planning is O(1) in the key count where
+    * a key-filtered catalog scan pays genBucketSet's per-value
+    * interpreted walk (~0.2 ms/value, the r18 screen's dominant
+    * constant), and I/O is bucket-pruned by construction.
+    *
+    * When the candidate buckets cover the WHOLE table (a trickle probe
+    * against few buckets — the suite's 32-bucket stores at 2k keys),
+    * pruning cannot save any I/O and the per-file path listing is pure
+    * cost that GROWS with the file count (measured ~1 s/scan at sf2:
+    * >32 individual paths also trip Spark's parallel-listing job) — so
+    * the scan degrades to the catalog's in-place table read with NO
+    * key filter (no genBucketSet), semantically a superset read either
+    * way: callers join on the key column, which re-applies the
+    * equality. Path-read trade-offs when pruned: no catalog bucketing
+    * metadata (join the result via a BROADCAST batch side, not a
+    * shuffle), and the file listing is as of call time (same staleness
+    * class as the catalog's listing under a racing compaction). */
+  /** (internal values, wanted bucket ids, bucket spec, table schema)
+    * of a key probe against a single-column bucketed table. */
+  private def probeBuckets(spark: SparkSession, table: String,
+      keys: Iterable[Any]) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"prunedBucketScan($table): table has no bucket spec"))
+    require(spec.bucketColumnNames.size == 1,
+      s"prunedBucketScan($table): single-column bucketing only " +
+        s"(got ${spec.bucketColumnNames})")
+    val schema = spark.table(table).schema
+    val dt = schema(spec.bucketColumnNames.head).dataType
+    val internal = keys.iterator.map {
+      case s0: String =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s0)
+      case v => v
+    }.toSeq
+    val wanted = internal.iterator
+      .map(bucketIdOf(_, dt, spec.numBuckets)).toSet
+    (internal, wanted, spec, schema, meta)
+  }
+
+  def prunedBucketScan(spark: SparkSession, table: String,
+      keys: Iterable[Any]): DataFrame = {
+    val (internal, wanted, spec, schema, meta) =
+      probeBuckets(spark, table, keys)
+    val keyCol = spec.bucketColumnNames.head
+    if (wanted.size >= spec.numBuckets) return spark.table(table)
+    val path = new Path(meta.location)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketOf = """part-\d+-.*_(\d{5})""".r.unanchored
+    val files = fs.listStatus(path).filter(_.isFile).map(_.getPath)
+      .flatMap { p =>
+        p.getName match {
+          case bucketOf(b) if wanted(b.toInt) => Some(p.toString)
+          case _ => None
+        }
+      }
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      import org.apache.spark.sql.functions.col
+      // exact key filter on the pruned files: one InSet node over the
+      // ALREADY-internal values (graftbridge), pushed to parquet
+      spark.read.schema(schema).parquet(files.toSeq: _*)
+        .filter(org.apache.spark.sql.graftbridge.Bridge.column(
+          org.apache.spark.sql.catalyst.expressions.InSet(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col(keyCol)),
+            internal.toSet)))
+    }
+  }
+
   /** Health snapshot of a bucketed store table — the "when do I
     * compact" input ([[compactBucketed]]'s scaladoc says run it when
     * probe scans go merge-heavy; this is the number that says when):

@@ -71,14 +71,17 @@ class NearDupIndexSpec extends SparkSpec {
       assert(prod.exists(_._3) && prod.exists(!_._3),
         "fixture must exercise both verdicts")
 
-      // the PRUNED small-probe screen on a TRICKLE slice (its literal
-      // rail caps at ~128 docs × 16 bands — genBucketSet planning
-      // costs ~0.2 ms per set value, so past the rail the operator
-      // falls back to the unpruned in-place scan, which the full
-      // fixture batch exercises implicitly): identical verdicts, and
-      // the index scans carry a pruned bucket set — the plan marker
-      // that per-trigger I/O is candidate-proportional, not
-      // corpus-proportional (VERDICT r17 #2)
+      // the PRUNED small-probe screen on a TRICKLE slice (its rail
+      // caps at ~128 docs × 16 bands; past it the operator falls back
+      // to the unpruned in-place scan, which the full fixture batch
+      // exercises implicitly): identical verdicts, and — r19 — the
+      // index sides are FILE-SUBSET path reads chosen with the write's
+      // own driver-side bucket hash (replacing genBucketSet's
+      // interpreted per-value planning walk), so the plan shows the
+      // broadcast probe and NO table-side exchange; per-trigger I/O is
+      // candidate-proportional, not corpus-proportional (VERDICT r17
+      // #2 / r18 #5). The hash-vs-file parity itself is pinned in
+      // PartitionedStoreSpec.
       val trickle = batch.orderBy(col("doc_id")).limit(60)
       val pruned = Dedup.incrementalNearDedupPruned(spark, trickle,
         "nd_bands_t", "nd_shingles_t")
@@ -86,9 +89,25 @@ class NearDupIndexSpec extends SparkSpec {
         verdicts(Dedup.incrementalNearDedupFrom(spark, trickle,
           "nd_bands_t", "nd_shingles_t")),
         "pruned screen diverged from the in-place screen")
-      val prunedPlan = pruned.queryExecution.executedPlan.toString
-      assert(prunedPlan.contains("SelectedBucketsCount"),
-        s"pruned screen must bucket-prune its index scans:\n$prunedPlan")
+      // a 60-doc trickle's 960 band keys touch all 32 buckets, so the
+      // band side correctly routes to the catalog in-place plan
+      // (probePrunes=false — a collect-probe would buy no pruning); a
+      // TINY probe's keys miss buckets, and THERE the index sides must
+      // be file-subset path reads (no catalog bucketed scan, no
+      // genBucketSet) probed via the broadcast local band relation —
+      // the r19 fast path, verdict-identical
+      val tiny = batch.orderBy(col("doc_id")).limit(2)
+      val tinyPruned = Dedup.incrementalNearDedupPruned(spark, tiny,
+        "nd_bands_t", "nd_shingles_t")
+      assert(verdicts(tinyPruned) ==
+        verdicts(Dedup.incrementalNearDedupFrom(spark, tiny,
+          "nd_bands_t", "nd_shingles_t")),
+        "tiny pruned screen diverged from the in-place screen")
+      val tinyPlan = tinyPruned.queryExecution.executedPlan.toString
+      assert(!tinyPlan.contains("Bucketed: true"),
+        s"tiny probe must path-read pruned file subsets:\n$tinyPlan")
+      assert(tinyPlan.contains("BroadcastHashJoin"),
+        s"tiny probe must join via broadcast:\n$tinyPlan")
       // and the rail: a probe past maxLits must still be CORRECT
       // (falls back to the unpruned plan, never truncates the key set)
       assert(verdicts(Dedup.incrementalNearDedupPruned(spark, batch,

@@ -168,6 +168,80 @@ class PartitionedStoreSpec extends SparkSpec {
     }
   }
 
+  test("bucketIdOf matches the written bucket layout; prunedBucketScan " +
+      "reads exactly the candidate buckets' rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bidof")
+      .toString
+    try {
+      // one string-keyed and one long-keyed table — the two key types
+      // the near-dup index pair uses
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("k_"), col("doc_id")).as("skey"))
+      PartitionedStore.writeBucketed(docs, "bid_s", s"$dir/s",
+        Seq("skey"), 8, Seq("skey"))
+      PartitionedStore.writeBucketed(docs, "bid_l", s"$dir/l",
+        Seq("doc_id"), 8, Seq("doc_id"))
+      // parity: every row of every bucket FILE hashes back to that
+      // file's encoded bucket id — the driver-side formula and the
+      // write's HashPartitioning cannot drift
+      val bucketOf = """part-\d+-.*_(\d{5})""".r.unanchored
+      for ((sub, colName, dt) <- Seq(
+          ("s", "skey", org.apache.spark.sql.types.StringType),
+          ("l", "doc_id", org.apache.spark.sql.types.LongType))) {
+        val files = new java.io.File(s"$dir/$sub").listFiles()
+          .filter(f => f.getName.startsWith("part-"))
+        assert(files.nonEmpty)
+        for (f <- files) {
+          val b = f.getName match { case bucketOf(x) => x.toInt }
+          val vals = spark.read.parquet(f.getPath)
+            .select(col(colName)).collect().map(_.get(0))
+          assert(vals.forall { v =>
+            val internal = v match {
+              case s0: String =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(s0)
+              case x => x
+            }
+            PartitionedStore.bucketIdOf(internal, dt, 8) == b
+          }, s"rows in bucket file $b of $sub hash elsewhere")
+        }
+      }
+      // file-subset scan with FEW keys (wanted buckets < nBuckets, so
+      // the pruned path — not the all-buckets catalog fallback — is
+      // exercised): key-exact rows for both key types, and the plan is
+      // a path read, not a catalog bucketed scan
+      val someKeys = (0L until 3L).map(i => s"k_$i")
+      val prunedS = PartitionedStore.prunedBucketScan(spark, "bid_s",
+        someKeys)
+      assert(!prunedS.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"),
+        "few-key scan must path-read its file subset")
+      val got = prunedS.collect().map(_.getLong(0)).toSet
+      val want = spark.table("bid_s")
+        .filter(col("skey").isin(someKeys: _*))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want && want.nonEmpty)
+      val gotL = PartitionedStore
+        .prunedBucketScan(spark, "bid_l", (0L until 3L).map(Long.box))
+        .collect().map(_.getLong(0)).toSet
+      assert(gotL == (0L until 3L).toSet)
+      // a key set touching every bucket degrades to the catalog's
+      // in-place read with NO key filter (superset; joins re-apply
+      // the equality) — never a per-file listing that prunes nothing
+      val full = PartitionedStore.prunedBucketScan(spark, "bid_s",
+        (0L until 200L).map(i => s"k_$i"))
+      val fullPlan = full.queryExecution.executedPlan.toString
+      assert(fullPlan.contains("default.bid_s") &&
+        fullPlan.contains("InMemoryFileIndex(1 paths)"),
+        s"all-buckets probe must fall back to the one-path catalog " +
+          s"scan, not a per-file listing:\n$fullPlan")
+      assert(full.count() == spark.table("bid_s").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bid_s")
+      spark.sql("DROP TABLE IF EXISTS bid_l")
+    }
+  }
+
   test("co-bucketed tables join with zero exchanges") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     assert(warehouse.nonEmpty)

@@ -243,34 +243,31 @@ class EventStreamSpec extends SparkSpec {
       // accumulate through the sink callback
       val acc = scala.collection.mutable.Set[(Long, Long)]()
       val stagedBefore = graft.ops.Stage.stagedCount(spark)
-      // the leak assertion must watch the session the barriers are
-      // actually staged under: foreachBatch runs with the query's
-      // CLONED session, so an outer-session count is vacuously stable
-      // whether or not the scope releases anything (ADVICE r18) —
-      // capture batch.sparkSession inside the callback and record the
-      // mid-sink staged count (the screen's barriers are live while
-      // the sink consumes the frame)
-      @volatile var batchSession: SparkSession = null
-      @volatile var midSinkStaged = -1
+      // the leak assertion must watch where the barriers actually
+      // live: foreachBatch runs with the query's CLONED session, so an
+      // outer-session Stage count alone is vacuously stable whether or
+      // not the scope releases anything (ADVICE r18). Cached blocks,
+      // however, are CONTEXT-global — getPersistentRDDs sees every
+      // session's materialized cache entries — so the pin is: cached
+      // RDDs grow while the trigger's screen is live (the batch-shingle
+      // barrier at minimum) and return to the pre-query count after
+      // stop. A scope keyed on the wrong session fails the second
+      // assertion with exactly the +1-per-trigger growth it would leak.
+      val persistentBefore = spark.sparkContext.getPersistentRDDs.size
+      @volatile var midSinkPersistent = -1
       val q = EventStream.nearDupIndexEachBatch(spark, stream,
         "nd_stream_bands", "nd_stream_shingles") { (m, _) =>
-          batchSession = m.sparkSession
-          midSinkStaged = graft.ops.Stage.stagedCount(m.sparkSession)
+          midSinkPersistent = spark.sparkContext.getPersistentRDDs.size
           acc ++= m.collect().map(r => (r.getLong(0), r.getLong(1)))
         }.start()
       q.processAllAvailable(); q.stop()
       assert(acc.toSeq.sorted == gotPairs.sorted.toSeq,
         "pruned foreachBatch dual diverged from inline dual")
-      // the per-trigger screen stages 3 barriers (live during the
-      // sink); Stage.scoped must release them after each sink call or
-      // a long-running stream pins 3 caches per trigger forever
-      // (review r18)
-      assert(midSinkStaged >= 3,
-        s"expected the trigger's barriers staged under the batch " +
-          s"session during the sink, saw $midSinkStaged")
-      assert(graft.ops.Stage.stagedCount(batchSession) == 0,
-        "foreachBatch screen leaked staged frames on the stream's " +
-          "cloned session across triggers")
+      assert(midSinkPersistent > persistentBefore,
+        s"expected the trigger's barriers cached during the sink: " +
+          s"$midSinkPersistent vs $persistentBefore before")
+      assert(spark.sparkContext.getPersistentRDDs.size == persistentBefore,
+        "foreachBatch screen leaked cached frames across triggers")
       assert(graft.ops.Stage.stagedCount(spark) == stagedBefore,
         "foreachBatch screen leaked staged frames on the outer session")
       // mismatched banding fails loudly, as in the batch screen
