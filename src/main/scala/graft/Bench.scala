@@ -60,8 +60,9 @@ object Bench {
     // versa). Min of 3 after one warm rep; ~1 s in the fast window.
     def calProbe(): Double = {
       val t0 = System.nanoTime()
+      // max, not sum: summing 128M arbitrary longs overflows under ANSI
       spark.range(0, 1L << 27, 1, cpus.toInt)
-        .selectExpr("xxhash64(id) AS h").agg(expr("sum(h)")).collect()
+        .selectExpr("xxhash64(id) AS h").agg(expr("max(h)")).collect()
       (System.nanoTime() - t0) / 1e9
     }
     calProbe()
