@@ -313,13 +313,28 @@ object PartitionedStore {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       import org.apache.spark.sql.functions.col
-      // exact key filter on the pruned files: one InSet node over the
-      // ALREADY-internal values (graftbridge), pushed to parquet
-      spark.read.schema(schema).parquet(files.toSeq: _*)
-        .filter(org.apache.spark.sql.graftbridge.Bridge.column(
-          org.apache.spark.sql.catalyst.expressions.InSet(
-            org.apache.spark.sql.graftbridge.Bridge.expression(col(keyCol)),
-            internal.toSet)))
+      // >32 root paths trip Spark's DISTRIBUTED listing job
+      // (parallelPartitionDiscovery.threshold) — seconds of task
+      // scheduling to re-stat files this function just listed
+      // (measured 3.4 s for a ~hundreds-file subset at sf2/512
+      // buckets). The subset is rail-sized by construction, so list
+      // driver-side: raise the threshold for the duration of the
+      // DataFrame RESOLUTION (the file index is built eagerly in
+      // spark.read, so the conf is restored before returning).
+      val thresholdKey =
+        "spark.sql.sources.parallelPartitionDiscovery.threshold"
+      val prev = spark.conf.get(thresholdKey)
+      spark.conf.set(thresholdKey, Int.MaxValue.toString)
+      try {
+        // exact key filter on the pruned files: one InSet node over the
+        // ALREADY-internal values (graftbridge), pushed to parquet
+        spark.read.schema(schema).parquet(files.toSeq: _*)
+          .filter(org.apache.spark.sql.graftbridge.Bridge.column(
+            org.apache.spark.sql.catalyst.expressions.InSet(
+              org.apache.spark.sql.graftbridge.Bridge
+                .expression(col(keyCol)),
+              internal.toSet)))
+      } finally spark.conf.set(thresholdKey, prev)
     }
   }
 

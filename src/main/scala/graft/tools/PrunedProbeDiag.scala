@@ -13,6 +13,12 @@ import graft.Tables
 object PrunedProbeDiag {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/sf2")
+    // nBuckets: 32 = the suite stores' width (a 125-doc probe touches
+    // every bucket — the degrade regime); hundreds+ = the production
+    // width where a tiny probe's keys MISS most buckets and the
+    // file-subset path's candidate-proportional I/O shows
+    val nBuckets = args.lift(1).map(_.toInt).getOrElse(32)
+    val probeDocs = args.lift(2).map(_.toInt).getOrElse(125)
     val spark = Tables.configure(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -24,8 +30,8 @@ object PrunedProbeDiag {
     val base = "/tmp/graft_probediag"
     val (bt, st) = ("ppd_bands", "ppd_shingles")
     graft.ops.Dedup.buildNearDupIndex(docs, bt, s"$base/bands", st,
-      s"$base/shingles")
-    val trickle = docs.orderBy(col("doc_id")).limit(125)
+      s"$base/shingles", nBuckets = nBuckets)
+    val trickle = docs.orderBy(col("doc_id")).limit(probeDocs)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         when(col("doc_id") % 2 === 0,
           regexp_replace(col("text"), "^[^ ]* ", ""))
@@ -64,7 +70,6 @@ object PrunedProbeDiag {
       val keys = head.iterator.map(_.getString(1)).toSet
       val (tScan, bandSide) = time {
         graft.sources.PartitionedStore.prunedBucketScan(spark, bt, keys)
-          .filter(Dedup.inSetCol(col("bkey"), keys))
           .select(col("bkey"), col("doc_id").as("corpus_id"))
       }
       val localBands = broadcast(spark.createDataFrame(
@@ -80,7 +85,6 @@ object PrunedProbeDiag {
       val (tShingle, nKept) = time {
         val csh = graft.sources.PartitionedStore
           .prunedBucketScan(spark, st, cids)
-          .filter(Dedup.inSetCol(col("doc_id"), cids))
           .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
         val cand = broadcast(spark.createDataFrame(
           java.util.Arrays.asList(candRows: _*),
@@ -94,6 +98,7 @@ object PrunedProbeDiag {
     }
     def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     println(s"""{"metric":"pruned_probe_diag","sf":"$sfDir",""" +
+      s""""n_buckets":$nBuckets,"probe_docs":$probeDocs,""" +
       s""""pruned_sec":${fmt(tPruned)},"indexed_sec":${fmt(tIndexed)},""" +
       s""""bsh_sec":${fmt(tStages.map(_._1))},""" +
       s""""bands_collect_sec":${fmt(tStages.map(_._2))},""" +
