@@ -1874,16 +1874,12 @@ object Dedup {
     * reconcile is one distinct-projection join per pair. */
   def auditStores(s: SparkSession, stores: Seq[StoreRef]): DataFrame = {
     import graft.sources.PartitionedStore
-    def stamps(table: String): Map[String, String] =
-      s.sql(s"SHOW TBLPROPERTIES $table").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-    def ndStampsOk(bt: String, st: String): Boolean = {
-      val keys = Seq("graft.ndindex.n", "graft.ndindex.k",
-        "graft.ndindex.bands")
-      val (b, sh) = (stamps(bt), stamps(st))
-      keys.forall(k => b.get(k).exists(v => v.forall(_.isDigit) &&
-        v.nonEmpty) && b.get(k) == sh.get(k))
-    }
+    // numeric-stamp validity: bounded toLong, NEVER toInt on an
+    // unbounded digit string — an audit whose purpose is surfacing
+    // poisoned stamps must flag (not crash on) a >Int.MaxValue value
+    // (round-close review r19)
+    def numericStamp(v: String): Boolean =
+      v.nonEmpty && v.length <= 18 && v.forall(_.isDigit) && v.toLong > 0
     val rows = stores.flatMap {
       case DigestStoreRef(t) =>
         val st = PartitionedStore.storeStats(s, t)
@@ -1891,24 +1887,32 @@ object Dedup {
           st.filesPerBucketMax, st.rows, st.dupBacklog, true, 0L))
       case SpanBankRef(t) =>
         val st = PartitionedStore.storeStats(s, t)
-        val ok = st.stamps.get("graft.spanbank.w")
-          .exists(v => v.nonEmpty && v.forall(_.isDigit) && v.toInt > 0)
+        val ok = st.stamps.get("graft.spanbank.w").exists(numericStamp)
         Seq((t, "span_bank", st.nBuckets, st.nFiles,
           st.filesPerBucketMax, st.rows, st.dupBacklog, ok, 0L))
       case NearDupIndexRef(bt, sht) =>
-        val ok = ndStampsOk(bt, sht)
         val torn = reconcileNearDupIndex(s, bt, sht)
           .groupBy(col("missing_from")).agg(count(lit(1)).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        Seq(bt -> "nd_band_index", sht -> "nd_shingle_index").map {
-          case (t, kind) =>
-            val st = PartitionedStore.storeStats(s, t)
-            // a doc MISSING from the band table is the band store's
-            // gap to fill (and vice versa) — attribute it there
-            val missKey =
-              if (kind == "nd_band_index") "band" else "shingle"
-            (t, kind, st.nBuckets, st.nFiles, st.filesPerBucketMax,
-              st.rows, st.dupBacklog, ok, torn.getOrElse(missKey, 0L))
+        val pair = Seq(bt -> "nd_band_index", sht -> "nd_shingle_index")
+          .map { case (t, kind) =>
+            (t, kind, PartitionedStore.storeStats(s, t)) }
+        // stamp rule off the stats' OWN property maps (one catalog
+        // read per table): n/k/bands numeric on the band table and
+        // EQUAL across the pair — a mixed pair zeroes verification
+        val stampKeys = Seq("graft.ndindex.n", "graft.ndindex.k",
+          "graft.ndindex.bands")
+        val Seq(bStamps, shStamps) = pair.map(_._3.stamps)
+        val ok = stampKeys.forall(k =>
+          bStamps.get(k).exists(numericStamp) &&
+            bStamps.get(k) == shStamps.get(k))
+        pair.map { case (t, kind, st) =>
+          // a doc MISSING from the band table is the band store's
+          // gap to fill (and vice versa) — attribute it there
+          val missKey =
+            if (kind == "nd_band_index") "band" else "shingle"
+          (t, kind, st.nBuckets, st.nFiles, st.filesPerBucketMax,
+            st.rows, st.dupBacklog, ok, torn.getOrElse(missKey, 0L))
         }
     }
     import s.implicits._
@@ -1975,29 +1979,6 @@ object Dedup {
       s.table(shingleTable)
         .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
       numer, denom)
-  }
-
-  /** Set-membership filter built DIRECTLY as Catalyst's `InSet` — ONE
-    * expression node carrying the set — instead of `Column.isin`, whose
-    * `In` holds one Literal CHILD per value: every analyzer/optimizer
-    * pass walks all of them, measured at ~0.5 ms per literal — a
-    * micro-batch's 80k band keys made planning the pruned screen 25×
-    * slower than the full scan it was saving. InSet is what OptimizeIn
-    * folds In into anyway; building it up front keeps planning O(1) in
-    * the key count, and both bucket pruning (genBucketSet) and the
-    * parquet pushdown translate InSet the same as In. Values are
-    * converted to their INTERNAL forms (UTF8String for strings) —
-    * InSet compares against internal row values. */
-  private[graft] def inSetCol(c: Column, values: Iterable[Any]): Column = {
-    import org.apache.spark.sql.graftbridge.Bridge
-    if (values.isEmpty) lit(false)
-    else Bridge.column(org.apache.spark.sql.catalyst.expressions.InSet(
-      Bridge.expression(c),
-      values.map {
-        case s: String =>
-          org.apache.spark.unsafe.types.UTF8String.fromString(s)
-        case v => v
-      }.toSet))
   }
 
   /** PRUNED index sides for a SMALL probe batch (a streaming
@@ -2077,7 +2058,16 @@ object Dedup {
         .select(col("doc_id"), col("corpus_id")).distinct()
       val candCap = maxLits * 4
       val candRows = candDf.limit(candCap + 1).collect()
-      if (candRows.length > candCap) distributedCand(localBands, bandSide)
+      // overflow probe rebuilt from bbandsDf, NOT localBands: barriers
+      // track under their frame's session, and in a foreachBatch
+      // trigger bbandsDf carries the batch's (cloned) session — the
+      // one Stage.scoped releases — while localBands was created on
+      // the caller's session; a cand barrier left of localBands would
+      // escape the trigger scope and pin a cache per overflow trigger
+      // forever (round-close review r19). bbandsDf re-derives from the
+      // cached bsh, so the rebuild is one cheap projection.
+      if (candRows.length > candCap)
+        distributedCand(Stage.barrier(bbandsDf), bandSide)
       else {
         val cand = broadcast(s.createDataFrame(
           java.util.Arrays.asList(candRows: _*), candDf.schema))

@@ -321,20 +321,26 @@ object PartitionedStore {
       // driver-side: raise the threshold for the duration of the
       // DataFrame RESOLUTION (the file index is built eagerly in
       // spark.read, so the conf is restored before returning).
+      // the set/resolve/restore is a JVM-wide critical section: two
+      // concurrent callers interleaving set→save-prev→restore would
+      // otherwise capture each other's inflated value and restore it
+      // PERMANENTLY (round-close review r19); concurrent planning on
+      // other threads during the short window sees the inflated
+      // threshold — worst case one slow driver-side listing, never a
+      // wrong result
       val thresholdKey =
         "spark.sql.sources.parallelPartitionDiscovery.threshold"
-      val prev = spark.conf.get(thresholdKey)
-      spark.conf.set(thresholdKey, Int.MaxValue.toString)
-      try {
-        // exact key filter on the pruned files: one InSet node over the
-        // ALREADY-internal values (graftbridge), pushed to parquet
-        spark.read.schema(schema).parquet(files.toSeq: _*)
-          .filter(org.apache.spark.sql.graftbridge.Bridge.column(
-            org.apache.spark.sql.catalyst.expressions.InSet(
-              org.apache.spark.sql.graftbridge.Bridge
-                .expression(col(keyCol)),
-              internal.toSet)))
-      } finally spark.conf.set(thresholdKey, prev)
+      PartitionedStore.synchronized {
+        val prev = spark.conf.get(thresholdKey)
+        spark.conf.set(thresholdKey, Int.MaxValue.toString)
+        try {
+          // exact key filter on the pruned files: one InSet node over
+          // the ALREADY-internal values, pushed to parquet
+          spark.read.schema(schema).parquet(files.toSeq: _*)
+            .filter(org.apache.spark.sql.graftbridge.Bridge
+              .inSet(col(keyCol), internal))
+        } finally spark.conf.set(thresholdKey, prev)
+      }
     }
   }
 

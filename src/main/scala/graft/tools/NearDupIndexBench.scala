@@ -143,16 +143,22 @@ object NearDupIndexBench {
     // consults storeStats and compacts only past the knee — 8
     // files/bucket, under the measured 33-file state whose screen ran
     // 1.5× slower than one file (BENCH_NOTES r18); 32 appends must
-    // trip it, so the bench exercises the trigger, not a blind compact
+    // trip it, so the bench exercises the trigger, not a blind
+    // compact. The stats consultation runs OUTSIDE the timer
+    // (storeStats is a full-table distinct aggregation + listing) so
+    // compact_sec keeps measuring compaction alone, comparable with
+    // the r18 artifacts (round-close review r19).
+    def fire(t: String): Boolean = {
+      val s0 = graft.sources.PartitionedStore.storeStats(spark, t)
+      s0.filesPerBucketMax > 8 || s0.dupBacklog > 0
+    }
     val statsPre = graft.sources.PartitionedStore.storeStats(spark, bt)
+    require(fire(bt) && fire(st),
+      s"32 appends must exceed the 8-files/bucket knee: $statsPre")
     val tCompact = time {
-      val (_, fb) = graft.sources.PartitionedStore.compactIfNeeded(
-        spark, bt, maxFilesPerBucket = 8)
-      val (_, fsh) = graft.sources.PartitionedStore.compactIfNeeded(
-        spark, st, maxFilesPerBucket = 8)
-      require(fb && fsh,
-        s"32 appends must exceed the 8-files/bucket knee: $statsPre")
-      statsPre.rows
+      graft.sources.PartitionedStore.compactBucketed(spark, bt,
+        dedupRows = statsPre.dupBacklog > 0) +
+        graft.sources.PartitionedStore.compactBucketed(spark, st)
     }._1
     val filesAfter = bandFiles
     val tCompacted = arm(graft.ops.Dedup.incrementalNearDedupFrom(

@@ -205,4 +205,53 @@ class NearDupIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS nd_shingles_t")
     }
   }
+
+  test("overflow-probe barriers track the probe's session, so a " +
+      "trigger scope can release them") {
+    // the mid-rail overflow branch (keys <= maxLits but verified
+    // candidates > 4*maxLits) rebuilds its distributed candidate
+    // relation from the BATCH-derived band rows: barriers track under
+    // their frame's session, and in a foreachBatch trigger that is the
+    // stream's cloned session — the one Stage.scoped releases. A cand
+    // barrier rooted at the driver-local probe relation (caller
+    // session) would escape every trigger scope and pin one cache per
+    // overflow trigger forever (round-close review r19).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ovf")
+      .toString
+    val (bt, st) = ("ovf_bands_t", "ovf_shingles_t")
+    try {
+      // 250 distinct ids sharing ONE text: a probe with that text
+      // collides with all of them -> 250 candidate pairs from <= 16
+      // band keys
+      val text = "the quick brown fox jumps over the lazy dog again " +
+        "and again and again for this fixture"
+      val corpus = (0L until 250L).map(i => (i, text))
+        .toDF("doc_id", "text")
+      Dedup.buildNearDupIndex(corpus, bt, s"$dir/bands", st,
+        s"$dir/shingles")
+      val clone = spark.newSession()
+      import org.apache.spark.sql.functions.col
+      val probe = {
+        import clone.implicits._
+        Seq((9000L, text)).toDF("doc_id", "text")
+      }
+      val cloneBefore = Stage.stagedCount(clone)
+      val outerBefore = Stage.stagedCount(spark)
+      // maxLits = 40: 16 keys pass the key rail, 250 candidates blow
+      // past candCap = 160 -> the overflow branch runs
+      var n = -1L
+      Stage.scoped(clone) {
+        n = Dedup.incrementalNearDedupPruned(spark, probe, bt, st,
+          maxLits = 40).filter(col("kept") === false).count()
+      }
+      assert(n == 1L, s"probe must be flagged against all copies: $n")
+      assert(Stage.stagedCount(clone) == cloneBefore,
+        "overflow barriers escaped the probe-session scope")
+      assert(Stage.stagedCount(spark) == outerBefore,
+        "overflow barriers leaked onto the caller session")
+    } finally {
+      for (t <- Seq(bt, st)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
