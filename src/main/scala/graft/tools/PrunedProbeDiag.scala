@@ -48,10 +48,23 @@ object PrunedProbeDiag {
         trickle.cache().count()
         time(f)._1
       }
-    // full pruned screen
+    // full pruned screen, fresh-build layout then the MAINTAINED
+    // posture (build → compact → serve): one file per bucket, so the
+    // file-subset read opens |wanted buckets| files instead of
+    // |wanted| × build-tasks
     val tPruned = arm(graft.ops.Dedup.incrementalNearDedupPruned(
       spark, trickle, bt, st).filter(col("kept")).count())
     val tIndexed = arm(graft.ops.Dedup.incrementalNearDedupFrom(
+      spark, trickle, bt, st).filter(col("kept")).count())
+    val tCompact = {
+      val t0 = System.nanoTime()
+      graft.sources.PartitionedStore.compactBucketed(spark, bt)
+      graft.sources.PartitionedStore.compactBucketed(spark, st)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tPrunedC = arm(graft.ops.Dedup.incrementalNearDedupPruned(
+      spark, trickle, bt, st).filter(col("kept")).count())
+    val tIndexedC = arm(graft.ops.Dedup.incrementalNearDedupFrom(
       spark, trickle, bt, st).filter(col("kept")).count())
     // stage attribution inside the pruned path: replicate its steps
     import graft.ops.Dedup
@@ -100,6 +113,9 @@ object PrunedProbeDiag {
     println(s"""{"metric":"pruned_probe_diag","sf":"$sfDir",""" +
       s""""n_buckets":$nBuckets,"probe_docs":$probeDocs,""" +
       s""""pruned_sec":${fmt(tPruned)},"indexed_sec":${fmt(tIndexed)},""" +
+      f""""compact_sec":$tCompact%.2f,""" +
+      s""""pruned_compacted_sec":${fmt(tPrunedC)},""" +
+      s""""indexed_compacted_sec":${fmt(tIndexedC)},""" +
       s""""bsh_sec":${fmt(tStages.map(_._1))},""" +
       s""""bands_collect_sec":${fmt(tStages.map(_._2))},""" +
       s""""band_scan_build_sec":${fmt(tStages.map(_._3))},""" +
