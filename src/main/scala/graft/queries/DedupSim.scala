@@ -840,6 +840,17 @@ object DedupSim {
       Dedup.appendDigestIndex(pub1, dt)
       Dedup.appendNearDupIndex(pub1, bt, sht)
       Dedup.appendSpanBank(pub1, kt)
+      // the maintenance sweep runs in production order — audit, THEN
+      // compact, then serve: a torn append or a lost parameter stamp
+      // must stop the nightly job HERE, before a compaction launders
+      // the evidence and epoch 2 screens against a silently poisoned
+      // store (auditStores is the one entry point over all three
+      // store kinds — StoreAuditSpec pins its detections)
+      val audit = Dedup.auditStores(s, Seq(Dedup.DigestStoreRef(dt),
+        Dedup.SpanBankRef(kt), Dedup.NearDupIndexRef(bt, sht)))
+        .collect()
+      require(audit.forall(r => r.getBoolean(7) && r.getLong(8) == 0L),
+        s"epoch-boundary store audit failed: ${audit.mkString("; ")}")
       for (t <- Seq(dt, bt, sht, kt))
         PartitionedStore.compactBucketed(s, t, dedupRows = true)
 
