@@ -17,16 +17,22 @@ import org.apache.spark.sql.streaming.OutputMode
   * (asserted — a fast-but-wrong arm would be meaningless).
   *
   * Usage: StreamIndexBench [sfDir] [nBatches] [docsPerBatch]
-  * (defaults: target/sf1, 4, 2000). docsPerBatch ≤ ~125 is the pruned
-  * foreachBatch dual's regime (its literal rail caps at ~128 docs ×
-  * 16 bands); at the 2000-doc default the pruned arm rail-falls-back
-  * to the same in-place scan as the transform dual.
+  * [nBuckets] [compact] (defaults: target/sf1, 4, 2000, 32, false).
+  * docsPerBatch ≤ ~125 is the pruned foreachBatch dual's regime (its
+  * literal rail caps at ~128 docs × 16 bands); at the 2000-doc default
+  * the pruned arm rail-falls-back to the same in-place scan as the
+  * transform dual. nBuckets > key-count with compact=true is the
+  * MAINTAINED production posture (build → compact → serve): the
+  * pruned arm's per-trigger index I/O becomes candidate-proportional
+  * file-subset reads of one-file buckets — the 100 TB floor.
   */
 object StreamIndexBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/sf1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(4)
     val docsPerBatch = args.lift(2).map(_.toInt).getOrElse(2000)
+    val nBuckets = args.lift(3).map(_.toInt).getOrElse(32)
+    val doCompact = args.lift(4).exists(_.toBoolean)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Tables.configure(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -62,7 +68,10 @@ object StreamIndexBench {
         .coalesce(1).write.parquet(s"$land/b$b")
     }
     graft.ops.Dedup.buildNearDupIndex(corpus, "sib_bands",
-      s"$base/bands", "sib_shingles", s"$base/shingles")
+      s"$base/bands", "sib_shingles", s"$base/shingles",
+      nBuckets = nBuckets)
+    if (doCompact) for (t <- Seq("sib_bands", "sib_shingles"))
+      graft.sources.PartitionedStore.compactBucketed(spark, t)
 
     def stream() = spark.readStream
       .schema("doc_id LONG, text STRING")
@@ -112,6 +121,7 @@ object StreamIndexBench {
       s"${(pPrn -- pInl).take(3)} only-inline=${(pInl -- pPrn).take(3)}")
     println(s"""{"metric":"stream_index","sf":"$sfDir",""" +
       s""""n_batches":$nBatches,"docs_per_batch":$docsPerBatch,""" +
+      s""""n_buckets":$nBuckets,"compacted":$doCompact,""" +
       s""""n_pairs":${pIdx.size},""" +
       f""""indexed_total_sec":$tIdx%.2f,""" +
       f""""indexed_per_batch_sec":${tIdx / nBatches}%.2f,""" +
