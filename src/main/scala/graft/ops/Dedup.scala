@@ -531,9 +531,11 @@ object Dedup {
     * only bounds the cached edge size, so the default keeps it. */
   def components(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 50,
-      assumeCanonical: Boolean = false): DataFrame = {
+      assumeCanonical: Boolean = false,
+      maxLocalEdges: Long = 1L << 20): DataFrame = {
     val (labels, converged) = componentsWithStatus(pairs, aCol, bCol,
-      maxRounds, assumeCanonical = assumeCanonical)
+      maxRounds, assumeCanonical = assumeCanonical,
+      maxLocalEdges = maxLocalEdges)
     // the library default FAILS LOUDLY: unconverged labels are silently
     // wrong (a too-small drop set downstream of a dedup). Callers that
     // want to inspect partial labels use componentsWithStatus.
@@ -552,7 +554,8 @@ object Dedup {
   def componentsWithStatus(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 50,
       maxBroadcastNodes: Long = 10000000L,
-      assumeCanonical: Boolean = false): (DataFrame, Boolean) = {
+      assumeCanonical: Boolean = false,
+      maxLocalEdges: Long = 1L << 20): (DataFrame, Boolean) = {
     // the undirected edge set references `pairs` from BOTH union
     // branches — barrier the one-sided projection first so the caller's
     // (possibly expensive) pair plan evaluates once, and release it as
@@ -577,6 +580,48 @@ object Dedup {
       (if (assumeCanonical) closure else closure.distinct())
         .repartition(col("s")))
     if (!inputCached) Stage.release(p0)
+    // RAIL-SIZED graphs run a driver-side union-find instead of the
+    // iterative rounds: a small graph's cost here is pure PER-ROUND JOB
+    // OVERHEAD (each hook+jump round is several jobs plus an eager
+    // checkpoint — measured ~6 s of the sf0.1 curation chain's 16.6 s
+    // on a graph that collapses to 23 clusters), where one collect of
+    // ≤ maxLocalEdges symmetric edge rows (16 B each; default 1M ≈
+    // 16 MB) unions in milliseconds. Union-by-min + path compression
+    // computes exactly the propagation fixpoint (min reachable id per
+    // node, order-independent), so labels are bit-identical — the
+    // oracled component queries pin that. The count is free (the
+    // barrier just materialized the cache); at real scale the rail
+    // never fires and the distributed rounds below are unchanged.
+    val nEdges = edges.count()
+    if (nEdges <= maxLocalEdges) {
+      val rows = edges.collect()
+      val parent = new scala.collection.mutable.LongMap[Long](
+        math.max(16, rows.length * 2))
+      def findRoot(x0: Long): Long = {
+        var r = x0
+        while (parent(r) != r) r = parent(r)
+        var c = x0
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = findRoot(a); val rb = findRoot(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row](parent.size)
+      parent.foreachKey(id => out += Row(id, findRoot(id)))
+      Stage.release(edges)
+      val session = pairs.sparkSession
+      val schema = new types.StructType()
+        .add("doc_id", "long").add("component", "long")
+      return (session.createDataFrame(
+        session.sparkContext.parallelize(out.toSeq,
+          math.max(1, math.min(32, out.size / 4096 + 1))), schema), true)
+    }
     var labels = Stage.barrier(
       edges.select(col("s").as("id")).distinct()
         .withColumn("label", col("id")))

@@ -207,12 +207,32 @@ class DedupSpec extends SparkSpec {
     assert(dirtyFast == want)
   }
 
+  test("components: driver union-find fast path ≡ distributed rounds") {
+    // r19 rail: a graph under maxLocalEdges symmetric edges collapses
+    // driver-side (union-by-min + path compression = the propagation
+    // fixpoint, order-independent). Pin label identity against the
+    // distributed rounds (maxLocalEdges = 0 forces them) on a fixture
+    // mixing chains, a clique, and singletons.
+    val pairs = (Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)) ++
+      (100L until 124L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    def lbl(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = lbl(Dedup.components(pairs))
+    val dist = lbl(Dedup.components(pairs, maxLocalEdges = 0L))
+    assert(fast == dist,
+      s"fast/distributed diverged: ${fast.toSet -- dist.toSet}")
+  }
+
   test("connected components: deep chain converges with bounded lineage") {
     // a 26-node path needs ~25 label-propagation rounds — crosses the
     // every-10-rounds localCheckpoint twice, proving deep graphs converge
-    // inside maxRounds without the plan growing one join per round
+    // inside maxRounds without the plan growing one join per round.
+    // maxLocalEdges = 0: the DISTRIBUTED rounds are under test (the r19
+    // union-find rail would otherwise swallow this fixture silently)
     val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (labels, converged) = Dedup.componentsWithStatus(pairs)
+    val (labels, converged) = Dedup.componentsWithStatus(pairs,
+      maxLocalEdges = 0L)
     assert(converged)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 25L).map(_ -> 0L).toMap)
@@ -223,9 +243,10 @@ class DedupSpec extends SparkSpec {
     val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     // maxBroadcastNodes = 0 forces the shuffle regime — the one where
     // the jump is active; maxRounds = 10 < the 25-round hook-only
-    // requirement, so convergence PROVES the compress ran
+    // requirement, so convergence PROVES the compress ran;
+    // maxLocalEdges = 0 keeps the union-find rail out of the way
     val (labels, converged) = Dedup.componentsWithStatus(pairs,
-      maxRounds = 10, maxBroadcastNodes = 0L)
+      maxRounds = 10, maxBroadcastNodes = 0L, maxLocalEdges = 0L)
     assert(converged, "jump-regime propagation did not converge in 10 " +
       "rounds — pointer jumping is not engaging")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -235,7 +256,8 @@ class DedupSpec extends SparkSpec {
   test("connected components: maxRounds cutoff reports non-convergence") {
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (labels, converged) =
-      Dedup.componentsWithStatus(pairs, maxRounds = 2)
+      Dedup.componentsWithStatus(pairs, maxRounds = 2,
+        maxLocalEdges = 0L)
     assert(!converged)
     // truncated labels are still returned (documented), just not a fixpoint
     assert(labels.count() == 41L)
@@ -516,12 +538,13 @@ class DedupSpec extends SparkSpec {
   test("components() fails loudly when maxRounds is too small") {
     val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.components(pairs, maxRounds = 3)
+      Dedup.components(pairs, maxRounds = 3, maxLocalEdges = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
     // the status variant still hands back the partial labels
     val (labels, converged) =
-      Dedup.componentsWithStatus(pairs, maxRounds = 3)
+      Dedup.componentsWithStatus(pairs, maxRounds = 3,
+        maxLocalEdges = 0L)
     assert(!converged && labels.count() == 20)
   }
 
