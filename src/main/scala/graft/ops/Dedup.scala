@@ -532,7 +532,7 @@ object Dedup {
   def components(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 50,
       assumeCanonical: Boolean = false,
-      maxLocalEdges: Long = 1L << 20): DataFrame = {
+      maxLocalEdges: Long = 1L << 19): DataFrame = {
     val (labels, converged) = componentsWithStatus(pairs, aCol, bCol,
       maxRounds, assumeCanonical = assumeCanonical,
       maxLocalEdges = maxLocalEdges)
@@ -555,7 +555,7 @@ object Dedup {
       bCol: String = "doc_b", maxRounds: Int = 50,
       maxBroadcastNodes: Long = 10000000L,
       assumeCanonical: Boolean = false,
-      maxLocalEdges: Long = 1L << 20): (DataFrame, Boolean) = {
+      maxLocalEdges: Long = 1L << 19): (DataFrame, Boolean) = {
     // the undirected edge set references `pairs` from BOTH union
     // branches — barrier the one-sided projection first so the caller's
     // (possibly expensive) pair plan evaluates once, and release it as
@@ -585,13 +585,16 @@ object Dedup {
     // OVERHEAD (each hook+jump round is several jobs plus an eager
     // checkpoint — measured ~6 s of the sf0.1 curation chain's 16.6 s
     // on a graph that collapses to 23 clusters), where one collect of
-    // ≤ maxLocalEdges symmetric edge rows (16 B each; default 1M ≈
-    // 16 MB) unions in milliseconds. Union-by-min + path compression
-    // computes exactly the propagation fixpoint (min reachable id per
-    // node, order-independent), so labels are bit-identical — the
-    // oracled component queries pin that. The count is free (the
-    // barrier just materialized the cache); at real scale the rail
-    // never fires and the distributed rounds below are unchanged.
+    // ≤ maxLocalEdges symmetric edge rows unions in milliseconds.
+    // The default (512k rows) budgets for what collect() REALLY costs —
+    // boxed Row objects, ~100 B each ≈ 50 MB transient on the driver —
+    // not the 16 B/row the raw longs suggest. Union-by-min + path
+    // compression computes exactly the propagation fixpoint (min
+    // reachable id per node, order-independent), so labels are
+    // bit-identical — the oracled component queries pin that. The count
+    // is free (the barrier just materialized the cache); at real scale
+    // the rail never fires and the distributed rounds below are
+    // unchanged.
     val nEdges = edges.count()
     if (nEdges <= maxLocalEdges) {
       val rows = edges.collect()
@@ -605,6 +608,12 @@ object Dedup {
         r
       }
       rows.foreach { row =>
+        // fail LOUDLY on a null pair id: no in-repo producer emits one,
+        // and the distributed rounds would quietly produce a null-keyed
+        // non-label for it — a named error beats either rail's silence
+        require(!row.isNullAt(0) && !row.isNullAt(1),
+          "components(): null doc id in the pair relation — the caller's " +
+            "pair producer leaked an outer-join miss; filter nulls first")
         val a = row.getLong(0); val b = row.getLong(1)
         if (!parent.contains(a)) parent(a) = a
         if (!parent.contains(b)) parent(b) = b

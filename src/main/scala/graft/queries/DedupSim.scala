@@ -849,7 +849,8 @@ object DedupSim {
       val audit = Dedup.auditStores(s, Seq(Dedup.DigestStoreRef(dt),
         Dedup.SpanBankRef(kt), Dedup.NearDupIndexRef(bt, sht)))
         .collect()
-      require(audit.forall(r => r.getBoolean(7) && r.getLong(8) == 0L),
+      require(audit.forall(r => r.getAs[Boolean]("stamp_ok") &&
+          r.getAs[Long]("torn_docs") == 0L),
         s"epoch-boundary store audit failed: ${audit.mkString("; ")}")
       for (t <- Seq(dt, bt, sht, kt))
         PartitionedStore.compactBucketed(s, t, dedupRows = true)
