@@ -205,8 +205,14 @@ class EventStreamSpec extends SparkSpec {
             regexp_replace(col("text"), "^[^ ]* ", ""))
           .otherwise(translate(col("text"), "aeiou", "01234")).as("text"))
     val dir = Files.createTempDirectory("graft-neardup-stream").toString
-    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    // TWO files, one per trigger: the foreachBatch leak assertion below
+    // is only cumulative across MULTIPLE triggers (a 1-trigger stream
+    // can't distinguish per-trigger release from release-at-stop), and
+    // every dual must produce the same pair set regardless of how the
+    // batch is split across micro-batches
+    batch.repartition(2).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
       .parquet(dir)
     val gotPairs = EventStream.runToMemory(
       EventStream.nearDupAgainstCorpus(stream, corpus), "neardup_stream",
