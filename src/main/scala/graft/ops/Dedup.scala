@@ -596,7 +596,15 @@ object Dedup {
     // the rail never fires and the distributed rounds below are
     // unchanged.
     val nEdges = edges.count()
-    if (nEdges <= maxLocalEdges) {
+    // the rail reads getLong, so it only takes LONG-typed ids; any other
+    // orderable id type (int, string) falls through to the distributed
+    // rounds below, whose min/least handle it — keeping the public
+    // contract type-uniform instead of narrowing it for small graphs
+    // only (ADVICE r19). Every in-repo producer emits longs, so the
+    // rail still fires everywhere it did.
+    val railTyped = edges.schema.fields
+      .forall(_.dataType == types.LongType)
+    if (railTyped && nEdges <= maxLocalEdges) {
       val rows = edges.collect()
       val parent = new scala.collection.mutable.LongMap[Long](
         math.max(16, rows.length * 2))

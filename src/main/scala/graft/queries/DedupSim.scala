@@ -736,7 +736,9 @@ object DedupSim {
   // persisted stores (digest index + near-dup index + span bank) built
   // on the base corpus; per epoch: gate → exact screen (digest store)
   // → near screen (nd index) → span screen (span bank) → publish →
-  // append ALL THREE stores; compactBucketed(dedupRows) interleaved
+  // append ALL THREE stores; the stats-driven maintenance trigger
+  // (compactIfNeeded, boundary threshold 1 → a bucket-preserving
+  // compaction with dedupRows when a backlog exists) interleaved
   // between epoch 1's appends and epoch 2's screens. Per-epoch status
   // AND span verdicts are MATERIALIZED (write–audit–publish) — each is
   // an immutable artifact of the store state it screened against.
@@ -852,8 +854,22 @@ object DedupSim {
       require(audit.forall(r => r.getAs[Boolean]("stamp_ok") &&
           r.getAs[Long]("torn_docs") == 0L),
         s"epoch-boundary store audit failed: ${audit.mkString("; ")}")
-      for (t <- Seq(dt, bt, sht, kt))
-        PartitionedStore.compactBucketed(s, t, dedupRows = true)
+      // maintenance through the SAME stats-driven trigger the
+      // background sweep uses (compactIfNeeded — StoreAuditSpec pins
+      // it), not an unconditional rewrite (VERDICT r19 #3). The epoch
+      // boundary's threshold is 1: an epoch's append always leaves
+      // multi-file buckets, and the next epoch's screens should read
+      // one file per bucket — so the boundary compacts after every
+      // appending epoch, but through the audited stats path, with the
+      // consulted stats logged (stderr: Bench's stdout JSON contract).
+      for (t <- Seq(dt, bt, sht, kt)) {
+        val (stats, fired) =
+          PartitionedStore.compactIfNeeded(s, t, maxFilesPerBucket = 1L)
+        System.err.println(f"epoch-boundary maintenance: fired=$fired " +
+          f"files/bucket max=${stats.filesPerBucketMax} " +
+          f"mean=${stats.filesPerBucketMean}%.1f " +
+          f"dupBacklog=${stats.dupBacklog} table=$t")
+      }
 
       val land2 = s"$base/land2"
       JsonlStore.writeJsonl(epoch2BatchOf(pub1), land2)

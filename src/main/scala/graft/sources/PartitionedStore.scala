@@ -109,12 +109,24 @@ object PartitionedStore {
       bucketCol: String, nBuckets: Int, sortCols: Seq[String]): Unit =
     writeBucketed(df, table, path, Seq(bucketCol), nBuckets, sortCols)
 
-  /** COMPOSITE-key variant: bucket by several columns (e.g. the LSH band
-    * index's (band, key)) so an equi-join on exactly those columns reads
-    * the table in place. Join keys must cover ALL bucket columns —
-    * Spark only reuses bucketing when the join's clustering matches. */
+  /** Seq-spec variant of the external-table write. STORE-LAYER
+    * INVARIANT (VERDICT r19 #5): every graft store buckets on exactly
+    * ONE key column — a composite key is FUSED into one column first
+    * (the near-dup index's `bkey` = xxhash64(band, key) is the
+    * pattern), because the driver-side probe machinery
+    * ([[bucketIdOf]] / [[prunedBucketScan]]) names a key's bucket file
+    * from one value, and a join only reuses composite bucketing when
+    * its clustering covers every bucket column anyway — fusing costs
+    * nothing and keeps every store probe-able. Enforced HERE, at write
+    * time, so a multi-column layout can never be created and then
+    * discovered unprobe-able at read time. */
   def writeBucketed(df: DataFrame, table: String, path: String,
       bucketCols: Seq[String], nBuckets: Int, sortCols: Seq[String]): Unit = {
+    require(bucketCols.size == 1,
+      s"writeBucketed($table): graft stores bucket on exactly one " +
+        s"(possibly fused) key column, got $bucketCols — fuse the " +
+        "composite key into one column (xxhash64/concat), as the " +
+        "near-dup index's bkey does")
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet").option("path", path)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
@@ -268,7 +280,18 @@ object PartitionedStore {
     * equality. Path-read trade-offs when pruned: no catalog bucketing
     * metadata (join the result via a BROADCAST batch side, not a
     * shuffle), and the file listing is as of call time (same staleness
-    * class as the catalog's listing under a racing compaction). */
+    * class as the catalog's listing under a racing compaction).
+    *
+    * RACING-COMPACTION CONTRACT: a [[compactBucketed]] swap between
+    * this call and the returned frame's ACTION fails that action with
+    * FILE_NOT_EXIST (there is no mid-plan refresh for a path read).
+    * Compaction is verdict-invariant (EpochFullSpec / DedupSim pin it),
+    * so the recovery is: rebuild the scan — a fresh call lists the
+    * post-swap files — and retry ONCE; a second failure means the store
+    * is being continuously rewritten and should fail loudly.
+    * [[graft.streaming.EventStream.nearDupIndexEachBatch]] implements
+    * exactly this posture per trigger (EventStreamSpec pins it with a
+    * deterministic mid-trigger swap). */
   /** (internal values, wanted bucket ids, bucket spec, table schema)
     * of a key probe against a single-column bucketed table. */
   private def probeBuckets(spark: SparkSession, table: String,
@@ -277,6 +300,9 @@ object PartitionedStore {
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"prunedBucketScan($table): table has no bucket spec"))
+    // defense in depth: writeBucketed rejects multi-column specs at
+    // write time (the store-layer invariant), but this table could have
+    // been created by a foreign writer straight into the catalog
     require(spec.bucketColumnNames.size == 1,
       s"prunedBucketScan($table): single-column bucketing only " +
         s"(got ${spec.bucketColumnNames})")
@@ -301,7 +327,27 @@ object PartitionedStore {
     val path = new Path(meta.location)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketOf = """part-\d+-.*_(\d{5})""".r.unanchored
-    val files = fs.listStatus(path).filter(_.isFile).map(_.getPath)
+    val listing = fs.listStatus(path)
+    // layout guards (ADVICE r19): the pruned path trusts two layout
+    // facts — every DATA file's name encodes its bucket id, and the
+    // table is flat (this listing is non-recursive). A data file an
+    // external writer dropped in without the bucket suffix, or a
+    // future partitioned+bucketed subtree, would otherwise be
+    // SILENTLY EXCLUDED from the screen (rows lost → wrong verdicts).
+    // Either way the catalog read is the correct superset (callers
+    // join on the key column, re-applying the equality), so degrade
+    // to it instead of dropping rows or dying.
+    val foreignData = listing.filter(_.isFile).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .filterNot(bucketOf.findFirstIn(_).isDefined)
+    // Spark's own hidden-path convention: _/. prefixes are metadata
+    // (_SUCCESS, a racing write's _temporary), never data
+    val subdirs = listing.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    if (foreignData.nonEmpty || subdirs.nonEmpty)
+      return spark.table(table)
+    val files = listing.filter(_.isFile).map(_.getPath)
       .flatMap { p =>
         p.getName match {
           case bucketOf(b) if wanted(b.toInt) => Some(p.toString)
@@ -354,7 +400,8 @@ object PartitionedStore {
     * `compactBucketed(dedupRows = true)`), and the table's `graft.*`
     * TBLPROPERTIES stamps (the parameter guards every screen
     * validates). Cost: one filesystem listing + ONE aggregation job
-    * (rows and distinct rows fold out of the same group-by) + a
+    * (rows and distinct rows fold out of one xxhash64 row-fingerprint
+    * aggregation — 8 bytes shuffled per row, never the rows) + a
     * catalog read — a maintenance probe, never per screen. */
   case class StoreStats(table: String, nBuckets: Int, nFiles: Long,
       filesPerBucketMin: Long, filesPerBucketMax: Long, rows: Long,
@@ -367,7 +414,8 @@ object PartitionedStore {
   }
 
   def storeStats(spark: SparkSession, table: String): StoreStats = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.functions.{col, count, count_distinct,
+      lit, struct, xxhash64}
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -385,9 +433,19 @@ object PartitionedStore {
     val counts = (0 until spec.numBuckets)
       .map(b => perBucket.getOrElse(b, 0L))
     val tbl = spark.table(table)
-    val a = tbl.groupBy(tbl.columns.map(col): _*)
-      .agg(count(lit(1)).as("_c"))
-      .agg(sum(col("_c")).cast("long"), count(lit(1)).cast("long"))
+    // dup-backlog via an 8-byte row fingerprint, not a group-by over
+    // all columns (VERDICT r19 #2): the maintenance probe shuffles
+    // xxhash64(struct(*)) longs, never rows — at 100 TB the old
+    // full-width group-by re-shuffled the store per probe. Collision
+    // posture: a 64-bit collision merges two DISTINCT rows, so
+    // distinctRows can only UNDERcount and dupBacklog only OVERstate —
+    // worst case one unnecessary compaction (whose dedupRows pass
+    // collapses true full-row duplicates exactly, via distinct() over
+    // the rows themselves); a real backlog can never be hidden.
+    val a = tbl
+      .select(xxhash64(struct(tbl.columns.map(col): _*)).as("_h"))
+      .agg(count(lit(1)).cast("long"),
+        count_distinct(col("_h")).cast("long"))
       .head()
     val stamps = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -395,7 +453,7 @@ object PartitionedStore {
     StoreStats(table, spec.numBuckets, counts.sum,
       if (counts.isEmpty) 0L else counts.min,
       if (counts.isEmpty) 0L else counts.max,
-      if (a.isNullAt(0)) 0L else a.getLong(0), a.getLong(1), stamps)
+      a.getLong(0), a.getLong(1), stamps)
   }
 
   /** [[compactBucketed]] gated on [[storeStats]] — the stats-driven

@@ -291,7 +291,24 @@ object EventStream {
     * The stamp guard runs per trigger (a swapped/rebuilt index between
     * triggers still fails loudly); `maxLits` is the driver-collect rail
     * — a jumbo trigger degrades to the full in-place scan, total
-    * either way. */
+    * either way.
+    *
+    * MAINTENANCE RACING THE LIVE STREAM (VERDICT r19 #1): a 24/7
+    * stream cannot stop for the nightly compaction sweep, and the
+    * pruned screen's file listing is as-of-call — a
+    * [[graft.sources.PartitionedStore.compactBucketed]] swap landing
+    * MID-TRIGGER fails the sink's action with FILE_NOT_EXIST. The
+    * posture here is RETRY ONCE, then fail loud: compaction is
+    * verdict-invariant (EpochFullSpec pins it), so a rebuilt screen —
+    * a fresh listing sees the post-swap files — hands the sink the
+    * SAME match rows for the same batch id, which is exactly the
+    * idempotent-by-batch-id re-delivery foreachBatch sinks already
+    * contract for (a crash-restarted query replays the batch the same
+    * way). A second FILE_NOT_EXIST means the store is being
+    * continuously rewritten — that is an operational fault, and the
+    * query dies loudly with it. Between-triggers swaps need no retry
+    * (each trigger lists afresh); both cases are spec-pinned with a
+    * deterministic in-sink compaction (EventStreamSpec). */
   def nearDupIndexEachBatch(s: SparkSession, docs: DataFrame,
       bandTable: String, shingleTable: String, n: Int = 2, k: Int = 64,
       bands: Int = 16, numer: Int = 7, denom: Int = 10,
@@ -316,12 +333,46 @@ object EventStream {
         // would snapshot an unrelated set and release NOTHING
         // (ADVICE r18; EventStreamSpec pins the clone's count at 0
         // post-stop).
-        graft.ops.Stage.scoped(batch.sparkSession) {
-          sink(graft.ops.Dedup.nearDupMatchesPruned(s, batch.toDF(),
-            bandTable, shingleTable, n, k, bands, numer, denom, textCol,
-            maxLits), id)
+        // one attempt = rebuild the screen (the pruned scan lists the
+        // index files at CALL time) and hand it to the sink; the scope
+        // releases the attempt's staged frames even when the sink's
+        // action dies mid-flight, so a retry re-stages from clean state
+        def attempt(): Unit =
+          graft.ops.Stage.scoped(batch.sparkSession) {
+            sink(graft.ops.Dedup.nearDupMatchesPruned(s, batch.toDF(),
+              bandTable, shingleTable, n, k, bands, numer, denom, textCol,
+              maxLits), id)
+          }
+        try attempt()
+        catch {
+          case t: Throwable if isFileGone(t) =>
+            // a compaction swapped the index files mid-trigger: refresh
+            // the catalog listings (the non-pruned fallback path reads
+            // through them) and replay the trigger once — same batch
+            // id, verdict-identical rows (see scaladoc)
+            s.catalog.refreshTable(bandTable)
+            s.catalog.refreshTable(shingleTable)
+            attempt()
         }
     }
+
+  /** Whether `t`'s cause chain is the vanished-input-file failure class
+    * (a compaction swap between a pruned scan's listing and its read):
+    * a FileNotFoundException anywhere in the chain, or Spark's
+    * FILE_NOT_EXIST / FAILED_READ_FILE error classes wrapping one. */
+  private def isFileGone(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          (c.getMessage != null &&
+            (c.getMessage.contains("FILE_NOT_EXIST") ||
+             c.getMessage.contains("FAILED_READ_FILE")))) return true
+      c = if (c.getCause eq c) null else c.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** The screen core shared by the inline and persisted-index duals —
     * one definition so they cannot drift. `cband` is (corpus_id, bkey)

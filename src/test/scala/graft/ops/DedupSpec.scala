@@ -224,6 +224,19 @@ class DedupSpec extends SparkSpec {
       s"fast/distributed diverged: ${fast.toSet -- dist.toSet}")
   }
 
+  test("components: non-long ids fall through the rail to the " +
+      "distributed rounds (type-uniform contract)") {
+    // ADVICE r19: the union-find rail reads getLong, so it only takes
+    // long ids. An INT-typed pair relation — rail-sized, so it would
+    // otherwise hit the rail and die on a ClassCastException — must
+    // fall through to the distributed rounds, whose min/least handle
+    // any orderable type: the public contract stays type-uniform.
+    val pairs = Seq((1, 2), (2, 3), (10, 11)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+  }
+
   test("connected components: deep chain converges with bounded lineage") {
     // a 26-node path needs ~25 label-propagation rounds — crosses the
     // every-10-rounds localCheckpoint twice, proving deep graphs converge

@@ -242,6 +242,75 @@ class PartitionedStoreSpec extends SparkSpec {
     }
   }
 
+  test("writeBucketed rejects a multi-column bucket spec at write time") {
+    import spark.implicits._
+    // the store-layer invariant (VERDICT r19 #5): graft stores bucket
+    // on exactly ONE (possibly fused) key column, so every store stays
+    // probe-able by bucketIdOf/prunedBucketScan. Enforced at write
+    // time — an unprobe-able layout can never be created and then
+    // discovered at read time.
+    val df = Seq((1L, 2L, "v")).toDF("a", "b", "v")
+    val e = intercept[IllegalArgumentException] {
+      PartitionedStore.writeBucketed(df, "bkt_multi",
+        "/tmp/graft_bspec/multi", Seq("a", "b"), 4, Nil)
+    }
+    assert(e.getMessage.contains("fuse"), e.getMessage)
+    assert(!spark.catalog.tableExists("bkt_multi"))
+  }
+
+  test("prunedBucketScan degrades to the catalog read on a layout it " +
+      "cannot prove: foreign data file or subdirectory") {
+    import spark.implicits._
+    // ADVICE r19: a data file WITHOUT the bucket-id suffix (an external
+    // writer) or a subdirectory (a future partitioned+bucketed layout)
+    // would be silently EXCLUDED from a path-pruned screen — rows lost,
+    // wrong verdicts. The guard degrades to the catalog scan, the
+    // correct superset either way (callers re-apply the key equality).
+    val dir = java.nio.file.Files.createTempDirectory("graft_foreign")
+      .toString
+    val docs = (0L until 64L).map(i => (i, s"k_$i")).toDF("doc_id", "skey")
+    try {
+      PartitionedStore.writeBucketed(docs, "bkt_foreign", s"$dir/t",
+        Seq("skey"), 8, Seq("skey"))
+      def planOf(keys: Seq[String]) = PartitionedStore
+        .prunedBucketScan(spark, "bkt_foreign", keys)
+        .queryExecution.executedPlan.toString
+      // sanity: a clean layout path-prunes (multi-path file read)
+      assert(!planOf(Seq("k_1")).contains("default.bkt_foreign"),
+        "clean few-key probe must path-prune, not read the catalog")
+      // an external writer drops a conforming-schema file with a
+      // non-conforming NAME into the table dir
+      val foreign = Seq((9999L, "k_1")).toDF("doc_id", "skey")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fwrite")
+        .toString
+      foreign.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.copy(src.toPath,
+        java.nio.file.Paths.get(s"$dir/t/data-foreign.parquet"))
+      spark.catalog.refreshTable("bkt_foreign")
+      val poisoned = PartitionedStore.prunedBucketScan(spark,
+        "bkt_foreign", Seq("k_1"))
+      assert(poisoned.queryExecution.executedPlan.toString
+        .contains("default.bkt_foreign"),
+        "foreign data file must degrade the probe to the catalog read")
+      // and the foreign row is VISIBLE, not silently lost
+      assert(poisoned.filter(col("skey") === "k_1")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 9999L))
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$dir/t/data-foreign.parquet"))
+      spark.catalog.refreshTable("bkt_foreign")
+      assert(!planOf(Seq("k_1")).contains("default.bkt_foreign"),
+        "clean layout must path-prune again once the foreign file is gone")
+      // a (non-hidden) subdirectory: the driver listing is
+      // non-recursive, so pruning cannot prove coverage — degrade
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(s"$dir/t/extra"))
+      assert(planOf(Seq("k_1")).contains("default.bkt_foreign"),
+        "subdirectory must degrade the probe to the catalog read")
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_foreign")
+  }
+
   test("co-bucketed tables join with zero exchanges") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     assert(warehouse.nonEmpty)

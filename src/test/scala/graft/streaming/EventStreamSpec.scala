@@ -288,6 +288,100 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("live stream × compaction: a between-triggers sweep changes no " +
+      "verdict, and a mid-trigger swap retries once to the same rows") {
+    // VERDICT r19 #1 — the one untested store-lifecycle interaction:
+    // a 24/7 stream cannot stop for the nightly compaction sweep, and
+    // the pruned screen's index file listing is as-of-call. Two race
+    // positions, both against the SAME no-maintenance control run:
+    //  A) the sweep lands BETWEEN triggers → next trigger lists the
+    //     compacted files afresh; pair set identical.
+    //  B) the swap lands MID-TRIGGER (deterministically: the sink
+    //     compacts BEFORE consuming its frame, whose lazy shingle read
+    //     was planned on the pre-swap listing) → the action dies
+    //     FILE_NOT_EXIST and nearDupIndexEachBatch's retry-once
+    //     posture replays the trigger against the post-swap files:
+    //     same batch id, same rows — the idempotent re-delivery
+    //     foreachBatch sinks already contract for.
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 250)
+    // every batch doc is an edited recrawl of a corpus doc, so every
+    // trigger verifies matches — the mid-trigger race below must hit a
+    // NON-vacuous shingle-side read
+    val batch = docs.filter(col("doc_id") < 16)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]* ", "").as("text"))
+    val dir = Files.createTempDirectory("graft-race-stream").toString
+    batch.repartition(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val idxDir = Files.createTempDirectory("graft-race-idx").toString
+    // 128 buckets: an ~8-doc trigger's ≤128 band keys cannot cover
+    // every bucket, so the PRUNED path — the one whose file listing
+    // can go stale — is the code under race, not the catalog fallback
+    graft.ops.Dedup.buildNearDupIndex(corpus, "nd_race_bands",
+      s"$idxDir/bands", "nd_race_shingles", s"$idxDir/shingles",
+      nBuckets = 128)
+    val tables = Seq("nd_race_bands", "nd_race_shingles")
+    def sweep(): Unit = tables.foreach(t =>
+      graft.sources.PartitionedStore.compactBucketed(spark, t,
+        dedupRows = true))
+    def pairsOf(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getLong(0), r.getLong(1)))
+    try {
+      val control = scala.collection.mutable.Set[(Long, Long)]()
+      locally {
+        val q = EventStream.nearDupIndexEachBatch(spark, stream,
+          "nd_race_bands", "nd_race_shingles") { (m, _) =>
+            control ++= pairsOf(m)
+          }.start()
+        q.processAllAvailable(); q.stop()
+      }
+      assert(control.nonEmpty, "race fixture found no matches — vacuous")
+
+      // A: between triggers — compact inside trigger 0's sink AFTER
+      // consuming, so trigger 1 screens the compacted store
+      val accA = scala.collection.mutable.Set[(Long, Long)]()
+      var sweptA = false
+      locally {
+        val q = EventStream.nearDupIndexEachBatch(spark, stream,
+          "nd_race_bands", "nd_race_shingles") { (m, _) =>
+            accA ++= pairsOf(m)
+            if (!sweptA) { sweptA = true; sweep() }
+          }.start()
+        q.processAllAvailable(); q.stop()
+      }
+      assert(sweptA)
+      assert(accA == control,
+        "between-triggers compaction changed the pair set")
+
+      // B: mid-trigger straddle — swap BEFORE consuming; the retried
+      // attempt (same batch id, second sink call) must succeed and the
+      // non-straddling trigger must run exactly once
+      val accB = scala.collection.mutable.Set[(Long, Long)]()
+      val calls = scala.collection.mutable.Map[Long, Int]()
+      var swappedB = false
+      locally {
+        val q = EventStream.nearDupIndexEachBatch(spark, stream,
+          "nd_race_bands", "nd_race_shingles") { (m, id) =>
+            calls(id) = calls.getOrElse(id, 0) + 1
+            if (!swappedB) { swappedB = true; sweep() }
+            accB ++= pairsOf(m)
+          }.start()
+        q.processAllAvailable(); q.stop()
+      }
+      assert(accB == control, "mid-trigger swap changed the pair set")
+      assert(calls.getOrElse(0L, 0) == 2,
+        s"straddling trigger must fail FILE_NOT_EXIST and retry once: " +
+          s"$calls")
+      assert(calls.getOrElse(1L, 0) == 1,
+        s"non-straddling trigger must run exactly once: $calls")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nd_race_bands")
+      spark.sql("DROP TABLE IF EXISTS nd_race_shingles")
+    }
+  }
+
   test("cross-batch late event folds into the session, never a phantom") {
     // delivery: 10:00 (batch 1), 09:00 (batch 2 — LATE), 10:20 (batch 3).
     // The late event must fold into the open session WITHOUT regressing
