@@ -415,7 +415,7 @@ object PartitionedStore {
 
   def storeStats(spark: SparkSession, table: String): StoreStats = {
     import org.apache.spark.sql.functions.{col, count, count_distinct,
-      lit, struct, xxhash64}
+      lit, struct, sum, xxhash64}
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -433,19 +433,29 @@ object PartitionedStore {
     val counts = (0 until spec.numBuckets)
       .map(b => perBucket.getOrElse(b, 0L))
     val tbl = spark.table(table)
-    // dup-backlog via an 8-byte row fingerprint, not a group-by over
-    // all columns (VERDICT r19 #2): the maintenance probe shuffles
-    // xxhash64(struct(*)) longs, never rows — at 100 TB the old
-    // full-width group-by re-shuffled the store per probe. Collision
-    // posture: a 64-bit collision merges two DISTINCT rows, so
-    // distinctRows can only UNDERcount and dupBacklog only OVERstate —
-    // worst case one unnecessary compaction (whose dedupRows pass
-    // collapses true full-row duplicates exactly, via distinct() over
-    // the rows themselves); a real backlog can never be hidden.
+    // dup-backlog via an 8-byte row fingerprint UNDER THE BUCKET KEY,
+    // not a group-by over all columns (VERDICT r19 #2). Two structural
+    // facts make this the 100 TB shape: (a) equal rows share the bucket
+    // key, and the bucketed scan already clusters by it, so
+    // groupBy(bucketKey) is EXCHANGE-FREE — the store never moves; (b)
+    // the per-group distinct state is xxhash64(struct(*)) longs, never
+    // rows — the old group-by-all held every distinct row FULL-WIDTH
+    // (the shingle store's arrays included) in the per-partition
+    // aggregation map, the real blowup at scale (its shuffle was
+    // already near-zero on a bucketed table, measured: the clustering
+    // was satisfied — BENCH_NOTES r20 A/B, which also rejected an
+    // unkeyed count_distinct(hash) that re-shuffled 8 B/row).
+    // Collision posture: a 64-bit collision can only merge two distinct
+    // rows WITHIN one key group, so distinctRows only UNDERcounts and
+    // dupBacklog only OVERstates — worst case one unnecessary
+    // compaction (whose dedupRows pass collapses true duplicates
+    // exactly, via distinct() over the rows themselves); a real
+    // backlog can never be hidden.
     val a = tbl
-      .select(xxhash64(struct(tbl.columns.map(col): _*)).as("_h"))
-      .agg(count(lit(1)).cast("long"),
-        count_distinct(col("_h")).cast("long"))
+      .withColumn("_h", xxhash64(struct(tbl.columns.map(col): _*)))
+      .groupBy(spec.bucketColumnNames.map(col): _*)
+      .agg(count(lit(1)).as("_n"), count_distinct(col("_h")).as("_d"))
+      .agg(sum(col("_n")).cast("long"), sum(col("_d")).cast("long"))
       .head()
     val stamps = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -453,7 +463,9 @@ object PartitionedStore {
     StoreStats(table, spec.numBuckets, counts.sum,
       if (counts.isEmpty) 0L else counts.min,
       if (counts.isEmpty) 0L else counts.max,
-      a.getLong(0), a.getLong(1), stamps)
+      // sum over an EMPTY store is NULL, not 0
+      if (a.isNullAt(0)) 0L else a.getLong(0),
+      if (a.isNullAt(1)) 0L else a.getLong(1), stamps)
   }
 
   /** [[compactBucketed]] gated on [[storeStats]] — the stats-driven

@@ -152,6 +152,14 @@ object NearDupIndexBench {
       val s0 = graft.sources.PartitionedStore.storeStats(spark, t)
       s0.filesPerBucketMax > 8 || s0.dupBacklog > 0
     }
+    // the probe's own cost is a reported number since r20 (the
+    // dup-backlog scan moved from a full-width group-by to an 8-byte
+    // xxhash64 row-fingerprint aggregation — VERDICT r19 #2); timed on
+    // the SHINGLE table, the widest store (array column), where the
+    // old shape shuffled the arrays themselves
+    val t0Stats = System.nanoTime()
+    val statsShingle = graft.sources.PartitionedStore.storeStats(spark, st)
+    val tStats = (System.nanoTime() - t0Stats) / 1e9
     val statsPre = graft.sources.PartitionedStore.storeStats(spark, bt)
     require(fire(bt) && fire(st),
       s"32 appends must exceed the 8-files/bucket knee: $statsPre")
@@ -178,6 +186,8 @@ object NearDupIndexBench {
       s""""stats_max_files_per_bucket":${statsPre.filesPerBucketMax},""" +
       s""""stats_dup_backlog":${statsPre.dupBacklog},""" +
       s""""stats_trigger_knee":8,""" +
+      f""""stats_probe_sec":$tStats%.2f,""" +
+      s""""stats_shingle_rows":${statsShingle.rows},""" +
       s""""screen_after_appends_sec":${fmt(tAfterAppends)},""" +
       f""""compact_sec":$tCompact%.2f,""" +
       s""""band_files_post_compact":$filesAfter,""" +
