@@ -604,6 +604,20 @@ object Dedup {
     // rail still fires everywhere it did.
     val railTyped = edges.schema.fields
       .forall(_.dataType == types.LongType)
+    // the null-id contract must not depend on the id TYPE (review r20):
+    // the rail's in-loop require below fires for long ids, so a
+    // rail-SIZED graph with int/string ids — which falls through to the
+    // distributed rounds — must fail just as loudly, not silently take
+    // the rounds' null-keyed-non-label caveat. The frame is cached and
+    // rail-sized, so the check is one cheap job; at real scale
+    // (nEdges > maxLocalEdges) the distributed rounds keep their
+    // documented caveat — a per-call full-scan null audit is not a
+    // 100 TB shape.
+    if (!railTyped && nEdges <= maxLocalEdges)
+      require(edges.filter(col("s").isNull || col("d").isNull)
+          .head(1).isEmpty,
+        "components(): null doc id in the pair relation — the caller's " +
+          "pair producer leaked an outer-join miss; filter nulls first")
     if (railTyped && nEdges <= maxLocalEdges) {
       val rows = edges.collect()
       val parent = new scala.collection.mutable.LongMap[Long](

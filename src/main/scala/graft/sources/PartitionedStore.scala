@@ -127,6 +127,21 @@ object PartitionedStore {
         s"(possibly fused) key column, got $bucketCols — fuse the " +
         "composite key into one column (xxhash64/concat), as the " +
         "near-dup index's bkey does")
+    writeBucketedUnchecked(df, table, path, bucketCols, nBuckets, sortCols)
+  }
+
+  /** The write body WITHOUT the single-column invariant — for
+    * [[compactBucketed]] only, which rewrites an EXISTING table through
+    * its own catalog spec: the invariant gates what layouts can be
+    * CREATED, and a pre-invariant (or foreign-writer) composite-key
+    * table must still be compactable — refusing here would strand its
+    * append backlog forever and abort a maintenance sweep mid-loop
+    * (review r20). Such a table still fails loudly at probe time
+    * ([[probeBuckets]]'s own require), which is where the layout
+    * actually matters. */
+  private def writeBucketedUnchecked(df: DataFrame, table: String,
+      path: String, bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String]): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet").option("path", path)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
@@ -347,13 +362,29 @@ object PartitionedStore {
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
     if (foreignData.nonEmpty || subdirs.nonEmpty)
       return spark.table(table)
-    val files = listing.filter(_.isFile).map(_.getPath)
+    // (review r20) the same guard, one layer deeper: a conforming NAME
+    // whose bucket id is outside the spec's range means the file was
+    // written under a DIFFERENT bucket count (a 64-bucket writer's
+    // _00042 in a 32-bucket dir) — the probe's bucket-id formula does
+    // not route keys to that layout, so its rows would be silently
+    // excluded exactly like a non-conforming name. Here the CATALOG
+    // read is NOT the safe degrade: Spark's bucketed scan indexes its
+    // bucket-pruning BitSet by the file's parsed id and throws
+    // ArrayIndexOutOfBounds on any key-filtered query over such a
+    // table (measured; PartitionedStoreSpec pins it) — so degrade to
+    // the RAW path read of every data file instead, which carries no
+    // bucket metadata and stays the correct superset (callers re-apply
+    // the key equality).
+    val parsed = listing.filter(_.isFile).map(_.getPath)
       .flatMap { p =>
         p.getName match {
-          case bucketOf(b) if wanted(b.toInt) => Some(p.toString)
+          case bucketOf(b) => Some(p -> b.toInt)
           case _ => None
         }
       }
+    if (parsed.exists(_._2 >= spec.numBuckets))
+      return spark.read.schema(schema).parquet(path.toString)
+    val files = parsed.collect { case (p, b) if wanted(b) => p.toString }
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -538,8 +569,8 @@ object PartitionedStore {
     val stagingPath = path.toString + ".compacted"
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     fs.delete(new Path(stagingPath), true)
-    writeBucketed(df, staging, stagingPath, spec.bucketColumnNames,
-      spec.numBuckets, spec.sortColumnNames)
+    writeBucketedUnchecked(df, staging, stagingPath,
+      spec.bucketColumnNames, spec.numBuckets, spec.sortColumnNames)
     val got = spark.table(staging).count()
     if (got != expected) {
       spark.sql(s"DROP TABLE IF EXISTS $staging")

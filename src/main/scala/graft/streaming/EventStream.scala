@@ -349,10 +349,23 @@ object EventStream {
             // a compaction swapped the index files mid-trigger: refresh
             // the catalog listings (the non-pruned fallback path reads
             // through them) and replay the trigger once — same batch
-            // id, verdict-identical rows (see scaladoc)
+            // id, verdict-identical rows (see scaladoc). The race must
+            // be VISIBLE (review r20): log each occurrence — nightly
+            // sweeps hitting many triggers is the "continuously
+            // rewritten" condition building, and an operator can only
+            // see it coming from this line — and carry the first
+            // failure as suppressed on the second, so a retry that
+            // also dies still shows the straddle that started it.
+            System.err.println(
+              s"[graft] nearDupIndexEachBatch($bandTable) batch=$id: " +
+                s"index files swapped mid-trigger (${t.getClass.getSimpleName}); " +
+                "retrying once against the post-swap files")
             s.catalog.refreshTable(bandTable)
             s.catalog.refreshTable(shingleTable)
-            attempt()
+            try attempt()
+            catch {
+              case t2: Throwable => t2.addSuppressed(t); throw t2
+            }
         }
     }
 

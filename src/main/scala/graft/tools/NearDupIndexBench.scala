@@ -148,10 +148,11 @@ object NearDupIndexBench {
     // (storeStats is a full-table distinct aggregation + listing) so
     // compact_sec keeps measuring compaction alone, comparable with
     // the r18 artifacts (round-close review r19).
-    def fire(t: String): Boolean = {
-      val s0 = graft.sources.PartitionedStore.storeStats(spark, t)
+    // the knee check reads the stats probes below — each probe is a
+    // full-table aggregation + listing, so consult it once per store
+    // (review r20), not once per question asked of it
+    def fire(s0: graft.sources.PartitionedStore.StoreStats): Boolean =
       s0.filesPerBucketMax > 8 || s0.dupBacklog > 0
-    }
     // the probe's own cost is a reported number since r20 (the
     // dup-backlog scan moved from a full-width group-by to an 8-byte
     // xxhash64 row-fingerprint aggregation — VERDICT r19 #2); timed on
@@ -161,7 +162,7 @@ object NearDupIndexBench {
     val statsShingle = graft.sources.PartitionedStore.storeStats(spark, st)
     val tStats = (System.nanoTime() - t0Stats) / 1e9
     val statsPre = graft.sources.PartitionedStore.storeStats(spark, bt)
-    require(fire(bt) && fire(st),
+    require(fire(statsPre) && fire(statsShingle),
       s"32 appends must exceed the 8-files/bucket knee: $statsPre")
     val tCompact = time {
       graft.sources.PartitionedStore.compactBucketed(spark, bt,

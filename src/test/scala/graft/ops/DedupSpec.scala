@@ -237,6 +237,21 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
   }
 
+  test("components: a rail-sized null id fails loudly for non-long ids " +
+      "too (type-uniform null contract)") {
+    // review r20: the rail's in-loop null require only covers LONG ids;
+    // without the pre-branch check a rail-sized INT graph with a null
+    // (an upstream outer-join leak) would silently take the distributed
+    // rounds' null-keyed non-label. The named error must not depend on
+    // the id type.
+    val pairs = Seq((Some(1), Some(2)), (Some(2), None))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.components(pairs).collect()
+    }
+    assert(e.getMessage.contains("null doc id"), e.getMessage)
+  }
+
   test("connected components: deep chain converges with bounded lineage") {
     // a 26-node path needs ~25 label-propagation rounds — crosses the
     // every-10-rounds localCheckpoint twice, proving deep graphs converge

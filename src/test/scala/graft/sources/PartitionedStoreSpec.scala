@@ -258,6 +258,33 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("bkt_multi"))
   }
 
+  test("compactBucketed still compacts a pre-invariant composite-key " +
+      "table") {
+    import spark.implicits._
+    // the single-column invariant gates what writeBucketed can CREATE;
+    // a composite-key table already on disk (pre-invariant, or a
+    // foreign writer straight into the catalog) must remain
+    // compactable — refusing would strand its append backlog forever
+    // and abort a maintenance sweep mid-loop (review r20). It still
+    // fails loudly at PROBE time, where the layout actually matters.
+    val dir = java.nio.file.Files.createTempDirectory("graft_comp2")
+      .toString
+    val df = (0L until 32L).map(i => (i % 4, i % 8, i)).toDF("a", "b", "v")
+    try {
+      df.repartition(2).write.mode("overwrite").format("parquet")
+        .option("path", s"$dir/t").bucketBy(4, "a", "b")
+        .saveAsTable("bkt_comp2")
+      df.write.mode("append").format("parquet")
+        .bucketBy(4, "a", "b").saveAsTable("bkt_comp2")
+      val rows = PartitionedStore.compactBucketed(spark, "bkt_comp2")
+      assert(rows == 64L, s"expected both writes' rows, got $rows")
+      assert(spark.table("bkt_comp2").count() == 64L)
+      intercept[IllegalArgumentException] {
+        PartitionedStore.prunedBucketScan(spark, "bkt_comp2", Seq(1L))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_comp2")
+  }
+
   test("prunedBucketScan degrades to the catalog read on a layout it " +
       "cannot prove: foreign data file or subdirectory") {
     import spark.implicits._
@@ -302,6 +329,31 @@ class PartitionedStoreSpec extends SparkSpec {
       spark.catalog.refreshTable("bkt_foreign")
       assert(!planOf(Seq("k_1")).contains("default.bkt_foreign"),
         "clean layout must path-prune again once the foreign file is gone")
+      // a conforming NAME with an OUT-OF-RANGE bucket id (review r20):
+      // a writer with a different bucket count (here: "bucket 99" in an
+      // 8-bucket table) hashed its rows under a layout the probe's
+      // bucket-id formula does not route to — same silent-row-loss
+      // class as the non-conforming name. The catalog read is NOT the
+      // safe degrade here: Spark's bucketed scan indexes its
+      // bucket-pruning BitSet by the file's parsed id and throws on a
+      // key-filtered query (pinned below) — the degrade is the raw
+      // path read of every data file, bucket metadata dropped.
+      java.nio.file.Files.copy(src.toPath, java.nio.file.Paths.get(
+        s"$dir/t/part-00000-deadbeef_00099.parquet"))
+      spark.catalog.refreshTable("bkt_foreign")
+      intercept[ArrayIndexOutOfBoundsException] {
+        spark.table("bkt_foreign").filter(col("skey") === "k_1").collect()
+      }
+      val outOfRange = PartitionedStore.prunedBucketScan(spark,
+        "bkt_foreign", Seq("k_1"))
+      // the foreign-layout row is VISIBLE — a pruned scan would have
+      // skipped the bucket-99 file for a key the 8-bucket formula
+      // routes elsewhere
+      assert(outOfRange.filter(col("skey") === "k_1")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 9999L))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        s"$dir/t/part-00000-deadbeef_00099.parquet"))
+      spark.catalog.refreshTable("bkt_foreign")
       // a (non-hidden) subdirectory: the driver listing is
       // non-recursive, so pruning cannot prove coverage — degrade
       java.nio.file.Files.createDirectory(
