@@ -376,6 +376,34 @@ class EventStreamSpec extends SparkSpec {
           s"$calls")
       assert(calls.getOrElse(1L, 0) == 1,
         s"non-straddling trigger must run exactly once: $calls")
+
+      // C: the retry ALSO straddles a swap (the store is being
+      // continuously rewritten — the operational fault the posture is
+      // designed to surface) → the query dies loudly, and the
+      // propagated failure carries the FIRST straddle as a suppressed
+      // throwable so the diagnosis "second failure = continuous
+      // rewrite" is attributable from one stack trace (review r20)
+      val callsC = scala.collection.mutable.Map[Long, Int]()
+      val eC = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        val q = EventStream.nearDupIndexEachBatch(spark, stream,
+          "nd_race_bands", "nd_race_shingles") { (m, id) =>
+            callsC(id) = callsC.getOrElse(id, 0) + 1
+            sweep() // swap on EVERY attempt: the retry must die too
+            accB ++= pairsOf(m)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(callsC.getOrElse(0L, 0) == 2,
+        s"continuous rewrite must still be exactly one retry: $callsC")
+      var c: Throwable = eC
+      var sawSuppressed = false
+      while (c != null && !sawSuppressed) {
+        sawSuppressed = c.getSuppressed.nonEmpty
+        c = if (c.getCause eq c) null else c.getCause
+      }
+      assert(sawSuppressed,
+        "the second failure must carry the first straddle as suppressed")
     } finally {
       spark.sql("DROP TABLE IF EXISTS nd_race_bands")
       spark.sql("DROP TABLE IF EXISTS nd_race_shingles")
