@@ -613,11 +613,15 @@ object Dedup {
     // (nEdges > maxLocalEdges) the distributed rounds keep their
     // documented caveat — a per-call full-scan null audit is not a
     // 100 TB shape.
+    // ONE message for both require sites (the type-uniform contract
+    // depends on the int-path and long-path errors staying identical —
+    // DedupSpec matches on it)
+    val nullIdMsg =
+      "components(): null doc id in the pair relation — the caller's " +
+        "pair producer leaked an outer-join miss; filter nulls first"
     if (!railTyped && nEdges <= maxLocalEdges)
       require(edges.filter(col("s").isNull || col("d").isNull)
-          .head(1).isEmpty,
-        "components(): null doc id in the pair relation — the caller's " +
-          "pair producer leaked an outer-join miss; filter nulls first")
+          .head(1).isEmpty, nullIdMsg)
     if (railTyped && nEdges <= maxLocalEdges) {
       val rows = edges.collect()
       val parent = new scala.collection.mutable.LongMap[Long](
@@ -633,9 +637,7 @@ object Dedup {
         // fail LOUDLY on a null pair id: no in-repo producer emits one,
         // and the distributed rounds would quietly produce a null-keyed
         // non-label for it — a named error beats either rail's silence
-        require(!row.isNullAt(0) && !row.isNullAt(1),
-          "components(): null doc id in the pair relation — the caller's " +
-            "pair producer leaked an outer-join miss; filter nulls first")
+        require(!row.isNullAt(0) && !row.isNullAt(1), nullIdMsg)
         val a = row.getLong(0); val b = row.getLong(1)
         if (!parent.contains(a)) parent(a) = a
         if (!parent.contains(b)) parent(b) = b

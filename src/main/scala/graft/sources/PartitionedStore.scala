@@ -338,53 +338,64 @@ object PartitionedStore {
     val (internal, wanted, spec, schema, meta) =
       probeBuckets(spark, table, keys)
     val keyCol = spec.bucketColumnNames.head
+    // all-buckets fast path: a probe that prunes nothing reads the
+    // catalog directly and deliberately SKIPS the directory listing
+    // (measured ~1 s/scan at sf2 for a listing that prunes nothing —
+    // BENCH_NOTES r19), so the layout guards below cannot run here. A
+    // foreign-layout store (out-of-range bucket file) misbehaves under
+    // this read — but identically under every other catalog read in
+    // the engine; such a store is out of contract, [[storeStats]]
+    // reports it loudly at maintenance time, and [[compactBucketed]]
+    // (a path read rewritten through the spec) repairs it.
     if (wanted.size >= spec.numBuckets) return spark.table(table)
     val path = new Path(meta.location)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketOf = """part-\d+-.*_(\d{5})""".r.unanchored
     val listing = fs.listStatus(path)
-    // layout guards (ADVICE r19): the pruned path trusts two layout
-    // facts — every DATA file's name encodes its bucket id, and the
-    // table is flat (this listing is non-recursive). A data file an
-    // external writer dropped in without the bucket suffix, or a
-    // future partitioned+bucketed subtree, would otherwise be
-    // SILENTLY EXCLUDED from the screen (rows lost → wrong verdicts).
-    // Either way the catalog read is the correct superset (callers
-    // join on the key column, re-applying the equality), so degrade
-    // to it instead of dropping rows or dying.
-    val foreignData = listing.filter(_.isFile).map(_.getPath.getName)
-      .filter(n => !n.startsWith("_") && !n.startsWith("."))
-      .filterNot(bucketOf.findFirstIn(_).isDefined)
+    // layout guards (ADVICE r19, re-ordered review r20): the pruned
+    // path trusts two layout facts — every DATA file's name encodes an
+    // in-range bucket id, and the table is flat (this listing is
+    // non-recursive). Degrade targets differ BY ANOMALY, and the
+    // subdir check must run first:
+    //  - a (non-hidden) SUBDIRECTORY (a future partitioned+bucketed
+    //    subtree): the flat listing cannot enumerate the data at all —
+    //    degrade to the catalog read, Spark's canonical semantics for
+    //    whatever the table's layout is.
+    //  - a FILE-level anomaly — a data file without the bucket-id
+    //    suffix (external writer) or with an id outside the spec's
+    //    range (a foreign bucket count; its rows are hashed under a
+    //    layout the probe's formula does not route to): the CATALOG
+    //    read is NOT safe here — Spark's bucketed scan silently drops
+    //    an out-of-range file on a plain scan and throws
+    //    ArrayIndexOutOfBounds from its bucket-pruning BitSet under a
+    //    key filter (measured; PartitionedStoreSpec pins it). Degrade
+    //    to the RAW path read of the directory — provably flat at this
+    //    point, so it reads exactly every data file, whatever its
+    //    name, with no bucket metadata. Callers re-apply the key
+    //    equality, so both degrades stay correct supersets.
     // Spark's own hidden-path convention: _/. prefixes are metadata
-    // (_SUCCESS, a racing write's _temporary), never data
+    // (_SUCCESS, a racing write's _temporary), never data.
     val subdirs = listing.filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
-    if (foreignData.nonEmpty || subdirs.nonEmpty)
+    if (subdirs.nonEmpty)
       return spark.table(table)
-    // (review r20) the same guard, one layer deeper: a conforming NAME
-    // whose bucket id is outside the spec's range means the file was
-    // written under a DIFFERENT bucket count (a 64-bucket writer's
-    // _00042 in a 32-bucket dir) — the probe's bucket-id formula does
-    // not route keys to that layout, so its rows would be silently
-    // excluded exactly like a non-conforming name. Here the CATALOG
-    // read is NOT the safe degrade: Spark's bucketed scan indexes its
-    // bucket-pruning BitSet by the file's parsed id and throws
-    // ArrayIndexOutOfBounds on any key-filtered query over such a
-    // table (measured; PartitionedStoreSpec pins it) — so degrade to
-    // the RAW path read of every data file instead, which carries no
-    // bucket metadata and stays the correct superset (callers re-apply
-    // the key equality).
     val parsed = listing.filter(_.isFile).map(_.getPath)
-      .flatMap { p =>
+      .filter { p =>
+        val n = p.getName; !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map { p =>
         p.getName match {
-          case bucketOf(b) => Some(p -> b.toInt)
-          case _ => None
+          case bucketOf(b) => p -> Some(b.toInt)
+          case _ => p -> None
         }
       }
-    if (parsed.exists(_._2 >= spec.numBuckets))
+    if (parsed.exists { case (_, b) =>
+        b.isEmpty || b.exists(_ >= spec.numBuckets) })
       return spark.read.schema(schema).parquet(path.toString)
-    val files = parsed.collect { case (p, b) if wanted(b) => p.toString }
+    val files = parsed.collect {
+      case (p, Some(b)) if wanted(b) => p.toString
+    }
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -456,8 +467,28 @@ object PartitionedStore {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // bucket id is encoded in each file name (part-NNNNN-<uuid>_BBBBB)
     val bucketOf = """part-\d+-.*_(\d{5})""".r.unanchored
-    val perBucket = fs.listStatus(path).filter(_.isFile)
+    val names = fs.listStatus(path).filter(_.isFile)
       .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    // the maintenance probe is where an out-of-contract layout gets
+    // SEEN (review r20): a data file with no bucket suffix or an
+    // out-of-range id means a foreign writer touched the store —
+    // prunedBucketScan degrades on it, the catalog scan misbehaves on
+    // it, and compactBucketed (a path read rewritten through the spec)
+    // repairs it. Report loudly, don't die: the stats themselves and
+    // the compaction they gate are exactly the repair path.
+    val foreign = names.filter { n =>
+      bucketOf.findFirstMatchIn(n) match {
+        case Some(m) => m.group(1).toInt >= spec.numBuckets
+        case None => true
+      }
+    }
+    if (foreign.nonEmpty)
+      System.err.println(s"[graft] storeStats($table): ${foreign.length} " +
+        s"data file(s) outside the bucketed layout (first: " +
+        s"${foreign.head}) — run compactBucketed to rewrite the store " +
+        "through its spec")
+    val perBucket = names
       .collect { case bucketOf(b) => b.toInt }
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     // zero-file buckets count 0 — min is over ALL nBuckets

@@ -163,7 +163,8 @@ object NearDupIndexBench {
     val tStats = (System.nanoTime() - t0Stats) / 1e9
     val statsPre = graft.sources.PartitionedStore.storeStats(spark, bt)
     require(fire(statsPre) && fire(statsShingle),
-      s"32 appends must exceed the 8-files/bucket knee: $statsPre")
+      "32 appends must exceed the 8-files/bucket knee on BOTH stores: " +
+        s"band=$statsPre shingle=$statsShingle")
     val tCompact = time {
       graft.sources.PartitionedStore.compactBucketed(spark, bt,
         dedupRows = statsPre.dupBacklog > 0) +

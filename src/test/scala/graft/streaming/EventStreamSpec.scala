@@ -384,16 +384,19 @@ class EventStreamSpec extends SparkSpec {
       // throwable so the diagnosis "second failure = continuous
       // rewrite" is attributable from one stack trace (review r20)
       val callsC = scala.collection.mutable.Map[Long, Int]()
+      val accC = scala.collection.mutable.Set[(Long, Long)]()
       val eC = intercept[org.apache.spark.sql.streaming
           .StreamingQueryException] {
         val q = EventStream.nearDupIndexEachBatch(spark, stream,
           "nd_race_bands", "nd_race_shingles") { (m, id) =>
             callsC(id) = callsC.getOrElse(id, 0) + 1
             sweep() // swap on EVERY attempt: the retry must die too
-            accB ++= pairsOf(m)
+            accC ++= pairsOf(m) // consume → trigger the doomed read
           }.start()
         try q.processAllAvailable() finally q.stop()
       }
+      assert(accC.isEmpty,
+        s"no attempt may survive a continuous rewrite: $accC")
       assert(callsC.getOrElse(0L, 0) == 2,
         s"continuous rewrite must still be exactly one retry: $callsC")
       var c: Throwable = eC
