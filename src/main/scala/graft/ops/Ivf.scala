@@ -195,6 +195,126 @@ object Ivf {
       nprobe: Int = 4, dim: Int = 64): DataFrame =
     knnIvfWith(embs, staticCentroids(nlist, dim), nQueries, k, nprobe)
 
+  /** PERSISTED IVF index — the vector dual of the near-dup index store
+    * lifecycle (build → append → screen → compact): the corpus is
+    * assigned ONCE and its inverted lists persisted as a bucketed
+    * external table on `cluster`, so a top-k probe reads only the
+    * probed lists' bucket FILES
+    * ([[graft.sources.PartitionedStore.prunedBucketScan]]) —
+    * candidate-proportional I/O, ~nprobe/nlist of the corpus, where the
+    * in-memory [[knnIvfWith]] re-assigns the whole corpus per query
+    * plan. Increments append in place (one file per bucket per append);
+    * the store is maintained by the same
+    * [[graft.sources.PartitionedStore.storeStats]] /
+    * [[graft.sources.PartitionedStore.compactIfNeeded]] machinery as
+    * the text stores.
+    *
+    * The quantizer is the STATIC (data-independent) one — an index that
+    * retrains its quantizer on append would re-assign history, which is
+    * a rebuild, not an append — and its parameters are stamped as
+    * TBLPROPERTIES at build time. Readers and appenders DERIVE the
+    * quantizer from the stamp rather than trusting caller arguments, so
+    * a parameter mismatch (assignments that can never match the stored
+    * lists — silent recall collapse) is impossible by construction, and
+    * a store without the stamp fails loudly (the nd-index convention,
+    * Dedup.scala buildNearDupIndex). */
+  def buildIvfIndex(embs: DataFrame, table: String, path: String,
+      nlist: Int = 16, dim: Int = 64, seed: Long = 77L,
+      nBuckets: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val assigned = assign(embs, staticCentroids(nlist, dim, seed),
+        idCol, vecCol)
+      .select(col("cluster"), col("vec_id"), col("vec"))
+    graft.sources.PartitionedStore.writeBucketed(assigned, table, path,
+      Seq("cluster"), nBuckets, Seq("cluster"))
+    embs.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES(" +
+        s"'graft.ivf.nlist'='$nlist', 'graft.ivf.dim'='$dim', " +
+        s"'graft.ivf.seed'='$seed')")
+  }
+
+  /** The stamped quantizer parameters of a persisted IVF index — loud
+    * when absent (a recreated table that lost its TBLPROPERTIES would
+    * otherwise probe with a default quantizer against foreign lists). */
+  def ivfStamp(s: org.apache.spark.sql.SparkSession, table: String)
+      : (Int, Int, Long) = {
+    val props = s.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def p(key: String): String = props.getOrElse(s"graft.ivf.$key",
+      throw new IllegalStateException(
+        s"ivfStamp($table): missing TBLPROPERTY graft.ivf.$key — not an " +
+          "IVF index table, or its stamps were lost; rebuild with " +
+          "buildIvfIndex"))
+    (p("nlist").toInt, p("dim").toInt, p("seed").toLong)
+  }
+
+  /** Append an increment to a persisted IVF index: assignment under the
+    * STAMPED quantizer (derived, not caller-supplied — see
+    * [[buildIvfIndex]]), one more file per bucket. Blind retries are
+    * harmless to probe VERDICTS only if the caller dedups ids upstream
+    * (a duplicated vec_id appears twice in its list and twice in a
+    * top-k); the duplicate rows themselves are reclaimed by
+    * `compactBucketed(dedupRows = true)`, same as the text stores. */
+  def appendIvfIndex(embs: DataFrame, table: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (nlist, dim, seed) = ivfStamp(embs.sparkSession, table)
+    graft.sources.PartitionedStore.appendBucketed(
+      assign(embs, staticCentroids(nlist, dim, seed), idCol, vecCol)
+        .select(col("cluster"), col("vec_id"), col("vec")), table)
+  }
+
+  /** Top-k cosine probe against a PERSISTED IVF index. The probed
+    * cluster ids are known driver-side after one bounded collect (≤
+    * queries × nprobe ints, ≤ the stamped nlist distinct), so the
+    * corpus side is a bucket-pruned file read of just the probed lists
+    * — the same candidate-proportional floor as the near-dup index's
+    * pruned screen — joined via BROADCAST of the tiny probe side (zero
+    * corpus-side exchange; the collect-probe-beats-sort-merge
+    * measurement, BENCH_NOTES r19). A jumbo probe set (> maxProbeLits
+    * distinct clusters) degrades to the catalog read, total either way.
+    *
+    * Output is column-identical to [[knnIvfWith]] over the same corpus
+    * and quantizer — q_knn_ivf_prod shares q_knn_ivf_static's DuckDB
+    * oracle verbatim, which is what certifies the build+append
+    * lifecycle cross-engine. */
+  def knnIvfFrom(s: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4,
+      maxProbeLits: Int = 2048, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (nlist, dim, seed) = ivfStamp(s, table)
+    val centroids = staticCentroids(nlist, dim, seed)
+    val probeScores = scoredStructs(col("vec_q"), centroids)
+    // staged: read twice (cluster collect + the rank join)
+    val probes = Stage.barrier(
+      queries.select(col(idCol).as("query_id"),
+          toDouble(col(vecCol)).as("vec_q"))
+        .withColumn("probes",
+          slice(array_sort(array(probeScores: _*)), 1, nprobe))
+        .select(col("query_id"), col("vec_q"),
+          explode(transform(col("probes"), _.getField("id")))
+            .as("cluster"))
+        .select(col("query_id"), col("vec_q"), col("cluster"),
+          Similarity.norm(col("vec_q")).as("nrm_q")))
+    try {
+      val clusterRows = probes.select(col("cluster")).distinct()
+        .limit(maxProbeLits + 1).collect()
+      val corpus =
+        if (clusterRows.length > maxProbeLits) s.table(table)
+        else graft.sources.PartitionedStore.prunedBucketScan(s, table,
+          clusterRows.map(_.get(0)).toSeq)
+      Similarity.topKRank(
+        corpus.select(col("cluster"), col("vec_id").as("neighbor_id"),
+            col("vec").as("vec_n"))
+          .select(col("cluster"), col("neighbor_id"), col("vec_n"),
+            Similarity.norm(col("vec_n")).as("nrm_n"))
+          .join(broadcast(probes), Seq("cluster"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("sim", Similarity.cosineWithNorms(
+            dot(col("vec_q"), col("vec_n")), col("nrm_q"),
+            col("nrm_n"))), k)
+    } finally Stage.release(probes)
+  }
+
   /** The IVF query plan given a quantizer. */
   def knnIvfWith(embs: DataFrame,
       centroids: Seq[(Int, Seq[Double])], nQueries: Int, k: Int,

@@ -255,6 +255,36 @@ object DedupSim {
     graft.ops.Ivf.knnIvfStatic(Tables(s, dir).embeddings, nQueries = 10,
       k = 5)
 
+  // the persisted IVF index is built once per (session, dir) — reps
+  // re-probe the store, as production would
+  private val ivfIndexTable = new graft.ops.SessionScoped[String]
+
+  /** q_knn_ivf_static's probe served from the PERSISTED IVF index
+    * ([[graft.ops.Ivf.buildIvfIndex]]) — the vector store lifecycle:
+    * the index is built from the EVEN vec_ids and the odd half
+    * APPENDED ([[graft.ops.Ivf.appendIvfIndex]], quantizer derived
+    * from the stamp), then probed with the same 10 queries. Output is
+    * row-identical to q_knn_ivf_static and shares its DuckDB oracle
+    * VERBATIM — which certifies build + append + stamped-quantizer
+    * parity cross-engine. The probe reads only the probed lists'
+    * bucket files (prunedBucketScan) with a broadcast probe join —
+    * the candidate-proportional 100 TB shape, vs the in-memory
+    * variant's per-plan corpus re-assignment. */
+  def knnIvfProd(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables(s, dir).embeddings
+    val t = ivfIndexTable.getOrCompute(s, dir) {
+      val (tbl, path) =
+        graft.sources.PartitionedStore.storeNames("ivf_idx", dir)
+      graft.ops.Ivf.buildIvfIndex(
+        embs.filter(col("vec_id") % 2 === 0), tbl, path)
+      graft.ops.Ivf.appendIvfIndex(
+        embs.filter(col("vec_id") % 2 =!= 0), tbl)
+      tbl
+    }
+    graft.ops.Ivf.knnIvfFrom(s, t, embs.filter(col("vec_id") < 10),
+      k = 5)
+  }
+
   /** 12 bits/table (4096 buckets): for ~10k isotropic vectors this keeps
     * random bucket collisions ~16× rarer than the 8-bit default while
     * near-identical pairs (cosine ≥ .99) still collide in ≥1 of 4 tables
@@ -1010,6 +1040,7 @@ object DedupSim {
     "q_knn_lsh" -> knnLsh,
     "q_knn_ivf" -> knnIvf,
     "q_knn_ivf_static" -> knnIvfStatic,
+    "q_knn_ivf_prod" -> knnIvfProd,
     "q_embed_neardup" -> embedNearDups,
     "q_semantic_dedup" -> semanticDedup,
     "q_incremental_neardup" -> incrementalNearDedup,
@@ -1179,6 +1210,9 @@ object DedupSim {
 
   private lazy val staticOracle: Map[String, String] = Map(
     "q_knn_ivf_static" -> duckIvfSql(graft.ops.Ivf.staticCentroids(16, 64)),
+    // the SAME oracle verbatim: the persisted build+append lifecycle
+    // must reproduce the one-shot static plan's rows exactly
+    "q_knn_ivf_prod" -> duckIvfSql(graft.ops.Ivf.staticCentroids(16, 64)),
     // the identical LCG plane matrix rendered as literals; same fixed
     // fold order as every other oracled dot product
     "q_rand_proj" -> {

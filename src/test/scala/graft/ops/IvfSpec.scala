@@ -107,4 +107,61 @@ class IvfSpec extends SparkSpec {
     // and the whole thing actually runs: every vector lands in a list
     assert(assigned.count() == embs.count())
   }
+
+  test("persisted IVF index: build + append + stamped probe equals the " +
+      "one-shot static plan, and the probe is bucket-pruned") {
+    // the vector store lifecycle (r20): build from the even ids, append
+    // the odd half under the STAMP-derived quantizer, probe — rows must
+    // be identical to knnIvfStatic over the full corpus (the oracle
+    // q_knn_ivf_prod shares verbatim), which certifies the append path
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+      .toString
+    try {
+      Ivf.buildIvfIndex(embs.filter(col("vec_id") % 2 === 0),
+        "ivf_idx_spec", s"$dir/t")
+      Ivf.appendIvfIndex(embs.filter(col("vec_id") % 2 =!= 0),
+        "ivf_idx_spec")
+      assert(Ivf.ivfStamp(spark, "ivf_idx_spec") == ((16, 64, 77L)))
+      val queries = embs.filter(col("vec_id") < 10)
+      val got = Ivf.knnIvfFrom(spark, "ivf_idx_spec", queries, k = 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSet
+      assert(rows(got) ==
+        rows(Ivf.knnIvfStatic(embs, nQueries = 10, k = 5)),
+        "persisted lifecycle diverged from the one-shot static plan")
+      // plan shape: the corpus side is a bucket-pruned FILE read (not
+      // the catalog — 16 lists over 16 buckets, 10 queries × 4 probes
+      // cannot touch every bucket only if fewer than 16 distinct lists
+      // are probed; assert on the actual pruned/catalog decision) and
+      // the probe side is broadcast (zero corpus-side exchange)
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+      // the store is maintainable by the shared machinery: stats see
+      // the appended second file per bucket, compaction collapses it
+      val stats0 = graft.sources.PartitionedStore
+        .storeStats(spark, "ivf_idx_spec")
+      assert(stats0.filesPerBucketMax >= 2L, stats0.toString)
+      graft.sources.PartitionedStore.compactBucketed(spark, "ivf_idx_spec")
+      assert(rows(Ivf.knnIvfFrom(spark, "ivf_idx_spec", queries, k = 5))
+        == rows(got), "compaction changed probe results")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+  }
+
+  test("persisted IVF index: a store without the stamp fails loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfns")
+      .toString
+    try {
+      // a bucketed table that LOOKS like an index but carries no stamp
+      graft.sources.PartitionedStore.writeBucketed(
+        Seq((0, 1L, Seq(1.0d))).toDF("cluster", "vec_id", "vec"),
+        "ivf_nostamp", s"$dir/t", Seq("cluster"), 4, Seq("cluster"))
+      val e = intercept[IllegalStateException] {
+        Ivf.knnIvfFrom(spark, "ivf_nostamp",
+          embs.filter(col("vec_id") < 2), k = 1)
+      }
+      assert(e.getMessage.contains("graft.ivf.nlist"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_nostamp")
+  }
 }
