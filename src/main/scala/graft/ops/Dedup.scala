@@ -1933,8 +1933,14 @@ object Dedup {
     * both tables, plus the torn-append doc_id diff. */
   final case class NearDupIndexRef(bandTable: String,
       shingleTable: String) extends StoreRef
+  /** Persisted IVF index ([[graft.ops.Ivf.buildIvfIndex]]) — stamped
+    * with its quantizer parameters (nlist/dim/seed; probers and
+    * appenders DERIVE the quantizer from the stamp, so a lost stamp
+    * bricks the store loudly — the audit shows it before a prober
+    * trips on it). */
+  final case class IvfIndexRef(table: String) extends StoreRef
 
-  /** ONE maintenance sweep over all three persisted-store kinds
+  /** ONE maintenance sweep over every persisted-store kind
     * (VERDICT r18 #7): per table — the [[graft.sources.PartitionedStore
     * .storeStats]] health numbers (files per bucket, duplicate backlog
     * from retried appends), whether the store's parameter stamps are
@@ -1967,6 +1973,17 @@ object Dedup {
         val st = PartitionedStore.storeStats(s, t)
         val ok = st.stamps.get("graft.spanbank.w").exists(numericStamp)
         Seq((t, "span_bank", st.nBuckets, st.nFiles,
+          st.filesPerBucketMax, st.rows, st.dupBacklog, ok, 0L))
+      case IvfIndexRef(t) =>
+        val st = PartitionedStore.storeStats(s, t)
+        // nlist/dim must be positive counts; the seed is any long
+        // (sign included), so its rule is parseability, not positivity
+        def longStamp(v: String): Boolean = v.nonEmpty &&
+          v.length <= 20 && scala.util.Try(v.toLong).isSuccess
+        val ok = Seq("graft.ivf.nlist", "graft.ivf.dim")
+          .forall(k => st.stamps.get(k).exists(numericStamp)) &&
+          st.stamps.get("graft.ivf.seed").exists(longStamp)
+        Seq((t, "ivf_index", st.nBuckets, st.nFiles,
           st.filesPerBucketMax, st.rows, st.dupBacklog, ok, 0L))
       case NearDupIndexRef(bt, sht) =>
         val torn = reconcileNearDupIndex(s, bt, sht)

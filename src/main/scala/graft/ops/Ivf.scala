@@ -224,7 +224,8 @@ object Ivf {
       vecCol: String = "embedding"): Unit = {
     val assigned = assign(embs, staticCentroids(nlist, dim, seed),
         idCol, vecCol)
-      .select(col("cluster"), col("vec_id"), col("vec"))
+      .select(col("cluster"), col("vec_id"),
+        checkDim(col("vec"), dim, s"buildIvfIndex($table)").as("vec"))
     graft.sources.PartitionedStore.writeBucketed(assigned, table, path,
       Seq("cluster"), nBuckets, Seq("cluster"))
     embs.sparkSession.sql(
@@ -260,7 +261,9 @@ object Ivf {
     val (nlist, dim, seed) = ivfStamp(embs.sparkSession, table)
     graft.sources.PartitionedStore.appendBucketed(
       assign(embs, staticCentroids(nlist, dim, seed), idCol, vecCol)
-        .select(col("cluster"), col("vec_id"), col("vec")), table)
+        .select(col("cluster"), col("vec_id"),
+          checkDim(col("vec"), dim, s"appendIvfIndex($table)").as("vec")),
+      table)
   }
 
   /** Top-k cosine probe against a PERSISTED IVF index. The probed
@@ -283,37 +286,71 @@ object Ivf {
       vecCol: String = "embedding"): DataFrame = {
     val (nlist, dim, seed) = ivfStamp(s, table)
     val centroids = staticCentroids(nlist, dim, seed)
-    val probeScores = scoredStructs(col("vec_q"), centroids)
-    // staged: read twice (cluster collect + the rank join)
-    val probes = Stage.barrier(
+    // NOT staged: the probe frame is ≤ |queries| × nprobe rows and its
+    // pipeline is the per-row probe scoring — recomputing it for the
+    // cluster collect and again under the lazy returned plan is cheaper
+    // than the cache lifecycle of a frame this function cannot see the
+    // last action of (a barrier released here would be gone before the
+    // caller's action; one kept would leak — review r20)
+    val probes = ivfProbes(
       queries.select(col(idCol).as("query_id"),
-          toDouble(col(vecCol)).as("vec_q"))
-        .withColumn("probes",
-          slice(array_sort(array(probeScores: _*)), 1, nprobe))
-        .select(col("query_id"), col("vec_q"),
-          explode(transform(col("probes"), _.getField("id")))
-            .as("cluster"))
-        .select(col("query_id"), col("vec_q"), col("cluster"),
-          Similarity.norm(col("vec_q")).as("nrm_q")))
-    try {
-      val clusterRows = probes.select(col("cluster")).distinct()
-        .limit(maxProbeLits + 1).collect()
-      val corpus =
-        if (clusterRows.length > maxProbeLits) s.table(table)
-        else graft.sources.PartitionedStore.prunedBucketScan(s, table,
-          clusterRows.map(_.get(0)).toSeq)
-      Similarity.topKRank(
-        corpus.select(col("cluster"), col("vec_id").as("neighbor_id"),
-            col("vec").as("vec_n"))
-          .select(col("cluster"), col("neighbor_id"), col("vec_n"),
-            Similarity.norm(col("vec_n")).as("nrm_n"))
-          .join(broadcast(probes), Seq("cluster"))
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .withColumn("sim", Similarity.cosineWithNorms(
-            dot(col("vec_q"), col("vec_n")), col("nrm_q"),
-            col("nrm_n"))), k)
-    } finally Stage.release(probes)
+        checkDim(toDouble(col(vecCol)), dim, s"knnIvfFrom($table)")
+          .as("vec_q")),
+      centroids, nprobe)
+    val clusterRows = probes.select(col("cluster")).distinct()
+      .limit(maxProbeLits + 1).collect()
+    val corpus =
+      if (clusterRows.length > maxProbeLits) s.table(table)
+      else graft.sources.PartitionedStore.prunedBucketScan(s, table,
+        clusterRows.map(_.get(0)).toSeq)
+    ivfRank(corpus, broadcast(probes), k)
   }
+
+  /** Loud dim guard: a vector whose length differs from the index's
+    * stamped `dim` would get a NULL cluster from the argmin (and NULL
+    * probe scores query-side) — rows silently unfindable, the exact
+    * recall collapse the stamp design exists to prevent (review r20).
+    * Rendered as a projection guard (raise_error on the first offending
+    * row, inside the same scan) so no extra pass is paid. */
+  private def checkDim(vec: Column, dim: Int, site: String): Column =
+    when(size(vec) === dim, vec).otherwise(raise_error(concat(
+      lit(s"$site: embedding length "), size(vec).cast("string"),
+      lit(s" != the index's stamped dim $dim — wrong embedding model " +
+        "for this index"))))
+
+  /** The query-probe frame — (query_id, vec_q) in, one row per
+    * (query, probed cluster) with the query norm out. ONE definition
+    * shared by the in-memory and persisted-index plans: the two must
+    * stay bit-identical for q_knn_ivf_static / q_knn_ivf_prod to share
+    * their DuckDB oracle verbatim. */
+  private def ivfProbes(queries: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
+    val probeScores = scoredStructs(col("vec_q"), centroids)
+    queries
+      .withColumn("probes",
+        slice(array_sort(array(probeScores: _*)), 1, nprobe))
+      .select(col("query_id"), col("vec_q"),
+        explode(transform(col("probes"), _.getField("id"))).as("cluster"))
+      .select(col("query_id"), col("vec_q"), col("cluster"),
+        Similarity.norm(col("vec_q")).as("nrm_q"))
+  }
+
+  /** The cluster-join + exact-cosine re-rank — corpus (cluster, vec_id,
+    * vec) against a probe frame. Norms are per-row: computed below the
+    * probe join so the pair loop is one dot + one multiply
+    * (Similarity.cosineWithNorms). Shared for the same reason as
+    * [[ivfProbes]]. */
+  private def ivfRank(corpus: DataFrame, probes: DataFrame, k: Int)
+      : DataFrame =
+    Similarity.topKRank(
+      corpus.select(col("cluster"), col("vec_id").as("neighbor_id"),
+          col("vec").as("vec_n"))
+        .select(col("cluster"), col("neighbor_id"), col("vec_n"),
+          Similarity.norm(col("vec_n")).as("nrm_n"))
+        .join(probes, Seq("cluster"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", Similarity.cosineWithNorms(
+          dot(col("vec_q"), col("vec_n")), col("nrm_q"), col("nrm_n"))), k)
 
   /** The IVF query plan given a quantizer. */
   def knnIvfWith(embs: DataFrame,
@@ -321,27 +358,9 @@ object Ivf {
       nprobe: Int): DataFrame = {
     // staged: read by both the query-probe branch and the corpus branch
     val assigned = Stage.barrier(assign(embs, centroids))
-
-    val probeScores = scoredStructs(col("vec_q"), centroids)
-    val queries = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("vec_q"))
-      .withColumn("probes",
-        slice(array_sort(array(probeScores: _*)), 1, nprobe))
-      .select(col("query_id"), col("vec_q"),
-        explode(transform(col("probes"), _.getField("id"))).as("cluster"))
-      .select(col("query_id"), col("vec_q"), col("cluster"),
-        Similarity.norm(col("vec_q")).as("nrm_q"))
-
-    // norms are per-row: compute them below the probe join so the pair
-    // loop is one dot + one multiply (Similarity.cosineWithNorms)
-    Similarity.topKRank(
-      assigned.select(col("cluster"), col("vec_id").as("neighbor_id"),
-          col("vec").as("vec_n"))
-        .select(col("cluster"), col("neighbor_id"), col("vec_n"),
-          Similarity.norm(col("vec_n")).as("nrm_n"))
-        .join(queries, Seq("cluster"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim", Similarity.cosineWithNorms(
-          dot(col("vec_q"), col("vec_n")), col("nrm_q"), col("nrm_n"))), k)
+    ivfRank(assigned,
+      ivfProbes(assigned.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("vec").as("vec_q")),
+        centroids, nprobe), k)
   }
 }

@@ -130,13 +130,24 @@ class IvfSpec extends SparkSpec {
       assert(rows(got) ==
         rows(Ivf.knnIvfStatic(embs, nQueries = 10, k = 5)),
         "persisted lifecycle diverged from the one-shot static plan")
-      // plan shape: the corpus side is a bucket-pruned FILE read (not
-      // the catalog — 16 lists over 16 buckets, 10 queries × 4 probes
-      // cannot touch every bucket only if fewer than 16 distinct lists
-      // are probed; assert on the actual pruned/catalog decision) and
-      // the probe side is broadcast (zero corpus-side exchange)
+      // plan shape: the probe side is broadcast (zero corpus-side
+      // exchange), and for a probe that cannot cover every bucket —
+      // 2 queries × 4 probes = ≤ 8 distinct lists over 16 buckets —
+      // the corpus side is the bucket-pruned FILE read, not the
+      // catalog (the feature's point; a catalog-routed regression
+      // would still return correct rows, so the plan is the only
+      // witness — review r20)
       val plan = got.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+      val narrow = Ivf.knnIvfFrom(spark, "ivf_idx_spec",
+        embs.filter(col("vec_id") < 2), k = 5)
+      val narrowPlan = narrow.queryExecution.executedPlan.toString
+      assert(!narrowPlan.contains("default.ivf_idx_spec"),
+        "a non-covering probe must read pruned bucket files, not the " +
+          s"catalog: ${narrowPlan.take(600)}")
+      assert(rows(narrow) ==
+        rows(Ivf.knnIvfStatic(embs, nQueries = 2, k = 5)),
+        "pruned narrow probe diverged from the one-shot static plan")
       // the store is maintainable by the shared machinery: stats see
       // the appended second file per bucket, compaction collapses it
       val stats0 = graft.sources.PartitionedStore
@@ -146,6 +157,35 @@ class IvfSpec extends SparkSpec {
       assert(rows(Ivf.knnIvfFrom(spark, "ivf_idx_spec", queries, k = 5))
         == rows(got), "compaction changed probe results")
     } finally spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+  }
+
+  test("persisted IVF index: a dim-mismatched increment fails loudly, " +
+      "never lands as null-cluster rows") {
+    // review r20: the argmin returns NULL for a vector whose length
+    // differs from the quantizer's dim — without the guard a
+    // wrong-embedding-model increment would append rows no probe can
+    // ever find (silent recall collapse). The guard raises on the
+    // first offending row, inside the write's own scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfdim")
+      .toString
+    try {
+      Ivf.buildIvfIndex(embs.filter(col("vec_id") % 2 === 0),
+        "ivf_dim_spec", s"$dir/t")
+      val wrongDim = embs.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id"), slice(col("embedding"), 1, 32)
+          .as("embedding"))
+      val e = intercept[Exception] {
+        Ivf.appendIvfIndex(wrongDim, "ivf_dim_spec")
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+          .flatMap(c => Option(c.getMessage)).toSeq
+      assert(chain(e).exists(_.contains("stamped dim")),
+        s"must name the dim mismatch: ${chain(e).take(3)}")
+      // and the store is unchanged: only the even-id build rows
+      assert(spark.table("ivf_dim_spec").count() ==
+        embs.filter(col("vec_id") % 2 === 0).count())
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_dim_spec")
   }
 
   test("persisted IVF index: a store without the stamp fails loudly") {

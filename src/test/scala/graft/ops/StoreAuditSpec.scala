@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.sources.PartitionedStore
 
-/** The one-sweep maintenance audit over all three persisted-store
-  * kinds (VERDICT r18 #4/#7): storeStats health numbers, the
+/** The one-sweep maintenance audit over every persisted-store kind
+  * (VERDICT r18 #4/#7; +IVF index r20): storeStats health numbers, the
   * stats-driven compaction trigger, stamp verification, and the
   * torn-append diff — so one entry point answers "is every store
   * healthy, and which ones need a compaction". */
@@ -21,6 +21,7 @@ class StoreAuditSpec extends SparkSpec {
       .toString
     val (dt, bt, st, kt) =
       ("aud_dig_t", "aud_band_t", "aud_shingle_t", "aud_span_t")
+    val vt = "aud_ivf_t"
     try {
       val base = docs.filter(col("doc_id") % 2 === 0)
       val inc = docs.filter(col("doc_id") % 2 === 1)
@@ -47,13 +48,20 @@ class StoreAuditSpec extends SparkSpec {
         s"retried append must surface as duplicate backlog: $dg")
       assert(dg.rows - dg.dupBacklog == dg.distinctRows)
 
+      // the fourth store kind: a persisted IVF index (r20), stamped
+      // with its quantizer parameters
+      val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      graft.ops.Ivf.buildIvfIndex(embs, vt, s"$dir/ivf")
+
       val audit = Dedup.auditStores(spark, Seq(
         Dedup.DigestStoreRef(dt), Dedup.SpanBankRef(kt),
-        Dedup.NearDupIndexRef(bt, st)))
+        Dedup.NearDupIndexRef(bt, st), Dedup.IvfIndexRef(vt)))
         .collect().map(r => r.getString(0) ->
           (r.getString(1), r.getLong(6), r.getBoolean(7), r.getLong(8)))
         .toMap
-      assert(audit.keySet == Set(dt, kt, bt, st))
+      assert(audit.keySet == Set(dt, kt, bt, st, vt))
+      assert(audit(vt)._1 == "ivf_index" && audit(vt)._3 &&
+        audit(vt)._4 == 0L, s"ivf row: ${audit(vt)}")
       assert(audit(dt)._1 == "digest_index" && audit(dt)._2 > 0 &&
         audit(dt)._3 && audit(dt)._4 == 0L, s"digest row: ${audit(dt)}")
       assert(audit(kt)._1 == "span_bank" && audit(kt)._3,
@@ -94,6 +102,11 @@ class StoreAuditSpec extends SparkSpec {
       val poisoned = Dedup.auditStores(spark, Seq(Dedup.SpanBankRef(kt)))
         .head()
       assert(!poisoned.getBoolean(7), "lost stamp must fail the audit")
+      // same class on the IVF index: a lost quantizer stamp flags
+      spark.sql(s"ALTER TABLE $vt UNSET TBLPROPERTIES " +
+        "('graft.ivf.nlist')")
+      assert(!Dedup.auditStores(spark, Seq(Dedup.IvfIndexRef(vt)))
+        .head().getBoolean(7), "lost ivf stamp must fail the audit")
 
       // torn append: shingles land, bands don't (the designed crash
       // ordering) — the audit attributes the gap to the BAND table
@@ -109,7 +122,7 @@ class StoreAuditSpec extends SparkSpec {
       assert(tornAudit("nd_shingle_index") == 0L,
         s"shingle side is not torn: $tornAudit")
     } finally {
-      for (t <- Seq(dt, bt, st, kt))
+      for (t <- Seq(dt, bt, st, kt, vt))
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
