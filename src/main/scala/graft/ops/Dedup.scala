@@ -1978,8 +1978,10 @@ object Dedup {
         val st = PartitionedStore.storeStats(s, t)
         // nlist/dim must be positive counts; the seed is any long
         // (sign included), so its rule is parseability, not positivity
-        def longStamp(v: String): Boolean = v.nonEmpty &&
-          v.length <= 20 && scala.util.Try(v.toLong).isSuccess
+        // (Try subsumes the empty and overflow cases on its own —
+        // numericStamp's length cap guards an UNguarded toLong)
+        def longStamp(v: String): Boolean =
+          scala.util.Try(v.toLong).isSuccess
         val ok = Seq("graft.ivf.nlist", "graft.ivf.dim")
           .forall(k => st.stamps.get(k).exists(numericStamp)) &&
           st.stamps.get("graft.ivf.seed").exists(longStamp)

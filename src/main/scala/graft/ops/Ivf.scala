@@ -101,10 +101,16 @@ object Ivf {
     centroids
   }
 
-  /** Assign every vector to its inverted list. */
+  /** Assign every vector to its inverted list. The dim guard lives at
+    * THIS layer (review r20) so every caller — trained and static
+    * plans, clusterStats/clusterCap, and the persisted-index build and
+    * append — fails loudly on a wrong-length vector instead of
+    * silently dropping it as a NULL cluster. */
   def assign(embs: DataFrame, centroids: Seq[(Int, Seq[Double])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embs.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("vec"))
+    embs.select(col(idCol).as("vec_id"),
+        checkDim(toDouble(col(vecCol)), centroids.head._2.length,
+          "Ivf.assign").as("vec"))
       .withColumn("cluster", assignExpr(col("vec"), centroids))
 
   /** Index-health profile of a quantizer: per inverted list, the vector
@@ -222,10 +228,11 @@ object Ivf {
       nlist: Int = 16, dim: Int = 64, seed: Long = 77L,
       nBuckets: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
+    // dim guard: inside assign — every wrong-length row raises before
+    // it can land as a NULL-cluster (unfindable) store row
     val assigned = assign(embs, staticCentroids(nlist, dim, seed),
         idCol, vecCol)
-      .select(col("cluster"), col("vec_id"),
-        checkDim(col("vec"), dim, s"buildIvfIndex($table)").as("vec"))
+      .select(col("cluster"), col("vec_id"), col("vec"))
     graft.sources.PartitionedStore.writeBucketed(assigned, table, path,
       Seq("cluster"), nBuckets, Seq("cluster"))
     embs.sparkSession.sql(
@@ -259,11 +266,10 @@ object Ivf {
   def appendIvfIndex(embs: DataFrame, table: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val (nlist, dim, seed) = ivfStamp(embs.sparkSession, table)
+    // dim guard: inside assign (see buildIvfIndex)
     graft.sources.PartitionedStore.appendBucketed(
       assign(embs, staticCentroids(nlist, dim, seed), idCol, vecCol)
-        .select(col("cluster"), col("vec_id"),
-          checkDim(col("vec"), dim, s"appendIvfIndex($table)").as("vec")),
-      table)
+        .select(col("cluster"), col("vec_id"), col("vec")), table)
   }
 
   /** Top-k cosine probe against a PERSISTED IVF index. The probed
@@ -286,37 +292,53 @@ object Ivf {
       vecCol: String = "embedding"): DataFrame = {
     val (nlist, dim, seed) = ivfStamp(s, table)
     val centroids = staticCentroids(nlist, dim, seed)
-    // NOT staged: the probe frame is ≤ |queries| × nprobe rows and its
-    // pipeline is the per-row probe scoring — recomputing it for the
-    // cluster collect and again under the lazy returned plan is cheaper
-    // than the cache lifecycle of a frame this function cannot see the
-    // last action of (a barrier released here would be gone before the
-    // caller's action; one kept would leak — review r20)
-    val probes = ivfProbes(
+    val probePlan = ivfProbes(
       queries.select(col(idCol).as("query_id"),
         checkDim(toDouble(col(vecCol)), dim, s"knnIvfFrom($table)")
           .as("vec_q")),
       centroids, nprobe)
-    val clusterRows = probes.select(col("cluster")).distinct()
-      .limit(maxProbeLits + 1).collect()
-    val corpus =
-      if (clusterRows.length > maxProbeLits) s.table(table)
-      else graft.sources.PartitionedStore.prunedBucketScan(s, table,
-        clusterRows.map(_.get(0)).toSeq)
-    ivfRank(corpus, broadcast(probes), k)
+    // the probe frame is collected ONCE (≤ |queries| × nprobe rows —
+    // 40 rows × dim doubles at the suite's shape) and rebuilt as a
+    // LOCAL relation: the pruned corpus read is sized to exactly these
+    // probes, so the returned plan must not re-evaluate a possibly
+    // nondeterministic/mutating queries frame and probe clusters the
+    // pruned read never loaded — a vanished-query class a barrier
+    // cannot close either (it would be released before the caller's
+    // action; review r20). A jumbo probe set (> maxProbeLits rows)
+    // degrades to the catalog read with the probe plan joined lazily —
+    // no collect, no pruning, total either way.
+    val probeRows = probePlan.limit(maxProbeLits + 1).collect()
+    if (probeRows.length > maxProbeLits)
+      ivfRank(s.table(table), broadcast(probePlan), k)
+    else {
+      val probes = s.createDataFrame(
+        s.sparkContext.parallelize(probeRows.toSeq, 1),
+        probePlan.schema)
+      val clusters = probeRows
+        .map(_.getAs[Any]("cluster")).distinct.toSeq
+      ivfRank(graft.sources.PartitionedStore.prunedBucketScan(s, table,
+        clusters), broadcast(probes), k)
+    }
   }
 
-  /** Loud dim guard: a vector whose length differs from the index's
-    * stamped `dim` would get a NULL cluster from the argmin (and NULL
-    * probe scores query-side) — rows silently unfindable, the exact
-    * recall collapse the stamp design exists to prevent (review r20).
-    * Rendered as a projection guard (raise_error on the first offending
-    * row, inside the same scan) so no extra pass is paid. */
+  /** Loud dim guard: a vector whose length differs from the quantizer's
+    * `dim` would get a NULL cluster from the argmin (and NULL probe
+    * scores query-side) — rows silently unfindable, the exact recall
+    * collapse the stamp design exists to prevent (review r20). Rendered
+    * as a projection guard (raise_error on the first offending row,
+    * inside the same scan) so no extra pass is paid. NULL embeddings
+    * get their own arm — size(NULL) is NULL, so the mismatch message's
+    * concat would itself be NULL exactly when the input is most
+    * malformed. */
   private def checkDim(vec: Column, dim: Int, site: String): Column =
-    when(size(vec) === dim, vec).otherwise(raise_error(concat(
-      lit(s"$site: embedding length "), size(vec).cast("string"),
-      lit(s" != the index's stamped dim $dim — wrong embedding model " +
-        "for this index"))))
+    when(vec.isNull, raise_error(lit(
+        s"$site: NULL embedding — dirty upstream data; filter nulls " +
+          "before indexing or probing")))
+      .when(size(vec) === dim, vec)
+      .otherwise(raise_error(concat(
+        lit(s"$site: embedding length "), size(vec).cast("string"),
+        lit(s" != the quantizer dim $dim — wrong embedding model " +
+          "for this index"))))
 
   /** The query-probe frame — (query_id, vec_q) in, one row per
     * (query, probed cluster) with the query norm out. ONE definition

@@ -180,7 +180,7 @@ class IvfSpec extends SparkSpec {
       def chain(t: Throwable): Seq[String] =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
           .flatMap(c => Option(c.getMessage)).toSeq
-      assert(chain(e).exists(_.contains("stamped dim")),
+      assert(chain(e).exists(_.contains("quantizer dim")),
         s"must name the dim mismatch: ${chain(e).take(3)}")
       // and the store is unchanged: only the even-id build rows
       assert(spark.table("ivf_dim_spec").count() ==
