@@ -343,30 +343,63 @@ object EventStream {
               bandTable, shingleTable, n, k, bands, numer, denom, textCol,
               maxLits), id)
           }
+        retryOnceOnSwap(s, Seq(bandTable, shingleTable),
+          s"nearDupIndexEachBatch($bandTable)", id)(() => attempt())
+    }
+
+  /** The retry-once posture every store-probing trigger shares (see
+    * [[nearDupIndexEachBatch]]'s scaladoc for the full contract): on
+    * the vanished-input-file failure class — a compaction swap landing
+    * mid-trigger on an as-of-call pruned listing — refresh the
+    * catalogs (the non-pruned fallback reads through them) and replay
+    * ONCE; a second failure dies loudly. The race must be VISIBLE
+    * (review r20): each occurrence is logged — nightly sweeps hitting
+    * many triggers is the "continuously rewritten" condition building,
+    * and an operator can only see it coming from this line — and the
+    * first failure rides as suppressed on the second, so a retry that
+    * also dies still shows the straddle that started it. */
+  private def retryOnceOnSwap(s: SparkSession, tables: Seq[String],
+      what: String, id: Long)(attempt: () => Unit): Unit =
+    try attempt()
+    catch {
+      case t: Throwable if isFileGone(t) =>
+        System.err.println(s"[graft] $what batch=$id: index files " +
+          s"swapped mid-trigger (${t.getClass.getSimpleName}); " +
+          "retrying once against the post-swap files")
+        tables.foreach(s.catalog.refreshTable)
         try attempt()
         catch {
-          case t: Throwable if isFileGone(t) =>
-            // a compaction swapped the index files mid-trigger: refresh
-            // the catalog listings (the non-pruned fallback path reads
-            // through them) and replay the trigger once — same batch
-            // id, verdict-identical rows (see scaladoc). The race must
-            // be VISIBLE (review r20): log each occurrence — nightly
-            // sweeps hitting many triggers is the "continuously
-            // rewritten" condition building, and an operator can only
-            // see it coming from this line — and carry the first
-            // failure as suppressed on the second, so a retry that
-            // also dies still shows the straddle that started it.
-            System.err.println(
-              s"[graft] nearDupIndexEachBatch($bandTable) batch=$id: " +
-                s"index files swapped mid-trigger (${t.getClass.getSimpleName}); " +
-                "retrying once against the post-swap files")
-            s.catalog.refreshTable(bandTable)
-            s.catalog.refreshTable(shingleTable)
-            try attempt()
-            catch {
-              case t2: Throwable => t2.addSuppressed(t); throw t2
-            }
+          case t2: Throwable => t2.addSuppressed(t); throw t2
         }
+    }
+
+  /** Streaming ANN dual: each micro-batch of query vectors is top-k
+    * probed against the PERSISTED IVF index
+    * ([[graft.ops.Ivf.knnIvfFrom]] — stamped quantizer, bucket-pruned
+    * corpus read sized to the batch's probed lists, broadcast probe
+    * join), so the per-trigger static work is the probed buckets' file
+    * read — candidate-proportional, corpus-independent, the same
+    * per-trigger floor as the near-dup screen's pruned arm. Shares the
+    * [[retryOnceOnSwap]] posture: a nightly compaction swapping the
+    * index files mid-trigger replays the trigger once against the
+    * post-swap files with the same batch id (compaction is
+    * probe-invariant — IvfSpec pins it — so the replay is
+    * row-identical), then fails loudly. */
+  def ivfProbeEachBatch(s: SparkSession, queries: DataFrame,
+      table: String, k: Int, nprobe: Int = 4)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // no Stage.scoped here: knnIvfFrom stages nothing (its probe
+        // frame is collected eagerly and rebuilt local; the rank plan
+        // holds no barriers), so there is no per-trigger cache to
+        // release — the leak class nearDupIndexEachBatch scopes against
+        // does not arise
+        retryOnceOnSwap(s, Seq(table), s"ivfProbeEachBatch($table)", id)(
+          () => sink(graft.ops.Ivf.knnIvfFrom(s, table, batch.toDF(), k,
+            nprobe), id))
     }
 
   /** Whether `t`'s cause chain is the vanished-input-file failure class

@@ -413,6 +413,49 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVF probe equals the batch probe, across a " +
+      "compaction sweep") {
+    // the ANN streaming dual (r20): per-trigger top-k against the
+    // persisted IVF index. Each query's top-k is independent, so the
+    // union over triggers must equal the one-shot batch probe of all
+    // queries — and a maintenance sweep INSIDE trigger 0's sink
+    // (between triggers, the nightly posture) must not change trigger
+    // 1's rows (compaction is probe-invariant; IvfSpec pins the batch
+    // side, this pins the streaming side)
+    val embs = Tables(spark, sf).embeddings
+    val dir = Files.createTempDirectory("graft-ivf-stream").toString
+    graft.ops.Ivf.buildIvfIndex(embs, "ivf_stream_t", s"$dir/t")
+    val qdir = s"$dir/q"
+    embs.filter(col("vec_id") < 5).coalesce(1).write.parquet(s"$qdir/b0")
+    embs.filter(col("vec_id") >= 5 && col("vec_id") < 10).coalesce(1)
+      .write.parquet(s"$qdir/b1")
+    try {
+      val stream = spark.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").parquet(qdir)
+      val acc = scala.collection.mutable.Set[(Long, Long, Int)]()
+      var swept = false
+      val q = EventStream.ivfProbeEachBatch(spark, stream,
+        "ivf_stream_t", k = 3) { (m, _) =>
+          acc ++= m.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getInt(2)))
+          if (!swept) {
+            swept = true
+            graft.sources.PartitionedStore
+              .compactBucketed(spark, "ivf_stream_t")
+          }
+        }.start()
+      q.processAllAvailable(); q.stop()
+      assert(swept)
+      val batch = graft.ops.Ivf.knnIvfFrom(spark, "ivf_stream_t",
+        embs.filter(col("vec_id") < 10), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(acc == batch,
+        s"stream/batch diverged: ${(acc -- batch) ++ (batch -- acc)}")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_stream_t")
+  }
+
   test("cross-batch late event folds into the session, never a phantom") {
     // delivery: 10:00 (batch 1), 09:00 (batch 2 — LATE), 10:20 (batch 3).
     // The late event must fold into the open session WITHOUT regressing
