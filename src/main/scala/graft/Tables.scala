@@ -50,7 +50,26 @@ object Tables {
     * converts; without it Spark 4 refuses such footers outright. It is a
     * no-op for micros-footer data, so setting it unconditionally is safe. */
   val SessionConfigs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // Let AQE re-optimize (and in particular COALESCE) the plan under
+      // a cache() instead of pinning the cache to the session's raw
+      // shuffle-partition count (Spark default: false). The engine
+      // stages many narrow intermediates (Stage.barrier); with the
+      // default, a KB-sized staged frame materializes as
+      // spark.sql.shuffle.partitions cached partitions and EVERY
+      // downstream job over it schedules that many tasks — measured
+      // r20: 32-task stages over few-hundred-row cached frames
+      // throughout the simhash/components family. With AQE sizing, the
+      // cached layout follows the data (1 partition at bench scale,
+      // advisory-sized partitions at 100 TB) — scale-adaptive, not a
+      // local[32] constant. Trade (documented upstream): the cached
+      // plan's output partitioning may no longer match a downstream
+      // join/groupBy key, costing an exchange some plans previously
+      // elided — acceptable here because the staged frames are small by
+      // design, and the one hot case that relied on partition
+      // preservation (components' cached edge relation) re-asserts its
+      // layout explicitly.
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
 
   /** Apply [[SessionConfigs]] to a session builder (chainable). */
   def configure(b: SparkSession.Builder): SparkSession.Builder =

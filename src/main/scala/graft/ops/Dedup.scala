@@ -532,7 +532,7 @@ object Dedup {
   def components(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 50,
       assumeCanonical: Boolean = false,
-      maxLocalEdges: Long = 1L << 19): DataFrame = {
+      maxLocalEdges: Long = 1L << 22): DataFrame = {
     val (labels, converged) = componentsWithStatus(pairs, aCol, bCol,
       maxRounds, assumeCanonical = assumeCanonical,
       maxLocalEdges = maxLocalEdges)
@@ -555,7 +555,7 @@ object Dedup {
       bCol: String = "doc_b", maxRounds: Int = 50,
       maxBroadcastNodes: Long = 10000000L,
       assumeCanonical: Boolean = false,
-      maxLocalEdges: Long = 1L << 19): (DataFrame, Boolean) = {
+      maxLocalEdges: Long = 1L << 22): (DataFrame, Boolean) = {
     // the undirected edge set references `pairs` from BOTH union
     // branches — barrier the one-sided projection first so the caller's
     // (possibly expensive) pair plan evaluates once, and release it as
@@ -563,7 +563,8 @@ object Dedup {
     // already staged the pair frame (simhashCanonical does), reading
     // that cache twice is free — skip the redundant copy + count job.
     val inputCached =
-      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+        org.apache.spark.sql.graftbridge.Bridge.isCachedLeaf(pairs)
     val proj = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
     val p0 = if (inputCached) proj else Stage.barrier(proj)
     // cached HASH-PARTITIONED BY s: the per-round neighborhood
@@ -586,14 +587,17 @@ object Dedup {
     // checkpoint — measured ~6 s of the sf0.1 curation chain's 16.6 s
     // on a graph that collapses to 23 clusters), where one collect of
     // ≤ maxLocalEdges symmetric edge rows unions in milliseconds.
-    // The default (512k rows) budgets for what collect() REALLY costs —
-    // boxed Row objects, ~100 B each ≈ 50 MB transient on the driver —
-    // not the 16 B/row the raw longs suggest. Union-by-min + path
-    // compression computes exactly the propagation fixpoint (min
-    // reachable id per node, order-independent), so labels are
-    // bit-identical — the oracled component queries pin that. The count
-    // is free (the barrier just materialized the cache); at real scale
-    // the rail never fires and the distributed rounds below are
+    // The default (4M rows) budgets for what the collect REALLY costs:
+    // edges come back as per-partition primitive long arrays (16 B/edge
+    // — the r20 fix; the former row collect boxed ~100 B/edge, which
+    // capped the rail at 512k and left the sf0.1 mutant rep graph, 2.9M
+    // symmetric edges over 8.4k nodes, running ~8 distributed rounds of
+    // ~5 jobs each), so 4M edges ≈ 64 MB transient on the driver.
+    // Union-by-min + path compression computes exactly the propagation
+    // fixpoint (min reachable id per node, order-independent), so labels
+    // are bit-identical — the oracled component queries pin that. The
+    // count is free (the barrier just materialized the cache); at real
+    // scale the rail never fires and the distributed rounds below are
     // unchanged.
     val nEdges = edges.count()
     // the rail reads getLong, so it only takes LONG-typed ids; any other
@@ -605,27 +609,36 @@ object Dedup {
     val railTyped = edges.schema.fields
       .forall(_.dataType == types.LongType)
     // the null-id contract must not depend on the id TYPE (review r20):
-    // the rail's in-loop require below fires for long ids, so a
-    // rail-SIZED graph with int/string ids — which falls through to the
-    // distributed rounds — must fail just as loudly, not silently take
-    // the rounds' null-keyed-non-label caveat. The frame is cached and
-    // rail-sized, so the check is one cheap job; at real scale
-    // (nEdges > maxLocalEdges) the distributed rounds keep their
+    // a rail-SIZED graph with null ids must fail loudly WHATEVER the id
+    // type, not silently take the distributed rounds'
+    // null-keyed-non-label caveat (int/string path) or fold a null into
+    // node 0 (the long rail's primitive reads). The frame is cached and
+    // rail-sized, so the check is one cheap job for both paths; at real
+    // scale (nEdges > maxLocalEdges) the distributed rounds keep their
     // documented caveat — a per-call full-scan null audit is not a
     // 100 TB shape.
-    // ONE message for both require sites (the type-uniform contract
-    // depends on the int-path and long-path errors staying identical —
+    // ONE message + ONE driver-side require for both type paths (the
+    // type-uniform contract depends on the errors staying identical —
     // DedupSpec matches on it)
     val nullIdMsg =
       "components(): null doc id in the pair relation — the caller's " +
         "pair producer leaked an outer-join miss; filter nulls first"
-    if (!railTyped && nEdges <= maxLocalEdges)
+    if (nEdges <= maxLocalEdges)
       require(edges.filter(col("s").isNull || col("d").isNull)
           .head(1).isEmpty, nullIdMsg)
     if (railTyped && nEdges <= maxLocalEdges) {
-      val rows = edges.collect()
-      val parent = new scala.collection.mutable.LongMap[Long](
-        math.max(16, rows.length * 2))
+      // collect PRIMITIVES, not rows: one flat long array per partition
+      // (s,d interleaved) — 16 B/edge on the driver instead of ~100 B of
+      // boxed Row, which is what lets maxLocalEdges sit at 4M edges
+      // (the null require above already screened this cached frame)
+      val sess = edges.sparkSession
+      import sess.implicits._
+      val chunks = edges.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
+        Iterator.single(b.result())
+      }.collect()
+      val parent = new scala.collection.mutable.LongMap[Long]()
       def findRoot(x0: Long): Long = {
         var r = x0
         while (parent(r) != r) r = parent(r)
@@ -633,16 +646,16 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      rows.foreach { row =>
-        // fail LOUDLY on a null pair id: no in-repo producer emits one,
-        // and the distributed rounds would quietly produce a null-keyed
-        // non-label for it — a named error beats either rail's silence
-        require(!row.isNullAt(0) && !row.isNullAt(1), nullIdMsg)
-        val a = row.getLong(0); val b = row.getLong(1)
-        if (!parent.contains(a)) parent(a) = a
-        if (!parent.contains(b)) parent(b) = b
-        val ra = findRoot(a); val rb = findRoot(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      chunks.foreach { arr =>
+        var i = 0
+        while (i < arr.length) {
+          val a = arr(i); val b = arr(i + 1)
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = findRoot(a); val rb = findRoot(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          i += 2
+        }
       }
       val out = new scala.collection.mutable.ArrayBuffer[
         org.apache.spark.sql.Row](parent.size)

@@ -45,6 +45,12 @@ object Stage {
   private val globalReleaseHooks =
     ConcurrentHashMap.newKeySet[SparkSession => Unit]()
 
+  // leaf frame → the conventionally-cached frame whose CacheManager entry
+  // backs it: release(leaf) must unpersist through the ORIGINAL (the
+  // leaf's own plan — the InMemoryRelation itself — matches no entry)
+  private val leafOriginal =
+    new ConcurrentHashMap[DataFrame, DataFrame]()
+
   def barrier(df: DataFrame): DataFrame = {
     val cached = df.cache()
     // unpersist on a FAILED materialization: cache() registers the plan
@@ -60,7 +66,23 @@ object Stage {
         throw t
     }
     track(cached)
-    cached
+    // PLAN-SIZE TRUNCATION (r20): hand consumers a frame re-rooted AT the
+    // materialized InMemoryRelation instead of the original plan. cache()
+    // only swaps the IMR in during each consumer's planning, so composed
+    // staged pipelines otherwise multiply upstream trees into every
+    // downstream plan — the curation chain's final plan measured ~200k
+    // explain lines, every action paying single-threaded analysis over
+    // it. The leaf keeps downstream trees proportional to their visible
+    // operators; rep-over-rep cache reuse is unchanged (a plan-equal
+    // re-barrier resolves to the same relation). Lifecycle caveat: a
+    // caller that retains a LEAF across releaseAll and re-reads it will
+    // re-materialize the cache untracked — memoized holders already drop
+    // their references via the release hooks, which is the documented
+    // holder contract.
+    org.apache.spark.sql.graftbridge.Bridge.cachedLeaf(cached) match {
+      case Some(leaf) => leafOriginal.put(leaf, cached); leaf
+      case None => cached
+    }
   }
 
   /** Run `h` every time [[releaseAll]] fires for session `s` — the memo-
@@ -98,9 +120,13 @@ object Stage {
     * it afterwards recompute from source — release only after the staged
     * results are no longer needed. */
   def release(df: DataFrame): Unit = {
-    df.unpersist()
-    val set = staged.get(df.sparkSession)
-    if (set != null) set.remove(df)
+    // a barrier-returned LEAF unpersists through its original frame (the
+    // leaf's plan matches no CacheManager entry); anything else as before
+    val orig = leafOriginal.remove(df)
+    val target = if (orig != null) orig else df
+    target.unpersist()
+    val set = staged.get(target.sparkSession)
+    if (set != null) set.remove(target)
   }
 
   /** Unpersist every frame staged in `s` since the last release, after
@@ -113,6 +139,8 @@ object Stage {
     if (hooks != null) hooks.forEach(h => h())
     val set = staged.remove(s)
     if (set != null) set.forEach(_.unpersist())
+    // drop this session's leaf bookkeeping (the originals just released)
+    leafOriginal.entrySet().removeIf(e => e.getValue.sparkSession eq s)
   }
 
   /** Currently-tracked barrier count for `s` (diagnostics / specs). */

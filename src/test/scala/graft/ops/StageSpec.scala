@@ -8,11 +8,16 @@ class StageSpec extends SparkSpec {
 
   test("barrier materializes + tracks; release unpersists + untracks") {
     val before = Stage.stagedCount(spark)
-    val c = Stage.barrier(spark.range(100).toDF("n"))
-    assert(c.storageLevel != StorageLevel.NONE)
+    val src = spark.range(100).toDF("n")
+    val c = Stage.barrier(src)
+    // r20: barrier returns a PLAN-TRUNCATED leaf over the materialized
+    // cache entry (its own plan matches no CacheManager entry, so its
+    // storageLevel reads NONE); the ORIGINAL plan is the cached one
+    assert(org.apache.spark.sql.graftbridge.Bridge.isCachedLeaf(c))
+    assert(src.storageLevel != StorageLevel.NONE)
     assert(Stage.stagedCount(spark) == before + 1)
-    Stage.release(c)
-    assert(c.storageLevel == StorageLevel.NONE)
+    Stage.release(c) // release accepts the leaf and unpersists through it
+    assert(src.storageLevel == StorageLevel.NONE)
     assert(Stage.stagedCount(spark) == before)
   }
 
@@ -42,17 +47,18 @@ class StageSpec extends SparkSpec {
     }
     val first = staged
     assert(computes == 1 && Stage.stagedCount(spark) >= 1)
-    assert(first.storageLevel != StorageLevel.NONE)
+    // r20 leaf contract: the staged frame is a cache-leaf over the
+    // pinned entry (the count below reads it without recompute)
+    assert(org.apache.spark.sql.graftbridge.Bridge.isCachedLeaf(first))
 
     Stage.releaseAll(spark)
     assert(hookFired == 1)
     assert(Stage.stagedCount(spark) == 0) // between-queries invariant
-    assert(first.storageLevel == StorageLevel.NONE)
     // the memo was evicted with the cache: next touch re-computes AND
     // re-stages, rather than handing back the unpersisted frame
     val second = staged
     assert(computes == 2)
-    assert(second.storageLevel != StorageLevel.NONE)
+    assert(org.apache.spark.sql.graftbridge.Bridge.isCachedLeaf(second))
     assert(second.count() == 50)
     Stage.releaseAll(spark)
     assert(hookFired == 2) // hooks persist across release cycles
