@@ -532,7 +532,7 @@ object Dedup {
   def components(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 50,
       assumeCanonical: Boolean = false,
-      maxLocalEdges: Long = 1L << 22): DataFrame = {
+      maxLocalEdges: Long = 1L << 23): DataFrame = {
     val (labels, converged) = componentsWithStatus(pairs, aCol, bCol,
       maxRounds, assumeCanonical = assumeCanonical,
       maxLocalEdges = maxLocalEdges)
@@ -555,7 +555,7 @@ object Dedup {
       bCol: String = "doc_b", maxRounds: Int = 50,
       maxBroadcastNodes: Long = 10000000L,
       assumeCanonical: Boolean = false,
-      maxLocalEdges: Long = 1L << 22): (DataFrame, Boolean) = {
+      maxLocalEdges: Long = 1L << 23): (DataFrame, Boolean) = {
     // the undirected edge set references `pairs` from BOTH union
     // branches — barrier the one-sided projection first so the caller's
     // (possibly expensive) pair plan evaluates once, and release it as
@@ -587,12 +587,13 @@ object Dedup {
     // checkpoint — measured ~6 s of the sf0.1 curation chain's 16.6 s
     // on a graph that collapses to 23 clusters), where one collect of
     // ≤ maxLocalEdges symmetric edge rows unions in milliseconds.
-    // The default (4M rows) budgets for what the collect REALLY costs:
+    // The default (8M rows) budgets for what the collect REALLY costs:
     // edges come back as per-partition primitive long arrays (16 B/edge
     // — the r20 fix; the former row collect boxed ~100 B/edge, which
     // capped the rail at 512k and left the sf0.1 mutant rep graph, 2.9M
     // symmetric edges over 8.4k nodes, running ~8 distributed rounds of
-    // ~5 jobs each), so 4M edges ≈ 64 MB transient on the driver.
+    // ~5 jobs each; the full-doc mutant graph splitLeakage clusters is
+    // 5.2M), so 8M edges ≈ 134 MB transient on the driver.
     // Union-by-min + path compression computes exactly the propagation
     // fixpoint (min reachable id per node, order-independent), so labels
     // are bit-identical — the oracled component queries pin that. The

@@ -269,11 +269,25 @@ object Sampling {
     * cluster plans is shared through the staging cache. */
   def splitLeakage(docs: DataFrame, maxHamming: Int = 6,
       textCol: String = "text"): DataFrame = {
-    val spl = leakageSafeSplits(docs, maxHamming, textCol)
+    // ONE near-dup machinery pass, not two (r20): the audit only reads
+    // splits for docs that appear in a verified pair, and for those the
+    // safe split's cluster key — [[Dedup.simhashCanonical]]'s label — is
+    // BY CONSTRUCTION the connected-component min of this very pair
+    // graph (the canonical map is "identical to running components over
+    // the full document pair graph", proven in DedupSpec and by
+    // q_simhash_canonical's recursive-CTE oracle). So derive the labels
+    // from the staged pair relation directly instead of re-running the
+    // signature → rep → rep-pair blocking a second time; every pair
+    // member has a component row, so no self-label fallback is needed.
+    // Output is bit-identical (q_split_leakage's oracle pins it).
+    val pairs = Stage.barrier(
+      Dedup.simhashNearDupPairs(docs, maxHamming, textCol))
+    // the kernel emits each pair once with doc_a < doc_b (structural
+    // first-clean-block dedup, spec-pinned) — skip the edge-dedup pass
+    val spl = Dedup.components(pairs, assumeCanonical = true)
       .select(col("doc_id"),
         TextAnalysis.splitAssign(col("doc_id")).as("naive_split"),
-        col("split").as("safe_split"))
-    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming, textCol)
+        TextAnalysis.splitAssign(col("component")).as("safe_split"))
     pairs
       .join(spl.select(col("doc_id").as("doc_a"),
         col("naive_split").as("_na"), col("safe_split").as("_sa")),

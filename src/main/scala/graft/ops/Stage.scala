@@ -45,11 +45,17 @@ object Stage {
   private val globalReleaseHooks =
     ConcurrentHashMap.newKeySet[SparkSession => Unit]()
 
-  // leaf frame → the conventionally-cached frame whose CacheManager entry
-  // backs it: release(leaf) must unpersist through the ORIGINAL (the
-  // leaf's own plan — the InMemoryRelation itself — matches no entry)
+  // leaf frame → (original cached frame, cache-entry key): release(leaf)
+  // must unpersist through the ORIGINAL (the leaf's own plan matches no
+  // CacheManager entry) and drop the entry's memoized base leaf
   private val leafOriginal =
-    new ConcurrentHashMap[DataFrame, DataFrame]()
+    new ConcurrentHashMap[DataFrame, (DataFrame, AnyRef)]()
+  // cache entry (InMemoryRelation instance) → its ONE opaque base leaf:
+  // repeated barriers over plan-equal inputs must return PLAN-EQUAL
+  // frames (same LogicalRDD), or every downstream re-barrier would be a
+  // cache miss on the second rep
+  private val entryLeaf =
+    new ConcurrentHashMap[AnyRef, DataFrame]()
 
   def barrier(df: DataFrame): DataFrame = {
     val cached = df.cache()
@@ -66,21 +72,29 @@ object Stage {
         throw t
     }
     track(cached)
-    // PLAN-SIZE TRUNCATION (r20): hand consumers a frame re-rooted AT the
-    // materialized InMemoryRelation instead of the original plan. cache()
-    // only swaps the IMR in during each consumer's planning, so composed
-    // staged pipelines otherwise multiply upstream trees into every
-    // downstream plan — the curation chain's final plan measured ~200k
-    // explain lines, every action paying single-threaded analysis over
-    // it. The leaf keeps downstream trees proportional to their visible
-    // operators; rep-over-rep cache reuse is unchanged (a plan-equal
-    // re-barrier resolves to the same relation). Lifecycle caveat: a
-    // caller that retains a LEAF across releaseAll and re-reads it will
-    // re-materialize the cache untracked — memoized holders already drop
-    // their references via the release hooks, which is the documented
-    // holder contract.
-    org.apache.spark.sql.graftbridge.Bridge.cachedLeaf(cached) match {
-      case Some(leaf) => leafOriginal.put(leaf, cached); leaf
+    // PLAN-SIZE TRUNCATION (r20): hand consumers an OPAQUE leaf over the
+    // materialized cache entry instead of the original plan. cache()
+    // alone truncates nothing — composed staged pipelines multiply
+    // upstream trees into every downstream plan (the curation chain's
+    // description reached ~200k lines) and AQE re-renders that
+    // description per stage (~70% of the chain's driver wall measured in
+    // generateTreeString). The leaf is one LogicalRDD line carrying the
+    // entry's actual size stats + partitioning (Bridge.opaqueLeafOver);
+    // it is memoized PER ENTRY so rep-over-rep barriers stay plan-equal,
+    // with the caller's column names restored per call (cache lookup
+    // ignores names). Lifecycle caveat: a caller that retains a leaf
+    // across releaseAll and re-reads it will re-materialize the cache
+    // untracked — memoized holders already drop their references via the
+    // release hooks, which is the documented holder contract.
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.cachedEntry(cached) match {
+      case Some(entry) =>
+        val base = entryLeaf.computeIfAbsent(entry,
+          e => bridge.opaqueLeafOver(e, cached.sparkSession))
+        val named =
+          base.toDF(cached.queryExecution.analyzed.output.map(_.name): _*)
+        leafOriginal.put(named, (cached, entry))
+        named
       case None => cached
     }
   }
@@ -122,8 +136,9 @@ object Stage {
   def release(df: DataFrame): Unit = {
     // a barrier-returned LEAF unpersists through its original frame (the
     // leaf's plan matches no CacheManager entry); anything else as before
-    val orig = leafOriginal.remove(df)
-    val target = if (orig != null) orig else df
+    val mapped = leafOriginal.remove(df)
+    val target = if (mapped != null) { entryLeaf.remove(mapped._2); mapped._1 }
+                 else df
     target.unpersist()
     val set = staged.get(target.sparkSession)
     if (set != null) set.remove(target)
@@ -140,7 +155,11 @@ object Stage {
     val set = staged.remove(s)
     if (set != null) set.forEach(_.unpersist())
     // drop this session's leaf bookkeeping (the originals just released)
-    leafOriginal.entrySet().removeIf(e => e.getValue.sparkSession eq s)
+    leafOriginal.entrySet().removeIf { e =>
+      val mine = e.getValue._1.sparkSession eq s
+      if (mine) entryLeaf.remove(e.getValue._2)
+      mine
+    }
   }
 
   /** Currently-tracked barrier count for `s` (diagnostics / specs). */

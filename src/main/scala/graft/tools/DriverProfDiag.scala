@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Self-sampling driver profiler (guide §7.3, in-process): runs a query
+  * once warm, then during a second rep samples the CALLING thread's stack
+  * every ~10 ms from a sampler thread and prints the hottest frames.
+  * The driver gap JobCountDiag exposes (wall ≫ job-covered wall) is
+  * single-threaded planning/analysis on this thread — the aggregate
+  * tells which phase.
+  *
+  * Usage: runMain graft.tools.DriverProfDiag q_name [topN]
+  */
+object DriverProfDiag {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q_curation_chain")
+    val topN = args.lift(1).map(_.toInt).getOrElse(40)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warm: staging + codegen
+    graft.ops.Stage.releaseAll(spark)
+    fn(spark, sfDir).count() // second warm rep against rebuilt staging
+    graft.ops.Stage.releaseAll(spark)
+
+    val target = Thread.currentThread()
+    val counts = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicInteger]()
+    @volatile var run = true
+    @volatile var nSamples = 0
+    val sampler = new Thread(() => {
+      while (run) {
+        val st = target.getStackTrace
+        nSamples += 1
+        // charge the TOP interesting frame (skip JVM internals)
+        val top = st.find { e =>
+          val c = e.getClassName
+          !c.startsWith("java.") && !c.startsWith("jdk.") &&
+            !c.startsWith("scala.collection") && !c.startsWith("sun.")
+        }
+        top.foreach { e =>
+          val key = e.getClassName + "." + e.getMethodName
+          counts.computeIfAbsent(key,
+            _ => new java.util.concurrent.atomic.AtomicInteger(0))
+            .incrementAndGet()
+        }
+        Thread.sleep(10)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    run = false
+    import scala.jdk.CollectionConverters._
+    println(f"""{"query":"$name","wall_sec":$wall%.2f,"samples":$nSamples}""")
+    counts.asScala.toSeq.sortBy(-_._2.get).take(topN).foreach {
+      case (k, v) => println(f"  ${v.get}%5d  $k")
+    }
+    graft.ops.Stage.releaseAll(spark)
+    spark.stop()
+  }
+}

@@ -40,10 +40,15 @@ object JobCountDiag {
     val perJob = new java.util.concurrent.ConcurrentHashMap[
       Int, (String, Long, AtomicInteger, AtomicLong)]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    // job wall spans: (start ns, end ns) — the GAPS between jobs are
+    // driver-side think time (planning, analysis, collects)
+    val jobSpan = new java.util.concurrent.ConcurrentHashMap[
+      Int, (Long, Long)]()
     val detail = sys.env.contains("SPARK_GRAFT_DIAG_JOBS")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        jobSpan.put(j.jobId, (System.nanoTime(), 0L))
         if (detail) {
           val site = Option(j.properties)
             .flatMap(p => Option(p.getProperty("callSite.short")))
@@ -52,6 +57,11 @@ object JobCountDiag {
             (site, System.nanoTime(), new AtomicInteger(0), new AtomicLong(0)))
           j.stageIds.foreach(sid => stageToJob.put(sid, j.jobId))
         }
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler
+          .SparkListenerJobEnd): Unit = {
+        val e = jobSpan.get(j.jobId)
+        if (e != null) jobSpan.put(j.jobId, (e._1, System.nanoTime()))
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
@@ -85,7 +95,7 @@ object JobCountDiag {
       graft.ops.Stage.releaseAll(spark)
       // warm rep, counted
       jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0L)
-      perJob.clear(); stageToJob.clear()
+      perJob.clear(); stageToJob.clear(); jobSpan.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -93,7 +103,21 @@ object JobCountDiag {
       Thread.sleep(300)
       println(f"""{"query":"$name","wall_sec":$wall%.3f,""" +
         s""""jobs":${jobs.get},"stages":${stages.get},""" +
-        s""""tasks":${tasks.get},"task_time_sec":${taskTimeMs.get / 1e3}}""")
+        s""""tasks":${tasks.get},"task_time_sec":${taskTimeMs.get / 1e3},""" +
+        {
+          // in-job wall vs between-job (driver think) wall over the rep
+          import scala.jdk.CollectionConverters._
+          val spans = jobSpan.asScala.values.filter(_._2 > 0).toSeq.sorted
+          val inJob = spans.map(s => (s._2 - s._1) / 1e9).sum
+          // merge overlaps crudely: driver gap = wall − union-of-spans
+          var covered = 0.0; var cursor = 0L
+          spans.foreach { case (s, e) =>
+            val s2 = math.max(s, cursor)
+            if (e > s2) { covered += (e - s2) / 1e9; cursor = e }
+            else cursor = math.max(cursor, e)
+          }
+          f""""job_wall_sec":$inJob%.3f,"job_cover_sec":$covered%.3f}"""
+        })
       if (detail) {
         import scala.jdk.CollectionConverters._
         perJob.asScala.toSeq.sortBy(_._1).foreach { case (jid, (site, _, t, ms)) =>

@@ -24,6 +24,9 @@ object RailDiag {
       graft.ops.Stage.barrier(reps), 6, idCol = "rep_id", sigCol = "simhash")
     println("pairs schema: " + pairs.schema.map(f => s"${f.name}:${f.dataType}").mkString(","))
     println(s"pairs=${pairs.count()}")
+    // the FULL-doc pair graph (what splitLeakage's components now runs on)
+    val fullPairs = graft.ops.Dedup.simhashNearDupPairs(docs)
+    println(s"fullPairs=${fullPairs.count()}")
     // hot-bucket census of the blocking
     val defs = graft.ops.Dedup.chunkPairDefs(col("simhash"))
     val blocked = reps.select(col("rep_id"),

@@ -78,19 +78,66 @@ object Bridge {
       }
   }
 
-  /** True when `df` IS a cache-leaf frame ([[cachedLeaf]]'s output shape).
-    * Callers that branch on "is this input already staged?" must accept
-    * both a conventionally-cached frame (storageLevel != NONE) and a
-    * leaf — the leaf's plan no longer matches the CacheManager entry, so
-    * `df.storageLevel` reads NONE for it. */
-  def isCachedLeaf(df: DataFrame): Boolean =
-    df.queryExecution.analyzed match {
+  /** The CacheManager entry (InMemoryRelation instance) backing `df`'s
+    * plan, as an opaque identity key — None when the plan is not cached.
+    * [[graft.ops.Stage]] memoizes one opaque leaf per entry so repeated
+    * barriers over plan-equal inputs return plan-equal frames. */
+  def cachedEntry(df: DataFrame): Option[AnyRef] = {
+    val cs = df.sparkSession.asInstanceOf[
+      org.apache.spark.sql.classic.SparkSession]
+    cs.sharedState.cacheManager.lookupCachedData(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .map(_.cachedRepresentation)
+  }
+
+  /** An OPAQUE leaf frame over a materialized cache entry (from
+    * [[cachedEntry]]): a LogicalRDD wrapping the cache scan's RDD.
+    *
+    * Why not hand out the InMemoryRelation itself: IMR prints its whole
+    * cached plan as innerChildren, so COMPOSED staged pipelines render
+    * exponentially (each stage's cached plan embeds the previous stages'
+    * IMRs, which print theirs — the curation chain's description reached
+    * ~200k lines), and AQE re-renders the description on EVERY stage
+    * materialization — a driver-thread profile showed ~70% of the
+    * chain's wall inside generateTreeString/nodeName. A LogicalRDD
+    * prints as ONE line, carries the entry's post-materialization
+    * statistics (actual cached bytes — so broadcast decisions keep
+    * working), and preserves the cached plan's output partitioning and
+    * ordering (LogicalRDD.fromDataset rewrites them onto the new
+    * attributes), so partition-preserving consumers (components' edge
+    * relation) keep their exchange-free rounds. The RDD reads THROUGH
+    * the cache (no second copy); after an unpersist it recomputes from
+    * the entry's child plan like any cache miss. */
+  def opaqueLeafOver(entry: AnyRef, spark: org.apache.spark.sql
+      .SparkSession): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val imrFrame = org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      entry.asInstanceOf[
+        org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    org.apache.spark.sql.classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        imrFrame.queryExecution.toRdd, imrFrame, isStreaming = false))
+  }
+
+  /** True when `df` IS a materialized-leaf frame — [[cachedLeaf]] /
+    * [[opaqueLeafOver]] output (optionally under the name-restoring
+    * Project), or any checkpoint-style LogicalRDD. Callers that branch
+    * on "is this input already staged?" must accept these alongside a
+    * conventionally-cached frame (storageLevel != NONE) — a leaf's plan
+    * no longer matches the CacheManager entry, so `df.storageLevel`
+    * reads NONE for it. */
+  def isCachedLeaf(df: DataFrame): Boolean = {
+    def leafish(p: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Boolean = p match {
       case _: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
         true
-      // the name-restoring Project cachedLeaf adds over the relation
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-        p.child.isInstanceOf[
-          org.apache.spark.sql.execution.columnar.InMemoryRelation]
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
       case _ => false
     }
+    df.queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        leafish(p.child)
+      case other => leafish(other)
+    }
+  }
 }

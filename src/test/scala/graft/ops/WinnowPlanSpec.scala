@@ -34,7 +34,8 @@ class WinnowPlanSpec extends SparkSpec {
     // GenerateExec found here is one that would EXECUTE per branch.
     val liveGenerates = qe.executedPlan.collect {
       case g: org.apache.spark.sql.execution.GenerateExec => g }
-    assert(liveGenerates.isEmpty && plan.contains("InMemoryTableScan"),
+    assert(liveGenerates.isEmpty && (plan.contains("Scan ExistingRDD") ||
+        plan.contains("InMemoryTableScan")),
       "fp relation not staged — winnow recomputed per branch:\n" +
         plan.take(600))
     graft.ops.Stage.releaseAll(spark)
@@ -54,7 +55,8 @@ class WinnowPlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
       "more than the pair-skeleton cross join went nested-loop:\n" +
         plan.take(600))
-    assert(plan.contains("InMemoryTableScan"),
+    assert(plan.contains("Scan ExistingRDD") ||
+        plan.contains("InMemoryTableScan"),
       "distinct vocabulary not staged — tokenized per branch:\n" +
         plan.take(600))
     graft.ops.Stage.releaseAll(spark)
