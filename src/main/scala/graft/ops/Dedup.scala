@@ -577,9 +577,17 @@ object Dedup {
     // q_simhash_canonical graph, ~10 rounds deep.
     val closure =
       p0.union(p0.select(col("d").as("s"), col("s").as("d")))
+    // EXPLICIT partition count (r20): with AQE allowed to re-size cached
+    // plans (Tables.SessionConfigs), a count-less repartition(col) is
+    // advisory-coalesced BY BYTES, and the per-round loop over this one
+    // cached frame would run below the machine's width. The rounds are
+    // an iterative CPU-bound loop, so the frame's width follows the
+    // deployment's parallelism ([[kernelWidth]]), which an explicit
+    // count pins against AQE. Rail-sized graphs never reach the rounds,
+    // so the width only matters where the loop actually runs.
     val edges = Stage.barrier(
       (if (assumeCanonical) closure else closure.distinct())
-        .repartition(col("s")))
+        .repartition(kernelWidth(pairs.sparkSession), col("s")))
     if (!inputCached) Stage.release(p0)
     // RAIL-SIZED graphs run a driver-side union-find instead of the
     // iterative rounds: a small graph's cost here is pure PER-ROUND JOB
@@ -1021,6 +1029,20 @@ object Dedup {
     } yield (c1 * 8 + c2, chunk(c1) * 256L + chunk(c2))
   }
 
+  /** Partition width for CPU-bound kernel stages whose cost is NOT
+    * proportional to their input bytes (the hamming pair kernel's
+    * per-bucket quadratic scan, pairMetrics' pair-keyed exchange): the
+    * larger of the session's shuffle-partition setting and the
+    * cluster's default parallelism. Byte-based AQE coalescing — correct
+    * for byte-proportional operators — under-parallelizes these
+    * (measured r20: the sf1 blocked relation coalesced to ~2
+    * partitions, +40% on q_simhash_canonical), so they pin an explicit
+    * count, which AQE never touches. Both inputs scale with the
+    * deployment, not with local core counts. */
+  private def kernelWidth(s: org.apache.spark.sql.SparkSession): Int =
+    math.max(s.sparkContext.defaultParallelism,
+      org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions)
+
   /** Rail kind for [[Rail.observed]] / observation metrics. */
   val HammingBucketRail = "hamming.maxBucket"
 
@@ -1233,7 +1255,17 @@ object Dedup {
     val pairs = tiled
       .select(Seq(col("blk"), col("key"), col("tile"), col("_b"),
         col("doc_id"), col("simhash")) ++ maskCols: _*)
-      .repartition(col("blk"), col("key"), col("tile"))
+      // EXPLICIT count (r20): the kernel's work is QUADRATIC in bucket
+      // size while its input bytes are linear, so byte-based AQE
+      // coalescing (legal on a count-less repartition once cached-plan
+      // re-optimization is on — Tables.SessionConfigs) lands the sf1
+      // blocked relation (~70 MB) on ~2 partitions and runs billions of
+      // XOR+popcounts on 2 cores. An explicit count is never coalesced;
+      // width = the machine/deployment parallelism floor (see
+      // [[kernelWidth]]). Grouping contract unchanged: hash partitioning
+      // by (blk, key, tile) still delivers each tile complete.
+      .repartition(kernelWidth(tiled.sparkSession),
+        col("blk"), col("key"), col("tile"))
       .sortWithinPartitions(col("blk"), col("key"), col("tile"), col("_b"))
       .mapPartitions(rows =>
         new HammingPairKernel(rows, maxHamming, idLess,
@@ -1661,7 +1693,12 @@ object Dedup {
     def canon(df: DataFrame): DataFrame =
       if (assumeCanonical)
         df.select(col("doc_a"), col("doc_b"))
-          .repartition(col("doc_a"), col("doc_b"))
+          // explicit count for the same reason as the hamming kernel's
+          // exchange (see [[kernelWidth]]): the pair GENERATION feeding
+          // this exchange is quadratic-in-bucket work, so byte-based
+          // coalescing of the count-less form under-parallelizes it
+          .repartition(kernelWidth(df.sparkSession),
+            col("doc_a"), col("doc_b"))
       else df.select(
         least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b")).distinct()
