@@ -268,26 +268,47 @@ object Sampling {
     * shuffles AQE can split, and the signature stage under the pair and
     * cluster plans is shared through the staging cache. */
   def splitLeakage(docs: DataFrame, maxHamming: Int = 6,
-      textCol: String = "text"): DataFrame = {
-    // ONE near-dup machinery pass, not two (r20): the audit only reads
-    // splits for docs that appear in a verified pair, and for those the
-    // safe split's cluster key — [[Dedup.simhashCanonical]]'s label — is
-    // BY CONSTRUCTION the connected-component min of this very pair
-    // graph (the canonical map is "identical to running components over
-    // the full document pair graph", proven in DedupSpec and by
-    // q_simhash_canonical's recursive-CTE oracle). So derive the labels
-    // from the staged pair relation directly instead of re-running the
-    // signature → rep → rep-pair blocking a second time; every pair
-    // member has a component row, so no self-label fallback is needed.
-    // Output is bit-identical (q_split_leakage's oracle pins it).
+      textCol: String = "text",
+      maxDirectPairs: Long = 1L << 22): DataFrame = {
+    // ONE near-dup machinery pass when the graph is small (r20): the
+    // audit only reads splits for docs that appear in a verified pair,
+    // and for those the safe split's cluster key —
+    // [[Dedup.simhashCanonical]]'s label — is BY CONSTRUCTION the
+    // connected-component min of this very pair graph (the canonical
+    // map is "identical to running components over the full document
+    // pair graph", proven in DedupSpec and by q_simhash_canonical's
+    // recursive-CTE oracle). So derive the labels from the staged pair
+    // relation directly instead of re-running the signature → rep →
+    // rep-pair blocking a second time; every pair member has a
+    // component row, so no self-label fallback is needed. Output is
+    // bit-identical either way (q_split_leakage's oracle pins it).
+    //
+    // ROUTED on the measured pair count: the direct path hands the FULL
+    // doc-level graph to components(), which is a clear win while the
+    // union-find rail covers it (sf0.1: 2.6M pairs, the whole label
+    // step is one driver union-find) but runs the distributed rounds
+    // over a graph the rep collapse would have SHRUNK first once the
+    // corpus is dense at scale (sf1 full-size: 38.7M doc pairs vs the
+    // rep graph's ~14M — measured +40% on the full-size quad artifact).
+    // maxDirectPairs defaults to half the rail (symmetric closure = 2×
+    // pairs), so the direct path and the rail engage together.
     val pairs = Stage.barrier(
       Dedup.simhashNearDupPairs(docs, maxHamming, textCol))
-    // the kernel emits each pair once with doc_a < doc_b (structural
-    // first-clean-block dedup, spec-pinned) — skip the edge-dedup pass
-    val spl = Dedup.components(pairs, assumeCanonical = true)
-      .select(col("doc_id"),
-        TextAnalysis.splitAssign(col("doc_id")).as("naive_split"),
-        TextAnalysis.splitAssign(col("component")).as("safe_split"))
+    val spl = if (pairs.count() <= maxDirectPairs) {
+      // the kernel emits each pair once with doc_a < doc_b (structural
+      // first-clean-block dedup, spec-pinned) — skip the edge-dedup pass
+      Dedup.components(pairs, assumeCanonical = true)
+        .select(col("doc_id"),
+          TextAnalysis.splitAssign(col("doc_id")).as("naive_split"),
+          TextAnalysis.splitAssign(col("component")).as("safe_split"))
+    } else
+      // dense corpus: collapse identical signatures to reps BEFORE the
+      // component propagation (simhashCanonical's shape) — the staged
+      // signature frame is shared with the pair producer above
+      leakageSafeSplits(docs, maxHamming, textCol)
+        .select(col("doc_id"),
+          TextAnalysis.splitAssign(col("doc_id")).as("naive_split"),
+          col("split").as("safe_split"))
     pairs
       .join(spl.select(col("doc_id").as("doc_a"),
         col("naive_split").as("_na"), col("safe_split").as("_sa")),

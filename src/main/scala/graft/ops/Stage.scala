@@ -88,14 +88,29 @@ object Stage {
     // release hooks, which is the documented holder contract.
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     bridge.cachedEntry(cached) match {
-      case Some(entry) =>
+      // SIZE GATE: the leaf pays for its plan-size win by consuming the
+      // cache through a row-RDD scan, losing InMemoryTableScan's
+      // vectorized columnar decode and batch pruning for every
+      // downstream read. For the KB–MB staged frames that drive the
+      // composition blowup that is noise; for the few-hundred-MB edge/
+      // pair caches the simhash family stages at sf ≥ 1 it measured
+      // ~+40% on the iterative consumers (each round re-decodes the
+      // cache). Entries above the threshold keep classic IMR
+      // consumption — their render contribution stays bounded because
+      // their own cached plans are built over (small) leaves. The
+      // threshold is conf-tunable (`graft.stage.leafMaxBytes`); the
+      // default comfortably covers every sf0.1 staged frame and excludes
+      // the big sf ≥ 1 caches.
+      case Some(entry) if bridge.entrySizeBytes(entry) <=
+          BigInt(cached.sparkSession.conf
+            .get("graft.stage.leafMaxBytes", (64L << 20).toString).toLong) =>
         val base = entryLeaf.computeIfAbsent(entry,
           e => bridge.opaqueLeafOver(e, cached.sparkSession))
         val named =
           base.toDF(cached.queryExecution.analyzed.output.map(_.name): _*)
         leafOriginal.put(named, (cached, entry))
         named
-      case None => cached
+      case _ => cached
     }
   }
 

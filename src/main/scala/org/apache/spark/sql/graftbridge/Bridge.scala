@@ -90,6 +90,14 @@ object Bridge {
       .map(_.cachedRepresentation)
   }
 
+  /** Post-materialization size in bytes of a cache entry (from
+    * [[cachedEntry]]) — the ACTUAL cached bytes, used to size-gate the
+    * opaque-leaf truncation. */
+  def entrySizeBytes(entry: AnyRef): BigInt =
+    entry.asInstanceOf[
+      org.apache.spark.sql.execution.columnar.InMemoryRelation]
+      .computeStats().sizeInBytes
+
   /** An OPAQUE leaf frame over a materialized cache entry (from
     * [[cachedEntry]]): a LogicalRDD wrapping the cache scan's RDD.
     *

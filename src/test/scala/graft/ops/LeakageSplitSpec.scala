@@ -31,6 +31,14 @@ class LeakageSplitSpec extends SparkSpec {
       ((1L, 1L, 0L)),
       s"expected (n_pairs, naive_leaked, safe_leaked) = (1, 1, 0), got " +
         s"(${audit.getLong(0)}, ${audit.getLong(1)}, ${audit.getLong(2)})")
+    // r20 route parity: the dense-corpus route (rep collapse before the
+    // component propagation — forced via maxDirectPairs = 0) must read
+    // the identical audit row as the direct-components route above
+    val dense = Sampling.splitLeakage(df, maxDirectPairs = 0L)
+      .collect().head
+    assert((dense.getLong(0), dense.getLong(1), dense.getLong(2)) ==
+      ((audit.getLong(0), audit.getLong(1), audit.getLong(2))),
+      "dense-corpus route diverged from the direct route")
     Stage.releaseAll(spark)
   }
 
