@@ -76,13 +76,19 @@ object Curation {
     // by measurement (r15 A/B at sf1, BENCH_NOTES): canonical's own two
     // consumers then re-run only a semi-join over this staged leaf,
     // which is cheaper than a second barrier's materialization pass.
-    val deduped = Stage.barrier(Dedup.firstPerDigest(
+    // DEFERRED (r21): the dedup stage's first consumer is the cluster-map
+    // staging right below — simhashCanonical's first internal barrier
+    // materializes this entry through the cache (single reference), so
+    // an eager count here was a duplicate action; the fan-out consumers
+    // (canonical semi-join, decon rejoin) read the sealed leaf.
+    val dedupedC = Stage.defer(Dedup.firstPerDigest(
         gated.withColumn("_dig", sha2(lower(col("text")), 256)))
       .select(col("doc_id"), col("source"), col("text")))
     // 3: near-dup cluster map — STAGED, because it is consumed twice
     // (canonical collapse here, split keys below); this is the in-DAG
     // form of the bucketed-table reuse the split scaladoc prescribes
-    val cmap = Stage.barrier(Dedup.simhashCanonical(deduped, maxHamming))
+    val cmap = Stage.barrier(Dedup.simhashCanonical(dedupedC, maxHamming))
+    val deduped = Stage.seal(dedupedC)
     val canonical = deduped.join(
       cmap.filter(col("doc_id") === col("canonical_id"))
         .select(col("doc_id")),

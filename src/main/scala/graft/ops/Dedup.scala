@@ -585,7 +585,10 @@ object Dedup {
     // deployment's parallelism ([[kernelWidth]]), which an explicit
     // count pins against AQE. Rail-sized graphs never reach the rounds,
     // so the width only matters where the loop actually runs.
-    val edges = Stage.barrier(
+    // barrierCounted: the rail sizing below needs the edge count, and the
+    // barrier's own materializing count already computed it — a separate
+    // edges.count() was a duplicate action round-trip (r21)
+    val (edges, nEdges) = Stage.barrierCounted(
       (if (assumeCanonical) closure else closure.distinct())
         .repartition(kernelWidth(pairs.sparkSession), col("s")))
     if (!inputCached) Stage.release(p0)
@@ -604,11 +607,9 @@ object Dedup {
     // 5.2M), so 8M edges ≈ 134 MB transient on the driver.
     // Union-by-min + path compression computes exactly the propagation
     // fixpoint (min reachable id per node, order-independent), so labels
-    // are bit-identical — the oracled component queries pin that. The
-    // count is free (the barrier just materialized the cache); at real
-    // scale the rail never fires and the distributed rounds below are
-    // unchanged.
-    val nEdges = edges.count()
+    // are bit-identical — the oracled component queries pin that. At
+    // real scale the rail never fires and the distributed rounds below
+    // are unchanged.
     // the rail reads getLong, so it only takes LONG-typed ids; any other
     // orderable id type (int, string) falls through to the distributed
     // rounds below, whose min/least handle it — keeping the public
@@ -632,21 +633,34 @@ object Dedup {
     val nullIdMsg =
       "components(): null doc id in the pair relation — the caller's " +
         "pair producer leaked an outer-join miss; filter nulls first"
-    if (nEdges <= maxLocalEdges)
+    // the LONG-typed rail folds its null audit into the collect pass
+    // below (one job instead of two — r21); only the non-long rail-sized
+    // path still needs the standalone screen before taking the
+    // distributed rounds' null-keyed-non-label caveat
+    if (!railTyped && nEdges <= maxLocalEdges)
       require(edges.filter(col("s").isNull || col("d").isNull)
           .head(1).isEmpty, nullIdMsg)
     if (railTyped && nEdges <= maxLocalEdges) {
       // collect PRIMITIVES, not rows: one flat long array per partition
-      // (s,d interleaved) — 16 B/edge on the driver instead of ~100 B of
-      // boxed Row, which is what lets maxLocalEdges sit at 4M edges
-      // (the null require above already screened this cached frame)
+      // (s,d interleaved, with a per-partition null-id count riding
+      // along so the null audit shares this job) — 16 B/edge on the
+      // driver instead of ~100 B of boxed Row, which is what lets
+      // maxLocalEdges sit at 8M edges (~134 MB transient)
       val sess = edges.sparkSession
       import sess.implicits._
-      val chunks = edges.mapPartitions { it =>
+      val chunks0 = edges.mapPartitions { it =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
-        it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
-        Iterator.single(b.result())
+        var nulls = 0L
+        it.foreach { r =>
+          if (r.isNullAt(0) || r.isNullAt(1)) nulls += 1
+          else { b += r.getLong(0); b += r.getLong(1) }
+        }
+        Iterator.single((nulls, b.result()))
       }.collect()
+      // driver-side require → the same IllegalArgumentException (and
+      // message) as the non-long path: the type-uniform null contract
+      require(chunks0.forall(_._1 == 0L), nullIdMsg)
+      val chunks = chunks0.map(_._2)
       val parent = new scala.collection.mutable.LongMap[Long]()
       def findRoot(x0: Long): Long = {
         var r = x0
@@ -677,15 +691,15 @@ object Dedup {
         session.sparkContext.parallelize(out.toSeq,
           math.max(1, math.min(32, out.size / 4096 + 1))), schema), true)
     }
-    var labels = Stage.barrier(
-      edges.select(col("s").as("id")).distinct()
-        .withColumn("label", col("id")))
     // One row per GRAPH NODE (docs in ≥1 pair), typically ≪ corpus.
     // Checkpoint-backed label frames are LogicalRDD leaves with unknown
     // stats, so the planner NEVER auto-broadcasts them — hint
     // explicitly while the node count is broadcastable, else keep the
     // shuffle join (the label side is then the smaller shuffle anyway).
-    val nodes = labels.count() // cached — metadata-cheap
+    // barrierCounted: the node count rides the materializing count (r21)
+    var (labels, nodes) = Stage.barrierCounted(
+      edges.select(col("s").as("id")).distinct()
+        .withColumn("label", col("id")))
     val bcastLabels = nodes <= maxBroadcastNodes
     // Every round ends in an EAGER localCheckpoint: round r's result joins
     // itself into round r+1, so without truncation the plan embeds the
@@ -730,8 +744,15 @@ object Dedup {
         .select(col("id"),
           coalesce(col("jl"), col("hl")).as("label"),
           (col("hl") < col("label") || col("jl") < col("hl")).as("chg"))
-        .localCheckpoint() // eager: materializes + truncates lineage
-      // the convergence check reads the checkpoint blocks, nothing upstream
+        // LAZY checkpoint (r21): the convergence count right below is the
+        // round's first action and computes EVERY partition, so it both
+        // materializes the checkpoint blocks and truncates lineage — the
+        // former eager checkpoint ran a separate materialization job per
+        // round (2 actions/round → 1). The previous round's blocks are
+        // only released AFTER this count, so the lineage they back is
+        // never read post-release.
+        .localCheckpoint(eager = false)
+      // the convergence check materializes + reads the checkpoint blocks
       changed = next.filter(col("chg")).count()
       releasePrev()
       val ck = org.apache.spark.sql.graftbridge.Bridge.internalRdd(next)
@@ -1299,16 +1320,25 @@ object Dedup {
     * recursive-CTE oracle. */
   def simhashCanonical(docs: DataFrame, maxHamming: Int = 6,
       textCol: String = "text", maxBucket: Int = 100000): DataFrame = {
-    val allSigs = Stage.barrier(simhashes(docs, textCol))
+    // DEFERRED (r21, guide §1.2 — fewer actions): the signature frame's
+    // first consumer is the reps barrier right below, whose
+    // materializing count reads through this cache and computes it as a
+    // side effect (single reference — see [[Stage.defer]]'s contract);
+    // an eager count here was a duplicate action round-trip. The
+    // fan-out consumers (the final rejoin + NULL union) are built over
+    // the sealed leaf after materialization.
+    val allSigsC = Stage.defer(simhashes(docs, textCol))
     // NULL-text docs carry a NULL signature ([[simhashes]]); similarity
     // to unknown content is unknown, so they are NOT mutual duplicates —
     // each labels itself (the same posture as [[firstPerDigest]]'s
     // NULL-digest pass-through). Splitting here keeps the NULL group out
     // of `reps` (a groupBy would fold all NULLs into one rep) and keeps
     // the final rejoin an equi-join that every sig can actually match.
-    val sigs = allSigs.filter(col("simhash").isNotNull)
-    val reps = Stage.barrier(sigs.groupBy(col("simhash"))
+    val reps = Stage.barrier(allSigsC.filter(col("simhash").isNotNull)
+      .groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("rep_id")))
+    val allSigs = Stage.seal(allSigsC)
+    val sigs = allSigs.filter(col("simhash").isNotNull)
     // staged: the rep pair list is the quadratic-output stage (dense
     // corpora put many representatives in one bucket), and components'
     // edge closure would otherwise re-run it — materialize once; it is

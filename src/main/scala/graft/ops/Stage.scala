@@ -57,7 +57,14 @@ object Stage {
   private val entryLeaf =
     new ConcurrentHashMap[AnyRef, DataFrame]()
 
-  def barrier(df: DataFrame): DataFrame = {
+  def barrier(df: DataFrame): DataFrame = barrierCounted(df)._1
+
+  /** [[barrier]] plus the materializing count's VALUE — for callers that
+    * need the staged frame's row count anyway (components' rail sizing):
+    * the barrier already ran the count job, so a separate `.count()`
+    * action over the fresh cache is a pure job-round-trip duplicate
+    * (measured ~30–50 ms per action at bench scale, r21). */
+  def barrierCounted(df: DataFrame): (DataFrame, Long) = {
     val cached = df.cache()
     // unpersist on a FAILED materialization: cache() registers the plan
     // in the CacheManager immediately, so a count() that throws
@@ -65,7 +72,7 @@ object Stage {
     // otherwise leave a registered-but-untracked entry — plus any
     // partially materialized blocks — that releaseAll (which only walks
     // the tracked set) could never release
-    try cached.count()
+    val n = try cached.count()
     catch {
       case t: Throwable =>
         try cached.unpersist(blocking = false) catch { case _: Throwable => }
@@ -86,6 +93,12 @@ object Stage {
     // across releaseAll and re-reads it will re-materialize the cache
     // untracked — memoized holders already drop their references via the
     // release hooks, which is the documented holder contract.
+    (leafed(cached), n)
+  }
+
+  /** The size-gated opaque-leaf handle over an already-MATERIALIZED
+    * cached frame — the shared tail of [[barrier]] and [[seal]]. */
+  private def leafed(cached: DataFrame): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     bridge.cachedEntry(cached) match {
       // SIZE GATE: the leaf pays for its plan-size win by consuming the
@@ -113,6 +126,38 @@ object Stage {
       case _ => cached
     }
   }
+
+  /** Cache + track `df` WITHOUT materializing it — the fused-chain form
+    * of [[barrier]] (guide §1.2: fewer actions): when a staged frame's
+    * FIRST consumer is a later barrier in the same composition, that
+    * barrier's own materializing count computes this entry as a side
+    * effect (its plan reads through the registered cache), so an eager
+    * count here would be a duplicate action round-trip. Returns the
+    * CACHED frame (classic IMR consumption — downstream chain plans are
+    * built over it); call [[seal]] AFTER the materializing barrier to
+    * get the size-gated opaque leaf for the fan-out consumers.
+    *
+    * SAFETY CONTRACT (the reason [[barrier]] stays the default): the
+    * materializing downstream plan must reference this frame exactly
+    * ONCE. A plan referencing an UNMATERIALIZED cache entry from two
+    * branches lets AQE submit both branches' leaf stages concurrently,
+    * and each computes the entry's partitions (blocks dedupe only on
+    * write) — the duplicated upstream run the barrier exists to
+    * prevent. Single-reference chains have no concurrent reader, so the
+    * entry materializes exactly once, inside the downstream action. */
+  def defer(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    track(cached)
+    cached
+  }
+
+  /** The opaque-leaf handle for a [[defer]]red frame, AFTER a downstream
+    * barrier/action materialized it. Same size gate and release
+    * bookkeeping as [[barrier]]'s returned frame. Calling it on an
+    * entry that was never materialized is safe but mis-sizes the gate
+    * (the entry's stats are still the optimizer estimate) — the defer/
+    * seal pair is an intra-op pattern, not a public lifecycle. */
+  def seal(cached: DataFrame): DataFrame = leafed(cached)
 
   /** Run `h` every time [[releaseAll]] fires for session `s` — the memo-
     * invalidation side of the release contract (see LIFECYCLE). Hooks live

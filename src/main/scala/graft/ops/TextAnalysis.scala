@@ -928,9 +928,18 @@ object TextAnalysis {
     import spark.implicits._
     val words = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // LAZY checkpoints throughout (r21): each round's first action — the
+    // top-B pair-count collect below — computes EVERY vocab partition, so
+    // it materializes the round's checkpoint blocks and truncates lineage
+    // in the SAME job; the former eager checkpoint was a second action
+    // per round (2 → 1 action/round, ~halving the loop's job count at
+    // bench scale where per-action round-trips dominate). Block release
+    // ordering is preserved: a round's blocks are dropped only AFTER the
+    // next round's collect materialized the frame whose lineage was
+    // truncated onto them.
     var vocab = words.select(col("w"), col("freq"),
       concat_ws(" ", split(col("w"), "")).as("sym"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (its
     // blocks are RDD-persisted, not cacheManager entries) — release
     // each round's blocks through the internal RDD, as the components
@@ -940,7 +949,9 @@ object TextAnalysis {
       val ck = org.apache.spark.sql.graftbridge.Bridge.internalRdd(df)
       () => ck.foreach(_.unpersist(blocking = false))
     }
-    var releasePrev = releaser(vocab)
+    // the PREVIOUS round's release, deferred until the collect that
+    // materializes the current round has run
+    var releasePrev: () => Unit = () => ()
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
@@ -960,6 +971,10 @@ object TextAnalysis {
         .agg(sum(col("freq")).cast("long").as("cnt"))
         .orderBy(desc("cnt"), col("l"), col("r"))
         .limit(batchSize).collect()
+      // this collect materialized `vocab`'s lazy checkpoint — the round
+      // before it can release its blocks now
+      releasePrev()
+      releasePrev = () => ()
       if (top.isEmpty) done = true
       else {
         // prefix-disjoint acceptance over the ordered top-B candidates
@@ -989,14 +1004,16 @@ object TextAnalysis {
             java.util.regex.Pattern.quote(s" $l $r "),
             java.util.regex.Matcher.quoteReplacement(s" $l$r "))
         }
-        val next = vocab.withColumn("sym", trim(symN)).localCheckpoint(true)
-        releasePrev()
-        releasePrev = releaser(next)
+        val next = vocab.withColumn("sym", trim(symN)).localCheckpoint(false)
+        // vocab's blocks back next's truncated lineage until next is
+        // materialized (the NEXT round's collect) — defer the release
+        releasePrev = releaser(vocab)
         vocab = next
         roundsOut.foreach(_.incrementAndGet())
       }
     }
     releasePrev()
+    releaser(vocab)() // final round's blocks (no-op if never materialized)
     merges.toSeq.take(nMerges).toDF("rank", "l", "r", "pair_count")
   }
 

@@ -425,12 +425,12 @@ object DedupSim {
       // staged: the near-dup screen (the chain's most expensive stage)
       // would otherwise run twice — once for the audit expectation and
       // once inside Publish's write
-      val toPublish = graft.ops.Stage.barrier(survivors.join(
-        near.filter(col("kept")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi"))
-      val expected = toPublish.count()
+      val (toPublish, expected) = graft.ops.Stage.barrierCounted(
+        survivors.join(
+          near.filter(col("kept")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"))
       graft.sources.Publish.parquet(toPublish, p,
-        audit = staged => staged.count() == expected)
+        rowAudit = _ == expected)
       p
     }
     val published = graft.sources.Publish.readPublished(s, pubPath)
@@ -519,13 +519,12 @@ object DedupSim {
     val survivors = Stage.barrier(
       screened.join(exactKept, Seq("doc_id"), "left_semi"))
     val near = Dedup.incrementalNearDedup(survivors, corpus)
-    val toPublish = Stage.barrier(survivors
+    val (toPublish, expected) = Stage.barrierCounted(survivors
       .join(near.filter(col("kept")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .withColumn("split", TextAnalysis.splitAssign(col("doc_id"))))
-    val expected = toPublish.count()
     graft.sources.Publish.parquet(toPublish, pubPath,
-      audit = staged => staged.count() == expected)
+      rowAudit = _ == expected)
   }
 
   /** Lands + publishes both epochs once per (session, dir); returns
@@ -705,11 +704,10 @@ object DedupSim {
         screened.join(exactKept, Seq("doc_id"), "left_semi")
       }
       def publishVerdicts(sv: DataFrame, path: String): Unit = {
-        val svb = Stage.barrier(sv)
-        val expected = svb.count()
+        val (svb, expected) = Stage.barrierCounted(sv)
         graft.sources.Publish.parquet(
           Dedup.incrementalNearDedupFrom(s, svb, bt, st), path,
-          audit = _.count() == expected)
+          rowAudit = _ == expected)
       }
       val near1 =
         graft.sources.PartitionedStore.storePath("epochnd_near1", dir)
@@ -818,7 +816,7 @@ object DedupSim {
       // epoch's own published artifacts.
       def runEpoch(epoch: Int, landPath: String, statusPath: String,
           spanPath: String, pubPath: String): Unit = Stage.scoped(s) {
-        val landed = Stage.barrier(
+        val (landed, nLanded) = Stage.barrierCounted(
           JsonlStore.readJsonl(s, landPath, epochSchema))
         val passed = TextAnalysis.gopherRules(landed)
           .filter(col("gopher_pass")).select(col("doc_id"))
@@ -830,14 +828,13 @@ object DedupSim {
         val survivors = Stage.barrier(
           screened.join(exactKept, Seq("doc_id"), "left_semi"))
         val near = Dedup.incrementalNearDedupFrom(s, survivors, bt, sht)
-        val published = Stage.barrier(survivors
+        val (published, nPub) = Stage.barrierCounted(survivors
           .join(near.filter(col("kept")).select(col("doc_id")),
             Seq("doc_id"), "left_semi")
           .withColumn("split", TextAnalysis.splitAssign(col("doc_id"))))
-        val nPub = published.count()
         Publish.parquet(published
           .select(col("doc_id"), col("text"), col("split")),
-          pubPath, audit = _.count() == nPub)
+          pubPath, rowAudit = _ == nPub)
         // the span RUNG: a landing screen drops or FLAGS — this chain
         // flags (coverage materialized per published doc; the status
         // cascade is untouched, which is what lets the status output
@@ -845,12 +842,11 @@ object DedupSim {
         Publish.parquet(
           Dedup.spanScreenFrom(s, published, kt)
             .withColumn("epoch", lit(epoch.toLong)),
-          spanPath, audit = _.count() == nPub)
+          spanPath, rowAudit = _ == nPub)
         val status = statusCascadeOf(epoch, landed, passed, exactKept,
           published.select(col("doc_id"), col("split")))
-        val nLanded = landed.count()
         Publish.parquet(status, statusPath,
-          audit = _.count() == nLanded)
+          rowAudit = _ == nLanded)
       }
 
       val land1 = s"$base/land1"
@@ -951,23 +947,35 @@ object DedupSim {
     * truth — the measured answer to "which index do I ship". */
   def annEval(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).embeddings
+    // the truth barrier and the arms' internal staging barriers (LSH
+    // buckets, IVF assignment) are INDEPENDENT eager jobs — build them
+    // from a small thread pool so their materializations overlap
+    // (guide §2.6: concurrent independent jobs back-fill the scheduler
+    // instead of paying four sequential action round-trips). Plan
+    // construction and Stage's tracking are thread-safe; the combined
+    // result below is identical to the sequential build.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     // staged: the brute-force truth is the most expensive sub-plan and
     // feeds all three arms plus the total — one execution, not four
-    val truth = graft.ops.Stage.barrier(
+    val truthF = Future(graft.ops.Stage.barrier(
       Similarity.knnBrute(e, nQueries = 10, k = 5)
-        .select(col("query_id"), col("neighbor_id")))
+        .select(col("query_id"), col("neighbor_id"))))
+    val armsF = Seq(
+      "lsh" -> Future(Similarity.knnLsh(e, nQueries = 10, k = 5)),
+      "ivf_static" ->
+        Future(graft.ops.Ivf.knnIvfStatic(e, nQueries = 10, k = 5)),
+      "sq8" -> Future(Similarity.knnQuantized(e, nQueries = 10, k = 5,
+        shortlist = 32)))
+    val truth = Await.result(truthF, Duration.Inf)
     def arm(name: String, df: DataFrame): DataFrame =
       df.select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).cast("long").as("n_common"))
         .select(lit(name).as("method"), col("n_common"))
     val truthN = truth.agg(count(lit(1)).cast("long").as("n_truth"))
-    Seq(
-      arm("lsh", Similarity.knnLsh(e, nQueries = 10, k = 5)),
-      arm("ivf_static",
-        graft.ops.Ivf.knnIvfStatic(e, nQueries = 10, k = 5)),
-      arm("sq8", Similarity.knnQuantized(e, nQueries = 10, k = 5,
-        shortlist = 32)))
+    armsF.map { case (n, f) => arm(n, Await.result(f, Duration.Inf)) }
       .reduce(_ unionByName _)
       .crossJoin(broadcast(truthN))
       .select(col("method"), col("n_truth"), col("n_common"),

@@ -244,7 +244,7 @@ object PartitionedStore {
     // Publish stages + audits + renames; the original stays readable
     // until the rename
     val rows = Publish.parquet(df.repartition(nFiles), path + ".compacted",
-      audit = _.count() == expected)
+      rowAudit = _ == expected)
     // swap: original steps aside first, so a crash mid-swap leaves BOTH
     // copies on disk (recoverable), never neither
     val retired = new Path(path + ".old")

@@ -25,7 +25,8 @@ object Publish {
     * downstream will actually see, not the in-memory frame that produced
     * them. */
   def parquet(df: DataFrame, finalPath: String,
-      audit: DataFrame => Boolean = _ => true): Long = {
+      audit: DataFrame => Boolean = _ => true,
+      rowAudit: Long => Boolean = _ => true): Long = {
     val spark = df.sparkSession
     val staging = new Path(finalPath + ".staging")
     val target = new Path(finalPath)
@@ -35,7 +36,11 @@ object Publish {
 
     val staged = spark.read.parquet(staging.toString)
     val rows = staged.count()
-    if (!audit(staged)) {
+    // `rowAudit` sees the count this method ALREADY took of the fresh
+    // staged read — the common row-count audit re-ran `staged.count()`
+    // inside its lambda, a duplicate scan+job per publish (r21). The
+    // generic `audit` hook is unchanged for invariants beyond the count.
+    if (!rowAudit(rows) || !audit(staged)) {
       val quarantine = new Path(finalPath + ".rejected")
       fs.delete(quarantine, true)
       fs.rename(staging, quarantine)

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 import graft.SparkSpec
@@ -86,5 +87,59 @@ class StageSpec extends SparkSpec {
       assert(futures.map(_.get(30, TimeUnit.SECONDS)).toSet == Set(1))
       assert(calls.get() == 1)
     } finally pool.shutdown()
+  }
+
+  test("a leaf retained across releaseAll re-reads correctly and leaves " +
+      "the storage registry clean (VERDICT r20 #1)") {
+    // the LIFECYCLE caveat, pinned: a caller that holds a barrier leaf
+    // past releaseAll gets a frame whose cache entry is gone. The
+    // contract asserted here: (a) the re-read still returns the right
+    // rows (the leaf's RDD recomputes from the entry's child plan like
+    // any cache miss), (b) the recompute does NOT silently re-pin
+    // storage — unpersist dropped the cached RDD's storage level, so no
+    // untracked persistent blocks accumulate across release cycles.
+    val leaf = Stage.barrier(
+      spark.range(40).toDF("n").withColumn("m", col("n") * 2))
+    assert(leaf.count() == 40)
+    Stage.releaseAll(spark)
+    assert(Stage.stagedCount(spark) == 0)
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    // re-read AFTER release: correct rows, no new pinned RDDs
+    assert(leaf.count() == 40)
+    assert(leaf.agg(org.apache.spark.sql.functions.sum("m")).head.getLong(0)
+      == (0L until 40L).map(_ * 2).sum)
+    assert(spark.sparkContext.getPersistentRDDs.size == persisted,
+      "retained-leaf re-read must not re-pin storage untracked")
+  }
+
+  test("defer + seal: one materializing action covers the chain; sealed " +
+      "leaf reads the cache (r21 fused barriers)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler
+          .SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val base = Stage.defer(spark.range(30).toDF("n")
+        .withColumn("h", col("n") % 7))
+      assert(Stage.stagedCount(spark) >= 1) // tracked without an action
+      // the downstream barrier's count is the ONE materializing action
+      val (agg, nAgg) = Stage.barrierCounted(
+        base.groupBy(col("h")).agg(org.apache.spark.sql.functions
+          .count(org.apache.spark.sql.functions.lit(1)).as("c")))
+      assert(nAgg == 7)
+      Thread.sleep(300) // listener bus is async
+      val afterChain = jobs.get()
+      // sealing after materialization runs NO job and hands out the
+      // size-gated leaf; reading it hits the materialized cache
+      val leafed = Stage.seal(base)
+      Thread.sleep(300) // listener bus is async
+      assert(jobs.get() == afterChain, "seal must not run a job")
+      assert(org.apache.spark.sql.graftbridge.Bridge.isCachedLeaf(leafed))
+      assert(leafed.count() == 30)
+      assert(agg.count() == 7)
+      Stage.releaseAll(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
