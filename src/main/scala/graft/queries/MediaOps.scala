@@ -42,8 +42,13 @@ object MediaOps {
       concat(col("text"), lit("z")).as("text"))
     val media = Multimodal.mediaFromDocuments(
       docs.select(col("doc_id"), col("text")).union(mutated))
+    // signatures STAGED like simhashNearDupPairs' (r21): hammingNearDupPairs
+    // evaluates its input in both the bucket census and the blocked kernel
+    // branch, and the per-row payload histogram (histStub over every media
+    // byte) is the operator's dominant cost — unstaged it ran twice per
+    // action. 16 bytes/row cached; Stage lifecycle as usual.
     graft.ops.Dedup.hammingNearDupPairs(
-        Multimodal.mediaSignatures(media).toDF(),
+        graft.ops.Stage.barrier(Multimodal.mediaSignatures(media).toDF()),
         maxHamming = 6, idCol = "media_id", sigCol = "sig")
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         col("hamming"))

@@ -33,23 +33,58 @@ object DriverProfDiag {
     val target = Thread.currentThread()
     val counts = new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.atomic.AtomicInteger]()
+    // SPARK_GRAFT_PROF_STACKS=1: aggregate FULL stacks (top 14 frames)
+    // instead of single frames — tells WHAT runs under a hot wrapper
+    // frame like AQE's withFinalPlanUpdate
+    val fullStacks = sys.env.contains("SPARK_GRAFT_PROF_STACKS")
+    // SPARK_GRAFT_PROF_ALL=1: sample EVERY RUNNABLE thread (not just the
+    // calling one) — attributes work done on AQE/broadcast/task pools
+    // while the main thread waits on the stage-events queue
+    val allThreads = sys.env.contains("SPARK_GRAFT_PROF_ALL")
     @volatile var run = true
     @volatile var nSamples = 0
     val sampler = new Thread(() => {
       while (run) {
+        if (allThreads) {
+          nSamples += 1
+          val stacks = Thread.getAllStackTraces
+          stacks.forEach { (t, st) =>
+            if ((t ne Thread.currentThread()) &&
+                t.getState == Thread.State.RUNNABLE && st.nonEmpty) {
+              val key = (t.getName.replaceAll("\\d+", "N")) + " @ " +
+                st.take(4).map(e => e.getClassName + "." + e.getMethodName)
+                  .mkString(" <- ")
+              counts.computeIfAbsent(key,
+                _ => new java.util.concurrent.atomic.AtomicInteger(0))
+                .incrementAndGet()
+            }
+          }
+          Thread.sleep(10)
+        } else samplerBody()
+      }
+      def samplerBody(): Unit = {
         val st = target.getStackTrace
         nSamples += 1
-        // charge the TOP interesting frame (skip JVM internals)
-        val top = st.find { e =>
-          val c = e.getClassName
-          !c.startsWith("java.") && !c.startsWith("jdk.") &&
-            !c.startsWith("scala.collection") && !c.startsWith("sun.")
-        }
-        top.foreach { e =>
-          val key = e.getClassName + "." + e.getMethodName
+        if (fullStacks) {
+          val key = st.take(18).map(e =>
+            e.getClassName + "." + e.getMethodName + ":" + e.getLineNumber)
+            .mkString(" <- ")
           counts.computeIfAbsent(key,
             _ => new java.util.concurrent.atomic.AtomicInteger(0))
             .incrementAndGet()
+        } else {
+          // charge the TOP interesting frame (skip JVM internals)
+          val top = st.find { e =>
+            val c = e.getClassName
+            !c.startsWith("java.") && !c.startsWith("jdk.") &&
+              !c.startsWith("scala.collection") && !c.startsWith("sun.")
+          }
+          top.foreach { e =>
+            val key = e.getClassName + "." + e.getMethodName
+            counts.computeIfAbsent(key,
+              _ => new java.util.concurrent.atomic.AtomicInteger(0))
+              .incrementAndGet()
+          }
         }
         Thread.sleep(10)
       }
