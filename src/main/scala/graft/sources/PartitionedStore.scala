@@ -193,7 +193,9 @@ object PartitionedStore {
   }
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    // session resolution memo — snapshot-validated, so appends/compaction
+    // (which change the file listing) re-resolve; see Publish.readPublished
+    graft.Tables.resolved(spark, path)
 
   /** Small-files compaction — the maintenance pass every long-lived
     * 100 TB dataset needs: streaming ingestion and fine-grained writes

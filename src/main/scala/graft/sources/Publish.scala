@@ -92,6 +92,13 @@ object Publish {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"$path has not been published")
-    spark.read.parquet(path)
+    // through the session's resolution memo (Tables.resolved, r21): the
+    // store-lifecycle queries read their published stores several times
+    // per run, and each bare spark.read.parquet re-lists + re-infers the
+    // footer (~60–110 ms/path measured). The memo's (name, length,
+    // mtime) snapshot invalidates on every re-publish — an atomic swap
+    // replaces the directory contents, so a stale resolution can never
+    // be handed out.
+    graft.Tables.resolved(spark, path)
   }
 }
