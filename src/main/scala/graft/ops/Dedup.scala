@@ -532,10 +532,11 @@ object Dedup {
   def components(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 50,
       assumeCanonical: Boolean = false,
-      maxLocalEdges: Long = 1L << 23): DataFrame = {
+      maxLocalEdges: Long = 1L << 23,
+      knownPairs: Long = -1L): DataFrame = {
     val (labels, converged) = componentsWithStatus(pairs, aCol, bCol,
       maxRounds, assumeCanonical = assumeCanonical,
-      maxLocalEdges = maxLocalEdges)
+      maxLocalEdges = maxLocalEdges, knownPairs = knownPairs)
     // the library default FAILS LOUDLY: unconverged labels are silently
     // wrong (a too-small drop set downstream of a dedup). Callers that
     // want to inspect partial labels use componentsWithStatus.
@@ -555,43 +556,17 @@ object Dedup {
       bCol: String = "doc_b", maxRounds: Int = 50,
       maxBroadcastNodes: Long = 10000000L,
       assumeCanonical: Boolean = false,
-      maxLocalEdges: Long = 1L << 23): (DataFrame, Boolean) = {
-    // the undirected edge set references `pairs` from BOTH union
-    // branches — barrier the one-sided projection first so the caller's
-    // (possibly expensive) pair plan evaluates once, and release it as
-    // soon as the symmetric closure is materialized. When the caller
-    // already staged the pair frame (simhashCanonical does), reading
-    // that cache twice is free — skip the redundant copy + count job.
+      maxLocalEdges: Long = 1L << 23,
+      knownPairs: Long = -1L): (DataFrame, Boolean) = {
+    // When the caller already staged the pair frame (simhashCanonical
+    // does), its cache serves every read below; an unstaged caller's
+    // (possibly expensive) pair plan is barriered once here so neither
+    // the rail collect + distributed fallback nor the closure's two
+    // union branches re-evaluate it.
     val inputCached =
       pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
         org.apache.spark.sql.graftbridge.Bridge.isCachedLeaf(pairs)
     val proj = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
-    val p0 = if (inputCached) proj else Stage.barrier(proj)
-    // cached HASH-PARTITIONED BY s: the per-round neighborhood
-    // aggregation groups by s, and InMemoryRelation preserves its
-    // child's outputPartitioning — so when the label lookup joins by
-    // broadcast (below), groupBy(s) is partition-local and a round
-    // shuffles NO edge bytes at all. Without this the edge relation
-    // (orders of magnitude bigger than the label frontier) re-shuffled
-    // EVERY round: measured 301 MB/round at sf1 on the
-    // q_simhash_canonical graph, ~10 rounds deep.
-    val closure =
-      p0.union(p0.select(col("d").as("s"), col("s").as("d")))
-    // EXPLICIT partition count (r20): with AQE allowed to re-size cached
-    // plans (Tables.SessionConfigs), a count-less repartition(col) is
-    // advisory-coalesced BY BYTES, and the per-round loop over this one
-    // cached frame would run below the machine's width. The rounds are
-    // an iterative CPU-bound loop, so the frame's width follows the
-    // deployment's parallelism ([[kernelWidth]]), which an explicit
-    // count pins against AQE. Rail-sized graphs never reach the rounds,
-    // so the width only matters where the loop actually runs.
-    // barrierCounted: the rail sizing below needs the edge count, and the
-    // barrier's own materializing count already computed it — a separate
-    // edges.count() was a duplicate action round-trip (r21)
-    val (edges, nEdges) = Stage.barrierCounted(
-      (if (assumeCanonical) closure else closure.distinct())
-        .repartition(kernelWidth(pairs.sparkSession), col("s")))
-    if (!inputCached) Stage.release(p0)
     // HEAP-AWARE rail cap (r21, VERDICT r20 #2): the caller's (or conf's)
     // maxLocalEdges assumed a bench-sized driver heap; the effective cap
     // also budgets ~40 B/edge of transient driver cost (16 B of primitive
@@ -599,8 +574,10 @@ object Dedup {
     // small-heap driver degrades to the distributed rounds instead of
     // OOMing. The cap is conf-tunable per deployment
     // (`graft.components.maxLocalEdges`); at 8 GB heap the budget
-    // (~13M edges) sits above the 8M default, so local behavior is
-    // unchanged.
+    // (~21M edges) sits above the 8M default, so local behavior is
+    // unchanged. The 8M default itself is the MEASURED knee
+    // (RailCapBench r21: a 32M cap collapsing sf1's 28M-edge rep graph
+    // driver-side reads 16.1 s vs 11.3 s for the distributed rounds).
     // conf applies only when the caller took the DEFAULT — an explicit
     // parameter (specs force 0 to pin the distributed rounds; routing
     // callers pass measured values) always wins
@@ -610,19 +587,36 @@ object Dedup {
     else maxLocalEdges
     val heapBudget = Runtime.getRuntime.maxMemory / 10L / 40L
     val railCap = math.min(confCap, heapBudget)
+    // ROUTE ON THE PAIR COUNT, before anything materializes (r21): the
+    // former shape built + cached the symmetric closure FIRST and sized
+    // the rail from its count, paying a repartition exchange and a 2×-row
+    // cache write that the rail path immediately threw away. The pair
+    // count is free when the caller threads it in (`knownPairs` — the
+    // staging barrier that produced the pairs already counted them), one
+    // cached-scan job otherwise; the closure is now built only where it
+    // is actually consumed — the distributed rounds. Routing semantics
+    // are closure-equivalent: 2·pairs ≥ distinct symmetric edges, so the
+    // rail engages conservatively within the same cap.
+    val (p0, nPairs) =
+      if (knownPairs >= 0L) (proj, knownPairs)
+      else if (inputCached) (proj, proj.count())
+      else Stage.barrierCounted(proj)
+    val nEdges = 2L * nPairs
     // RAIL-SIZED graphs run a driver-side union-find instead of the
     // iterative rounds: a small graph's cost here is pure PER-ROUND JOB
     // OVERHEAD (each hook+jump round is several jobs plus an eager
     // checkpoint — measured ~6 s of the sf0.1 curation chain's 16.6 s
     // on a graph that collapses to 23 clusters), where one collect of
-    // ≤ maxLocalEdges symmetric edge rows unions in milliseconds.
-    // The default (8M rows) budgets for what the collect REALLY costs:
-    // edges come back as per-partition primitive long arrays (16 B/edge
-    // — the r20 fix; the former row collect boxed ~100 B/edge, which
-    // capped the rail at 512k and left the sf0.1 mutant rep graph, 2.9M
-    // symmetric edges over 8.4k nodes, running ~8 distributed rounds of
-    // ~5 jobs each; the full-doc mutant graph splitLeakage clusters is
-    // 5.2M), so 8M edges ≈ 134 MB transient on the driver.
+    // the pair rows unions in milliseconds. The rail collects the PAIR
+    // projection directly (r21): union(a, b) is symmetric, so the
+    // symmetric closure — whose repartition exchange + 2×-row cache
+    // write the former shape paid just to count and collect it — is
+    // only needed by (and now only built for) the distributed rounds.
+    // The cap budgets for what the collect REALLY costs: pairs come
+    // back as per-partition primitive long arrays (16 B/pair; the
+    // former row collect boxed ~100 B, which capped the rail at 512k
+    // and left the sf0.1 mutant rep graph — 2.9M symmetric edges over
+    // 8.4k nodes — running ~8 distributed rounds of ~5 jobs each).
     // Union-by-min + path compression computes exactly the propagation
     // fixpoint (min reachable id per node, order-independent), so labels
     // are bit-identical — the oracled component queries pin that. At
@@ -634,17 +628,15 @@ object Dedup {
     // contract type-uniform instead of narrowing it for small graphs
     // only (ADVICE r19). Every in-repo producer emits longs, so the
     // rail still fires everywhere it did.
-    val railTyped = edges.schema.fields
+    val railTyped = proj.schema.fields
       .forall(_.dataType == types.LongType)
     // the null-id contract must not depend on the id TYPE (review r20):
     // a rail-SIZED graph with null ids must fail loudly WHATEVER the id
     // type, not silently take the distributed rounds'
     // null-keyed-non-label caveat (int/string path) or fold a null into
-    // node 0 (the long rail's primitive reads). The frame is cached and
-    // rail-sized, so the check is one cheap job for both paths; at real
-    // scale (nEdges > maxLocalEdges) the distributed rounds keep their
-    // documented caveat — a per-call full-scan null audit is not a
-    // 100 TB shape.
+    // node 0 (the long rail's primitive reads). At real scale
+    // (nEdges > the cap) the distributed rounds keep their documented
+    // caveat — a per-call full-scan null audit is not a 100 TB shape.
     // ONE message + ONE driver-side require for both type paths (the
     // type-uniform contract depends on the errors staying identical —
     // DedupSpec matches on it)
@@ -656,17 +648,16 @@ object Dedup {
     // path still needs the standalone screen before taking the
     // distributed rounds' null-keyed-non-label caveat
     if (!railTyped && nEdges <= railCap)
-      require(edges.filter(col("s").isNull || col("d").isNull)
+      require(p0.filter(col("s").isNull || col("d").isNull)
           .head(1).isEmpty, nullIdMsg)
     if (railTyped && nEdges <= railCap) {
       // collect PRIMITIVES, not rows: one flat long array per partition
       // (s,d interleaved, with a per-partition null-id count riding
-      // along so the null audit shares this job) — 16 B/edge on the
-      // driver instead of ~100 B of boxed Row, which is what lets
-      // maxLocalEdges sit at 8M edges (~134 MB transient)
-      val sess = edges.sparkSession
+      // along so the null audit shares this job) — 16 B/pair on the
+      // driver instead of ~100 B of boxed Row
+      val sess = p0.sparkSession
       import sess.implicits._
-      val chunks0 = edges.mapPartitions { it =>
+      val chunks0 = p0.mapPartitions { it =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
         var nulls = 0L
         it.foreach { r =>
@@ -701,7 +692,7 @@ object Dedup {
       val out = new scala.collection.mutable.ArrayBuffer[
         org.apache.spark.sql.Row](parent.size)
       parent.foreachKey(id => out += Row(id, findRoot(id)))
-      Stage.release(edges)
+      if (!inputCached) Stage.release(p0)
       val session = pairs.sparkSession
       val schema = new types.StructType()
         .add("doc_id", "long").add("component", "long")
@@ -709,6 +700,25 @@ object Dedup {
         session.sparkContext.parallelize(out.toSeq,
           math.max(1, math.min(32, out.size / 4096 + 1))), schema), true)
     }
+    // DISTRIBUTED rounds: the symmetric closure, cached HASH-PARTITIONED
+    // BY s — the per-round neighborhood aggregation groups by s, and
+    // InMemoryRelation preserves its child's outputPartitioning, so with
+    // the label lookup broadcast a round shuffles NO edge bytes at all.
+    // Without this the edge relation (orders of magnitude bigger than
+    // the label frontier) re-shuffled EVERY round: measured 301 MB/round
+    // at sf1 on the q_simhash_canonical graph, ~10 rounds deep.
+    // EXPLICIT partition count (r20): with AQE allowed to re-size cached
+    // plans (Tables.SessionConfigs), a count-less repartition(col) is
+    // advisory-coalesced BY BYTES, and the per-round loop over this one
+    // cached frame would run below the machine's width — the rounds are
+    // CPU-bound, so the width follows the deployment's parallelism
+    // ([[kernelWidth]]), which an explicit count pins against AQE.
+    val closure =
+      p0.union(p0.select(col("d").as("s"), col("s").as("d")))
+    val edges = Stage.barrier(
+      (if (assumeCanonical) closure else closure.distinct())
+        .repartition(kernelWidth(pairs.sparkSession), col("s")))
+    if (!inputCached) Stage.release(p0)
     // One row per GRAPH NODE (docs in ≥1 pair), typically ≪ corpus.
     // Checkpoint-backed label frames are LogicalRDD leaves with unknown
     // stats, so the planner NEVER auto-broadcasts them — hint
@@ -1360,12 +1370,15 @@ object Dedup {
     // staged: the rep pair list is the quadratic-output stage (dense
     // corpora put many representatives in one bucket), and components'
     // edge closure would otherwise re-run it — materialize once; it is
-    // O(rep clusters), far smaller than the corpus
-    val pairs = Stage.barrier(hammingNearDupPairs(reps, maxHamming,
-      idCol = "rep_id", sigCol = "simhash", maxBucket = maxBucket))
+    // O(rep clusters), far smaller than the corpus. barrierCounted: the
+    // count routes components' union-find rail with zero extra jobs.
+    val (pairs, nPairs) = Stage.barrierCounted(
+      hammingNearDupPairs(reps, maxHamming,
+        idCol = "rep_id", sigCol = "simhash", maxBucket = maxBucket))
     // the kernel emits each pair once, doc_a < doc_b (structural
     // first-clean-block dedup) — skip components' edge-dedup exchange
-    val labels = components(pairs, assumeCanonical = true)
+    val labels = components(pairs, assumeCanonical = true,
+        knownPairs = nPairs)
       .select(col("doc_id").as("rep_id"), col("component"))
     sigs.join(reps, Seq("simhash"))
       .join(labels, Seq("rep_id"), "left")

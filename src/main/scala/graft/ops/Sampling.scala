@@ -292,12 +292,14 @@ object Sampling {
     // rep graph's ~14M — measured +40% on the full-size quad artifact).
     // maxDirectPairs defaults to half the rail (symmetric closure = 2×
     // pairs), so the direct path and the rail engage together.
-    val pairs = Stage.barrier(
+    // barrierCounted: the routing count below rides the materializing
+    // count, and threads into components' rail sizing (r21)
+    val (pairs, nPairs) = Stage.barrierCounted(
       Dedup.simhashNearDupPairs(docs, maxHamming, textCol))
-    val spl = if (pairs.count() <= maxDirectPairs) {
+    val spl = if (nPairs <= maxDirectPairs) {
       // the kernel emits each pair once with doc_a < doc_b (structural
       // first-clean-block dedup, spec-pinned) — skip the edge-dedup pass
-      Dedup.components(pairs, assumeCanonical = true)
+      Dedup.components(pairs, assumeCanonical = true, knownPairs = nPairs)
         .select(col("doc_id"),
           TextAnalysis.splitAssign(col("doc_id")).as("naive_split"),
           TextAnalysis.splitAssign(col("component")).as("safe_split"))
